@@ -1,0 +1,250 @@
+"""DuckDB oracle SQL generator for the KG pipeline.
+
+Every SQL string here is generated from the SAME config objects
+(``config.DEFAULT_RULES``, ``config.default_alias_dictionary``) that drive the
+Ray Data stages, so the driver's side-by-side comparison checks two
+implementations of one spec. The transcript CTE mirrors
+``sources/transcripts.py`` token-for-token (see the spec block there).
+
+All SQL is DuckDB 1.0 / RE2 compatible: no lookbehind, matches are
+non-overlapping left-to-right, list slicing is 1-based inclusive.
+"""
+
+from __future__ import annotations
+
+from .config import (
+    DEFAULT_RULES,
+    AliasDictionary,
+    ExtractionRule,
+    default_alias_dictionary,
+)
+from .sources.transcripts import EPOCH_2024_US, TURN_TOKENS
+
+# ---------------------------------------------------------------- transcripts
+
+
+def transcripts_cte() -> str:
+    """CTE 'transcripts' — must match sources.transcripts.docs_to_turns."""
+    return f"""
+transcripts AS (
+  SELECT
+    'conv_' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id,
+    ti::INTEGER AS turn_idx,
+    CASE WHEN ti % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+    array_to_string(tk[(ti * {TURN_TOKENS} + 1)::BIGINT : ((ti + 1) * {TURN_TOKENS})::BIGINT], ' ') AS text,
+    CASE WHEN ti % 3 = 2 THEN 'search' ELSE '' END AS tool,
+    make_timestamp({EPOCH_2024_US} + doc_id * 3600000000 + ti * 60000000) AS ts
+  FROM (
+    SELECT doc_id, tk, unnest(range(((len(tk) + {TURN_TOKENS} - 1) // {TURN_TOKENS})::BIGINT)) AS ti
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+  )
+)""".strip()
+
+
+# ------------------------------------------------------------------ mentions
+
+
+def _rule_select(rule: ExtractionRule) -> str:
+    roles = ", ".join(f"'{r}'" for r in rule.applies_role)
+    # zipped unnest over the two capture groups (DuckDB zips parallel unnests)
+    return f"""
+  SELECT conv_id, turn_idx, '{rule.rule_id}' AS rule_id, '{rule.predicate}' AS pred,
+         unnest(regexp_extract_all(text, '{rule.pattern}', 1)) AS subj_text,
+         unnest(regexp_extract_all(text, '{rule.pattern}', 2)) AS obj_text
+  FROM transcripts WHERE role IN ({roles})""".strip()
+
+
+def mentions_cte(rules: tuple[ExtractionRule, ...] = DEFAULT_RULES) -> str:
+    body = "\n  UNION ALL\n".join(_rule_select(r) for r in rules)
+    return f"mentions AS (\n{body}\n)"
+
+
+# ------------------------------------------------------- alias dict as VALUES
+
+
+def alias_ctes(d: AliasDictionary | None = None) -> str:
+    d = d or default_alias_dictionary()
+    spec = ", ".join(f"('{a}', '{c}')" for a, c in sorted(d.specific_lookup.items()))
+    multi = ", ".join(
+        f"('{a}', {len(cs)}, '{cs[0]}')" for a, cs in sorted(d.multi_lookup.items())
+    )
+    confl = ", ".join(f"('{a}')" for a in sorted(d.conflicts))
+    return (
+        f"specific(alias, canonical) AS (VALUES {spec}),\n"
+        f"multi(alias, n_cands, c0) AS (VALUES {multi}),\n"
+        f"conflicts(alias) AS (VALUES {confl})"
+    )
+
+
+# -------------------------------------------------------------------- linked
+
+
+def _resolve_cols(side: str) -> str:
+    """Resolution CASE chain for one side ('subj' or 'obj').
+
+    Priority must match stages.link.EntityLinker: conflict → tier-1 exact →
+    tier-2 singleton → ambiguous → unresolved. (The CI and heuristic passes
+    cannot fire on this all-lowercase corpus, so they are omitted from the
+    oracle but exercised in unit tests.)
+    """
+    s = side[0]  # 's' or 'o'
+    return f"""
+    CASE WHEN c{s}.alias IS NOT NULL THEN NULL
+         WHEN s{s}.alias IS NOT NULL THEN s{s}.canonical
+         WHEN m{s}.alias IS NOT NULL AND m{s}.n_cands = 1 THEN m{s}.c0
+         ELSE NULL END AS {side}_id,
+    CASE WHEN c{s}.alias IS NOT NULL THEN 'tier1_conflict'
+         WHEN s{s}.alias IS NOT NULL THEN 'tier1_exact'
+         WHEN m{s}.alias IS NOT NULL AND m{s}.n_cands = 1 THEN 'tier2_singleton'
+         WHEN m{s}.alias IS NOT NULL THEN 'ambiguous'
+         ELSE 'unresolved' END AS {side}_method""".strip()
+
+
+def linked_cte() -> str:
+    return f"""
+linked AS (
+  SELECT m.conv_id, m.turn_idx, m.rule_id, m.pred, m.subj_text, m.obj_text,
+    {_resolve_cols("subj")},
+    {_resolve_cols("obj")}
+  FROM mentions m
+  LEFT JOIN conflicts cs ON m.subj_text = cs.alias
+  LEFT JOIN specific ss ON m.subj_text = ss.alias
+  LEFT JOIN multi ms ON m.subj_text = ms.alias
+  LEFT JOIN conflicts co ON m.obj_text = co.alias
+  LEFT JOIN specific so ON m.obj_text = so.alias
+  LEFT JOIN multi mo ON m.obj_text = mo.alias
+)""".strip()
+
+
+# ------------------------------------------------------------- canonicalize
+
+
+def canon_ctes(d: AliasDictionary | None = None) -> str:
+    """Connected components over alias-equivalence edges via recursive CTE;
+    stable canonical ids = 'ent_' + zero-padded dense rank of the component's
+    lexicographic min member (the deterministic-sort id assignment)."""
+    d = d or default_alias_dictionary()
+    edges = d.all_equiv_edges()
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    return f"""
+eq(a, b) AS (VALUES {vals}),
+sym AS (
+  SELECT a, b FROM eq UNION SELECT b, a FROM eq
+  UNION SELECT a, a FROM eq UNION SELECT b, b FROM eq
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+comp AS (SELECT src AS member, min(dst) AS component_key FROM reach GROUP BY src),
+canon AS (
+  SELECT member, component_key,
+         'ent_' || lpad(dense_rank() OVER (ORDER BY component_key)::VARCHAR, 6, '0') AS canonical_id
+  FROM comp
+)""".strip()
+
+
+# ------------------------------------------------------------ full pipelines
+
+
+def _kg_prefix(recursive: bool = False) -> str:
+    parts = [transcripts_cte(), mentions_cte(), alias_ctes(), linked_cte()]
+    if recursive:
+        parts.append(canon_ctes())
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return kw + " " + ",\n".join(parts)
+
+
+def sql_kg_transcripts() -> str:
+    return f"{_kg_prefix()} SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
+
+
+def sql_kg_mentions() -> str:
+    return (
+        f"{_kg_prefix()} SELECT conv_id, turn_idx, rule_id, pred, subj_text, obj_text"
+        " FROM mentions"
+    )
+
+
+def sql_kg_linked() -> str:
+    return (
+        f"{_kg_prefix()} SELECT conv_id, turn_idx, rule_id, pred, subj_text, obj_text,"
+        " subj_id, subj_method, obj_id, obj_method FROM linked"
+    )
+
+
+def sql_kg_unresolved() -> str:
+    bad = "('unresolved', 'ambiguous', 'tier1_conflict')"
+    return f"""{_kg_prefix()}
+SELECT conv_id, turn_idx, raw_mention, reason FROM (
+  SELECT conv_id, turn_idx, subj_text AS raw_mention, subj_method AS reason FROM linked
+  UNION ALL
+  SELECT conv_id, turn_idx, obj_text, obj_method FROM linked
+) WHERE reason IN {bad}"""
+
+
+def sql_kg_components() -> str:
+    return f"WITH RECURSIVE {canon_ctes()} SELECT member, component_key, canonical_id FROM canon"
+
+
+def sql_kg_nodes() -> str:
+    return f"""{_kg_prefix(recursive=True)},
+mr AS (
+  SELECT subj_id AS tid FROM linked WHERE subj_id IS NOT NULL
+  UNION ALL
+  SELECT obj_id FROM linked WHERE obj_id IS NOT NULL
+)
+SELECT c.canonical_id AS id, 'term' AS label, c.component_key AS name,
+       count(*)::BIGINT AS mention_count
+FROM mr JOIN canon c ON mr.tid = c.member
+GROUP BY 1, 2, 3"""
+
+
+def _edges_select() -> str:
+    return """
+SELECT cs.canonical_id AS src, l.pred, co.canonical_id AS dst,
+       count(*)::BIGINT AS weight,
+       string_agg(DISTINCT l.rule_id, '|' ORDER BY l.rule_id) AS evidence
+FROM linked l
+JOIN canon cs ON l.subj_id = cs.member
+JOIN canon co ON l.obj_id = co.member
+GROUP BY 1, 2, 3""".strip()
+
+
+def sql_kg_edges() -> str:
+    return f"{_kg_prefix(recursive=True)} {_edges_select()}"
+
+
+def sql_kg_node_degree() -> str:
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()})
+SELECT node AS id, count(*)::BIGINT AS degree, sum(weight)::BIGINT AS weighted_degree
+FROM (SELECT src AS node, weight FROM edges UNION ALL SELECT dst, weight FROM edges)
+GROUP BY 1"""
+
+
+def sql_kg_edge_rank() -> str:
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()})
+SELECT src, pred, dst, weight,
+       row_number() OVER (PARTITION BY pred ORDER BY weight DESC, src, dst)::BIGINT AS rank
+FROM edges"""
+
+
+def sql_kg_conv_stats() -> str:
+    return f"""{_kg_prefix()},
+t_agg AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM transcripts GROUP BY 1
+),
+m_agg AS (
+  SELECT conv_id, count(*)::BIGINT AS n_mentions,
+         sum(CASE WHEN subj_id IS NOT NULL AND obj_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_resolved
+  FROM linked GROUP BY 1
+)
+SELECT a.conv_id, a.n_turns,
+       coalesce(m.n_mentions, 0)::BIGINT AS n_mentions,
+       coalesce(m.n_resolved, 0)::BIGINT AS n_resolved,
+       a.first_ts, a.last_ts
+FROM t_agg a LEFT JOIN m_agg m USING (conv_id)"""

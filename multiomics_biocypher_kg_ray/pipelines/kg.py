@@ -1,0 +1,115 @@
+"""End-to-end KG construction pipeline.
+
+transcripts → extract (actor pool) → link (broadcast alias index, actor pool)
+→ canonicalize (connected components + deterministic stable ids) →
+materialize (dedup nodes/edges, evidence union) → rollups (degree, ranks,
+conv stats) → typed Parquet graph output.
+
+Mirrors the reference lifecycle ``prepare_data.sh → create_knowledge_graph.py
+→ post-import.cypher`` (SURVEY.md §3) collapsed into ONE streaming Ray
+pipeline: the "post-import" aggregation phase is just the finalize stages of
+the same dataset graph, not a separate system.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import DEFAULT_RULES, AliasDictionary, ExtractionRule, default_alias_dictionary
+from ..stages.canonicalize import canonical_map
+from ..stages.extract import extract_mentions
+from ..stages.link import AliasIndex, link_mentions, unresolved_report
+from ..stages.materialize import (
+    build_edges,
+    build_nodes,
+    conv_stats,
+    edge_rank,
+    node_degree,
+    write_graph,
+)
+
+
+@dataclass
+class KGConfig:
+    rules: tuple[ExtractionRule, ...] = DEFAULT_RULES
+    aliases: AliasDictionary = field(default_factory=default_alias_dictionary)
+    extract_concurrency: int | tuple[int, int] = (1, 8)
+    link_concurrency: int | tuple[int, int] = (1, 8)
+    batch_size: int = 8192
+
+
+@dataclass
+class KGResult:
+    """Handles to every output Dataset of one build (all lazy until consumed)."""
+
+    transcripts: "ray.data.Dataset"
+    mentions: "ray.data.Dataset"
+    linked: "ray.data.Dataset"
+    canon: "pa.Table"  # (member, component_key, canonical_id) — entity-sized
+    nodes: "ray.data.Dataset"
+    edges: "ray.data.Dataset"
+    unresolved: "ray.data.Dataset"
+
+
+def build_kg(
+    transcripts: "ray.data.Dataset", cfg: KGConfig | None = None
+) -> KGResult:
+    cfg = cfg or KGConfig()
+    mentions = extract_mentions(
+        transcripts,
+        cfg.rules,
+        concurrency=cfg.extract_concurrency,
+        batch_size=cfg.batch_size,
+    )
+    index_ref = ray.put(AliasIndex(cfg.aliases))
+    linked = link_mentions(
+        mentions, index_ref, concurrency=cfg.link_concurrency
+    ).materialize()  # consumed by nodes, edges, unresolved, stats — pin once
+
+    # canonicalization over the alias-equivalence graph (dictionary-derived,
+    # entity-count sized); `canonical_map` switches to distributed label
+    # propagation automatically for Dataset-sized edge sets.
+    canon_tbl = pa.Table.from_pandas(
+        canonical_map(cfg.aliases.all_equiv_edges())
+        .to_pandas()
+        .sort_values("member")
+        .reset_index(drop=True),
+        preserve_index=False,
+    )
+
+    nodes = build_nodes(linked, canon_tbl)
+    edges = build_edges(linked, canon_tbl)
+    unresolved = unresolved_report(linked)
+    return KGResult(
+        transcripts=transcripts,
+        mentions=mentions,
+        linked=linked,
+        canon=canon_tbl,
+        nodes=nodes,
+        edges=edges,
+        unresolved=unresolved,
+    )
+
+
+def run_kg_to_parquet(
+    transcripts: "ray.data.Dataset", out_dir: str, cfg: KGConfig | None = None
+) -> dict:
+    """Build + materialize the full graph to ``out_dir``; returns the manifest
+    (row counts per table — the schema_info analog)."""
+    res = build_kg(transcripts, cfg)
+    manifest = write_graph(res.nodes, res.edges, out_dir)
+    res.unresolved.write_parquet(f"{out_dir}/reports/unresolved")
+    manifest["unresolved"] = res.unresolved.count()
+    # rollups
+    deg = node_degree(res.edges)
+    deg.write_parquet(f"{out_dir}/rollups/node_degree")
+    rk = edge_rank(res.edges)
+    rk.write_parquet(f"{out_dir}/rollups/edge_rank")
+    cs = conv_stats(res.transcripts, res.linked)
+    cs.write_parquet(f"{out_dir}/rollups/conv_stats")
+    return manifest

@@ -1,0 +1,281 @@
+"""Canonicalization — connected components over alias-equivalence edges,
+iterated to a fixpoint, then a deterministic sort assigning stable canonical
+ids.
+
+Reference analog: ``GeneIdGraph.process_all_rows`` iterates all rows "until no
+new ID is added … typically 2–3 passes" and explicitly notes "No Union-Find
+needed at these dataset sizes" (``multiomics_kg/download/gene_id_graph.py:
+24-29,96-97,172-196``). At 10^12-turn scale we DO need the distributed
+version: min-label propagation over the symmetric edge set, one
+``groupby(node).min(label)`` round at a time, stopping when no label changes
+(O(log n) rounds on typical alias graphs). A driver-side union-find fast path
+handles provably small edge sets (the broadcast-dictionary case).
+
+Stable ids: distinct component keys → global ``sort`` → dense rank via
+``split_at_indices`` (order-preserving) so every run and every parallelism
+level mints identical ids — determinism comes from sorted content, never from
+block arrival order (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+from ..tuning import default_join_partitions
+
+SMALL_EDGE_THRESHOLD = 1_000_000
+
+
+# ------------------------------------------------- driver-side fast path
+
+def union_find_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-by-min-id over an edge list that fits on the driver.
+
+    Returns {member → component_key} where component_key is the
+    lexicographically smallest member (same contract as the distributed path
+    and the recursive-CTE oracle).
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    # second pass: full compression + ensure min-id roots
+    comp: dict[str, str] = {}
+    members: dict[str, list[str]] = {}
+    for x in parent:
+        members.setdefault(find(x), []).append(x)
+    for root, ms in members.items():
+        key = min(ms)
+        for m in ms:
+            comp[m] = key
+    return comp
+
+
+# ------------------------------------------------- distributed label propagation
+
+def _label_messages(batch: pa.Table) -> pa.Table:
+    """(node, label, neighbor) rows → candidate labels for node and neighbor."""
+    node = batch.column("node")
+    label = batch.column("label")
+    neighbor = batch.column("neighbor")
+    mask = pa.compute.is_valid(neighbor)
+    t_self = pa.Table.from_arrays([node, label], names=["node", "cand"])
+    t_nb = pa.Table.from_arrays(
+        [neighbor.filter(mask), label.filter(mask)], names=["node", "cand"]
+    )
+    return pa.concat_tables([t_self, t_nb])
+
+
+def connected_components_distributed(
+    edges: "ray.data.Dataset", max_rounds: int = 50
+) -> "ray.data.Dataset":
+    """Min-label propagation over an edge Dataset with columns (a, b).
+
+    Each round: join current labels onto the symmetric adjacency (hash join on
+    node), emit (neighbor, my_label) messages, take the per-node min, and stop
+    at the fixpoint (count of changed labels == 0 — checked via a sum of
+    changes, not by materializing the label table on the driver).
+
+    Returns Dataset(member, component_key).
+    """
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        fwd = pa.Table.from_arrays(
+            [batch.column("a"), batch.column("b")], names=["node", "neighbor"]
+        )
+        rev = pa.Table.from_arrays(
+            [batch.column("b"), batch.column("a")], names=["node", "neighbor"]
+        )
+        return pa.concat_tables([fwd, rev])
+
+    # materialized once — reused by every propagation round
+    adj = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    # initial labels: every endpoint labels itself
+    labels = (
+        adj.select_columns(["node"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("node"), t.column("node")], names=["node", "label"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    num_partitions = default_join_partitions()
+    for _ in range(max_rounds):
+        joined = adj.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("node",),
+        )
+        new_labels = (
+            joined.map_batches(_label_messages, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        # fixpoint check: any node whose label shrank this round?
+        delta = labels.join(
+            new_labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("node",),
+            left_suffix="_old",
+            right_suffix="_new",
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pa.compute.cast(
+                        pa.compute.not_equal(t.column("label_old"), t.column("label_new")),
+                        pa.int64(),
+                    )
+                ],
+                names=["changed"],
+            ),
+            batch_format="pyarrow",
+        )
+        changed = delta.sum("changed") or 0
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["member", "component_key"]),
+        batch_format="pyarrow",
+    )
+
+
+def connected_components(
+    edges: list[tuple[str, str]] | "ray.data.Dataset",
+    *,
+    force_distributed: bool = False,
+) -> "ray.data.Dataset":
+    """Unified entry: small in-memory edge lists use driver union-find;
+    Datasets (or ``force_distributed``) use label propagation."""
+    if isinstance(edges, list) and not force_distributed:
+        if len(edges) > SMALL_EDGE_THRESHOLD:
+            raise ValueError("edge list too large for driver path; pass a Dataset")
+        comp = union_find_components(edges)
+        items = sorted(comp.items())
+        tbl = pa.table(
+            {
+                "member": [m for m, _ in items],
+                "component_key": [c for _, c in items],
+            }
+        )
+        return ray.data.from_arrow(tbl)
+    if isinstance(edges, list):
+        tbl = pa.table(
+            {"a": [a for a, _ in edges], "b": [b for _, b in edges]}
+        )
+        edges = ray.data.from_arrow(tbl)
+    return connected_components_distributed(edges)
+
+
+# ------------------------------------------------- stable id assignment
+
+def zip_with_index(sorted_ds: "ray.data.Dataset", col: str = "rank") -> "ray.data.Dataset":
+    """Attach a 0-based global row index to an already-sorted Dataset.
+
+    Order-preserving and fully distributed: ``split_at_indices`` yields ordered
+    splits with known offsets; each split numbers its rows locally from its
+    offset. No driver materialization of the data itself.
+    """
+    n = sorted_ds.count()
+    if n == 0:
+        return sorted_ds.map_batches(
+            lambda t: t.append_column(col, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    num_splits = max(1, min(32, n // 65536 or 1))
+    bounds = [n * i // num_splits for i in range(1, num_splits)]
+    splits = sorted_ds.split_at_indices(bounds) if bounds else [sorted_ds]
+    offsets = [0] + bounds
+    out = []
+    for off, part in zip(offsets, splits):
+        def add_idx(batch: pa.Table, _off=off, _state={"seen": 0}) -> pa.Table:
+            start = _off + _state["seen"]
+            _state["seen"] += batch.num_rows
+            idx = pa.array(range(start, start + batch.num_rows), pa.int64())
+            return batch.append_column(col, idx)
+
+        # NOTE: per-split sequential numbering requires a single task per split
+        out.append(
+            part.repartition(1).map_batches(
+                add_idx, batch_format="pyarrow", batch_size=None, concurrency=1
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.union(o)
+    return res
+
+
+def assign_stable_ids(
+    components: "ray.data.Dataset", prefix: str = "ent_", width: int = 6
+) -> "ray.data.Dataset":
+    """components(member, component_key) → (member, component_key, canonical_id)
+    with canonical_id = prefix + zero-padded 1-based dense rank of
+    component_key under lexicographic sort (matches oracle.canon_ctes)."""
+    if not components.take(1):  # empty input: joins can't infer schemas
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "member": pa.array([], pa.string()),
+                    "component_key": pa.array([], pa.string()),
+                    "canonical_id": pa.array([], pa.string()),
+                }
+            )
+        )
+    # distributed distinct (groupby shuffle), never a driver-side value pull
+    keys_ds = (
+        components.select_columns(["component_key"])
+        .groupby("component_key")
+        .count()
+        .select_columns(["component_key"])
+    )
+    ranked = zip_with_index(keys_ds.sort("component_key"), col="rank0")
+
+    def mint(batch: pa.Table) -> pa.Table:
+        ranks = batch.column("rank0").to_pylist()
+        ids = [f"{prefix}{r + 1:0{width}d}" for r in ranks]
+        return pa.Table.from_arrays(
+            [batch.column("component_key"), pa.array(ids, pa.string())],
+            names=["component_key", "canonical_id"],
+        )
+
+    id_map = ranked.map_batches(mint, batch_format="pyarrow")
+    return components.join(
+        id_map,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("component_key",),
+    ).select_columns(["member", "component_key", "canonical_id"])
+
+
+def canonical_map(
+    edges: list[tuple[str, str]] | "ray.data.Dataset",
+    *,
+    force_distributed: bool = False,
+) -> "ray.data.Dataset":
+    """edges → (member, component_key, canonical_id) — the full canonicalization."""
+    comps = connected_components(edges, force_distributed=force_distributed)
+    return assign_stable_ids(comps)

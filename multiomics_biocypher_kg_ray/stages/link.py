@@ -1,0 +1,182 @@
+"""Tiered entity-linking stage (broadcast alias index + stateful actor pool).
+
+Reference analog: ``resolve_row`` multi-pass resolution against the three-tier
+``MappingData`` index — tier-1 exact → tier-1 case-insensitive → heuristic
+candidates → tier-2/3 singleton; ambiguous = no match
+(``multiomics_kg/utils/gene_id_utils.py:214-273,478-622``), with the
+case-insensitive index built lazily (``:240-273``) and heuristic candidate
+generation (strip ``*``/``+`` footnotes, zero-pad retry — ``:459-475,835-845``).
+
+Ray shape: the alias index is broadcast once (``ray.put``); each linker actor
+``ray.get``s it in ``__init__`` and memoizes resolutions per alias string, so
+per-batch work is one dict probe per *unique* mention (``np.unique``), not per
+row. Resolution priority must stay in lockstep with ``oracle._resolve_cols``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..config import (
+    METHOD_AMBIGUOUS,
+    METHOD_HEURISTIC,
+    METHOD_TIER1_CI,
+    METHOD_TIER1_CONFLICT,
+    METHOD_TIER1_EXACT,
+    METHOD_TIER2_SINGLETON,
+    METHOD_UNRESOLVED,
+    AliasDictionary,
+)
+from ..state.broadcast import fetch
+
+_ZERO_PAD_RE = re.compile(r"^([A-Za-z]+[_-]?)(\d+)$")
+
+
+@dataclass
+class Resolution:
+    entity_id: str | None
+    method: str
+
+
+class AliasIndex:
+    """Immutable tiered alias index; cheap to pickle into the object store."""
+
+    def __init__(self, d: AliasDictionary) -> None:
+        self.specific = dict(d.specific_lookup)
+        self.multi = {k: tuple(v) for k, v in d.multi_lookup.items()}
+        self.conflicts = set(d.conflicts)
+        self._ci: dict[str, str | None] | None = None  # lazily built (ST1)
+
+    def _ci_index(self) -> dict[str, str | None]:
+        if self._ci is None:
+            ci: dict[str, str | None] = {}
+            for alias, canonical in self.specific.items():
+                low = alias.lower()
+                # CI collisions are ambiguous → None marker (never guessed)
+                ci[low] = None if low in ci and ci[low] != canonical else canonical
+            self._ci = ci
+        return self._ci
+
+    def _heuristic_candidates(self, alias: str) -> list[str]:
+        """Footnote-strip and zero-pad variants (gene_id_utils.py:459-475)."""
+        cands = []
+        stripped = alias.rstrip("*+").strip()
+        if stripped != alias:
+            cands.append(stripped)
+        m = _ZERO_PAD_RE.match(stripped or alias)
+        if m:
+            prefix, digits = m.groups()
+            for width in (4, 5, 6):
+                if len(digits) < width:
+                    cands.append(f"{prefix}{digits.zfill(width)}")
+            if digits.lstrip("0") and digits.lstrip("0") != digits:
+                cands.append(f"{prefix}{digits.lstrip('0')}")
+        return cands
+
+    def resolve(self, alias: str) -> Resolution:
+        """Priority: conflict → tier1 exact → tier1 CI → heuristic →
+        tier2 singleton → ambiguous → unresolved."""
+        if alias in self.conflicts:
+            return Resolution(None, METHOD_TIER1_CONFLICT)
+        hit = self.specific.get(alias)
+        if hit is not None:
+            return Resolution(hit, METHOD_TIER1_EXACT)
+        ci_hit = self._ci_index().get(alias.lower())
+        if ci_hit is not None:
+            return Resolution(ci_hit, METHOD_TIER1_CI)
+        for cand in self._heuristic_candidates(alias):
+            if cand in self.conflicts:
+                continue
+            h = self.specific.get(cand)
+            if h is not None:
+                return Resolution(h, METHOD_HEURISTIC)
+        cands = self.multi.get(alias)
+        if cands is not None:
+            if len(cands) == 1:
+                return Resolution(cands[0], METHOD_TIER2_SINGLETON)
+            return Resolution(None, METHOD_AMBIGUOUS)
+        return Resolution(None, METHOD_UNRESOLVED)
+
+
+class EntityLinker:
+    """Actor-pool stage: adds {subj,obj}_id / {subj,obj}_method columns."""
+
+    def __init__(self, index_ref) -> None:
+        self.index: AliasIndex = fetch(index_ref)
+        self.memo: dict[str, Resolution] = {}
+
+    def _resolve_array(self, arr: pa.ChunkedArray | pa.Array):
+        vals = arr.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        ids = np.empty(len(uniq), dtype=object)
+        methods = np.empty(len(uniq), dtype=object)
+        for i, alias in enumerate(uniq):
+            r = self.memo.get(alias)
+            if r is None:
+                r = self.index.resolve(alias)
+                self.memo[alias] = r
+            ids[i] = r.entity_id
+            methods[i] = r.method
+        return ids[inv], methods[inv]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s_id, s_m = self._resolve_array(batch.column("subj_text"))
+        o_id, o_m = self._resolve_array(batch.column("obj_text"))
+        return (
+            batch.append_column("subj_id", pa.array(s_id, pa.string()))
+            .append_column("subj_method", pa.array(s_m, pa.string()))
+            .append_column("obj_id", pa.array(o_id, pa.string()))
+            .append_column("obj_method", pa.array(o_m, pa.string()))
+        )
+
+
+def link_mentions(
+    mentions: "ray.data.Dataset",
+    index_ref,
+    *,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 16384,
+) -> "ray.data.Dataset":
+    return mentions.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+UNRESOLVED_REASONS = (METHOD_UNRESOLVED, METHOD_AMBIGUOUS, METHOD_TIER1_CONFLICT)
+
+
+def unresolved_report(linked: "ray.data.Dataset") -> "ray.data.Dataset":
+    """First-class diagnostics table (resolve_paper_ids.py:590-656 analog):
+    one row per unresolved mention side with its reason."""
+
+    def to_report(batch: pa.Table) -> pa.Table:
+        out = []
+        for side in ("subj", "obj"):
+            method = batch.column(f"{side}_method")
+            mask = pa.compute.is_in(method, value_set=pa.array(UNRESOLVED_REASONS))
+            sub = batch.filter(mask)
+            out.append(
+                pa.Table.from_arrays(
+                    [
+                        sub.column("conv_id"),
+                        sub.column("turn_idx"),
+                        sub.column(f"{side}_text"),
+                        sub.column(f"{side}_method"),
+                    ],
+                    names=["conv_id", "turn_idx", "raw_mention", "reason"],
+                )
+            )
+        return pa.concat_tables(out)
+
+    return linked.map_batches(to_report, batch_format="pyarrow")

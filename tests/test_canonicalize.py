@@ -1,0 +1,63 @@
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from multiomics_biocypher_kg_ray.stages.canonicalize import (
+    assign_stable_ids,
+    canonical_map,
+    connected_components,
+    union_find_components,
+    zip_with_index,
+)
+
+# A chain a-b-c-d-e needs ≥3 min-label propagation rounds to converge
+# (gene_id_graph.py:172-196 convergence analog), plus a separate pair and a
+# singleton-free second component.
+CHAIN = [("d", "e"), ("c", "d"), ("b", "c"), ("a", "b"), ("x", "y"), ("y", "z")]
+
+
+def test_union_find_min_key():
+    comp = union_find_components(CHAIN)
+    assert comp == {
+        "a": "a",
+        "b": "a",
+        "c": "a",
+        "d": "a",
+        "e": "a",
+        "x": "x",
+        "y": "x",
+        "z": "x",
+    }
+
+
+def test_distributed_matches_union_find():
+    small = connected_components(CHAIN).to_pandas()
+    dist = connected_components(CHAIN, force_distributed=True).to_pandas()
+    a = small.sort_values("member").reset_index(drop=True)
+    b = dist.sort_values("member").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_stable_ids_deterministic_across_runs():
+    m1 = canonical_map(CHAIN).to_pandas().sort_values("member").reset_index(drop=True)
+    m2 = canonical_map(CHAIN).to_pandas().sort_values("member").reset_index(drop=True)
+    pd.testing.assert_frame_equal(m1, m2)
+    # ids are dense ranks of sorted component keys: 'a' < 'x'
+    assert m1.loc[m1["member"] == "a", "canonical_id"].iloc[0] == "ent_000001"
+    assert m1.loc[m1["member"] == "z", "canonical_id"].iloc[0] == "ent_000002"
+
+
+def test_zip_with_index_preserves_sort_order():
+    tbl = pa.table({"k": [f"{i:04d}" for i in range(1000)]})
+    ds = ray.data.from_arrow(tbl).repartition(7).sort("k")
+    out = zip_with_index(ds, col="idx").to_pandas().sort_values("idx")
+    assert list(out["idx"]) == list(range(1000))
+    assert list(out["k"]) == sorted(out["k"])
+
+
+def test_assign_stable_ids_empty():
+    comps = ray.data.from_arrow(
+        pa.table({"member": pa.array([], pa.string()), "component_key": pa.array([], pa.string())})
+    )
+    out = assign_stable_ids(comps).to_pandas()
+    assert len(out) == 0

@@ -1,0 +1,101 @@
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from multiomics_biocypher_kg_ray.stages.materialize import (
+    build_edges,
+    build_nodes,
+    dangling_edges,
+    edge_rank,
+    node_degree,
+)
+
+LINKED_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("rule_id", pa.string()),
+        ("pred", pa.string()),
+        ("subj_text", pa.string()),
+        ("obj_text", pa.string()),
+        ("subj_id", pa.string()),
+        ("subj_method", pa.string()),
+        ("obj_id", pa.string()),
+        ("obj_method", pa.string()),
+    ]
+)
+
+
+def _linked_ds():
+    rows = [
+        # two identical edges from different rules → dedup + evidence union
+        ("c1", 0, "r1", "joins", "a", "b", "t:a", "tier1_exact", "t:b", "tier1_exact"),
+        ("c1", 1, "r2", "joins", "a", "b", "t:a", "tier1_exact", "t:b", "tier1_exact"),
+        ("c2", 0, "r1", "joins", "a", "c", "t:a", "tier1_exact", "t:c", "tier1_exact"),
+        # unresolved side → contributes no edge
+        ("c2", 1, "r1", "joins", "zz", "b", None, "unresolved", "t:b", "tier1_exact"),
+    ]
+    tbl = pa.Table.from_pylist(
+        [dict(zip(LINKED_SCHEMA.names, r)) for r in rows], schema=LINKED_SCHEMA
+    )
+    return ray.data.from_arrow(tbl).repartition(2)
+
+
+CANON = pd.DataFrame(
+    {
+        "member": ["t:a", "t:b", "t:c"],
+        "component_key": ["a", "b", "c"],
+        "canonical_id": ["ent_1", "ent_2", "ent_3"],
+    }
+)
+
+
+def test_build_edges_dedup_and_evidence_union():
+    edges = build_edges(_linked_ds(), CANON).to_pandas()
+    edges = edges.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert len(edges) == 2
+    ab = edges[(edges["src"] == "ent_1") & (edges["dst"] == "ent_2")].iloc[0]
+    assert ab["weight"] == 2
+    assert ab["evidence"] == "r1|r2"
+    ac = edges[(edges["src"] == "ent_1") & (edges["dst"] == "ent_3")].iloc[0]
+    assert ac["weight"] == 1 and ac["evidence"] == "r1"
+
+
+def test_build_nodes_counts():
+    nodes = build_nodes(_linked_ds(), CANON).to_pandas().set_index("id")
+    # t:a appears 3× as subj; t:b 3× as obj; t:c once
+    assert nodes.loc["ent_1", "mention_count"] == 3
+    assert nodes.loc["ent_2", "mention_count"] == 3
+    assert nodes.loc["ent_3", "mention_count"] == 1
+    assert set(nodes["label"]) == {"term"}
+
+
+def test_node_degree_and_rank():
+    edges = build_edges(_linked_ds(), CANON)
+    deg = node_degree(edges).to_pandas().set_index("id")
+    assert deg.loc["ent_1", "degree"] == 2
+    assert deg.loc["ent_1", "weighted_degree"] == 3
+    rk = edge_rank(edges).to_pandas().sort_values("rank")
+    assert list(rk["rank"]) == [1, 2]
+    assert rk.iloc[0]["weight"] == 2  # heaviest edge first
+
+
+def test_dangling_edges_anti_join():
+    edges = ray.data.from_items(
+        [
+            {"src": "ent_1", "pred": "p", "dst": "ent_2", "weight": 1, "evidence": "r"},
+            {"src": "ent_1", "pred": "p", "dst": "ghost", "weight": 1, "evidence": "r"},
+        ]
+    )
+    nodes = ray.data.from_items(
+        [{"id": "ent_1", "label": "term"}, {"id": "ent_2", "label": "term"}]
+    )
+    bad = dangling_edges(edges, nodes).to_pandas()
+    assert len(bad) == 1
+    assert bad.iloc[0]["dst"] == "ghost"
+
+
+def test_determinism_two_runs():
+    e1 = build_edges(_linked_ds(), CANON).to_pandas().sort_values(["src", "dst"])
+    e2 = build_edges(_linked_ds(), CANON).to_pandas().sort_values(["src", "dst"])
+    pd.testing.assert_frame_equal(e1.reset_index(drop=True), e2.reset_index(drop=True))
