@@ -111,11 +111,10 @@ def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over token md5 hashes (near-dup sketch)."""
     if not tokens:
         return 0
-    v = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = _token_hash64(t)
-        bits = (h >> np.arange(64)) & 1
-        v += np.where(bits == 1, 1, -1)
+    hs = np.array([_token_hash64(t) for t in tokens], dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+    v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = 0
     for i in range(64):
         if v[i] > 0:

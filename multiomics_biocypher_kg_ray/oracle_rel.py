@@ -1,0 +1,309 @@
+"""DuckDB oracle SQL for the relational / events / text / dedup / similarity
+operator queries. Numeric convention mirrors ``stages.relational.to_cents``:
+money doubles → exact integer cents via ``CAST(round(x*100, 0) AS BIGINT)``
+(inputs are cents-valued ± float error, never exactly half-cent, so DuckDB's
+half-away rounding and numpy's rint agree)."""
+
+from __future__ import annotations
+
+CENTS = "CAST(round({col} * 100, 0) AS BIGINT)"
+
+
+def sql_pricing_summary() -> str:
+    p = CENTS.format(col="l_extendedprice")
+    d = CENTS.format(col="l_discount")
+    return f"""
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum({p})::BIGINT AS sum_price_cents,
+       sum({p} * (100 - {d}))::BIGINT AS sum_disc_e4
+FROM lineitem GROUP BY 1, 2"""
+
+
+def sql_revenue_by_nation() -> str:
+    t = CENTS.format(col="o_totalprice")
+    return f"""
+SELECT n_name, count(*)::BIGINT AS n_orders, sum({t})::BIGINT AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1"""
+
+
+def sql_top_orders_per_customer(k: int = 3) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rank
+  FROM orders
+) WHERE rank <= {k}"""
+
+
+def sql_parts_in_heavy_lineitems(min_qty: int = 49) -> str:
+    return f"""
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= {min_qty})"""
+
+
+def sql_customers_without_orders(status: str = "F") -> str:
+    # anti-join against a filtered right side (non-empty at every sf)
+    return f"""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = '{status}')"""
+
+
+def sql_first_event_per_user() -> str:
+    return """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1"""
+
+
+def sql_user_hour_activity() -> str:
+    v = CENTS.format(col="value")
+    return f"""
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       count(*)::BIGINT AS n, sum({v})::BIGINT AS sum_value_cents
+FROM events GROUP BY 1, 2"""
+
+
+def sql_event_percentiles() -> str:
+    return """
+SELECT event_id, event_type, rnk,
+       pct::BIGINT AS pct,
+       CASE WHEN pct >= 90 THEN 'top10'
+            WHEN pct >= 75 THEN 'top25'
+            WHEN pct >= 25 THEN 'mid'
+            ELSE 'low' END AS bucket
+FROM (
+  SELECT event_id, event_type, rnk,
+         CASE WHEN n > 1 THEN ((n - rnk) * 100) // (n - 1) ELSE 100 END AS pct
+  FROM (
+    SELECT event_id, event_type,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id)::BIGINT AS rnk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+  )
+)"""
+
+
+def sql_event_type_stats() -> str:
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_type, {v} AS cents FROM events)
+SELECT event_type, count(*)::BIGINT AS n,
+       min(cents)::DOUBLE AS min_v, max(cents)::DOUBLE AS max_v,
+       quantile_cont(cents, 0.25) AS q1,
+       quantile_cont(cents, 0.5) AS median,
+       quantile_cont(cents, 0.75) AS q3
+FROM e GROUP BY 1"""
+
+
+def sql_nation_segments() -> str:
+    return """
+SELECT n_name, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1"""
+
+
+def sql_top10_orders() -> str:
+    t = CENTS.format(col="o_totalprice")
+    return f"""
+SELECT o_orderkey, {t} AS totalprice_cents
+FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 10"""
+
+
+def sql_event_props_k() -> str:
+    return r"""
+SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+FROM events"""
+
+
+def sql_sessionize(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY 1, 2"""
+
+
+def sql_asof_signup() -> str:
+    return """
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_marker_ts
+  FROM events
+)
+SELECT event_id, user_id, ts, last_marker_ts FROM s WHERE event_type = 'purchase'"""
+
+
+# ------------------------------------------------------------------- text
+
+
+_STOP_IN = "('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it')"
+_BPE_RE = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def sql_text_stats() -> str:
+    return f"""
+SELECT doc_id, n_tokens, n_bpe_tokens, n_stopwords, n_chars,
+       CASE WHEN n_tokens > 0
+            THEN n_stopwords::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END AS stop_ratio,
+       ((n_tokens >= 20)::BIGINT + (n_chars >= 100)::BIGINT
+        + (CASE WHEN n_tokens > 0
+                THEN n_stopwords::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END >= 0.05)::BIGINT
+       )::BIGINT AS quality
+FROM (
+  SELECT doc_id,
+         CASE WHEN text = '' THEN 0
+              ELSE len(string_split(text, ' ')) END::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '{_BPE_RE}'))::BIGINT AS n_bpe_tokens,
+         CASE WHEN text = '' THEN 0
+              ELSE len(list_filter(string_split(text, ' '),
+                                   x -> x IN {_STOP_IN})) END::BIGINT AS n_stopwords,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+)"""
+
+
+def sql_lang_id() -> str:
+    def cnt(words: str) -> str:
+        return (
+            "CASE WHEN text = '' THEN 0 ELSE "
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({words}))) END"
+        )
+
+    c_en = cnt("'the', 'a'")
+    c_q = cnt("'query', 'table', 'join'")
+    c_s = cnt("'stream', 'window', 'batch'")
+    return f"""
+SELECT doc_id,
+       CASE WHEN c_s > c_q AND c_s > c_en AND c_s > 0 THEN 'stream'
+            WHEN c_q > c_en AND c_q > 0 THEN 'query'
+            WHEN c_en > 0 THEN 'en'
+            ELSE 'und' END AS lang_guess
+FROM (SELECT doc_id, {c_en} AS c_en, {c_q} AS c_q, {c_s} AS c_s FROM documents)"""
+
+
+def sql_doc_fingerprint() -> str:
+    return f"SELECT doc_id, md5({_NORM}) AS fingerprint_md5 FROM documents"
+
+
+def sql_dedup_exact() -> str:
+    return f"""
+SELECT fp AS fingerprint_md5, min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS n_dupes
+FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+GROUP BY 1"""
+
+
+def _shingle_cte(where: str = "", k: int = 3) -> str:
+    """DISTINCT k-token shingles of the normalized text (1-based slicing)."""
+    return f"""
+d AS (SELECT doc_id, {_NORM} AS t FROM documents {where}),
+tok AS (SELECT doc_id, string_split(t, ' ') AS tk FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[(i + 1)::BIGINT:(i + {k})::BIGINT], ' ') AS shingle
+  FROM (SELECT doc_id, tk, unnest(range((len(tk) - {k - 1})::BIGINT)) AS i
+        FROM tok WHERE len(tk) >= {k})
+)""".strip()
+
+
+def sql_minhash_bands(num_hashes: int = 8, band_size: int = 2) -> str:
+    n_bands = num_hashes // band_size
+    band_expr = "md5(" + " || '|' || ".join(
+        f"sig[band_idx * {band_size} + {j + 1}]" for j in range(band_size)
+    ) + ")"
+    return f"""
+WITH {_shingle_cte()},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range({num_hashes})) AS seed) s
+  GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id)
+SELECT doc_id, band_idx::BIGINT AS band_idx, {band_expr} AS band_hash
+FROM sig CROSS JOIN (SELECT unnest(range({n_bands})) AS band_idx) b"""
+
+
+def sql_lsh_candidate_pairs() -> str:
+    inner = sql_minhash_bands().strip()
+    return f"""
+WITH band AS ({inner})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
+FROM band a
+JOIN band b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+
+
+def sql_jaccard_pairs(max_doc_id: int = 60, k: int = 3) -> str:
+    return f"""
+WITH {_shingle_cte(where=f"WHERE doc_id < {max_doc_id}", k=k)},
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       n_shared::DOUBLE / (sa.sz + sb.sz - n_shared)::DOUBLE AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id"""
+
+
+def sql_knn_cosine(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id >= {n_queries}),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, c.e) AS cos
+      FROM q CROSS JOIN c),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
+      FROM s)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+FROM r WHERE rank <= {k}"""
+
+
+def sql_media_features() -> str:
+    return """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents"""
+
+
+def sql_table_counts(tables: tuple[str, ...]) -> str:
+    parts = [
+        f"SELECT '{t}' AS tbl, count(*)::BIGINT AS n FROM {t}" for t in tables
+    ]
+    return "\nUNION ALL\n".join(parts)

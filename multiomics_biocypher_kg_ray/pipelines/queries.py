@@ -1,0 +1,458 @@
+"""Query registry — one entry per operator/pipeline from SURVEY.md §2, each a
+``(callable(sf_dir) -> Dataset/DataFrame/Table, oracle_sql | None)`` pair.
+``__ray_entry__`` re-exports this registry to the driver.
+
+Every callable is a thin composition of the generic operators in ``stages/``;
+the SQL twins live in ``oracle.py`` / ``oracle_rel.py`` and are generated from
+the same config/constants, so the driver's side-by-side compare checks two
+implementations of one spec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .. import oracle, oracle_rel
+from ..config import default_alias_dictionary
+from ..sources.transcripts import transcripts_dataset
+from ..stages import dedup, events, materialize, relational, similarity, text
+from ..stages.canonicalize import canonical_map
+from ..stages.extract import extract_mentions
+from ..stages.joins import broadcast_join, semi_join_filter
+from ..stages.link import AliasIndex, link_mentions, unresolved_report
+from ..tuning import default_join_partitions
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cast_ts_us(ds, cols: list[str]):
+    def cast(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, pc.cast(batch.column(c), pa.timestamp("us"))
+            )
+        return batch
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- KG suite
+
+
+def _linked(sf_dir: str):
+    mentions = extract_mentions(transcripts_dataset(sf_dir))
+    idx_ref = ray.put(AliasIndex(default_alias_dictionary()))
+    return link_mentions(mentions, idx_ref)
+
+
+def _canon_tbl() -> pa.Table:
+    return pa.Table.from_pandas(
+        canonical_map(default_alias_dictionary().all_equiv_edges())
+        .to_pandas()
+        .sort_values("member")
+        .reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def q_kg_transcripts(sf_dir: str):
+    return transcripts_dataset(sf_dir)
+
+
+def q_kg_mentions(sf_dir: str):
+    return extract_mentions(transcripts_dataset(sf_dir))
+
+
+def q_kg_linked(sf_dir: str):
+    return _linked(sf_dir)
+
+
+def q_kg_unresolved(sf_dir: str):
+    return unresolved_report(_linked(sf_dir))
+
+
+def q_kg_components(sf_dir: str):
+    # sf-independent; exercises the DISTRIBUTED label-propagation path
+    return canonical_map(
+        default_alias_dictionary().all_equiv_edges(), force_distributed=True
+    )
+
+
+def q_kg_nodes(sf_dir: str):
+    return materialize.build_nodes(_linked(sf_dir), _canon_tbl())
+
+
+def q_kg_edges(sf_dir: str):
+    return materialize.build_edges(_linked(sf_dir), _canon_tbl())
+
+
+def q_kg_node_degree(sf_dir: str):
+    return materialize.node_degree(materialize.build_edges(_linked(sf_dir), _canon_tbl()))
+
+
+def q_kg_edge_rank(sf_dir: str):
+    return materialize.edge_rank(materialize.build_edges(_linked(sf_dir), _canon_tbl()))
+
+
+def q_kg_conv_stats(sf_dir: str):
+    return materialize.conv_stats(transcripts_dataset(sf_dir), _linked(sf_dir))
+
+
+# ------------------------------------------------------------ relational
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch.column("l_returnflag"),
+                batch.column("l_linestatus"),
+                pa.array(qty.astype(np.int64)),
+                pa.array(price),
+                pa.array(price * (100 - disc)),
+            ],
+            names=["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "sum_disc_e4"],
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return relational.preaggregate(
+        prepped,
+        keys=["l_returnflag", "l_linestatus"],
+        sums=["sum_qty", "sum_price_cents", "sum_disc_e4"],
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: relational.to_cents(t, {"o_totalprice": "revenue_cents"}),
+        batch_format="pyarrow",
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, dim, on=["o_custkey"], how="inner")
+    out = relational.preaggregate(joined, keys=["n_name"], sums=["revenue_cents"],
+                                  count_alias="n_orders")
+    return out.select_columns(["n_name", "n_orders", "revenue_cents"])
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = relational.top_k_per_group(
+        orders, ["o_custkey"], [("o_totalprice", False), ("o_orderkey", True)], k=3
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "rank"])
+
+
+def q_parts_in_heavy_lineitems(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("l_quantity"), 49.0)),
+        batch_format="pyarrow",
+    )
+    keys = set(li.unique("l_partkey"))
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return semi_join_filter(part, keys, "p_partkey")
+
+
+def q_customers_without_orders(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("o_orderstatus"), "F")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return cust.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=default_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    ).select_columns(["c_custkey", "c_name"])
+
+
+def q_first_event_per_user(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    out = relational.top_k_per_group(
+        ev, ["user_id"], [("ts", True), ("event_id", True)], k=1, rank_col=None
+    ).select_columns(["user_id", "event_id", "ts", "event_type"])
+    return _cast_ts_us(out, ["ts"])
+
+
+def q_user_hour_activity(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        lambda t: relational.to_cents(
+            events.add_hour_bucket(t), {"value": "sum_value_cents"}
+        ),
+        batch_format="pyarrow",
+    )
+    out = relational.preaggregate(
+        ev.select_columns(["user_id", "hour", "sum_value_cents"]),
+        keys=["user_id", "hour"],
+        sums=["sum_value_cents"],
+    )
+    return _cast_ts_us(out, ["hour"])
+
+
+def q_event_percentiles(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = relational.percentile_buckets(ev, ["event_type"], "value", "event_id")
+    return out.select_columns(["event_id", "event_type", "rnk", "pct", "bucket"])
+
+
+def q_event_type_stats(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}), batch_format="pyarrow"
+    )
+    return relational.distribution_stats(
+        ev.select_columns(["event_type", "cents"]), ["event_type"], "cents"
+    )
+
+
+def q_nation_segments(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
+    joined = broadcast_join(cust, nation, on=["c_nationkey"], how="inner")
+    return relational.collect_sorted_distinct(
+        joined, ["n_name"], "c_mktsegment", "segments"
+    )
+
+
+def q_top10_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: relational.to_cents(t, {"o_totalprice": "totalprice_cents"}),
+        batch_format="pyarrow",
+    )
+    return relational.global_top_k(
+        orders.select_columns(["o_orderkey", "totalprice_cents"]),
+        [("totalprice_cents", False), ("o_orderkey", True)],
+        k=10,
+    )
+
+
+def q_event_props_k(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_id"), k], names=["event_id", "k"]
+        )
+
+    return ev.map_batches(parse, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return _cast_ts_us(events.sessionize(ev), ["start_ts", "end_ts"])
+
+
+def q_asof_signup(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    return _cast_ts_us(events.asof_last_marker(ev), ["ts", "last_marker_ts"])
+
+
+def q_table_counts(sf_dir: str):
+    counts = [
+        (t, _read(sf_dir, t).count()) for t in TABLES
+    ]
+    return pa.table(
+        {"tbl": [t for t, _ in counts], "n": [n for _, n in counts]}
+    )
+
+
+# ----------------------------------------------------------------- text
+
+
+def q_text_stats(sf_dir: str):
+    return text.text_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_lang_id(sf_dir: str):
+    return text.lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return text.fingerprints(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).select_columns(["doc_id", "fingerprint_md5"])
+
+
+def q_dedup_exact(sf_dir: str):
+    return dedup.exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_minhash_bands(sf_dir: str):
+    return dedup.minhash_bands(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_lsh_candidate_pairs(sf_dir: str):
+    return dedup.lsh_candidate_pairs(
+        dedup.minhash_bands(_read(sf_dir, "documents", ["doc_id", "text"]))
+    )
+
+
+def q_jaccard_pairs(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_doc_id=60
+    )
+
+
+def q_simhash_near_dups(sf_dir: str):
+    # no SQL oracle (bit-level sketch); rows-only check + pytest coverage
+    return dedup.simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ------------------------------------------------------------- similarity
+
+
+def _load_queries_df(sf_dir: str, n_queries: int = 10):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = tbl.to_pandas()
+    return df[df["vec_id"] < n_queries]
+
+
+def _candidates(sf_dir: str, n_queries: int = 10):
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("vec_id"), n_queries)),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn_cosine(sf_dir: str):
+    return similarity.knn_bruteforce(_candidates(sf_dir), _load_queries_df(sf_dir), k=5)
+
+
+def q_knn_lsh(sf_dir: str):
+    # approximate by design — rows-only check; recall vs brute force in pytest
+    return similarity.knn_lsh(_candidates(sf_dir), _load_queries_df(sf_dir), k=5)
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def q_media_features(sf_dir: str):
+    from ..stages.multimodal import docs_to_media, extract_media_features
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        docs_to_media, batch_format="pyarrow"
+    )
+    feats = extract_media_features(media, batch_size=256)
+    return feats.select_columns(["media_id", "media_type", "n_bytes"])
+
+
+# ------------------------------------------------------------- the registry
+
+
+def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
+    return {
+        # KG pipeline (SURVEY §7.1)
+        "kg_transcripts": (q_kg_transcripts, oracle.sql_kg_transcripts()),
+        "kg_mentions": (q_kg_mentions, oracle.sql_kg_mentions()),
+        "kg_linked": (q_kg_linked, oracle.sql_kg_linked()),
+        "kg_unresolved": (q_kg_unresolved, oracle.sql_kg_unresolved()),
+        "kg_components": (q_kg_components, oracle.sql_kg_components()),
+        "kg_nodes": (q_kg_nodes, oracle.sql_kg_nodes()),
+        "kg_edges": (q_kg_edges, oracle.sql_kg_edges()),
+        "kg_node_degree": (q_kg_node_degree, oracle.sql_kg_node_degree()),
+        "kg_edge_rank": (q_kg_edge_rank, oracle.sql_kg_edge_rank()),
+        "kg_conv_stats": (q_kg_conv_stats, oracle.sql_kg_conv_stats()),
+        # relational operators (SURVEY §2.4-2.6)
+        "pricing_summary": (q_pricing_summary, oracle_rel.sql_pricing_summary()),
+        "revenue_by_nation": (q_revenue_by_nation, oracle_rel.sql_revenue_by_nation()),
+        "top_orders_per_customer": (
+            q_top_orders_per_customer,
+            oracle_rel.sql_top_orders_per_customer(),
+        ),
+        "parts_in_heavy_lineitems": (
+            q_parts_in_heavy_lineitems,
+            oracle_rel.sql_parts_in_heavy_lineitems(),
+        ),
+        "customers_without_orders": (
+            q_customers_without_orders,
+            oracle_rel.sql_customers_without_orders(),
+        ),
+        "first_event_per_user": (
+            q_first_event_per_user,
+            oracle_rel.sql_first_event_per_user(),
+        ),
+        "user_hour_activity": (q_user_hour_activity, oracle_rel.sql_user_hour_activity()),
+        "event_percentiles": (q_event_percentiles, oracle_rel.sql_event_percentiles()),
+        "event_type_stats": (q_event_type_stats, oracle_rel.sql_event_type_stats()),
+        "nation_segments": (q_nation_segments, oracle_rel.sql_nation_segments()),
+        "top10_orders": (q_top10_orders, oracle_rel.sql_top10_orders()),
+        "event_props_k": (q_event_props_k, oracle_rel.sql_event_props_k()),
+        "sessionize": (q_sessionize, oracle_rel.sql_sessionize()),
+        "asof_signup": (q_asof_signup, oracle_rel.sql_asof_signup()),
+        "table_counts": (q_table_counts, oracle_rel.sql_table_counts(TABLES)),
+        # text analysis
+        "text_stats": (q_text_stats, oracle_rel.sql_text_stats()),
+        "lang_id": (q_lang_id, oracle_rel.sql_lang_id()),
+        "doc_fingerprint": (q_doc_fingerprint, oracle_rel.sql_doc_fingerprint()),
+        # dedup family
+        "dedup_exact": (q_dedup_exact, oracle_rel.sql_dedup_exact()),
+        "minhash_bands": (q_minhash_bands, oracle_rel.sql_minhash_bands()),
+        "lsh_candidate_pairs": (
+            q_lsh_candidate_pairs,
+            oracle_rel.sql_lsh_candidate_pairs(),
+        ),
+        "jaccard_pairs": (q_jaccard_pairs, oracle_rel.sql_jaccard_pairs()),
+        "simhash_near_dups": (q_simhash_near_dups, None),
+        # similarity search
+        "knn_cosine": (q_knn_cosine, oracle_rel.sql_knn_cosine()),
+        "knn_lsh": (q_knn_lsh, None),
+        # multimodal plumbing
+        "media_features": (q_media_features, oracle_rel.sql_media_features()),
+    }

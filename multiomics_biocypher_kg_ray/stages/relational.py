@@ -1,0 +1,171 @@
+"""Generic relational operators — grouped aggregates with partial pre-agg,
+per-group ranks/top-k, percentile buckets, distribution stats, sorted-distinct
+collect — the Ray Data expressions of the reference's post-import aggregation
+engine (SURVEY.md §2.5/§2.6; ``scripts/post-import.cypher``).
+
+Numeric convention: money-like doubles are converted to integer cents via
+``np.rint(x*100)`` at the operator boundary so grouped sums are EXACT integer
+arithmetic — immune to float summation order, matching DuckDB oracles
+bit-for-bit at any parallelism (the determinism discipline of SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def to_cents(batch: pa.Table, cols: dict[str, str]) -> pa.Table:
+    """Append integer-cents columns: {src_col: out_col}. rint is safe because
+    inputs are cents-valued ± float error, never exactly half-cent."""
+    for src, out in cols.items():
+        vals = batch.column(src).to_numpy(zero_copy_only=False)
+        batch = batch.append_column(
+            out, pa.array(np.rint(vals * 100).astype(np.int64))
+        )
+    return batch
+
+
+def preaggregate(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    sums: list[str],
+    count_alias: str = "n",
+) -> "ray.data.Dataset":
+    """Partial-aggregate inside map_batches (one row per key per batch), then
+    a small final groupby — the combiner pattern: the all-to-all shuffle moves
+    pre-combined rows, not the raw table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + sums).to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = g[sums].sum() if sums else g.size().to_frame("_")
+        out[count_alias] = g.size()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(count_alias, alias_name=count_alias)]
+    aggs += [Sum(c, alias_name=c) for c in sums]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def top_k_per_group(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    order_by: list[tuple[str, bool]],
+    k: int,
+    rank_col: str | None = "rank",
+) -> "ray.data.Dataset":
+    """Deterministic per-group top-k: multi-key sort with explicit tie-break
+    columns in ``order_by`` (post-import.cypher:699-701 ordering discipline).
+
+    NOTE on skew: ``map_groups`` materializes one group per task — callers
+    with giant groups must pre-salt (see pipelines.checkpoint notes).
+    """
+    cols = [c for c, _ in order_by]
+    asc = [a for _, a in order_by]
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        if rank_col:
+            g[rank_col] = g.index.to_numpy() + 1
+        return g
+
+    return ds.groupby(keys).map_groups(head, batch_format="pandas")
+
+
+def global_top_k(
+    ds: "ray.data.Dataset", order_by: list[tuple[str, bool]], k: int
+) -> "ray.data.Dataset":
+    """sort + limit; Ray's distributed sort does a sampled range partition."""
+    cols = [c for c, _ in order_by]
+    desc = [not a for _, a in order_by]
+    return ds.sort(cols, descending=desc).limit(k)
+
+
+def percentile_buckets(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Per-group rank (value desc, id asc), integer percentile 0..100 and
+    bucket — A5 analog (post-import.cypher:742-762). Integer math only:
+    pct = (n - rank) * 100 // (n - 1); bucket thresholds 90/75/25."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [value_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(g)
+        rnk = g.index.to_numpy() + 1
+        pct = ((n - rnk) * 100 // (n - 1)) if n > 1 else np.full(n, 100)
+        g["rnk"] = rnk
+        g["pct"] = pct.astype("int64")
+        g["bucket"] = np.select(
+            [pct >= 90, pct >= 75, pct >= 25], ["top10", "top25", "mid"], "low"
+        )
+        return g
+
+    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+
+
+def distribution_stats(
+    ds: "ray.data.Dataset", keys: list[str], value_col: str
+) -> "ray.data.Dataset":
+    """Per-group n/min/max/q1/median/q3 (A6 analog, post-import.cypher:
+    339-350). Quantiles are linear-interpolated over integer-valued doubles —
+    exact in float64, hence identical to DuckDB ``quantile_cont``."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        qs = np.percentile(v, [25, 50, 75])  # linear interpolation
+        out = {k: [g[k].iloc[0]] for k in keys}
+        out.update(
+            {
+                "n": [len(v)],
+                "min_v": [v.min()],
+                "max_v": [v.max()],
+                "q1": [qs[0]],
+                "median": [qs[1]],
+                "q3": [qs[2]],
+            }
+        )
+        return pd.DataFrame(out)
+
+    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+
+
+def collect_sorted_distinct(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    out_col: str,
+    sep: str = ",",
+) -> "ray.data.Dataset":
+    """Per-group sorted distinct values joined to a string — the collect_set
+    rollup (A2 analog) in a hash-stable representation. Partial pass first:
+    per-batch distinct shrinks the shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [value_col]).to_pandas()
+        out = df.drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(set(g[value_col]))
+        out = {k: [g[k].iloc[0]] for k in keys}
+        out[out_col] = [sep.join(str(v) for v in vals)]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(final, batch_format="pandas")
+    )

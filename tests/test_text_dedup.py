@@ -1,0 +1,92 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from multiomics_biocypher_kg_ray.functions.textfn import (
+    hamming64,
+    lsh_bands,
+    minhash_signature,
+    rolling_fingerprint,
+    shingles,
+    simhash64,
+)
+from multiomics_biocypher_kg_ray.stages import dedup, text
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    )
+
+
+def test_shingles_and_minhash_determinism():
+    toks = "a b c d".split()
+    assert shingles(toks, 3) == ["a b c", "b c d"]
+    assert shingles(["a"], 3) == []
+    s1 = minhash_signature(["a b c", "b c d"], 4)
+    s2 = minhash_signature(["b c d", "a b c"], 4)  # order-independent
+    assert s1 == s2 and len(s1) == 4
+    assert len(lsh_bands(s1, 2)) == 2
+
+
+def test_simhash_properties():
+    h1 = simhash64("the quick brown fox".split())
+    h2 = simhash64("the quick brown fox".split())
+    h3 = simhash64("completely different words here".split())
+    assert h1 == h2
+    assert 0 <= h1 < (1 << 64)
+    assert hamming64(h1, h1) == 0
+    assert hamming64(h1, h3) > 0
+    # near-identical docs → small hamming distance
+    h4 = simhash64("the quick brown fox jumps over the lazy dog again and again".split())
+    h5 = simhash64("the quick brown fox jumps over the lazy dog again and once".split())
+    assert hamming64(h4, h5) < hamming64(h1, h3)
+
+
+def test_rolling_fingerprint_stable():
+    assert rolling_fingerprint("abc") == rolling_fingerprint("abc")
+    assert rolling_fingerprint("abc") != rolling_fingerprint("abd")
+
+
+def test_exact_dedup_groups():
+    ds = _docs([(1, "hello world"), (2, "Hello   World"), (3, "other text")])
+    out = dedup.exact_dedup_groups(ds).to_pandas()
+    # 1 and 2 normalize identically → one group keeping min doc_id
+    g = out[out["n_dupes"] == 2]
+    assert len(g) == 1 and g.iloc[0]["keep_doc_id"] == 1
+    assert len(out) == 2
+
+
+def test_simhash_near_dups_finds_near_identical():
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    ds = _docs([(1, base + "ending one"), (2, base + "ending two"), (3, "x y z " * 20)])
+    pairs = dedup.simhash_near_dups(ds, max_hamming=16).to_pandas()
+    assert {(1, 2)} <= set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_jaccard_pairs_exact_value():
+    ds = _docs([(1, "a b c d"), (2, "a b c e"), (3, "z z2 z3 z4")])
+    out = dedup.ngram_jaccard_pairs(ds, k_shingle=3).to_pandas()
+    # doc1 shingles {abc, bcd}, doc2 {abc, bce}: inter=1, union=3
+    row = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)].iloc[0]
+    assert row["n_shared"] == 1
+    assert abs(row["jaccard"] - 1 / 3) < 1e-12
+    assert len(out) == 1  # doc3 shares nothing
+
+
+def test_text_stats_quality():
+    long_text = ("the a " * 3 + "word " * 25).strip()
+    ds = _docs([(1, long_text), (2, "x"), (3, "")])
+    out = text.text_stats(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "quality"] == 3
+    assert out.loc[2, "quality"] == 0
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "stop_ratio"] == 0.0
+
+
+def test_langid_deterministic():
+    ds = _docs([(1, "the a the"), (2, "query table join join"), (3, "zzz")])
+    out = text.lang_id(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang_guess"] == "en"
+    assert out.loc[2, "lang_guess"] == "query"
+    assert out.loc[3, "lang_guess"] == "und"
