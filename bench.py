@@ -1,0 +1,186 @@
+"""Benchmark harness.
+
+Headline: end-to-end KG construction (read transcript Parquet → rule+pattern
+extract → tiered entity link → canonicalize → dedup edges/nodes → write graph
+Parquet) over transcripts synthesized deterministically from
+``$GRAFT_SF_DIR/documents.parquet`` and replicated to ≥ ``$GRAFT_BENCH_TURNS``
+turns (default 500k). Prints ONE JSON line:
+  {"metric": ..., "value": headline_sec, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": n, "turns_per_sec": r}
+
+``--scaling``: runs the same headline in two fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on the same pre-generated input and reports both
+throughputs + scaling efficiency (the in-sandbox evidence for the N→4N
+cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TARGET_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "4000000"))
+
+
+def _gen_transcripts(sf_dir: str, target_turns: int) -> tuple[str, int]:
+    """Deterministic transcript Parquet, replicated to ≥ target_turns; cached
+    across runs (same input for every parallelism level). Untimed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from multiomics_biocypher_kg_ray.sources.transcripts import docs_to_turns
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    docs_path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.read_metadata(docs_path).num_rows
+    # ~7.5 turns per synthetic document
+    base_turns = max(1, int(n_docs * 7.5))
+    reps = max(1, -(-target_turns // base_turns))
+    out_dir = f"/tmp/bench_transcripts_{sf_tag}_x{reps}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        n = pq.ParquetDataset(out_dir).read(columns=["turn_idx"]).num_rows
+        return out_dir, n
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        tables = []
+        for r in range(reps):
+            t = batch.set_column(
+                batch.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.compute.add(batch.column("doc_id"), r * 1_000_000),
+            )
+            tables.append(t)
+        return docs_to_turns(pa.concat_tables(tables))
+
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    ds = ds.map_batches(replicate, batch_format="pyarrow", batch_size=1024)
+    ds.write_parquet(out_dir)
+    n = pq.ParquetDataset(out_dir).read(columns=["turn_idx"]).num_rows
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return out_dir, n
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    from multiomics_biocypher_kg_ray.tuning import tune_context_for_small_data
+
+    tune_context_for_small_data()
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import ray.data
+    from multiomics_biocypher_kg_ray.pipelines.kg import KGConfig, build_kg
+    from multiomics_biocypher_kg_ray.stages.materialize import write_graph
+
+    tdir, n_turns = _gen_transcripts(SF_DIR, TARGET_TURNS)
+
+    # warm the OS page cache (untimed) so we measure compute+shuffle
+    ray.data.read_parquet(tdir).count()
+
+    out_dir = f"/tmp/bench_out_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    res = build_kg(ray.data.read_parquet(tdir), KGConfig())
+    write_graph(res.nodes, res.edges, out_dir)
+    headline = time.time() - t0
+
+    # component timings (separate passes; headline above is the fused run)
+    queries: dict[str, float] = {}
+    t = time.time()
+    n_mentions = res.mentions.count()
+    queries["extract_only"] = round(time.time() - t, 3)
+
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_dedup_exact,
+        q_knn_cosine,
+        q_minhash_bands,
+        q_pricing_summary,
+        q_sessionize,
+        q_user_hour_activity,
+    )
+
+    for name, fn in [
+        ("pricing_summary", q_pricing_summary),
+        ("user_hour_activity", q_user_hour_activity),
+        ("sessionize", q_sessionize),
+        ("minhash_bands", q_minhash_bands),
+        ("knn_cosine", q_knn_cosine),
+        ("dedup_exact", q_dedup_exact),
+    ]:
+        t = time.time()
+        out = fn(SF_DIR)
+        if hasattr(out, "count"):
+            out.count()
+        queries[name] = round(time.time() - t, 3)
+
+    result = {
+        "metric": "kg_build_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "mentions": n_mentions,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns": r_hi["turns"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

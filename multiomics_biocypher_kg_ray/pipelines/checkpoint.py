@@ -1,0 +1,213 @@
+"""Per-partition checkpointing with lineage manifests + hot-key salted
+sharding — the resume story (north_rule: "each partition checkpoints its
+emitted triples plus lineage metadata (partition id, input fragment, row
+counts) so the job is resumable mid-pipeline").
+
+Reference analog: file-level mtime/exists resume guards
+(``resolve_paper_ids.py:460-466``, ``build_gene_annotations.py:957-959``) and
+the 3-level filesystem cache (``docs/methods_pipeline_architecture.md:
+122-126``) — reworked as: the input is sharded by ``hash(conv_id) % S`` (hot
+conversations salted across shards by turn range), each shard's extract+link
+output is written to a temp dir and atomically renamed, then a manifest row
+(shard id, input fragments, row counts, wall ms) is written. Resume =
+skip shards whose manifest exists (anti-join of manifest vs shard list).
+
+Shards are the resume granularity; within a shard the Dataset still has full
+block-level parallelism. At 100 TB a shard is a group of input fragments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..config import DEFAULT_RULES
+from ..stages.extract import extract_mentions
+from ..stages.link import AliasIndex, link_mentions
+
+
+def _hash_str(s: str) -> int:
+    """Deterministic string hash (NOT Python's salted ``hash``)."""
+    return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+# -------------------------------------------------------- salted sharding
+
+
+def detect_hot_conversations(
+    transcripts: "ray.data.Dataset", hot_threshold: int
+) -> set[str]:
+    """Conversations with more than ``hot_threshold`` turns (skew pass —
+    a cheap count-only aggregation over the conv_id column)."""
+    counts = (
+        transcripts.select_columns(["conv_id"]).groupby("conv_id").count()
+    ).to_pandas()
+    return set(counts.loc[counts["count()"] > hot_threshold, "conv_id"])
+
+
+def shard_transcripts(
+    transcripts: "ray.data.Dataset",
+    out_dir: str,
+    num_shards: int,
+    *,
+    hot_threshold: int | None = None,
+    hot_turn_block: int = 1024,
+) -> list[int]:
+    """Write transcripts as ``shard=K`` Parquet partitions.
+
+    Normal conversations: ``shard = crc32(conv_id) % S`` (co-located).
+    Hot conversations (> hot_threshold turns): salted —
+    ``shard = crc32(conv_id + ':' + turn_idx // block) % S`` so one giant
+    conversation spreads over many shards instead of capsizing one
+    (SURVEY §7.4 skew handling). Returns the list of shard ids written.
+    """
+    hot: set[str] = set()
+    if hot_threshold is not None:
+        hot = detect_hot_conversations(transcripts, hot_threshold)
+    hot_ref = ray.put(hot)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        hotset = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        conv = batch.column("conv_id").to_pylist()
+        tidx = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        shard = [
+            (
+                _hash_str(f"{c}:{int(t) // hot_turn_block}")
+                if c in hotset
+                else _hash_str(c)
+            )
+            % num_shards
+            for c, t in zip(conv, tidx)
+        ]
+        return batch.append_column("shard", pa.array(shard, pa.int32()))
+
+    ds = transcripts.map_batches(add_shard, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["shard"])
+    return sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("shard=")
+    )
+
+
+# ------------------------------------------------------------ manifests
+
+
+@dataclass
+class ShardManifest:
+    shard_id: int
+    stage: str
+    input_fragments: list[str]
+    rows_in: int
+    rows_out: int
+    wall_ms: int
+
+
+def _manifest_path(ckpt_dir: str, stage: str, shard_id: int) -> str:
+    return os.path.join(ckpt_dir, "manifest", f"{stage}_shard_{shard_id:05d}.json")
+
+
+def write_manifest(ckpt_dir: str, m: ShardManifest) -> None:
+    """Atomic: write temp file then rename (a crashed run never leaves a
+    half-written manifest claiming completion)."""
+    path = _manifest_path(ckpt_dir, m.stage, m.shard_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(asdict(m), f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def completed_shards(ckpt_dir: str, stage: str) -> set[int]:
+    mdir = os.path.join(ckpt_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.startswith(f"{stage}_shard_") and f.endswith(".json"):
+            out.add(int(f[len(stage) + 7 : -5]))
+    return out
+
+
+def read_manifests(ckpt_dir: str, stage: str) -> list[ShardManifest]:
+    mdir = os.path.join(ckpt_dir, "manifest")
+    out = []
+    for sid in sorted(completed_shards(ckpt_dir, stage)):
+        with open(_manifest_path(ckpt_dir, stage, sid)) as f:
+            out.append(ShardManifest(**json.load(f)))
+    return out
+
+
+# ------------------------------------------------------- resumable runner
+
+
+def run_extract_link_checkpointed(
+    shards_dir: str,
+    ckpt_dir: str,
+    index: "AliasIndex",
+    rules=DEFAULT_RULES,
+    *,
+    stage: str = "triples",
+) -> dict:
+    """Per-shard extract+link with checkpoint/resume.
+
+    For each shard not already in the manifest: read only that shard's
+    fragments, extract, link, write to ``<ckpt>/<stage>/shard=K.tmp``,
+    atomically rename to ``shard=K``, then write the manifest row. A rerun
+    after a crash skips complete shards (resume = anti-join manifest vs
+    shard list). Returns summary stats.
+    """
+    shard_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(shards_dir)
+        if d.startswith("shard=")
+    )
+    done = completed_shards(ckpt_dir, stage)
+    index_ref = ray.put(index)
+    ran, skipped = [], []
+    for sid in shard_ids:
+        if sid in done:
+            skipped.append(sid)
+            continue
+        t0 = time.time()
+        frag_dir = os.path.join(shards_dir, f"shard={sid}")
+        fragments = sorted(os.listdir(frag_dir))
+        ds = ray.data.read_parquet(frag_dir)
+        rows_in = ds.count()
+        linked = link_mentions(extract_mentions(ds, rules), index_ref)
+        out_dir = os.path.join(ckpt_dir, stage, f"shard={sid}")
+        tmp_dir = out_dir + ".tmp"
+        if os.path.isdir(tmp_dir):  # half-written by a crashed run
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        linked = linked.materialize()
+        rows_out = linked.count()
+        linked.write_parquet(tmp_dir)
+        os.replace(tmp_dir, out_dir)
+        write_manifest(
+            ckpt_dir,
+            ShardManifest(
+                shard_id=sid,
+                stage=stage,
+                input_fragments=[os.path.join(frag_dir, f) for f in fragments],
+                rows_in=rows_in,
+                rows_out=rows_out,
+                wall_ms=int((time.time() - t0) * 1000),
+            ),
+        )
+        ran.append(sid)
+    return {"ran": ran, "skipped": skipped, "total": len(shard_ids)}
+
+
+def load_checkpointed(ckpt_dir: str, stage: str = "triples") -> "ray.data.Dataset":
+    """Read all completed shard outputs back as one Dataset (for the global
+    canonicalize/materialize phases)."""
+    return ray.data.read_parquet(os.path.join(ckpt_dir, stage))

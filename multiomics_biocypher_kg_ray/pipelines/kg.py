@@ -21,7 +21,7 @@ import ray
 import ray.data
 
 from ..config import DEFAULT_RULES, AliasDictionary, ExtractionRule, default_alias_dictionary
-from ..stages.canonicalize import canonical_map
+from ..stages.canonicalize import canonical_map_table
 from ..stages.extract import extract_mentions
 from ..stages.link import AliasIndex, link_mentions, unresolved_report
 from ..stages.materialize import (
@@ -38,8 +38,8 @@ from ..stages.materialize import (
 class KGConfig:
     rules: tuple[ExtractionRule, ...] = DEFAULT_RULES
     aliases: AliasDictionary = field(default_factory=default_alias_dictionary)
-    extract_concurrency: int | tuple[int, int] = (1, 8)
-    link_concurrency: int | tuple[int, int] = (1, 8)
+    extract_concurrency: int | tuple[int, int] | None = None  # None → CPU-sized
+    link_concurrency: int | tuple[int, int] | None = None
     batch_size: int = 8192
 
 
@@ -72,15 +72,9 @@ def build_kg(
     ).materialize()  # consumed by nodes, edges, unresolved, stats — pin once
 
     # canonicalization over the alias-equivalence graph (dictionary-derived,
-    # entity-count sized); `canonical_map` switches to distributed label
-    # propagation automatically for Dataset-sized edge sets.
-    canon_tbl = pa.Table.from_pandas(
-        canonical_map(cfg.aliases.all_equiv_edges())
-        .to_pandas()
-        .sort_values("member")
-        .reset_index(drop=True),
-        preserve_index=False,
-    )
+    # entity-count sized → driver union-find; `canonical_map` runs the
+    # distributed label propagation for Dataset-sized edge sets instead).
+    canon_tbl = canonical_map_table(cfg.aliases.all_equiv_edges())
 
     nodes = build_nodes(linked, canon_tbl)
     edges = build_edges(linked, canon_tbl)

@@ -24,7 +24,7 @@ from .. import oracle, oracle_rel
 from ..config import default_alias_dictionary
 from ..sources.transcripts import transcripts_dataset
 from ..stages import dedup, events, materialize, relational, similarity, text
-from ..stages.canonicalize import canonical_map
+from ..stages.canonicalize import canonical_map, canonical_map_table
 from ..stages.extract import extract_mentions
 from ..stages.joins import broadcast_join, semi_join_filter
 from ..stages.link import AliasIndex, link_mentions, unresolved_report
@@ -70,13 +70,7 @@ def _linked(sf_dir: str):
 
 
 def _canon_tbl() -> pa.Table:
-    return pa.Table.from_pandas(
-        canonical_map(default_alias_dictionary().all_equiv_edges())
-        .to_pandas()
-        .sort_values("member")
-        .reset_index(drop=True),
-        preserve_index=False,
-    )
+    return canonical_map_table(default_alias_dictionary().all_equiv_edges())
 
 
 def q_kg_transcripts(sf_dir: str):

@@ -271,11 +271,39 @@ def assign_stable_ids(
     ).select_columns(["member", "component_key", "canonical_id"])
 
 
+def canonical_map_table(
+    edges: list[tuple[str, str]], prefix: str = "ent_", width: int = 6
+) -> pa.Table:
+    """Driver-side canonicalization for provably small edge sets (the
+    broadcast-dictionary case): union-find + in-memory dense rank. Must stay
+    output-identical to the distributed path (asserted in tests)."""
+    comp = union_find_components(edges)
+    keys = sorted(set(comp.values()))
+    rank = {k: i + 1 for i, k in enumerate(keys)}
+    members = sorted(comp)
+    return pa.table(
+        {
+            "member": members,
+            "component_key": [comp[m] for m in members],
+            "canonical_id": [f"{prefix}{rank[comp[m]]:0{width}d}" for m in members],
+        }
+    )
+
+
 def canonical_map(
     edges: list[tuple[str, str]] | "ray.data.Dataset",
     *,
     force_distributed: bool = False,
 ) -> "ray.data.Dataset":
-    """edges → (member, component_key, canonical_id) — the full canonicalization."""
+    """edges → (member, component_key, canonical_id) — the full canonicalization.
+
+    Small in-memory edge lists short-circuit to the driver (zero Ray fixed
+    costs — a 30-edge graph through distributed joins costs ~15 s of pure
+    scheduling); Dataset inputs run label propagation + distributed rank.
+    """
+    if isinstance(edges, list) and not force_distributed:
+        if len(edges) > SMALL_EDGE_THRESHOLD:
+            raise ValueError("edge list too large for driver path; pass a Dataset")
+        return ray.data.from_arrow(canonical_map_table(edges))
     comps = connected_components(edges, force_distributed=force_distributed)
     return assign_stable_ids(comps)

@@ -45,8 +45,13 @@ class TripleExtractor:
     """
 
     def __init__(self, rules: tuple[ExtractionRule, ...] = DEFAULT_RULES) -> None:
-        self.rules = [(r, re.compile(r.pattern)) for r in rules]
-        for r, pat in self.rules:
+        from ..functions.transforms import compile_chain
+
+        self.rules = [
+            (r, re.compile(r.pattern), compile_chain(r.transforms) if r.transforms else None)
+            for r in rules
+        ]
+        for r, pat, _ in self.rules:
             if pat.groups != 2:
                 raise ValueError(
                     f"rule {r.rule_id!r}: pattern must have exactly 2 groups (subj, obj)"
@@ -64,7 +69,7 @@ class TripleExtractor:
         o_pred: list[str] = []
         o_subj: list[str] = []
         o_obj: list[str] = []
-        for rule, pat in self.rules:
+        for rule, pat, chain in self.rules:
             role_ok = np.isin(role, rule.applies_role)
             findall = pat.findall
             for i in np.flatnonzero(role_ok):
@@ -72,6 +77,8 @@ class TripleExtractor:
                 if not t:
                     continue
                 for subj, obj in findall(t):
+                    if chain is not None:
+                        subj, obj = chain(subj), chain(obj)
                     o_conv.append(conv[i])
                     o_tidx.append(int(tidx[i]))
                     o_rule.append(rule.rule_id)
@@ -96,10 +103,14 @@ def extract_mentions(
     transcripts: "ray.data.Dataset",
     rules: tuple[ExtractionRule, ...] = DEFAULT_RULES,
     *,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
 ) -> "ray.data.Dataset":
     """transcripts → mention rows (conv_id, turn_idx, rule_id, pred, subj, obj)."""
+    from ..tuning import default_actor_pool
+
+    if concurrency is None:
+        concurrency = default_actor_pool()
     return transcripts.map_batches(
         TripleExtractor,
         fn_constructor_kwargs={"rules": rules},

@@ -140,9 +140,13 @@ def link_mentions(
     mentions: "ray.data.Dataset",
     index_ref,
     *,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 16384,
 ) -> "ray.data.Dataset":
+    from ..tuning import default_actor_pool
+
+    if concurrency is None:
+        concurrency = default_actor_pool()
     return mentions.map_batches(
         EntityLinker,
         fn_constructor_kwargs={"index_ref": index_ref},

@@ -38,6 +38,19 @@ def test_distributed_matches_union_find():
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_canonical_map_table_matches_distributed():
+    from multiomics_biocypher_kg_ray.stages.canonicalize import canonical_map_table
+
+    small = canonical_map_table(CHAIN).to_pandas()
+    dist = (
+        canonical_map(CHAIN, force_distributed=True)
+        .to_pandas()
+        .sort_values("member")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, dist)
+
+
 def test_stable_ids_deterministic_across_runs():
     m1 = canonical_map(CHAIN).to_pandas().sort_values("member").reset_index(drop=True)
     m2 = canonical_map(CHAIN).to_pandas().sort_values("member").reset_index(drop=True)
