@@ -248,3 +248,19 @@ SELECT a.conv_id, a.n_turns,
        coalesce(m.n_resolved, 0)::BIGINT AS n_resolved,
        a.first_ts, a.last_ts
 FROM t_agg a LEFT JOIN m_agg m USING (conv_id)"""
+
+
+def sql_entity_consensus() -> str:
+    """Majority-vote consensus surface form per resolved entity (A13 twin of
+    ``relational.majority_vote``): tie-break = (votes desc, mention asc)."""
+    return f"""{_kg_prefix()},
+mr AS (
+  SELECT subj_id AS entity_id, subj_text AS mention FROM linked WHERE subj_id IS NOT NULL
+  UNION ALL
+  SELECT obj_id, obj_text FROM linked WHERE obj_id IS NOT NULL
+),
+cnt AS (SELECT entity_id, mention, count(*)::BIGINT AS n FROM mr GROUP BY 1, 2),
+r AS (SELECT entity_id, mention, n,
+             row_number() OVER (PARTITION BY entity_id ORDER BY n DESC, mention) AS rn
+      FROM cnt)
+SELECT entity_id, mention AS consensus, n AS n_votes FROM r WHERE rn = 1"""

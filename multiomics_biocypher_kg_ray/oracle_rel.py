@@ -307,3 +307,75 @@ def sql_table_counts(tables: tuple[str, ...]) -> str:
         f"SELECT '{t}' AS tbl, count(*)::BIGINT AS n FROM {t}" for t in tables
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def sql_replicate_user_stats() -> str:
+    """Twin of ``relational.replicate_stats`` over events grouped by
+    (user_id, event_type). Same closed-form mean/sd from exact integer
+    totals, all intermediates cast to DOUBLE in the same order."""
+    return """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+t AS (SELECT user_id, event_type,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN c <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_non_zero,
+             CAST(sum(c) AS DOUBLE) AS s,
+             CAST(sum(c * c) AS DOUBLE) AS sq
+      FROM e GROUP BY 1, 2)
+SELECT user_id, event_type, n, n_non_zero,
+       round(s / n, 4) AS mean_v,
+       round(CASE WHEN n > 1 THEN sqrt(greatest((sq - s * s / n) / (n - 1), 0))
+             ELSE 0.0 END, 4) AS sd_v,
+       CASE WHEN n_non_zero = n THEN 'detected'
+            WHEN n_non_zero = 0 THEN 'not_detected'
+            ELSE 'sporadic' END AS detection_status
+FROM t"""
+
+
+def sql_nation_segment_distribution() -> str:
+    """Twin of ``relational.categorical_distribution``: per-nation parallel
+    label-sorted (labels, counts) arrays rendered as joined strings."""
+    return """
+WITH j AS (SELECT n.n_name, c.c_mktsegment
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+cnt AS (SELECT n_name, c_mktsegment AS seg, count(*)::BIGINT AS n
+        FROM j GROUP BY 1, 2)
+SELECT n_name,
+       string_agg(seg, ',' ORDER BY seg) AS labels,
+       string_agg(n::VARCHAR, ',' ORDER BY seg) AS counts
+FROM cnt GROUP BY 1"""
+
+
+def sql_user_value_flags(threshold: float = 50.0) -> str:
+    return f"""
+SELECT user_id,
+       sum(CASE WHEN value >= {threshold} THEN 1 ELSE 0 END)::BIGINT AS n_true,
+       sum(CASE WHEN value >= {threshold} THEN 0 ELSE 1 END)::BIGINT AS n_false
+FROM events GROUP BY 1"""
+
+
+def sql_region_rollup() -> str:
+    """Twin of ``relational.tree_rollup`` over the region→nation→customer
+    hierarchy: per-node subtree leaf (customer) counts at both levels."""
+    return """
+WITH j AS (SELECT r.r_name, n.n_name
+           FROM customer c
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey)
+SELECT 'nation:' || n_name AS node_id, CAST(1 AS BIGINT) AS node_level,
+       count(*)::BIGINT AS n_leaves
+FROM j GROUP BY 1, 2
+UNION ALL
+SELECT 'region:' || r_name, CAST(0 AS BIGINT), count(*)::BIGINT
+FROM j GROUP BY 1, 2"""
+
+
+def sql_embedding_near_dups(threshold: float = 0.3) -> str:
+    """Twin of ``similarity.embedding_near_dup_pairs``: exact cosine
+    threshold join, each unordered pair once (id_a < id_b)."""
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold}"""

@@ -25,8 +25,7 @@ from ..stages.canonicalize import canonical_map_table
 from ..stages.extract import extract_mentions
 from ..stages.link import AliasIndex, link_mentions, unresolved_report
 from ..stages.materialize import (
-    build_edges,
-    build_nodes,
+    build_graph_tables,
     conv_stats,
     edge_rank,
     node_degree,
@@ -56,28 +55,53 @@ class KGResult:
     unresolved: "ray.data.Dataset"
 
 
+def _fused_extract_link(batch: pa.Table, rules, index_ref) -> pa.Table:
+    """Extract THEN link in one task — the two stages' state is memoized per
+    worker process (see stages/extract.py for the tasks-vs-actors rationale);
+    chaining them in one map_batches lets Ray fuse read→extract→link into a
+    single task per block with zero intermediate exchange."""
+    from ..stages.extract import _extract_fn
+    from ..stages.link import _link_fn
+
+    return _link_fn(_extract_fn(batch, rules), index_ref)
+
+
 def build_kg(
-    transcripts: "ray.data.Dataset", cfg: KGConfig | None = None
+    transcripts: "ray.data.Dataset",
+    cfg: KGConfig | None = None,
+    *,
+    materialize_linked: bool = False,
 ) -> KGResult:
+    """``materialize_linked=False`` (default) keeps the mention stream fully
+    streaming: read→extract→link→graph-partials fuse into one pass and the
+    only thing ever pinned is the entity²-bounded combined table — at 100 TB
+    the full linked stream must never sit in the object store. Pass ``True``
+    when SEVERAL outputs will be consumed (unresolved report, conv stats,
+    rollups — as ``run_kg_to_parquet`` does) so extract+link runs once
+    instead of once per consumer."""
     cfg = cfg or KGConfig()
     mentions = extract_mentions(
         transcripts,
         cfg.rules,
         concurrency=cfg.extract_concurrency,
         batch_size=cfg.batch_size,
-    )
+    )  # lazy; only consumed if the caller reads res.mentions
     index_ref = ray.put(AliasIndex(cfg.aliases))
-    linked = link_mentions(
-        mentions, index_ref, concurrency=cfg.link_concurrency
-    ).materialize()  # consumed by nodes, edges, unresolved, stats — pin once
+    linked = transcripts.map_batches(
+        _fused_extract_link,
+        fn_kwargs={"rules": cfg.rules, "index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    if materialize_linked:
+        linked = linked.materialize()
 
     # canonicalization over the alias-equivalence graph (dictionary-derived,
     # entity-count sized → driver union-find; `canonical_map` runs the
     # distributed label propagation for Dataset-sized edge sets instead).
     canon_tbl = canonical_map_table(cfg.aliases.all_equiv_edges())
 
-    nodes = build_nodes(linked, canon_tbl)
-    edges = build_edges(linked, canon_tbl)
+    nodes, edges = build_graph_tables(linked, canon_tbl)
     unresolved = unresolved_report(linked)
     return KGResult(
         transcripts=transcripts,
@@ -95,7 +119,7 @@ def run_kg_to_parquet(
 ) -> dict:
     """Build + materialize the full graph to ``out_dir``; returns the manifest
     (row counts per table — the schema_info analog)."""
-    res = build_kg(transcripts, cfg)
+    res = build_kg(transcripts, cfg, materialize_linked=True)
     manifest = write_graph(res.nodes, res.edges, out_dir)
     res.unresolved.write_parquet(f"{out_dir}/reports/unresolved")
     manifest["unresolved"] = res.unresolved.count()

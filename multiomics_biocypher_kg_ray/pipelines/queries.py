@@ -116,6 +116,20 @@ def q_kg_conv_stats(sf_dir: str):
     return materialize.conv_stats(transcripts_dataset(sf_dir), _linked(sf_dir))
 
 
+def q_entity_consensus(sf_dir: str):
+    linked = _linked(sf_dir)
+
+    def sides(batch: pa.Table) -> pa.Table:
+        parts = []
+        for idc, mc in (("subj_id", "subj_text"), ("obj_id", "obj_text")):
+            t = batch.select([idc, mc]).rename_columns(["entity_id", "mention"])
+            parts.append(t.filter(pc.is_valid(t.column("entity_id"))))
+        return pa.concat_tables(parts)
+
+    mr = linked.map_batches(sides, batch_format="pyarrow")
+    return relational.majority_vote(mr, ["entity_id"], "mention", "consensus")
+
+
 # ------------------------------------------------------------ relational
 
 
@@ -296,6 +310,71 @@ def q_asof_signup(sf_dir: str):
     return _cast_ts_us(events.asof_last_marker(ev), ["ts", "last_marker_ts"])
 
 
+def q_replicate_user_stats(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "c"}).drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    return relational.replicate_stats(ev, ["user_id", "event_type"], "c")
+
+
+def q_nation_segment_distribution(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
+    joined = broadcast_join(cust, nation, on=["c_nationkey"], how="inner")
+    return relational.categorical_distribution(joined, ["n_name"], "c_mktsegment")
+
+
+def q_user_value_flags(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        lambda t: t.append_column(
+            "flag", pc.greater_equal(t.column("value"), 50.0)
+        ).drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    return relational.flag_counts(ev, ["user_id"], "flag")
+
+
+def q_region_rollup(sf_dir: str):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    tree = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    # driver-side ancestry closure of the tiny hierarchy (SURVEY §2.9):
+    # each leaf key maps to itself (level 1) and its region ancestor (level 0)
+    closure = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "c_nationkey": tree["n_nationkey"],
+                    "node_id": "nation:" + tree["n_name"],
+                    "node_level": 1,
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "c_nationkey": tree["n_nationkey"],
+                    "node_id": "region:" + tree["r_name"],
+                    "node_level": 0,
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return relational.tree_rollup(cust, "c_nationkey", closure)
+
+
 def q_table_counts(sf_dir: str):
     counts = [
         (t, _read(sf_dir, t).count()) for t in TABLES
@@ -374,6 +453,21 @@ def q_knn_lsh(sf_dir: str):
     return similarity.knn_lsh(_candidates(sf_dir), _load_queries_df(sf_dir), k=5)
 
 
+def q_knn_ivf(sf_dir: str):
+    # approximate by design — rows-only check; recall vs brute force in pytest
+    return similarity.knn_ivf(_candidates(sf_dir), _load_queries_df(sf_dir), k=5)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    all_df = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.embedding_near_dup_pairs(ds, all_df, threshold=0.3)
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -403,6 +497,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_node_degree": (q_kg_node_degree, oracle.sql_kg_node_degree()),
         "kg_edge_rank": (q_kg_edge_rank, oracle.sql_kg_edge_rank()),
         "kg_conv_stats": (q_kg_conv_stats, oracle.sql_kg_conv_stats()),
+        "entity_consensus": (q_entity_consensus, oracle.sql_entity_consensus()),
         # relational operators (SURVEY §2.4-2.6)
         "pricing_summary": (q_pricing_summary, oracle_rel.sql_pricing_summary()),
         "revenue_by_nation": (q_revenue_by_nation, oracle_rel.sql_revenue_by_nation()),
@@ -431,6 +526,16 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "sessionize": (q_sessionize, oracle_rel.sql_sessionize()),
         "asof_signup": (q_asof_signup, oracle_rel.sql_asof_signup()),
         "table_counts": (q_table_counts, oracle_rel.sql_table_counts(TABLES)),
+        "replicate_user_stats": (
+            q_replicate_user_stats,
+            oracle_rel.sql_replicate_user_stats(),
+        ),
+        "nation_segment_distribution": (
+            q_nation_segment_distribution,
+            oracle_rel.sql_nation_segment_distribution(),
+        ),
+        "user_value_flags": (q_user_value_flags, oracle_rel.sql_user_value_flags()),
+        "region_rollup": (q_region_rollup, oracle_rel.sql_region_rollup()),
         # text analysis
         "text_stats": (q_text_stats, oracle_rel.sql_text_stats()),
         "lang_id": (q_lang_id, oracle_rel.sql_lang_id()),
@@ -447,6 +552,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         # similarity search
         "knn_cosine": (q_knn_cosine, oracle_rel.sql_knn_cosine()),
         "knn_lsh": (q_knn_lsh, None),
+        "knn_ivf": (q_knn_ivf, None),
+        "embedding_near_dups": (
+            q_embedding_near_dups,
+            oracle_rel.sql_embedding_near_dups(),
+        ),
         # multimodal plumbing
         "media_features": (q_media_features, oracle_rel.sql_media_features()),
     }

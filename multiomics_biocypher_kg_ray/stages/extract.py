@@ -47,56 +47,151 @@ class TripleExtractor:
     def __init__(self, rules: tuple[ExtractionRule, ...] = DEFAULT_RULES) -> None:
         from ..functions.transforms import compile_chain
 
-        self.rules = [
-            (r, re.compile(r.pattern), compile_chain(r.transforms) if r.transforms else None)
-            for r in rules
-        ]
-        for r, pat, _ in self.rules:
+        self.rules = []
+        for r in rules:
+            pat = re.compile(r.pattern)
             if pat.groups != 2:
                 raise ValueError(
                     f"rule {r.rule_id!r}: pattern must have exactly 2 groups (subj, obj)"
                 )
+            chain = compile_chain(r.transforms) if r.transforms else None
+            # named-group rewrite of the same pattern for the vectorized
+            # (RE2 extract_regex) single-match fast path; None if the pattern
+            # already uses named/non-capturing groups we can't safely rewrite
+            named = self._to_named(r.pattern)
+            self.rules.append((r, pat, chain, named))
+
+    @staticmethod
+    def _to_named(pattern: str) -> str | None:
+        """``(\\w+) join (\\w+)`` → ``(?P<s>\\w+) join (?P<o>\\w+)``: rename
+        the two plain capture groups so pyarrow's extract_regex can address
+        them. Bails out (→ slow path only) on patterns with any ``(?`` group
+        syntax of their own."""
+        parts = []
+        names = iter(["s", "o"])
+        i = 0
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "\\":
+                parts.append(pattern[i : i + 2])
+                i += 2
+                continue
+            if c == "(":
+                if pattern[i : i + 2] == "(?":
+                    return None
+                parts.append(f"(?P<{next(names, '')}>")
+                i += 1
+                continue
+            parts.append(c)
+            i += 1
+        return "".join(parts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
-        tidx = batch.column("turn_idx").to_numpy(zero_copy_only=False)
-        role = batch.column("role").to_numpy(zero_copy_only=False)
-        text = batch.column("text").to_pylist()
+        import pyarrow.compute as pc
 
-        o_conv: list[str] = []
-        o_tidx: list[int] = []
-        o_rule: list[str] = []
-        o_pred: list[str] = []
-        o_subj: list[str] = []
-        o_obj: list[str] = []
-        for rule, pat, chain in self.rules:
-            role_ok = np.isin(role, rule.applies_role)
-            findall = pat.findall
-            for i in np.flatnonzero(role_ok):
-                t = text[i]
-                if not t:
-                    continue
-                for subj, obj in findall(t):
-                    if chain is not None:
-                        subj, obj = chain(subj), chain(obj)
-                    o_conv.append(conv[i])
-                    o_tidx.append(int(tidx[i]))
-                    o_rule.append(rule.rule_id)
-                    o_pred.append(rule.predicate)
-                    o_subj.append(subj)
-                    o_obj.append(obj)
+        conv_col = batch.column("conv_id")
+        tidx_col = batch.column("turn_idx")
+        role_col = batch.column("role")
+        text_col = batch.column("text")
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
 
-        return pa.Table.from_arrays(
-            [
-                pa.array(o_conv, pa.string()),
-                pa.array(o_tidx, pa.int32()),
-                pa.array(o_rule, pa.string()),
-                pa.array(o_pred, pa.string()),
-                pa.array(o_subj, pa.string()),
-                pa.array(o_obj, pa.string()),
-            ],
-            schema=MENTION_SCHEMA,
-        )
+        out_tables: list[pa.Table] = []
+        for rule, pat, chain, named in self.rules:
+            role_ok = pc.is_in(
+                role_col, value_set=pa.array(rule.applies_role, pa.string())
+            ).to_numpy(zero_copy_only=False)
+            # vectorized RE2 match COUNT per row: rows with 0 matches are
+            # skipped entirely; rows with exactly 1 match (the overwhelming
+            # majority) go through the fully-vectorized extract_regex path;
+            # only multi-match rows pay the per-row Python findall loop.
+            # Row references travel as Arrow takes — no per-row Python
+            # string/object materialization for conv_id/turn_idx/text.
+            counts = pc.fill_null(
+                pc.count_substring_regex(text_col, rule.pattern), 0
+            ).to_numpy(zero_copy_only=False)
+            single_idx = np.flatnonzero(role_ok & (counts == 1))
+            multi_idx = np.flatnonzero(role_ok & (counts >= 2))
+
+            if named is not None and len(single_idx):
+                take_idx = pa.array(single_idx)
+                ex = pc.extract_regex(text_col.take(take_idx), pattern=named)
+                subj_arr = pc.struct_field(ex, "s")
+                obj_arr = pc.struct_field(ex, "o")
+                if chain is not None:
+                    subj_arr = pa.array(
+                        [chain(v) for v in subj_arr.to_pylist()], pa.string()
+                    )
+                    obj_arr = pa.array(
+                        [chain(v) for v in obj_arr.to_pylist()], pa.string()
+                    )
+                n = len(single_idx)
+                zeros = pa.array(np.zeros(n, dtype=np.int32))
+                out_tables.append(
+                    pa.Table.from_arrays(
+                        [
+                            conv_col.take(take_idx),
+                            tidx_col.take(take_idx),
+                            pa.array([rule.rule_id], pa.string()).take(zeros),
+                            pa.array([rule.predicate], pa.string()).take(zeros),
+                            pc.cast(subj_arr, pa.string()),
+                            pc.cast(obj_arr, pa.string()),
+                        ],
+                        schema=MENTION_SCHEMA,
+                    )
+                )
+            else:
+                multi_idx = np.flatnonzero(role_ok & (counts >= 1))
+
+            if len(multi_idx):
+                o_row: list[int] = []
+                o_subj: list[str] = []
+                o_obj: list[str] = []
+                findall = pat.findall
+                # Python strings ONLY for the (rare) rows that need findall
+                multi_text = text_col.take(pa.array(multi_idx)).to_pylist()
+                for i, t in zip(multi_idx, multi_text):
+                    if not t:
+                        continue
+                    for subj, obj in findall(t):
+                        if chain is not None:
+                            subj, obj = chain(subj), chain(obj)
+                        o_row.append(i)
+                        o_subj.append(subj)
+                        o_obj.append(obj)
+                if o_row:
+                    take_idx = pa.array(np.asarray(o_row, dtype=np.int64))
+                    zeros = pa.array(np.zeros(len(o_row), dtype=np.int32))
+                    out_tables.append(
+                        pa.Table.from_arrays(
+                            [
+                                conv_col.take(take_idx),
+                                tidx_col.take(take_idx),
+                                pa.array([rule.rule_id], pa.string()).take(zeros),
+                                pa.array([rule.predicate], pa.string()).take(zeros),
+                                pa.array(o_subj, pa.string()),
+                                pa.array(o_obj, pa.string()),
+                            ],
+                            schema=MENTION_SCHEMA,
+                        )
+                    )
+
+        if not out_tables:
+            return MENTION_SCHEMA.empty_table()
+        return pa.concat_tables(out_tables)
+
+
+# Process-level extractor memo: task-based map_batches reuses warm Ray worker
+# processes, so state compiled once per (worker, ruleset) amortizes across
+# every task the worker runs — actor-pool semantics without actor-pool costs.
+_EXTRACTOR_CACHE: dict[tuple, TripleExtractor] = {}
+
+
+def _extract_fn(batch: pa.Table, rules: tuple[ExtractionRule, ...]) -> pa.Table:
+    ex = _EXTRACTOR_CACHE.get(rules)
+    if ex is None:
+        ex = _EXTRACTOR_CACHE[rules] = TripleExtractor(rules)
+    return ex(batch)
 
 
 def extract_mentions(
@@ -106,16 +201,28 @@ def extract_mentions(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
 ) -> "ray.data.Dataset":
-    """transcripts → mention rows (conv_id, turn_idx, rule_id, pred, subj, obj)."""
-    from ..tuning import default_actor_pool
+    """transcripts → mention rows (conv_id, turn_idx, rule_id, pred, subj, obj).
 
-    if concurrency is None:
-        concurrency = default_actor_pool()
+    Default is TASK-based map_batches: rule state is cheap (a few compiled
+    regexes), so tasks beat an actor pool — they operator-fuse with the
+    upstream read, share CPUs dynamically with every other stage (a fixed
+    pool statically partitions the cluster and starves producers — measured
+    extract 12.6 s on 32 CPUs vs 15.8 s on 8), and skip the 30-process
+    import storm at startup. Pass ``concurrency`` explicitly to force an
+    actor pool (the right shape only for EXPENSIVE state, e.g. model
+    scorers — see stages/multimodal.py)."""
+    if concurrency is not None:
+        return transcripts.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={"rules": rules},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return transcripts.map_batches(
-        TripleExtractor,
-        fn_constructor_kwargs={"rules": rules},
+        _extract_fn,
+        fn_kwargs={"rules": rules},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )

@@ -105,35 +105,67 @@ class AliasIndex:
 
 
 class EntityLinker:
-    """Actor-pool stage: adds {subj,obj}_id / {subj,obj}_method columns."""
+    """Stage callable: adds {subj,obj}_id / {subj,obj}_method columns.
+
+    Hot path is Arrow-native: ``pc.unique`` collapses the batch to its
+    distinct aliases (C++), the tiered Python ``resolve`` runs once per
+    NEW distinct alias (memoized across batches), and results fan back out
+    through ``pc.index_in`` + ``pc.take`` — zero Python-object string
+    materialization per row (an earlier ``np.unique``-over-object-dtype
+    version spent most of its CPU constructing and sort-comparing Python
+    strings)."""
 
     def __init__(self, index_ref) -> None:
         self.index: AliasIndex = fetch(index_ref)
         self.memo: dict[str, Resolution] = {}
 
     def _resolve_array(self, arr: pa.ChunkedArray | pa.Array):
-        vals = arr.to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(vals, return_inverse=True)
-        ids = np.empty(len(uniq), dtype=object)
-        methods = np.empty(len(uniq), dtype=object)
-        for i, alias in enumerate(uniq):
-            r = self.memo.get(alias)
+        import pyarrow.compute as pc
+
+        uniq = pc.unique(arr if isinstance(arr, pa.Array) else arr.combine_chunks())
+        ids: list[str | None] = []
+        methods: list[str] = []
+        memo = self.memo
+        resolve = self.index.resolve
+        for alias in uniq.to_pylist():
+            if alias is None:
+                ids.append(None)
+                methods.append(METHOD_UNRESOLVED)
+                continue
+            r = memo.get(alias)
             if r is None:
-                r = self.index.resolve(alias)
-                self.memo[alias] = r
-            ids[i] = r.entity_id
-            methods[i] = r.method
-        return ids[inv], methods[inv]
+                r = memo[alias] = resolve(alias)
+            ids.append(r.entity_id)
+            methods.append(r.method)
+        inv = pc.index_in(arr, value_set=uniq)
+        return (
+            pc.take(pa.array(ids, pa.string()), inv),
+            pc.take(pa.array(methods, pa.string()), inv),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         s_id, s_m = self._resolve_array(batch.column("subj_text"))
         o_id, o_m = self._resolve_array(batch.column("obj_text"))
         return (
-            batch.append_column("subj_id", pa.array(s_id, pa.string()))
-            .append_column("subj_method", pa.array(s_m, pa.string()))
-            .append_column("obj_id", pa.array(o_id, pa.string()))
-            .append_column("obj_method", pa.array(o_m, pa.string()))
+            batch.append_column("subj_id", s_id)
+            .append_column("subj_method", s_m)
+            .append_column("obj_id", o_id)
+            .append_column("obj_method", o_m)
         )
+
+
+# Process-level linker memo keyed by the broadcast ObjectRef — task-based
+# map_batches reuses warm workers, so the index is fetched/indexed once per
+# worker process (see stages/extract.py for the tasks-vs-actors rationale).
+_LINKER_CACHE: dict = {}
+
+
+def _link_fn(batch: pa.Table, index_ref) -> pa.Table:
+    key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
+    lk = _LINKER_CACHE.get(key)
+    if lk is None:
+        lk = _LINKER_CACHE[key] = EntityLinker(index_ref)
+    return lk(batch)
 
 
 def link_mentions(
@@ -143,17 +175,22 @@ def link_mentions(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 16384,
 ) -> "ray.data.Dataset":
-    from ..tuning import default_actor_pool
-
-    if concurrency is None:
-        concurrency = default_actor_pool()
+    """Default TASK-based (alias index is broadcast + memoized per worker);
+    pass ``concurrency`` to force an actor pool for genuinely heavy indexes."""
+    if concurrency is not None:
+        return mentions.map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={"index_ref": index_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return mentions.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        _link_fn,
+        fn_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )
 
 

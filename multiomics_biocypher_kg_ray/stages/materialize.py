@@ -21,6 +21,7 @@ moves pre-combined rows, not raw mentions (ray_guide "Aggregation at scale").
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -29,33 +30,11 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..tuning import default_join_partitions
-from .joins import broadcast_join
 
 EVIDENCE_SEP = "|"
 
 
 # --------------------------------------------------------------------- nodes
-
-
-def _resolved_entity_rows(batch: pa.Table) -> pa.Table:
-    """linked batch → one row per resolved mention side (tid = entity id)."""
-    parts = []
-    for side in ("subj", "obj"):
-        col = batch.column(f"{side}_id")
-        mask = pc.is_valid(col)
-        parts.append(pa.Table.from_arrays([col.filter(mask)], names=["tid"]))
-    return pa.concat_tables(parts)
-
-
-def _partial_count(keys: list[str]):
-    """map_batches partial aggregation: value_counts per batch → (keys, n)."""
-
-    def inner(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys).to_pandas()
-        out = df.groupby(keys, sort=False, dropna=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    return inner
 
 
 def build_nodes(
@@ -66,34 +45,39 @@ def build_nodes(
     """linked + canonical map → node table (id, label, name, mention_count).
 
     ``canon`` is the (member, component_key, canonical_id) mapping — small
-    relative to the mention stream (entity-count sized), so it is broadcast;
-    swap for ``hash_join`` if the entity space outgrows a node's memory.
+    relative to the mention stream (entity-count sized), so it is broadcast
+    INTO the partial pass: each batch maps its resolved mention sides straight
+    to (canonical id, name) and pre-combines counts, leaving exactly ONE
+    keyed shuffle over entity-count-sized partials. (Previously this was two
+    hash shuffles + a join; for tiny keyspaces the extra shuffle's aggregator
+    startup alone cost ~4 s per run.) Swap the dict probe for ``hash_join``
+    if the entity space outgrows a node's memory.
     """
     if isinstance(canon, pa.Table):
         canon = canon.to_pandas()
-    canon_map = canon.rename(columns={"member": "tid"})[
-        ["tid", "component_key", "canonical_id"]
-    ]
-    ent = linked.map_batches(_resolved_entity_rows, batch_format="pyarrow")
-    # partial count per batch, then tiny final groupby
-    partial = ent.map_batches(_partial_count(["tid"]), batch_format="pyarrow")
-    counts = partial.groupby("tid").aggregate(Sum("n", alias_name="mention_count"))
-    joined = broadcast_join(counts, canon_map, on=["tid"], how="inner")
+    cid = dict(zip(canon["member"], canon["canonical_id"]))
+    cname = dict(zip(canon["member"], canon["component_key"]))
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for side in ("subj", "obj"):
+            col = batch.column(f"{side}_id")
+            parts.append(col.filter(pc.is_valid(col)).to_pandas())
+        tid = pd.concat(parts, ignore_index=True)
+        df = pd.DataFrame({"id": tid.map(cid), "name": tid.map(cname)})
         out = (
-            batch.groupby(["canonical_id", "component_key"], sort=False)["mention_count"]
-            .sum()
-            .reset_index()
+            df.groupby(["id", "name"], sort=False)
+            .size()
+            .reset_index(name="mention_count")
         )
         out["label"] = label
-        out = out.rename(columns={"canonical_id": "id", "component_key": "name"})
-        return out[["id", "label", "name", "mention_count"]]
+        return pa.Table.from_pandas(
+            out[["id", "label", "name", "mention_count"]], preserve_index=False
+        )
 
-    # members of one component can arrive as distinct tids → final combine
-    partial2 = joined.map_batches(finish, batch_format="pandas")
+    partials = linked.map_batches(partial, batch_format="pyarrow")
     return (
-        partial2.groupby(["id", "label", "name"])
+        partials.groupby(["id", "label", "name"])
         .aggregate(Sum("mention_count", alias_name="mention_count"))
         .select_columns(["id", "label", "name", "mention_count"])
     )
@@ -150,6 +134,140 @@ def build_edges(
     return partials.groupby(["src", "pred", "dst"]).map_groups(
         final, batch_format="pandas"
     )
+
+
+def build_graph_tables(
+    linked: "ray.data.Dataset",
+    canon: "pa.Table | pd.DataFrame",
+    label: str = "term",
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Nodes AND edges from ONE keyed shuffle (tagged union).
+
+    ``build_nodes`` + ``build_edges`` run two separate shuffles over the same
+    linked stream; at entity-bounded key cardinality each shuffle's cost is
+    almost pure execution startup (~2-4 s each measured at 32 CPUs). One
+    partial pass emits both node partials (kind='N') and edge partials
+    (kind='E') into a single groupby; the materialized (tiny) result splits
+    into the two tables with trivial filters. Used by the end-to-end
+    pipeline; the standalone operators remain for per-table use."""
+    if isinstance(canon, pa.Table):
+        canon = canon.to_pandas()
+    cid = dict(zip(canon["member"], canon["canonical_id"]))
+    cname = dict(zip(canon["member"], canon["component_key"]))
+
+    def _dict_codes(col) -> tuple[np.ndarray, list]:
+        """column → (int32 codes with -1 for null, dictionary values)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        codes = np.where(np.isnan(codes), -1, codes).astype(np.int64) if codes.dtype.kind == "f" else codes.astype(np.int64)
+        return codes, d.dictionary.to_pylist()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # fully vectorized: dictionary-encode the four string columns (C++),
+        # pack their int codes into one int64 key, np.unique-count the keys,
+        # and decode ONLY the distinct survivors back to strings. Per-row
+        # Python-object string materialization here was the dominant
+        # data-proportional cost of the whole build (~2-3 s per M rows).
+        s_codes, s_vals = _dict_codes(batch.column("subj_id"))
+        p_codes, p_vals = _dict_codes(batch.column("pred"))
+        o_codes, o_vals = _dict_codes(batch.column("obj_id"))
+        r_codes, r_vals = _dict_codes(batch.column("rule_id"))
+        nP, nO, nR = len(p_vals) or 1, len(o_vals) or 1, len(r_vals) or 1
+
+        out = {k: [] for k in ("kind", "k1", "k2", "k3", "k4", "weight")}
+
+        # --- edge partials: rows with both sides resolved ---
+        mask = (s_codes >= 0) & (o_codes >= 0)
+        if mask.any():
+            key = ((s_codes[mask] * nP + p_codes[mask]) * nO + o_codes[mask]) * nR + r_codes[mask]
+            uniq, counts = np.unique(key, return_counts=True)
+            r_i = uniq % nR
+            o_i = (uniq // nR) % nO
+            p_i = (uniq // (nR * nO)) % nP
+            s_i = uniq // (nR * nO * nP)
+            for j in range(len(uniq)):
+                k1 = cid.get(s_vals[s_i[j]])
+                k3 = cid.get(o_vals[o_i[j]])
+                if k1 is None or k3 is None:  # not in canon → inner-join drop
+                    continue
+                out["kind"].append("E")
+                out["k1"].append(k1)
+                out["k2"].append(p_vals[p_i[j]])
+                out["k3"].append(k3)
+                out["k4"].append(r_vals[r_i[j]])
+                out["weight"].append(int(counts[j]))
+
+        # --- node partials: every resolved mention side ---
+        for codes, vals in ((s_codes, s_vals), (o_codes, o_vals)):
+            if len(vals) == 0:
+                continue
+            cnt = np.bincount(codes[codes >= 0], minlength=len(vals))
+            for i in np.flatnonzero(cnt):
+                k1 = cid.get(vals[i])
+                if k1 is None:
+                    continue
+                out["kind"].append("N")
+                out["k1"].append(k1)
+                out["k2"].append(label)
+                out["k3"].append(cname[vals[i]])
+                out["k4"].append("")
+                out["weight"].append(int(cnt[i]))
+
+        return pa.table(
+            {
+                "kind": pa.array(out["kind"], pa.string()),
+                "k1": pa.array(out["k1"], pa.string()),
+                "k2": pa.array(out["k2"], pa.string()),
+                "k3": pa.array(out["k3"], pa.string()),
+                "k4": pa.array(out["k4"], pa.string()),
+                "weight": pa.array(out["weight"], pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ev = sorted({e for e in g["k4"] if e})
+        out = g.iloc[:1][["kind", "k1", "k2", "k3"]].copy()
+        out["weight"] = int(g["weight"].sum())
+        out["evidence"] = EVIDENCE_SEP.join(ev)
+        return out
+
+    combined = (
+        linked.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "k1", "k2", "k3"])
+        .map_groups(merge, batch_format="pandas")
+        .materialize()  # entity²-bounded — tiny; consumed by both filters
+    )
+
+    def as_nodes(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), "N"))
+        return pa.Table.from_arrays(
+            [
+                t.column("k1"),
+                t.column("k2"),
+                t.column("k3"),
+                pc.cast(t.column("weight"), pa.int64()),
+            ],
+            names=["id", "label", "name", "mention_count"],
+        )
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), "E"))
+        return pa.Table.from_arrays(
+            [
+                t.column("k1"),
+                t.column("k2"),
+                t.column("k3"),
+                pc.cast(t.column("weight"), pa.int64()),
+                t.column("evidence"),
+            ],
+            names=["src", "pred", "dst", "weight", "evidence"],
+        )
+
+    nodes = combined.map_batches(as_nodes, batch_format="pyarrow")
+    edges = combined.map_batches(as_edges, batch_format="pyarrow")
+    return nodes, edges
 
 
 # ------------------------------------------------------------------ rollups
@@ -279,8 +397,15 @@ def write_graph(
     per table, nodes partitioned by label (per-label typed files, S8 analog).
     Returns a manifest dict of row counts per table (schema_info analog,
     post-import.cypher:1361-1375)."""
-    nodes = nodes.materialize()
-    edges = edges.materialize()
+    # independent dataset DAGs — materialize concurrently from two driver
+    # threads so the two (tiny, entity-bounded) shuffles overlap instead of
+    # paying execution startup twice in sequence
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_nodes = pool.submit(nodes.materialize)
+        f_edges = pool.submit(edges.materialize)
+        nodes, edges = f_nodes.result(), f_edges.result()
     nodes.write_parquet(f"{out_dir}/nodes", partition_cols=["label"])
     edges.write_parquet(f"{out_dir}/edges", partition_cols=["pred"])
     manifest = {

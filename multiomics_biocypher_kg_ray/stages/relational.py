@@ -142,6 +142,164 @@ def distribution_stats(
     return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
 
 
+def majority_vote(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    out_col: str = "consensus",
+) -> "ray.data.Dataset":
+    """Per-group most-common value with deterministic tie-break (count desc,
+    value asc) — the consensus aggregate (A13 analog; reference:
+    ``ortholog_group_adapter.py:51-81`` most-common non-excluded product/name).
+
+    Two-phase: partial (keys+value) counts inside map_batches shrink the
+    shuffle to distinct combinations; the final per-key argmax is a tiny
+    map_groups."""
+    counted = preaggregate(ds.select_columns(keys + [value_col]), keys + [value_col], [])
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", value_col], ascending=[False, True], kind="mergesort")
+        out = {k: [g[k].iloc[0]] for k in keys}
+        out[out_col] = [g[value_col].iloc[0]]
+        out["n_votes"] = [int(g["n"].iloc[0])]
+        return pd.DataFrame(out)
+
+    return counted.groupby(keys).map_groups(top1, batch_format="pandas")
+
+
+def replicate_stats(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    round_decimals: int = 4,
+) -> "ray.data.Dataset":
+    """Per-group replicate aggregation: (n, n_non_zero, mean, sd,
+    detection_status ∈ {detected, sporadic, not_detected}) — M16 analog
+    (``metabolite_assay_adapter.py:106-169``).
+
+    value_col must be INTEGER-valued (cents convention): partials accumulate
+    exact integer (sum, sum_sq, n, n_non_zero); mean/sd are computed once from
+    the exact totals in float64 and rounded, so any parallelism and any DuckDB
+    oracle using the same closed form agree."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [value_col]).to_pandas()
+        v = df[value_col]
+        df["_sum"] = v
+        df["_sumsq"] = v * v
+        df["_nz"] = (v != 0).astype("int64")
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = g[["_sum", "_sumsq", "_nz"]].sum()
+        out["_n"] = g.size()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(
+            Sum("_sum", alias_name="_sum"),
+            Sum("_sumsq", alias_name="_sumsq"),
+            Sum("_nz", alias_name="n_non_zero"),
+            Sum("_n", alias_name="n"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["n"].to_numpy(dtype=np.float64)
+        s = df["_sum"].to_numpy(dtype=np.float64)
+        sq = df["_sumsq"].to_numpy(dtype=np.float64)
+        mean = s / n
+        # sample variance from exact totals: (sumsq - sum^2/n) / (n-1)
+        # n == 1 → sd 0.0 by convention (NOT NaN/NULL: engines disagree on
+        # NaN identity, a deterministic sentinel keeps oracles hash-equal)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.where(n > 1, (sq - s * s / n) / np.maximum(n - 1, 1), 0.0)
+        sd = np.sqrt(np.maximum(var, 0.0))
+        df["mean_v"] = np.round(mean, round_decimals)
+        df["sd_v"] = np.round(sd, round_decimals)
+        nz = df["n_non_zero"].to_numpy()
+        df["detection_status"] = np.select(
+            [nz == df["n"].to_numpy(), nz == 0], ["detected", "not_detected"], "sporadic"
+        )
+        return pa.Table.from_pandas(
+            df[keys + ["n", "n_non_zero", "mean_v", "sd_v", "detection_status"]],
+            preserve_index=False,
+        )
+
+    return totals.map_batches(finalize, batch_format="pyarrow")
+
+
+def categorical_distribution(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    sep: str = ",",
+) -> "ray.data.Dataset":
+    """Per-group categorical distribution as PARALLEL sorted arrays
+    (labels, counts) — A7 analog (post-import.cypher:366-373). Arrays are
+    rendered as joined strings in label-sorted order for hash-stable compare."""
+    counted = preaggregate(ds.select_columns(keys + [value_col]), keys + [value_col], [])
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        out = {k: [g[k].iloc[0]] for k in keys}
+        out["labels"] = [sep.join(str(v) for v in g[value_col])]
+        out["counts"] = [sep.join(str(int(n)) for n in g["n"])]
+        return pd.DataFrame(out)
+
+    return counted.groupby(keys).map_groups(collect, batch_format="pandas")
+
+
+def flag_counts(
+    ds: "ray.data.Dataset", keys: list[str], bool_col: str
+) -> "ray.data.Dataset":
+    """Per-group true/false counts — A8 analog (post-import.cypher:355-361):
+    sums over a 0/1 mask pre-combined in map_batches."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [bool_col]).to_pandas()
+        df["n_true"] = df[bool_col].astype("int64")
+        df["n_false"] = 1 - df["n_true"]
+        g = df.groupby(keys, sort=False, dropna=False)
+        return pa.Table.from_pandas(
+            g[["n_true", "n_false"]].sum().reset_index(), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(
+            Sum("n_true", alias_name="n_true"),
+            Sum("n_false", alias_name="n_false"),
+        )
+    )
+
+
+def tree_rollup(
+    ds: "ray.data.Dataset",
+    leaf_key: str,
+    closure: pd.DataFrame,
+    count_alias: str = "n_leaves",
+) -> "ray.data.Dataset":
+    """Subtree rollup (A11 analog, post-import.cypher:840-911): per hierarchy
+    node, count of leaves in its subtree. ``closure`` is the driver-computed
+    ancestry closure (leaf_key → node_id, node_level) of a SMALL tree
+    (hierarchies are 10²–10⁴ nodes, SURVEY §2.9) broadcast into a map_batches
+    probe; only the leaf fan-out is distributed."""
+    from .joins import broadcast_join
+
+    joined = broadcast_join(
+        ds.select_columns([leaf_key]), closure, on=[leaf_key], how="inner"
+    )
+    return preaggregate(
+        joined.select_columns(["node_id", "node_level"]),
+        keys=["node_id", "node_level"],
+        sums=[],
+        count_alias=count_alias,
+    )
+
+
 def collect_sorted_distinct(
     ds: "ray.data.Dataset",
     keys: list[str],

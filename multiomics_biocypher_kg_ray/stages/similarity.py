@@ -98,6 +98,139 @@ def knn_bruteforce(
     return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
 
 
+def embedding_near_dup_pairs(
+    candidates: "ray.data.Dataset",
+    all_df: "pd.DataFrame",
+    threshold: float,
+    round_decimals: int = 6,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs: every (a, b) with a.vec_id <
+    b.vec_id and cosine ≥ threshold.
+
+    Exact variant: the full id+vector table (``all_df``, the broadcast small
+    side) is ``ray.put`` once and each candidate batch is scored against it
+    with one matmul — O(batch × all) FLOPs but zero shuffle. The scale path
+    for corpora whose vector table does NOT fit in one object is ``knn_lsh``
+    bucketing (same hyperplane trick) with in-bucket exact rescoring."""
+    ref = ray.put(all_df)
+
+    class PairScorer:
+        def __init__(self) -> None:
+            df = fetch(ref)
+            self.ids = df["vec_id"].to_numpy()
+            self.m = _normalize(np.asarray(list(df["embedding"]), dtype=np.float64))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            am = _normalize(_stack(batch.column("embedding")))
+            sims = am @ self.m.T  # (batch, all)
+            # keep only b > a: each unordered pair is emitted exactly once,
+            # by whichever task holds the smaller id
+            keep = (sims >= threshold) & (self.ids[None, :] > a_ids[:, None])
+            ai, bi = np.nonzero(keep)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(a_ids[ai].astype(np.int64)),
+                    pa.array(self.ids[bi].astype(np.int64)),
+                    pa.array(np.round(sims[ai, bi], round_decimals), pa.float64()),
+                ],
+                names=["id_a", "id_b", "cosine"],
+            )
+
+    return candidates.map_batches(
+        PairScorer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+
+
+# ----------------------------------------------------------------- IVF path
+
+
+def _kmeans_centroids(
+    m: np.ndarray, n_clusters: int, n_iters: int = 5
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on normalized vectors: init = first
+    ``n_clusters`` rows (callers pass vec_id-sorted samples), fixed iteration
+    count — no RNG, so every run and every parallelism level agrees."""
+    mn = _normalize(m)
+    cents = mn[:n_clusters].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(mn @ cents.T, axis=1)
+        for c in range(n_clusters):
+            members = mn[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def knn_ivf(
+    candidates: "ray.data.Dataset",
+    queries_df: "pd.DataFrame",
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    train_sample: int = 256,
+    round_decimals: int = 6,
+) -> "ray.data.Dataset":
+    """IVF (inverted-file) ANN: a coarse k-means quantizer built driver-side
+    from a bounded sample partitions candidates into ``n_clusters`` lists;
+    each query scores only its ``n_probe`` nearest lists. Approximate —
+    recall vs ``knn_bruteforce`` is asserted in tests. Scale shape: the
+    centroid matrix broadcasts (tiny), candidate assignment is a stateless
+    map_batches, and per-list scoring needs no shuffle at all because every
+    scorer holds the full (small) query matrix."""
+    sample = candidates.limit(train_sample).to_pandas()
+    cents = _kmeans_centroids(
+        np.asarray(list(sample["embedding"]), dtype=np.float64), n_clusters
+    )
+    qm = _normalize(np.asarray(list(queries_df["embedding"]), dtype=np.float64))
+    # per query: the n_probe nearest centroid lists
+    q_probe = np.argsort(-(qm @ cents.T), kind="stable", axis=1)[:, :n_probe]
+    ref = ray.put((cents, queries_df["vec_id"].to_numpy(), qm, q_probe))
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.cents, self.qids, self.qm, self.q_probe = fetch(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cand_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            cm = _normalize(_stack(batch.column("embedding")))
+            assign = np.argmax(cm @ self.cents.T, axis=1)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.isin(assign, self.q_probe[qi])
+                if not mask.any():
+                    continue
+                sims = self.qm[qi] @ cm[mask].T
+                for cid, s in zip(cand_ids[mask], sims):
+                    out_q.append(int(self.qids[qi]))
+                    out_c.append(int(cid))
+                    out_s.append(float(s))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_c, pa.int64()),
+                    pa.array(out_s, pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    scored = candidates.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index.to_numpy() + 1
+        g["cosine"] = g["cosine"].round(round_decimals)
+        return g[["query_id", "rank", "neighbor_id", "cosine"]]
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
 # ----------------------------------------------------------------- LSH path
 
 

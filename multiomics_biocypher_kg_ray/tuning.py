@@ -27,19 +27,21 @@ def default_join_partitions() -> int:
     return max(2, min(JOIN_PARTITION_CAP, cluster_cpus()))
 
 
-def default_actor_pool() -> int:
-    """Fixed actor-pool size ≈ (CPUs-2)/2: two actor stages (extract, link)
-    typically run concurrently in one streaming pipeline, and ≥2 CPUs must
-    stay free for read/write TASK operators. A fixed pool that claims all
-    CPUs deadlocks the pipeline (fixed pools hold their CPUs while idle, so
-    ReadParquet tasks never schedule — observed as a 15-min hang at
-    num_cpus=4 with two pools of 2).
+def default_actor_pool(stages: int = 2) -> int:
+    """Fixed actor-pool size ≈ (CPUs-2)/stages: ``stages`` actor stages run
+    concurrently in one streaming pipeline, and ≥2 CPUs must stay free for
+    read/write TASK operators. A fixed pool that claims all CPUs deadlocks
+    the pipeline (fixed pools hold their CPUs while idle, so ReadParquet
+    tasks never schedule — observed as a 15-min hang at num_cpus=4 with two
+    pools of 2). Standalone operators default to stages=2 (safe when chained
+    with one other actor stage); a pipeline that KNOWS it runs a single
+    fused actor stage passes stages=1 for full width.
 
     Fixed beats autoscaling here: Ray's autoscaling pool ramps up too slowly
     for second-scale stages (measured: (1, 32) bounds reached only ~5 actors
     over an 11 s extract — 5.5× parallelism on 32 CPUs; a fixed pool reaches
     full width immediately)."""
-    return max(1, (cluster_cpus() - 2) // 2)
+    return max(1, (cluster_cpus() - 2) // stages)
 
 
 def tune_context_for_small_data(parallelism: int | None = None) -> None:

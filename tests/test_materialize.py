@@ -99,3 +99,25 @@ def test_determinism_two_runs():
     e1 = build_edges(_linked_ds(), CANON).to_pandas().sort_values(["src", "dst"])
     e2 = build_edges(_linked_ds(), CANON).to_pandas().sort_values(["src", "dst"])
     pd.testing.assert_frame_equal(e1.reset_index(drop=True), e2.reset_index(drop=True))
+
+
+def test_build_graph_tables_matches_standalone_builders():
+    from multiomics_biocypher_kg_ray.stages.materialize import build_graph_tables
+
+    nodes, edges = build_graph_tables(_linked_ds(), CANON)
+    n1 = nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    n2 = (
+        build_nodes(_linked_ds(), CANON)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(n1[n2.columns], n2)
+    e1 = edges.to_pandas().sort_values(["src", "pred", "dst"]).reset_index(drop=True)
+    e2 = (
+        build_edges(_linked_ds(), CANON)
+        .to_pandas()
+        .sort_values(["src", "pred", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(e1[e2.columns], e2)
