@@ -142,3 +142,24 @@ def expand_list_cell(cell: str | None) -> list[str]:
                 if cand and cand not in out and cand not in extra:
                     extra.append(cand)
     return out + extra
+
+
+_ELEMENT_RE = re.compile(r"([A-Z][a-z]?)(\d*)")
+
+
+def parse_formula_elements(formula: str | None) -> list[str]:
+    """Hill-notation chemical formula → sorted unique element symbols
+    (reference ``metabolism_adapter.py`` ``_parse_elements``; chemparse
+    replaced by a two-char-symbol regex — no external dependency)."""
+    if is_null_cell(formula):
+        return []
+    elements = set()
+    pos = 0
+    for m in _ELEMENT_RE.finditer(formula.strip()):  # type: ignore[union-attr]
+        if m.start() != pos:
+            return []  # unparseable junk between tokens → not a formula
+        pos = m.end()
+        elements.add(m.group(1))
+    if pos != len(formula.strip()):  # trailing junk
+        return []
+    return sorted(elements)

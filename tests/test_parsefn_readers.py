@@ -90,3 +90,12 @@ def test_keyed_json(tmp_path):
     p.write_text(json.dumps({"g1": {"name": "x"}, "g2": {"name": "y"}}))
     tbl = read_keyed_json(str(p), key_column="locus_tag")
     assert sorted(tbl.column("locus_tag").to_pylist()) == ["g1", "g2"]
+
+
+def test_parse_formula_elements():
+    from multiomics_biocypher_kg_ray.functions.parsefn import parse_formula_elements
+
+    assert parse_formula_elements("C6H12O6") == ["C", "H", "O"]
+    assert parse_formula_elements("NaCl2") == ["Cl", "Na"]
+    assert parse_formula_elements("") == []
+    assert parse_formula_elements("not a formula") == []
