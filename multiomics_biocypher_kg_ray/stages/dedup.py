@@ -103,9 +103,17 @@ class MinHasher:
         )
 
 
+def _minhash_fn(batch: pa.Table, kw: tuple) -> pa.Table:
+    from ..state.broadcast import task_state
+
+    return task_state(("minhash", kw), lambda: MinHasher(**dict(kw)))(batch)
+
+
 def minhash_bands(docs: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     return docs.map_batches(
-        MinHasher, fn_constructor_kwargs=kw, batch_format="pyarrow", concurrency=(1, 8)
+        _minhash_fn,
+        fn_kwargs={"kw": tuple(sorted(kw.items()))},
+        batch_format="pyarrow",
     )
 
 
@@ -160,8 +168,14 @@ class SimHasher:
         )
 
 
+def _simhash_fn(batch: pa.Table) -> pa.Table:
+    from ..state.broadcast import task_state
+
+    return task_state(SimHasher, SimHasher)(batch)
+
+
 def simhashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+    return docs.map_batches(_simhash_fn, batch_format="pyarrow")
 
 
 def simhash_near_dups(

@@ -44,7 +44,6 @@ def broadcast_join(
     how: str = "inner",
     *,
     suffix: str = "_r",
-    concurrency: int | tuple[int, int] = (1, 8),
 ) -> "ray.data.Dataset":
     """Join a Dataset against a small in-memory side without any shuffle.
 
@@ -53,17 +52,25 @@ def broadcast_join(
     """
     ref = small if isinstance(small, ray.ObjectRef) else ray.put(small)
     return large.map_batches(
-        _BroadcastMerge,
-        fn_constructor_kwargs={
+        _broadcast_merge_fn,
+        fn_kwargs={
             "small_ref": ref,
-            "on": on,
+            "on": tuple(on),
             "how": how,
             "suffix": suffix,
         },
         batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=1,
     )
+
+
+def _broadcast_merge_fn(batch, small_ref, on, how, suffix):
+    from ..state.broadcast import state_key, task_state
+
+    merger = task_state(
+        state_key("bmerge", small_ref, on, how, suffix),
+        lambda: _BroadcastMerge(small_ref, on, how, suffix),
+    )
+    return merger(batch)
 
 
 def hash_join(
@@ -88,15 +95,19 @@ def semi_join_filter(
 ) -> "ray.data.Dataset":
     """Semi-join via broadcast key set (brite_adapter.py:104-134 analog)."""
     ref = key_set if isinstance(key_set, ray.ObjectRef) else ray.put(frozenset(key_set))
+    return large.map_batches(
+        _semi_filter_fn,
+        fn_kwargs={"key_ref": ref, "column": column},
+        batch_format="pyarrow",
+    )
 
-    class _Filter:
-        def __init__(self) -> None:
-            self.value_set = pa.array(sorted(fetch(ref)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+def _semi_filter_fn(batch: pa.Table, key_ref, column: str) -> pa.Table:
+    import pyarrow.compute as pc
 
-            mask = pc.is_in(batch.column(column), value_set=self.value_set)
-            return batch.filter(mask)
+    from ..state.broadcast import state_key, task_state
 
-    return large.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
+    value_set = task_state(
+        state_key("semiset", key_ref), lambda: pa.array(sorted(fetch(key_ref)))
+    )
+    return batch.filter(pc.is_in(batch.column(column), value_set=value_set))

@@ -79,11 +79,9 @@ def knn_bruteforce(
     by (-cosine, neighbor_id) so output is deterministic."""
     ref = ray.put(queries_df)
     scored = candidates.map_batches(
-        _BruteForceScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        _bf_scorer_fn,
+        fn_kwargs={"queries_ref": ref, "k": k},
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=1,
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -113,33 +111,47 @@ def embedding_near_dup_pairs(
     for corpora whose vector table does NOT fit in one object is ``knn_lsh``
     bucketing (same hyperplane trick) with in-bucket exact rescoring."""
     ref = ray.put(all_df)
-
-    class PairScorer:
-        def __init__(self) -> None:
-            df = fetch(ref)
-            self.ids = df["vec_id"].to_numpy()
-            self.m = _normalize(np.asarray(list(df["embedding"]), dtype=np.float64))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            am = _normalize(_stack(batch.column("embedding")))
-            sims = am @ self.m.T  # (batch, all)
-            # keep only b > a: each unordered pair is emitted exactly once,
-            # by whichever task holds the smaller id
-            keep = (sims >= threshold) & (self.ids[None, :] > a_ids[:, None])
-            ai, bi = np.nonzero(keep)
-            return pa.Table.from_arrays(
-                [
-                    pa.array(a_ids[ai].astype(np.int64)),
-                    pa.array(self.ids[bi].astype(np.int64)),
-                    pa.array(np.round(sims[ai, bi], round_decimals), pa.float64()),
-                ],
-                names=["id_a", "id_b", "cosine"],
-            )
-
     return candidates.map_batches(
-        PairScorer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+        _pair_scorer_fn,
+        fn_kwargs={"all_ref": ref, "threshold": threshold, "round_decimals": round_decimals},
+        batch_format="pyarrow",
     )
+
+
+class _PairScorer:
+    def __init__(self, all_ref, threshold: float, round_decimals: int) -> None:
+        df = fetch(all_ref)
+        self.ids = df["vec_id"].to_numpy()
+        self.m = _normalize(np.asarray(list(df["embedding"]), dtype=np.float64))
+        self.threshold = threshold
+        self.round_decimals = round_decimals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        am = _normalize(_stack(batch.column("embedding")))
+        sims = am @ self.m.T  # (batch, all)
+        # keep only b > a: each unordered pair is emitted exactly once,
+        # by whichever task holds the smaller id
+        keep = (sims >= self.threshold) & (self.ids[None, :] > a_ids[:, None])
+        ai, bi = np.nonzero(keep)
+        return pa.Table.from_arrays(
+            [
+                pa.array(a_ids[ai].astype(np.int64)),
+                pa.array(self.ids[bi].astype(np.int64)),
+                pa.array(np.round(sims[ai, bi], self.round_decimals), pa.float64()),
+            ],
+            names=["id_a", "id_b", "cosine"],
+        )
+
+
+def _pair_scorer_fn(batch: pa.Table, all_ref, threshold, round_decimals) -> pa.Table:
+    from ..state.broadcast import state_key, task_state
+
+    scorer = task_state(
+        state_key("pair", all_ref, threshold, round_decimals),
+        lambda: _PairScorer(all_ref, threshold, round_decimals),
+    )
+    return scorer(batch)
 
 
 # ----------------------------------------------------------------- IVF path
@@ -187,36 +199,8 @@ def knn_ivf(
     # per query: the n_probe nearest centroid lists
     q_probe = np.argsort(-(qm @ cents.T), kind="stable", axis=1)[:, :n_probe]
     ref = ray.put((cents, queries_df["vec_id"].to_numpy(), qm, q_probe))
-
-    class Scorer:
-        def __init__(self) -> None:
-            self.cents, self.qids, self.qm, self.q_probe = fetch(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cand_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            cm = _normalize(_stack(batch.column("embedding")))
-            assign = np.argmax(cm @ self.cents.T, axis=1)
-            out_q, out_c, out_s = [], [], []
-            for qi in range(len(self.qids)):
-                mask = np.isin(assign, self.q_probe[qi])
-                if not mask.any():
-                    continue
-                sims = self.qm[qi] @ cm[mask].T
-                for cid, s in zip(cand_ids[mask], sims):
-                    out_q.append(int(self.qids[qi]))
-                    out_c.append(int(cid))
-                    out_s.append(float(s))
-            return pa.Table.from_arrays(
-                [
-                    pa.array(out_q, pa.int64()),
-                    pa.array(out_c, pa.int64()),
-                    pa.array(out_s, pa.float64()),
-                ],
-                names=["query_id", "neighbor_id", "cosine"],
-            )
-
     scored = candidates.map_batches(
-        Scorer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+        _ivf_scorer_fn, fn_kwargs={"state_ref": ref}, batch_format="pyarrow"
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -229,6 +213,40 @@ def knn_ivf(
         return g[["query_id", "rank", "neighbor_id", "cosine"]]
 
     return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+class _IVFScorer:
+    def __init__(self, state_ref) -> None:
+        self.cents, self.qids, self.qm, self.q_probe = fetch(state_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cand_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        cm = _normalize(_stack(batch.column("embedding")))
+        assign = np.argmax(cm @ self.cents.T, axis=1)
+        out_q, out_c, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            mask = np.isin(assign, self.q_probe[qi])
+            if not mask.any():
+                continue
+            sims = self.qm[qi] @ cm[mask].T
+            for cid, s in zip(cand_ids[mask], sims):
+                out_q.append(int(self.qids[qi]))
+                out_c.append(int(cid))
+                out_s.append(float(s))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_c, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "cosine"],
+        )
+
+
+def _ivf_scorer_fn(batch: pa.Table, state_ref) -> pa.Table:
+    from ..state.broadcast import state_key, task_state
+
+    return task_state(state_key("ivf", state_ref), lambda: _IVFScorer(state_ref))(batch)
 
 
 # ----------------------------------------------------------------- LSH path
@@ -268,41 +286,8 @@ def knn_lsh(
         int(b): queries_df[q_buckets == b] for b in np.unique(q_buckets)
     }
     ref = ray.put((hasher.planes, by_bucket))
-
-    class Scorer:
-        def __init__(self) -> None:
-            self.planes, self.by_bucket = fetch(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cand_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            cm = _stack(batch.column("embedding"))
-            bits = (cm @ self.planes) > 0
-            buckets = (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
-            out_q, out_c, out_s = [], [], []
-            cmn = _normalize(cm)
-            for b, qdf in self.by_bucket.items():
-                mask = buckets == b
-                if not mask.any():
-                    continue
-                qmn = _normalize(np.asarray(list(qdf["embedding"]), dtype=np.float64))
-                sims = qmn @ cmn[mask].T
-                ids = cand_ids[mask]
-                for qi, qid in enumerate(qdf["vec_id"].to_numpy()):
-                    for ci in range(sims.shape[1]):
-                        out_q.append(int(qid))
-                        out_c.append(int(ids[ci]))
-                        out_s.append(float(sims[qi, ci]))
-            return pa.Table.from_arrays(
-                [
-                    pa.array(out_q, pa.int64()),
-                    pa.array(out_c, pa.int64()),
-                    pa.array(out_s, pa.float64()),
-                ],
-                names=["query_id", "neighbor_id", "cosine"],
-            )
-
     scored = candidates.map_batches(
-        Scorer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+        _lsh_scorer_fn, fn_kwargs={"state_ref": ref}, batch_format="pyarrow"
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -315,3 +300,51 @@ def knn_lsh(
         return g[["query_id", "rank", "neighbor_id", "cosine"]]
 
     return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+class _LSHScorer:
+    def __init__(self, state_ref) -> None:
+        self.planes, self.by_bucket = fetch(state_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cand_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        cm = _stack(batch.column("embedding"))
+        bits = (cm @ self.planes) > 0
+        buckets = (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+        out_q, out_c, out_s = [], [], []
+        cmn = _normalize(cm)
+        for b, qdf in self.by_bucket.items():
+            mask = buckets == b
+            if not mask.any():
+                continue
+            qmn = _normalize(np.asarray(list(qdf["embedding"]), dtype=np.float64))
+            sims = qmn @ cmn[mask].T
+            ids = cand_ids[mask]
+            for qi, qid in enumerate(qdf["vec_id"].to_numpy()):
+                for ci in range(sims.shape[1]):
+                    out_q.append(int(qid))
+                    out_c.append(int(ids[ci]))
+                    out_s.append(float(sims[qi, ci]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_c, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "cosine"],
+        )
+
+
+def _lsh_scorer_fn(batch: pa.Table, state_ref) -> pa.Table:
+    from ..state.broadcast import state_key, task_state
+
+    return task_state(state_key("lsh", state_ref), lambda: _LSHScorer(state_ref))(batch)
+
+
+def _bf_scorer_fn(batch: pa.Table, queries_ref, k: int) -> pa.Table:
+    from ..state.broadcast import state_key, task_state
+
+    scorer = task_state(
+        state_key("bf", queries_ref, k), lambda: _BruteForceScorer(queries_ref, k)
+    )
+    return scorer(batch)

@@ -133,13 +133,27 @@ class Fingerprint:
         )
 
 
+def _apply_cls(batch: pa.Table, cls) -> pa.Table:
+    from ..state.broadcast import task_state
+
+    return task_state(cls, cls)(batch)
+
+
 def text_stats(docs: "ray.data.Dataset", **mb) -> "ray.data.Dataset":
-    return docs.map_batches(TextStats, batch_format="pyarrow", concurrency=(1, 8), **mb)
+    # task-based with per-worker memoized state: fuses with the read, no
+    # actor-pool startup (see stages/extract.py for the rationale)
+    return docs.map_batches(
+        _apply_cls, fn_kwargs={"cls": TextStats}, batch_format="pyarrow", **mb
+    )
 
 
 def lang_id(docs: "ray.data.Dataset", **mb) -> "ray.data.Dataset":
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8), **mb)
+    return docs.map_batches(
+        _apply_cls, fn_kwargs={"cls": LangId}, batch_format="pyarrow", **mb
+    )
 
 
 def fingerprints(docs: "ray.data.Dataset", **mb) -> "ray.data.Dataset":
-    return docs.map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 8), **mb)
+    return docs.map_batches(
+        _apply_cls, fn_kwargs={"cls": Fingerprint}, batch_format="pyarrow", **mb
+    )
