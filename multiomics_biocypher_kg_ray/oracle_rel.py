@@ -379,3 +379,10 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.e, b.e), 6) AS cosine
 FROM v a JOIN v b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= {threshold}"""
+
+
+def sql_vocab_top_terms(k: int = 50) -> str:
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT term, count(*)::BIGINT AS n FROM toks WHERE term <> '' GROUP BY 1)
+SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT {k}"""

@@ -119,10 +119,33 @@ def run_kg_to_parquet(
 ) -> dict:
     """Build + materialize the full graph to ``out_dir``; returns the manifest
     (row counts per table — the schema_info analog)."""
+    from ..stages.materialize import dangling_edges
+
     res = build_kg(transcripts, cfg, materialize_linked=True)
     manifest = write_graph(res.nodes, res.edges, out_dir)
     res.unresolved.write_parquet(f"{out_dir}/reports/unresolved")
     manifest["unresolved"] = res.unresolved.count()
+    # explicit dangling-edge report (FIXTURES F5; empty by construction here
+    # since nodes derive from the same resolved sides, but the contract —
+    # never silently skip — requires the table to exist)
+    dang = dangling_edges(res.edges, res.nodes).materialize()
+    n_dang = dang.count()
+    if n_dang:
+        dang.write_parquet(f"{out_dir}/reports/dangling_edges")
+    else:
+        # Ray writes no files for an empty Dataset; the report table must
+        # still exist with its schema (contract: explicit, never absent)
+        import os
+
+        import pyarrow.parquet as pq
+
+        s = res.edges.schema()
+        os.makedirs(f"{out_dir}/reports/dangling_edges", exist_ok=True)
+        pq.write_table(
+            pa.schema(list(zip(s.names, s.types))).empty_table(),
+            f"{out_dir}/reports/dangling_edges/empty.parquet",
+        )
+    manifest["dangling_edges"] = n_dang
     # rollups
     deg = node_degree(res.edges)
     deg.write_parquet(f"{out_dir}/rollups/node_degree")

@@ -401,6 +401,10 @@ def q_doc_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint_md5"])
 
 
+def q_vocab_top_terms(sf_dir: str):
+    return text.vocab_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -540,6 +544,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "text_stats": (q_text_stats, oracle_rel.sql_text_stats()),
         "lang_id": (q_lang_id, oracle_rel.sql_lang_id()),
         "doc_fingerprint": (q_doc_fingerprint, oracle_rel.sql_doc_fingerprint()),
+        "vocab_top_terms": (q_vocab_top_terms, oracle_rel.sql_vocab_top_terms()),
         # dedup family
         "dedup_exact": (q_dedup_exact, oracle_rel.sql_dedup_exact()),
         "minhash_bands": (q_minhash_bands, oracle_rel.sql_minhash_bands()),

@@ -119,7 +119,24 @@ def connected_components_distributed(
         .materialize()
     )
 
-    num_partitions = default_join_partitions()
+    # partitions sized to the DATA, not just the cluster: a 50-edge
+    # dictionary graph through 32 hash-shuffle partitions is pure
+    # aggregator-startup overhead, while a 10^9-edge graph gets the full
+    # cluster width
+    n_edges = edges.count()
+    num_partitions = max(2, min(default_join_partitions(), n_edges // 10_000 + 2))
+
+    def _signature(t: pa.Table) -> pa.Table:
+        # order-independent label-state fingerprint: sum of per-row hashes
+        import zlib
+
+        sig = sum(
+            zlib.crc32(f"{n}\x00{l}".encode()) for n, l in
+            zip(t.column("node").to_pylist(), t.column("label").to_pylist())
+        )
+        return pa.table({"sig": [sig]})
+
+    prev_sig = None
     for _ in range(max_rounds):
         joined = adj.join(
             labels,
@@ -133,30 +150,15 @@ def connected_components_distributed(
             .aggregate(Min("cand", alias_name="label"))
             .materialize()
         )
-        # fixpoint check: any node whose label shrank this round?
-        delta = labels.join(
-            new_labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("node",),
-            left_suffix="_old",
-            right_suffix="_new",
-        ).map_batches(
-            lambda t: pa.Table.from_arrays(
-                [
-                    pa.compute.cast(
-                        pa.compute.not_equal(t.column("label_old"), t.column("label_new")),
-                        pa.int64(),
-                    )
-                ],
-                names=["changed"],
-            ),
-            batch_format="pyarrow",
-        )
-        changed = delta.sum("changed") or 0
+        # fixpoint check WITHOUT an extra join: the summed per-row hash is an
+        # order-independent fingerprint of the whole label assignment —
+        # labels are monotonically non-increasing, so an unchanged
+        # fingerprint means an unchanged assignment
+        sig = new_labels.map_batches(_signature, batch_format="pyarrow").sum("sig")
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels.map_batches(
         lambda t: t.rename_columns(["member", "component_key"]),
         batch_format="pyarrow",

@@ -157,3 +157,32 @@ def fingerprints(docs: "ray.data.Dataset", **mb) -> "ray.data.Dataset":
     return docs.map_batches(
         _apply_cls, fn_kwargs={"cls": Fingerprint}, batch_format="pyarrow", **mb
     )
+
+
+def vocab_top_terms(
+    docs: "ray.data.Dataset", k: int = 50
+) -> "ray.data.Dataset":
+    """Corpus vocabulary: global top-k terms by frequency (term, n) with
+    deterministic (n desc, term asc) ordering — the classic wide-shuffle-
+    with-combiner: per-batch token counts shrink the exchange to distinct
+    terms per batch; the final groupby moves pre-combined counts only."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        counts = (
+            s.str.split(" ").explode().replace("", None).dropna().value_counts()
+        )
+        return pa.table(
+            {
+                "term": pa.array(counts.index.astype(str), pa.string()),
+                "n": pa.array(counts.to_numpy(), pa.int64()),
+            }
+        )
+
+    counted = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counted.sort(["n", "term"], descending=[True, False]).limit(k)
