@@ -31,8 +31,7 @@ import ray
 import ray.data
 
 from ..config import DEFAULT_RULES
-from ..stages.extract import extract_mentions
-from ..stages.link import AliasIndex, link_mentions
+from ..stages.link import AliasIndex
 
 
 def _hash_str(s: str) -> int:
@@ -181,7 +180,14 @@ def run_extract_link_checkpointed(
         fragments = sorted(os.listdir(frag_dir))
         ds = ray.data.read_parquet(frag_dir)
         rows_in = ds.count()
-        linked = link_mentions(extract_mentions(ds, rules), index_ref)
+        # fused read→extract→link single pass (same fn as pipelines.kg)
+        from .kg import _fused_extract_link
+
+        linked = ds.map_batches(
+            _fused_extract_link,
+            fn_kwargs={"rules": rules, "index_ref": index_ref},
+            batch_format="pyarrow",
+        )
         out_dir = os.path.join(ckpt_dir, stage, f"shard={sid}")
         tmp_dir = out_dir + ".tmp"
         if os.path.isdir(tmp_dir):  # half-written by a crashed run

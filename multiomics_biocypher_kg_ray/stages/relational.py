@@ -60,13 +60,17 @@ def top_k_per_group(
     order_by: list[tuple[str, bool]],
     k: int,
     rank_col: str | None = "rank",
+    presalt: int | None = None,
 ) -> "ray.data.Dataset":
     """Deterministic per-group top-k: multi-key sort with explicit tie-break
     columns in ``order_by`` (post-import.cypher:699-701 ordering discipline).
 
-    NOTE on skew: ``map_groups`` materializes one group per task — callers
-    with giant groups must pre-salt (see pipelines.checkpoint notes).
-    """
+    Skew: ``map_groups`` materializes one group per task. For groups that can
+    be giant (hot keys), pass ``presalt=S``: phase 1 takes top-k within each
+    of S random-but-deterministic salt slices of a group (bounding any task
+    at group_size/S and shrinking the real shuffle to ≤ S·k rows per group),
+    phase 2 merges slice winners. Top-k is associative, so the result is
+    IDENTICAL to the unsalted path (asserted in tests)."""
     cols = [c for c, _ in order_by]
     asc = [a for _, a in order_by]
 
@@ -77,7 +81,35 @@ def top_k_per_group(
             g[rank_col] = g.index.to_numpy() + 1
         return g
 
-    return ds.groupby(keys).map_groups(head, batch_format="pandas")
+    if presalt is None:
+        return ds.groupby(keys).map_groups(head, batch_format="pandas")
+
+    import zlib
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # deterministic per-row salt from the ORDER columns (not arrival
+        # order), so reruns and different parallelism salt identically
+        first = batch.column(cols[0]).to_pandas().astype(str)
+        salt = first.map(lambda v: zlib.crc32(v.encode()) % presalt)
+        return batch.append_column("_salt", pa.array(salt.to_numpy(), pa.int32()))
+
+    def head_nosalt(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+
+    phase1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(keys + ["_salt"])
+        .map_groups(head_nosalt, batch_format="pandas")
+    )
+
+    def drop_salt(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_salt"])
+
+    return (
+        phase1.map_batches(drop_salt, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(head, batch_format="pandas")
+    )
 
 
 def global_top_k(

@@ -130,3 +130,29 @@ def test_knn_ivf_recall_and_determinism():
         approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
         approx2.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_top_k_per_group_presalt_identical_to_unsalted():
+    import numpy as np
+    from multiomics_biocypher_kg_ray.stages.relational import top_k_per_group
+
+    rng = np.random.RandomState(5)
+    rows = [
+        {"g": f"g{int(i % 3)}", "v": float(rng.randint(0, 1000)), "id": int(i)}
+        for i in range(500)
+    ]
+    ds = ray.data.from_items(rows)
+    plain = (
+        top_k_per_group(ds, ["g"], [("v", False), ("id", True)], k=7)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    ds2 = ray.data.from_items(rows)
+    salted = (
+        top_k_per_group(ds2, ["g"], [("v", False), ("id", True)], k=7, presalt=8)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted[plain.columns])
