@@ -22,14 +22,27 @@ from multiomics_biocypher_kg_ray.pipelines.queries import registry
 from multiomics_biocypher_kg_ray.sources.transcripts import transcripts_dataset
 
 
+def _tune() -> None:
+    """Session-level Ray Data tuning for the driver's sf-scale runs (block
+    split counts only — never ray.init/shutdown, which the driver owns)."""
+    import ray
+
+    if ray.is_initialized():
+        from multiomics_biocypher_kg_ray.tuning import tune_context_for_small_data
+
+        tune_context_for_small_data()
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full KG build; returns the
     deduplicated edge table (src, pred, dst, weight, evidence)."""
+    _tune()
     res = build_kg(transcripts_dataset("/root/testdata/sf0.001"))
     return res.edges
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _tune()
     return {name: fn for name, (fn, _) in registry().items()}
 
 
