@@ -66,7 +66,11 @@ class TripleExtractor:
         """``(\\w+) join (\\w+)`` → ``(?P<s>\\w+) join (?P<o>\\w+)``: rename
         the two plain capture groups so pyarrow's extract_regex can address
         them. Bails out (→ slow path only) on patterns with any ``(?`` group
-        syntax of their own."""
+        syntax of their own, or any character class — a literal ``(`` inside
+        ``[...]`` must not be rewritten, and not rewriting it would change
+        semantics silently, so classes take the findall path entirely."""
+        if "[" in pattern:
+            return None
         parts = []
         names = iter(["s", "o"])
         i = 0
@@ -84,7 +88,14 @@ class TripleExtractor:
                 continue
             parts.append(c)
             i += 1
-        return "".join(parts)
+        named = "".join(parts)
+        try:
+            compiled = re.compile(named)
+        except re.error:
+            return None
+        if compiled.groupindex.get("s") != 1 or compiled.groupindex.get("o") != 2:
+            return None
+        return named
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -93,3 +93,27 @@ def test_extract_mentions_dataset():
     assert len(out) == 2
     assert set(out["conv_id"]) == {"c1", "c2"}
     assert str(out["turn_idx"].dtype) == "int32"
+
+
+def test_char_class_pattern_takes_findall_path_correctly():
+    """A '(' inside a character class must not be rewritten into a named
+    group — patterns with classes bail to the findall path and still work."""
+    from multiomics_biocypher_kg_ray.config import ExtractionRule
+    from multiomics_biocypher_kg_ray.stages.extract import TripleExtractor
+
+    rule = ExtractionRule("r_cls", r"([\w(]+) uses ([\w)]+)", "uses")
+    ex = TripleExtractor((rule,))
+    assert ex.rules[0][3] is None  # no vectorized rewrite for class patterns
+    batch = pa.table(
+        {
+            "conv_id": ["c"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": ["a( uses b)"],
+            "tool": [""],
+            "ts": pa.array([None], pa.timestamp("us")),
+        }
+    )
+    out = ex(batch)
+    assert out.column("subj_text").to_pylist() == ["a("]
+    assert out.column("obj_text").to_pylist() == ["b)"]
