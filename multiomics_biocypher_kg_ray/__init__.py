@@ -27,3 +27,31 @@ caller (driver, bench.py, test fixture) owns the Ray session.
 """
 
 __version__ = "0.1.0"
+
+
+def _install_schema_hash_log_filter() -> None:
+    """Drop Ray's benign "Failed to hash the schemas" warning.
+
+    Root cause: ``hash(pa.Schema)`` raises ``unhashable type: 'dict'`` on the
+    pandas metadata pandas-written Parquet files carry. Every table THIS
+    package creates is metadata-free (``arrow_util.pa_from_pandas`` /
+    ``read_parquet_clean``), but Ray's fused ReadParquet task unifies the raw
+    input-file schemas BEFORE our strip stage can run, and the test inputs
+    are read-only — so that one benign, per-read occurrence is filtered here.
+    Workers import this package while deserializing our stage functions (i.e.
+    before the read executes), so the filter is in place in every worker that
+    runs our operators. Scoped to the exact message; everything else from
+    that logger still flows.
+    """
+    import logging
+
+    class _SchemaHashFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+        _SchemaHashFilter()
+    )
+
+
+_install_schema_hash_log_filter()

@@ -1,0 +1,36 @@
+"""Small Arrow interop helpers shared by the stages."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def pa_from_pandas(df: "pd.DataFrame") -> pa.Table:
+    """``pa.Table.from_pandas(preserve_index=False)`` with the pandas schema
+    metadata STRIPPED.
+
+    The auto-attached ``b'pandas'`` metadata makes ``hash(schema)`` raise
+    ``unhashable type: 'dict'``, which defeats Ray's hash-shuffle
+    schema-deduplication fast path and spams "Failed to hash the schemas"
+    warnings on every aggregator. Every table fed into a shuffle must carry a
+    hashable (metadata-free) schema, so all stage code converts pandas →
+    Arrow through this helper, never ``from_pandas`` directly.
+    """
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def strip_meta(batch: pa.Table) -> pa.Table:
+    """Zero-copy schema-metadata strip, applied right after ``read_parquet``
+    (fuses with the read task): Parquet files written by pandas carry the
+    same unhashable ``b'pandas'`` metadata — see ``pa_from_pandas``."""
+    return batch.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
+    """``ray.data.read_parquet`` with hashable (metadata-free) block schemas."""
+    import ray.data
+
+    return ray.data.read_parquet(path, columns=columns, **kw).map_batches(
+        strip_meta, batch_format="pyarrow"
+    )

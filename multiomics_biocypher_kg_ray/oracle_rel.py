@@ -251,24 +251,51 @@ SELECT doc_id, band_idx::BIGINT AS band_idx, {band_expr} AS band_hash
 FROM sig CROSS JOIN (SELECT unnest(range({n_bands})) AS band_idx) b"""
 
 
-def sql_lsh_candidate_pairs() -> str:
+def sql_lsh_candidate_pairs(cap: int = 1000) -> str:
+    """Mirrors ``dedup.lsh_candidate_pairs`` INCLUDING the per-bucket pair-
+    generation cap (first ``cap`` docs by doc_id per bucket), so engine and
+    oracle stay hash-equal even when a bucket overflows."""
     inner = sql_minhash_bands().strip()
     return f"""
-WITH band AS ({inner})
+WITH band AS ({inner}),
+capped AS (
+  SELECT doc_id, band_idx, band_hash,
+         row_number() OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS rn
+  FROM band
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
-FROM band a
-JOIN band b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           AND a.doc_id < b.doc_id
+FROM capped a
+JOIN capped b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+WHERE a.rn <= {cap} AND b.rn <= {cap}
 GROUP BY 1, 2"""
 
 
-def sql_jaccard_pairs(max_doc_id: int = 60, k: int = 3) -> str:
+def sql_lsh_bucket_stats(cap: int = 1000) -> str:
+    inner = sql_minhash_bands().strip()
+    return f"""
+WITH band AS ({inner})
+SELECT band_idx, band_hash, count(*)::BIGINT AS n_docs,
+       greatest(count(*) - {cap}, 0)::BIGINT AS n_truncated
+FROM band GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
+def sql_jaccard_pairs(max_doc_id: int = 60, k: int = 3, cap: int = 1000) -> str:
+    """Mirrors ``dedup.ngram_jaccard_pairs`` including the hot-shingle pair-
+    generation cap (first ``cap`` docs by doc_id per shingle bucket). Set
+    sizes use the UNCAPPED shingle sets, same as the engine."""
     return f"""
 WITH {_shingle_cte(where=f"WHERE doc_id < {max_doc_id}", k=k)},
 sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+capped AS (
+  SELECT doc_id, shingle,
+         row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+  FROM sh
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_shared,
@@ -276,6 +303,14 @@ SELECT doc_a, doc_b, n_shared,
 FROM inter
 JOIN sz sa ON doc_a = sa.doc_id
 JOIN sz sb ON doc_b = sb.doc_id"""
+
+
+def sql_jaccard_shingle_stats(max_doc_id: int = 60, k: int = 3, cap: int = 1000) -> str:
+    return f"""
+WITH {_shingle_cte(where=f"WHERE doc_id < {max_doc_id}", k=k)}
+SELECT shingle, count(*)::BIGINT AS n_docs,
+       greatest(count(*) - {cap}, 0)::BIGINT AS n_truncated
+FROM sh GROUP BY 1 HAVING count(*) >= 2"""
 
 
 def sql_knn_cosine(k: int = 5, n_queries: int = 10) -> str:

@@ -190,10 +190,16 @@ def run_extract_link_checkpointed(
         )
         out_dir = os.path.join(ckpt_dir, stage, f"shard={sid}")
         tmp_dir = out_dir + ".tmp"
-        if os.path.isdir(tmp_dir):  # half-written by a crashed run
-            import shutil
+        import shutil
 
+        if os.path.isdir(tmp_dir):  # half-written by a crashed run
             shutil.rmtree(tmp_dir)
+        if os.path.isdir(out_dir):
+            # out_dir exists but its manifest does not (this shard is not in
+            # ``done``): the previous run crashed BETWEEN the rename and
+            # write_manifest. The output is unverified — remove it, else
+            # os.replace raises ENOTEMPTY and resume errors out forever.
+            shutil.rmtree(out_dir)
         linked = linked.materialize()
         rows_out = linked.count()
         linked.write_parquet(tmp_dir)

@@ -45,7 +45,9 @@ TABLES = (
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..arrow_util import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cast_ts_us(ds, cols: list[str]):
@@ -198,13 +200,23 @@ def q_top_orders_per_customer(sf_dir: str):
 
 
 def q_parts_in_heavy_lineitems(sf_dir: str):
+    # distributed LEFT SEMI join — the filtered key set stays in the cluster
+    # (a driver-side ``set(ds.unique(...))`` is data-proportional at scale);
+    # ``semi_join_filter`` remains for provably-small broadcast key sets
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("l_quantity"), 49.0)),
+        lambda t: t.filter(pc.greater_equal(t.column("l_quantity"), 49.0)).select(
+            ["l_partkey"]
+        ),
         batch_format="pyarrow",
     )
-    keys = set(li.unique("l_partkey"))
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    return semi_join_filter(part, keys, "p_partkey")
+    return part.join(
+        li,
+        join_type="left_semi",
+        num_partitions=default_join_partitions(),
+        on=("p_partkey",),
+        right_on=("l_partkey",),
+    ).select_columns(["p_partkey", "p_name"])
 
 
 def q_customers_without_orders(sf_dir: str):
@@ -425,6 +437,18 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_lsh_bucket_stats(sf_dir: str):
+    return dedup.lsh_bucket_stats(
+        dedup.minhash_bands(_read(sf_dir, "documents", ["doc_id", "text"]))
+    )
+
+
+def q_jaccard_shingle_stats(sf_dir: str):
+    return dedup.jaccard_shingle_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_doc_id=60
+    )
+
+
 def q_simhash_near_dups(sf_dir: str):
     # no SQL oracle (bit-level sketch); rows-only check + pytest coverage
     return dedup.simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -553,6 +577,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_lsh_candidate_pairs(),
         ),
         "jaccard_pairs": (q_jaccard_pairs, oracle_rel.sql_jaccard_pairs()),
+        "lsh_bucket_stats": (q_lsh_bucket_stats, oracle_rel.sql_lsh_bucket_stats()),
+        "jaccard_shingle_stats": (
+            q_jaccard_shingle_stats,
+            oracle_rel.sql_jaccard_shingle_stats(),
+        ),
         "simhash_near_dups": (q_simhash_near_dups, None),
         # similarity search
         "knn_cosine": (q_knn_cosine, oracle_rel.sql_knn_cosine()),

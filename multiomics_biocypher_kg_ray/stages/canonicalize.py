@@ -69,14 +69,23 @@ def union_find_components(edges: list[tuple[str, str]]) -> dict[str, str]:
 # ------------------------------------------------- distributed label propagation
 
 def _label_messages(batch: pa.Table) -> pa.Table:
-    """(node, label, neighbor) rows → candidate labels for node and neighbor."""
+    """(node, label, neighbor) rows → candidate labels for node and neighbor.
+
+    Self rows also carry the CURRENT label in ``self_cand`` (null on neighbor
+    rows): the per-node Min over ``self_cand`` recovers the old label in the
+    SAME aggregate that computes the new one, so the fixpoint test is an exact
+    changed-label count with no extra join and no per-row Python."""
     node = batch.column("node")
     label = batch.column("label")
     neighbor = batch.column("neighbor")
     mask = pa.compute.is_valid(neighbor)
-    t_self = pa.Table.from_arrays([node, label], names=["node", "cand"])
+    t_self = pa.Table.from_arrays(
+        [node, label, label], names=["node", "cand", "self_cand"]
+    )
+    nb_n = neighbor.filter(mask)
     t_nb = pa.Table.from_arrays(
-        [neighbor.filter(mask), label.filter(mask)], names=["node", "cand"]
+        [nb_n, label.filter(mask), pa.nulls(len(nb_n), pa.string())],
+        names=["node", "cand", "self_cand"],
     )
     return pa.concat_tables([t_self, t_nb])
 
@@ -126,17 +135,19 @@ def connected_components_distributed(
     n_edges = edges.count()
     num_partitions = max(2, min(default_join_partitions(), n_edges // 10_000 + 2))
 
-    def _signature(t: pa.Table) -> pa.Table:
-        # order-independent label-state fingerprint: sum of per-row hashes
-        import zlib
+    def _changed_partial(t: pa.Table) -> pa.Table:
+        # vectorized per-batch count of nodes whose label strictly changed
+        n = pa.compute.sum(
+            pa.compute.cast(
+                pa.compute.not_equal(t.column("label"), t.column("old_label")),
+                pa.int64(),
+            )
+        ).as_py()
+        return pa.table({"n_changed": [n or 0]})
 
-        sig = sum(
-            zlib.crc32(f"{n}\x00{l}".encode()) for n, l in
-            zip(t.column("node").to_pylist(), t.column("label").to_pylist())
-        )
-        return pa.table({"sig": [sig]})
+    def _drop_old(t: pa.Table) -> pa.Table:
+        return t.select(["node", "label"])
 
-    prev_sig = None
     for _ in range(max_rounds):
         joined = adj.join(
             labels,
@@ -144,21 +155,26 @@ def connected_components_distributed(
             num_partitions=num_partitions,
             on=("node",),
         )
-        new_labels = (
+        with_old = (
             joined.map_batches(_label_messages, batch_format="pyarrow")
             .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
+            .aggregate(
+                Min("cand", alias_name="label"),
+                # every node sends itself one self_cand message, so this Min
+                # (nulls ignored) is exactly the previous label
+                Min("self_cand", alias_name="old_label"),
+            )
             .materialize()
         )
-        # fixpoint check WITHOUT an extra join: the summed per-row hash is an
-        # order-independent fingerprint of the whole label assignment —
-        # labels are monotonically non-increasing, so an unchanged
-        # fingerprint means an unchanged assignment
-        sig = new_labels.map_batches(_signature, batch_format="pyarrow").sum("sig")
-        labels = new_labels
-        if sig == prev_sig:
+        # exact fixpoint test: count of strictly-changed labels this round —
+        # no hash collisions possible (the crc32-sum fingerprint this
+        # replaces had a ~2^-32/round silent-early-stop failure mode)
+        n_changed = with_old.map_batches(
+            _changed_partial, batch_format="pyarrow"
+        ).sum("n_changed")
+        labels = with_old.map_batches(_drop_old, batch_format="pyarrow")
+        if not n_changed:
             break
-        prev_sig = sig
     return labels.map_batches(
         lambda t: t.rename_columns(["member", "component_key"]),
         batch_format="pyarrow",

@@ -117,14 +117,41 @@ def minhash_bands(docs: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     )
 
 
-def lsh_candidate_pairs(bands: "ray.data.Dataset") -> "ray.data.Dataset":
+LSH_BUCKET_CAP = 1000
+
+
+def lsh_bucket_stats(bands: "ray.data.Dataset", cap: int = LSH_BUCKET_CAP) -> "ray.data.Dataset":
+    """Per-bucket size + truncation report for ``lsh_candidate_pairs``:
+    (band_idx, band_hash, n_docs, n_truncated) for every candidate-generating
+    bucket (n_docs ≥ 2); n_truncated is how many docs the pair-generation cap
+    drops from that bucket. This is the 'no silent caps' side-channel — any
+    bucket with n_truncated > 0 means the pair table under-reports it."""
+    import pyarrow.compute as pc
+
+    counted = bands.groupby(["band_idx", "band_hash"]).count()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("count()"), pa.int64())
+        trunc = pc.max_element_wise(pc.subtract(n, pa.scalar(cap, pa.int64())), 0)
+        out = pa.Table.from_arrays(
+            [batch.column("band_idx"), batch.column("band_hash"), n, trunc],
+            names=["band_idx", "band_hash", "n_docs", "n_truncated"],
+        )
+        return out.filter(pc.greater_equal(out.column("n_docs"), 2))
+
+    return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(bands: "ray.data.Dataset", cap: int = LSH_BUCKET_CAP) -> "ray.data.Dataset":
     """groupby (band_idx, band_hash) → all intra-bucket pairs (a < b), then a
     second groupby dedups pairs hit by several bands, counting shared bands.
 
     Bucket blow-up guard: a bucket of m docs yields m(m-1)/2 pairs; buckets
-    are capped (sorted by doc_id, first 1000) and the cap is reported via an
-    n_truncated column rather than silently (SURVEY 'no silent caps')."""
-    CAP = 1000
+    are capped (sorted by doc_id, first ``cap``). The cap is part of the
+    operator contract — the SQL oracle applies the identical row_number cap —
+    and truncation is reported via the companion ``lsh_bucket_stats`` table
+    (n_truncated per bucket), never silently."""
+    CAP = cap
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())[:CAP]
@@ -237,15 +264,108 @@ def ngram_jaccard_pairs(
     k_shingle: int = 3,
     min_jaccard: float = 0.0,
     max_doc_id: int | None = None,
+    cap: int = LSH_BUCKET_CAP,
 ) -> "ray.data.Dataset":
     """Exact pairwise Jaccard over k-token shingle sets via a shingle-keyed
     self-join: explode (shingle, doc) → groupby shingle → co-occurring pairs
-    → per-pair intersection counts → join sizes → jaccard = |∩| / (|A|+|B|-|∩|).
+    → per-pair intersection counts → JOIN sizes → jaccard = |∩| / (|A|+|B|-|∩|).
 
-    ``max_doc_id`` bounds the candidate universe for the verification tier
-    (pairs outside it are dropped, and that bound is part of the operator
-    contract, not a silent cap)."""
+    Scale contract:
+    - set sizes flow back through two distributed hash joins on doc id —
+      never a driver-side size dict captured in a task closure (that dict is
+      corpus-proportional and re-pickles per task).
+    - hot shingles (stopword-like, m ≫ cap co-occurring docs) are capped at
+      the first ``cap`` docs by doc_id, the SAME cap + ordering the SQL
+      oracle applies (``oracle_rel.sql_jaccard_pairs``), with truncation
+      reported by ``jaccard_shingle_stats`` — never silently.
+    - ``max_doc_id`` bounds the candidate universe for the verification tier
+      (pairs outside it are dropped; part of the operator contract)."""
+    from ..tuning import default_join_partitions
 
+    exploded = _shingle_explode(docs, k_shingle, max_doc_id).materialize()
+
+    def _rename(cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+
+        return fn
+
+    sizes = (
+        exploded.groupby("doc_id")
+        .count()
+        .map_batches(_rename(["doc_id", "set_size"]), batch_format="pyarrow")
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())[:cap]
+        rows_a, rows_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b})
+
+    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": [int(g["doc_a"].iloc[0])],
+                "doc_b": [int(g["doc_b"].iloc[0])],
+                "n_shared": [len(g)],
+            }
+        )
+
+    inter = (
+        exploded.groupby("shingle")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(count_shared, batch_format="pandas")
+    )
+    np_ = default_join_partitions()
+    with_a = inter.join(
+        sizes, join_type="inner", num_partitions=np_, on=("doc_a",), right_on=("doc_id",)
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["doc_a", "doc_b", "n_shared", "size_a"]
+        ),
+        batch_format="pyarrow",
+    )
+    with_b = with_a.join(
+        sizes, join_type="inner", num_partitions=np_, on=("doc_b",), right_on=("doc_id",)
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["doc_a", "doc_b", "n_shared", "size_a", "size_b"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        inter_n = batch.column("n_shared").to_numpy(zero_copy_only=False)
+        union = (
+            batch.column("size_a").to_numpy(zero_copy_only=False)
+            + batch.column("size_b").to_numpy(zero_copy_only=False)
+            - inter_n
+        )
+        jac = np.where(union > 0, inter_n / np.maximum(union, 1), 0.0)
+        out = pa.Table.from_arrays(
+            [
+                batch.column("doc_a"),
+                batch.column("doc_b"),
+                pc.cast(batch.column("n_shared"), pa.int64()),
+                pa.array(jac, pa.float64()),
+            ],
+            names=["doc_a", "doc_b", "n_shared", "jaccard"],
+        )
+        return out.filter(pc.greater(out.column("jaccard"), min_jaccard))
+
+    return with_b.map_batches(score, batch_format="pyarrow")
+
+
+def _shingle_explode(
+    docs: "ray.data.Dataset", k_shingle: int, max_doc_id: int | None
+) -> "ray.data.Dataset":
     def explode(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = normalize_ws_lower(batch.column("text")).to_pylist()
@@ -261,43 +381,29 @@ def ngram_jaccard_pairs(
             names=["doc_id", "shingle"],
         )
 
-    exploded = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    return docs.map_batches(explode, batch_format="pyarrow")
 
-    sizes = exploded.groupby("doc_id").count()  # (doc_id, count())
-    sizes_df = sizes.to_pandas().rename(columns={"count()": "set_size"})
-    size_map = dict(zip(sizes_df["doc_id"], sizes_df["set_size"]))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        rows_a, rows_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows_a.append(ids[i])
-                rows_b.append(ids[j])
-        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b})
+def jaccard_shingle_stats(
+    docs: "ray.data.Dataset",
+    k_shingle: int = 3,
+    max_doc_id: int | None = None,
+    cap: int = LSH_BUCKET_CAP,
+) -> "ray.data.Dataset":
+    """Hot-shingle report for ``ngram_jaccard_pairs``: (shingle, n_docs,
+    n_truncated) for every pair-generating shingle (n_docs ≥ 2); buckets with
+    n_truncated > 0 are under-reported in the pair table (the cap fired)."""
+    import pyarrow.compute as pc
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        inter = len(g)
-        a = int(g["doc_a"].iloc[0])
-        b = int(g["doc_b"].iloc[0])
-        union = size_map[a] + size_map[b] - inter
-        jac = inter / union if union else 0.0
-        if jac <= min_jaccard:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.array([], dtype="int64"),
-                    "doc_b": pd.array([], dtype="int64"),
-                    "n_shared": pd.array([], dtype="int64"),
-                    "jaccard": pd.array([], dtype="float64"),
-                }
-            )
-        return pd.DataFrame(
-            {"doc_a": [a], "doc_b": [b], "n_shared": [inter], "jaccard": [jac]}
+    counted = _shingle_explode(docs, k_shingle, max_doc_id).groupby("shingle").count()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("count()"), pa.int64())
+        trunc = pc.max_element_wise(pc.subtract(n, pa.scalar(cap, pa.int64())), 0)
+        out = pa.Table.from_arrays(
+            [batch.column("shingle"), n, trunc],
+            names=["shingle", "n_docs", "n_truncated"],
         )
+        return out.filter(pc.greater_equal(out.column("n_docs"), 2))
 
-    return (
-        exploded.groupby("shingle")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(score, batch_format="pandas")
-    )
+    return counted.map_batches(finish, batch_format="pyarrow")

@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..arrow_util import pa_from_pandas
 from ..tuning import default_join_partitions
 
 EVIDENCE_SEP = "|"
@@ -71,8 +72,8 @@ def build_nodes(
             .reset_index(name="mention_count")
         )
         out["label"] = label
-        return pa.Table.from_pandas(
-            out[["id", "label", "name", "mention_count"]], preserve_index=False
+        return pa_from_pandas(
+            out[["id", "label", "name", "mention_count"]]
         )
 
     partials = linked.map_batches(partial, batch_format="pyarrow")
@@ -114,7 +115,7 @@ def build_edges(
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         ev = sorted(

@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..arrow_util import pa_from_pandas
+
 
 def to_cents(batch: pa.Table, cols: dict[str, str]) -> pa.Table:
     """Append integer-cents columns: {src_col: out_col}. rint is safe because
@@ -46,7 +48,7 @@ def preaggregate(
         g = df.groupby(keys, sort=False, dropna=False)
         out = g[sums].sum() if sums else g.size().to_frame("_")
         out[count_alias] = g.size()
-        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+        return pa_from_pandas(out.reset_index())
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     aggs = [Sum(count_alias, alias_name=count_alias)]
@@ -223,7 +225,7 @@ def replicate_stats(
         g = df.groupby(keys, sort=False, dropna=False)
         out = g[["_sum", "_sumsq", "_nz"]].sum()
         out["_n"] = g.size()
-        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+        return pa_from_pandas(out.reset_index())
 
     totals = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -254,9 +256,8 @@ def replicate_stats(
         df["detection_status"] = np.select(
             [nz == df["n"].to_numpy(), nz == 0], ["detected", "not_detected"], "sporadic"
         )
-        return pa.Table.from_pandas(
-            df[keys + ["n", "n_non_zero", "mean_v", "sd_v", "detection_status"]],
-            preserve_index=False,
+        return pa_from_pandas(
+            df[keys + ["n", "n_non_zero", "mean_v", "sd_v", "detection_status"]]
         )
 
     return totals.map_batches(finalize, batch_format="pyarrow")
@@ -294,8 +295,8 @@ def flag_counts(
         df["n_true"] = df[bool_col].astype("int64")
         df["n_false"] = 1 - df["n_true"]
         g = df.groupby(keys, sort=False, dropna=False)
-        return pa.Table.from_pandas(
-            g[["n_true", "n_false"]].sum().reset_index(), preserve_index=False
+        return pa_from_pandas(
+            g[["n_true", "n_false"]].sum().reset_index()
         )
 
     return (
@@ -346,7 +347,7 @@ def collect_sorted_distinct(
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(keys + [value_col]).to_pandas()
         out = df.drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         vals = sorted(set(g[value_col]))

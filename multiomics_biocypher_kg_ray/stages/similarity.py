@@ -48,12 +48,20 @@ class _BruteForceScorer:
         cand_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         cm = _normalize(_stack(batch.column("embedding")))
         sims = self.qm @ cm.T  # (nq, nc)
-        # per-batch partial top-k per query keeps the shuffle tiny
+        # per-batch partial top-k per query keeps the shuffle tiny.
+        # Tie-stability: when candidates tie exactly at the k-th cosine, the
+        # kept subset must be the (−cosine, neighbor_id)-lexicographic head —
+        # top-k under that order is associative, so partials merge to the
+        # same global answer at any block partitioning. argpartition alone
+        # picks boundary ties arbitrarily, so re-rank the boundary set.
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         out_q, out_c, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            for ci in idx[qi]:
+            kth = sims[qi, idx[qi]].min()
+            pool = np.flatnonzero(sims[qi] >= kth)  # all ≥ boundary value
+            order = np.lexsort((cand_ids[pool], -sims[qi, pool]))
+            for ci in pool[order[:k]]:
                 out_q.append(int(self.qids[qi]))
                 out_c.append(int(cand_ids[ci]))
                 out_s.append(float(sims[qi, ci]))

@@ -41,6 +41,7 @@ class TextStats:
         n_stop = np.empty(len(texts), dtype=np.int64)
         n_chars = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
+            t = t or ""  # NULL text → empty-string semantics (oracle parity)
             toks = t.split(" ") if t else []
             n_ws[i] = len(toks)
             n_bpe[i] = len(self.bpe.findall(t))
