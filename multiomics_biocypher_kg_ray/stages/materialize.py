@@ -298,16 +298,21 @@ def node_degree(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def edge_rank(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-predicate rank by weight desc with deterministic (src, dst)
-    tie-break (post-import.cypher:693-735 rank_by_effect analog)."""
+    tie-break (post-import.cypher:693-735 rank_by_effect analog).
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["weight", "src", "dst"], ascending=[False, True, True], kind="mergesort"
-        ).reset_index(drop=True)
-        g["rank"] = g.index.to_numpy() + 1
-        return g[["src", "pred", "dst", "weight", "rank"]]
+    Scale shape: predicate cardinality is tiny and skewed (one hot predicate
+    can hold most edges), so per-group ``map_groups`` would materialize an
+    unbounded group in one task. ``relational.ranked_over`` ranks via a
+    global range-partitioned sort + order-preserving split numbering
+    instead — no task ever holds a whole predicate group."""
+    from .relational import ranked_over
 
-    return edges.groupby("pred").map_groups(rank_group, batch_format="pandas")
+    return ranked_over(
+        edges.select_columns(["src", "pred", "dst", "weight"]),
+        ["pred"],
+        [("weight", False), ("src", True), ("dst", True)],
+        rank_col="rank",
+    ).select_columns(["src", "pred", "dst", "weight", "rank"])
 
 
 def conv_stats(

@@ -123,6 +123,67 @@ def global_top_k(
     return ds.sort(cols, descending=desc).limit(k)
 
 
+BROADCAST_GROUP_STATS_MAX = 200_000
+
+
+def ranked_over(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    order_by: list[tuple[str, bool]],
+    rank_col: str = "rank",
+    *,
+    with_group_size: bool = False,
+) -> "ray.data.Dataset":
+    """Per-group ``row_number()`` WITHOUT materializing any group in one task
+    — the scale-safe replacement for whole-group ``map_groups`` ranking (a
+    low-cardinality skewed key, e.g. one predicate holding most edges, lands
+    an unbounded group in a single pandas task under map_groups).
+
+    Shape: one global range-partitioned sort on (keys…, order_by…) → order-
+    preserving global row index (``zip_with_index`` split numbering, the
+    canonical-id machinery from stages/canonicalize.py) → per-group min index
+    (and optional count) via a combiner aggregate → rank = idx − group_min +
+    1. The per-group stats table is group-cardinality-sized: broadcast-joined
+    when small (no shuffle, immune to hot keys), hash-joined beyond
+    ``BROADCAST_GROUP_STATS_MAX`` (many groups ⇒ no single group is hot).
+
+    ``order_by`` entries are (column, ascending). Include explicit unique
+    tie-break columns — determinism must come from the sort, never from
+    block arrival order. With ``with_group_size`` the output also carries a
+    ``_gn`` column (group row count) for percentile-style finalizers.
+    """
+    import pyarrow.compute as pc
+
+    from .canonicalize import zip_with_index
+    from .joins import broadcast_join
+
+    cols = list(keys) + [c for c, _ in order_by]
+    desc = [False] * len(keys) + [not asc for _, asc in order_by]
+    idxed = zip_with_index(ds.sort(cols, descending=desc), col="_gidx")
+
+    aggs = [Min("_gidx", alias_name="_gstart")]
+    if with_group_size:
+        aggs.append(Count(alias_name="_gn"))
+    stats = idxed.groupby(keys).aggregate(*aggs).materialize()
+
+    if stats.count() <= BROADCAST_GROUP_STATS_MAX:
+        joined = broadcast_join(idxed, stats.to_pandas(), on=keys, how="inner")
+    else:
+        joined = idxed.join(
+            stats,
+            join_type="inner",
+            num_partitions=max(32, stats.count() // 500_000),
+            on=tuple(keys),
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rank = pc.add(pc.subtract(t.column("_gidx"), t.column("_gstart")), 1)
+        out = t.drop_columns(["_gidx", "_gstart"])
+        return out.append_column(rank_col, pc.cast(rank, pa.int64()))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def percentile_buckets(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -131,23 +192,33 @@ def percentile_buckets(
 ) -> "ray.data.Dataset":
     """Per-group rank (value desc, id asc), integer percentile 0..100 and
     bucket — A5 analog (post-import.cypher:742-762). Integer math only:
-    pct = (n - rank) * 100 // (n - 1); bucket thresholds 90/75/25."""
+    pct = (n - rank) * 100 // (n - 1); bucket thresholds 90/75/25.
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            [value_col, id_col], ascending=[False, True], kind="mergesort"
-        ).reset_index(drop=True)
-        n = len(g)
-        rnk = g.index.to_numpy() + 1
-        pct = ((n - rnk) * 100 // (n - 1)) if n > 1 else np.full(n, 100)
-        g["rnk"] = rnk
-        g["pct"] = pct.astype("int64")
-        g["bucket"] = np.select(
+    Scale shape: ``ranked_over`` (global sort + split numbering) — a group
+    is NEVER materialized in one task, so billion-row event types rank fine."""
+    ranked = ranked_over(
+        ds,
+        keys,
+        [(value_col, False), (id_col, True)],
+        rank_col="rnk",
+        with_group_size=True,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rnk = batch.column("rnk").to_numpy(zero_copy_only=False)
+        n = batch.column("_gn").to_numpy(zero_copy_only=False)
+        pct = np.where(n > 1, (n - rnk) * 100 // np.maximum(n - 1, 1), 100)
+        bucket = np.select(
             [pct >= 90, pct >= 75, pct >= 25], ["top10", "top25", "mid"], "low"
         )
-        return g
+        out = batch.drop_columns(["_gn"])
+        return out.append_column("pct", pa.array(pct, pa.int64())).append_column(
+            "bucket", pa.array(bucket, pa.string())
+        )
 
-    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+    return ranked.map_batches(finish, batch_format="pyarrow")
 
 
 def distribution_stats(

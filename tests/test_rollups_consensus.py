@@ -156,3 +156,84 @@ def test_top_k_per_group_presalt_identical_to_unsalted():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(plain, salted[plain.columns])
+
+
+def test_ranked_over_hot_key_matches_pandas_reference():
+    """One group ≫ one block: ranks must come from the sort+split-numbering
+    path (no whole-group task materialization) and still equal the pandas
+    window-function reference, including cross-block tie runs."""
+    import pyarrow as pa
+
+    from multiomics_biocypher_kg_ray.stages.relational import ranked_over
+
+    rng = np.random.RandomState(11)
+    n_hot = 50_000  # hot key: far larger than the 4096-row blocks below
+    df = pd.DataFrame(
+        {
+            "k": ["hot"] * n_hot + ["cold"] * 64,
+            # heavy ties (only 50 distinct values) exercise the tie-break
+            "v": np.concatenate(
+                [rng.randint(0, 50, size=n_hot), rng.randint(0, 5, size=64)]
+            ),
+            "id": np.arange(n_hot + 64),
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    ).map_batches(lambda t: t, batch_size=4096, batch_format="pyarrow")
+
+    out = (
+        ranked_over(ds, ["k"], [("v", False), ("id", True)], rank_col="rank")
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    expect = df.copy()
+    expect["rank"] = (
+        expect.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("k")
+        .cumcount()
+        .add(1)
+    )
+    # align: groupby.cumcount follows the sorted order; re-sort both
+    expect = expect.sort_values(["k", "id"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        out["rank"].astype("int64"), expect["rank"].astype("int64"), check_names=False
+    )
+
+
+def test_edge_rank_and_percentiles_on_skewed_groups():
+    """edge_rank / percentile_buckets through the scale-safe path on a
+    deliberately skewed predicate distribution."""
+    from multiomics_biocypher_kg_ray.stages.materialize import edge_rank
+    from multiomics_biocypher_kg_ray.stages.relational import percentile_buckets
+
+    rows = []
+    for i in range(3000):  # hot predicate
+        rows.append({"src": f"s{i:05d}", "pred": "hot", "dst": f"d{i % 7}", "weight": i % 13})
+    for i in range(5):
+        rows.append({"src": f"s{i}", "pred": "rare", "dst": "d0", "weight": i})
+    ds = ray.data.from_items(rows).map_batches(
+        lambda t: t, batch_size=256, batch_format="pyarrow"
+    )
+    out = edge_rank(ds).to_pandas()
+    df = pd.DataFrame(rows)
+    expect = df.sort_values(
+        ["pred", "weight", "src", "dst"], ascending=[True, False, True, True]
+    )
+    expect["rank"] = expect.groupby("pred").cumcount() + 1
+    merged = out.merge(expect, on=["src", "pred", "dst", "weight"], suffixes=("", "_e"))
+    assert (merged["rank"] == merged["rank_e"]).all()
+    assert len(merged) == len(df)
+
+    ev = ray.data.from_items(
+        [{"event_id": i, "event_type": "hot" if i < 2900 else "cold", "value": float(i % 97)}
+         for i in range(3000)]
+    ).map_batches(lambda t: t, batch_size=128, batch_format="pyarrow")
+    pb = percentile_buckets(ev, ["event_type"], "value", "event_id").to_pandas()
+    assert len(pb) == 3000
+    hot = pb[pb["event_type"] == "hot"]
+    assert hot["rnk"].max() == 2900 and hot["rnk"].min() == 1
+    assert set(pb["bucket"]) <= {"top10", "top25", "mid", "low"}
+    # percentile integer math: top-ranked row of each group has pct 100
+    assert (pb.loc[pb["rnk"] == 1, "pct"] == 100).all()
