@@ -145,6 +145,48 @@ canon AS (
 )""".strip()
 
 
+def data_canon_ctes(d: AliasDictionary | None = None) -> str:
+    """Recursive-CTE twin of ``canonicalize.data_canonical_map``: learned
+    mention-co-occurrence edges (per-turn min-entity anchor; tok:/turn: node
+    spaces) ∪ config seed edges → connected components → stable ids."""
+    d = d or default_alias_dictionary()
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in d.all_equiv_edges())
+    return f"""
+sides AS (
+  SELECT conv_id, turn_idx, subj_text AS text, subj_id AS eid FROM linked
+  UNION ALL
+  SELECT conv_id, turn_idx, obj_text, obj_id FROM linked
+),
+anchors AS (
+  SELECT conv_id, turn_idx, min(eid) AS anchor
+  FROM sides WHERE eid IS NOT NULL GROUP BY 1, 2
+),
+seed(a, b) AS (VALUES {vals}),
+eq2(a, b) AS (
+  SELECT 'tok:' || s.text, an.anchor
+  FROM sides s JOIN anchors an USING (conv_id, turn_idx)
+  UNION
+  SELECT 'turn:' || conv_id || ':' || turn_idx, anchor FROM anchors
+  UNION
+  SELECT a, b FROM seed
+),
+sym2 AS (
+  SELECT a, b FROM eq2 UNION SELECT b, a FROM eq2
+  UNION SELECT a, a FROM eq2 UNION SELECT b, b FROM eq2
+),
+reach2(src, dst) AS (
+  SELECT a, b FROM sym2
+  UNION
+  SELECT r.src, s.b FROM reach2 r JOIN sym2 s ON r.dst = s.a
+),
+comp2 AS (SELECT src AS member, min(dst) AS component_key FROM reach2 GROUP BY src),
+canon2 AS (
+  SELECT member, component_key,
+         'ent_' || lpad(dense_rank() OVER (ORDER BY component_key)::VARCHAR, 6, '0') AS canonical_id
+  FROM comp2
+)""".strip()
+
+
 # ------------------------------------------------------------ full pipelines
 
 
@@ -186,6 +228,13 @@ SELECT conv_id, turn_idx, raw_mention, reason FROM (
 
 def sql_kg_components() -> str:
     return f"WITH RECURSIVE {canon_ctes()} SELECT member, component_key, canonical_id FROM canon"
+
+
+def sql_kg_components_data() -> str:
+    prefix = "WITH RECURSIVE " + ",\n".join(
+        [transcripts_cte(), mentions_cte(), alias_ctes(), linked_cte(), data_canon_ctes()]
+    )
+    return f"{prefix} SELECT member, component_key, canonical_id FROM canon2"
 
 
 def sql_kg_nodes() -> str:

@@ -98,6 +98,17 @@ def q_kg_components(sf_dir: str):
     )
 
 
+def q_kg_components_data(sf_dir: str):
+    # the DATA-SCALE canonicalization: config seed ∪ learned mention-
+    # co-occurrence edges (per-turn anchors) → distributed CC on a skewed,
+    # data-proportional graph (gene_id_graph.py:118-196 analog)
+    from ..stages.canonicalize import data_canonical_map
+
+    return data_canonical_map(
+        _linked(sf_dir), default_alias_dictionary().all_equiv_edges()
+    )
+
+
 def q_kg_nodes(sf_dir: str):
     return materialize.build_nodes(_linked(sf_dir), _canon_tbl())
 
@@ -520,6 +531,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_linked": (q_kg_linked, oracle.sql_kg_linked()),
         "kg_unresolved": (q_kg_unresolved, oracle.sql_kg_unresolved()),
         "kg_components": (q_kg_components, oracle.sql_kg_components()),
+        "kg_components_data": (q_kg_components_data, oracle.sql_kg_components_data()),
         "kg_nodes": (q_kg_nodes, oracle.sql_kg_nodes()),
         "kg_edges": (q_kg_edges, oracle.sql_kg_edges()),
         "kg_node_degree": (q_kg_node_degree, oracle.sql_kg_node_degree()),

@@ -208,6 +208,114 @@ def connected_components(
     return connected_components_distributed(edges)
 
 
+# ------------------------------------- data-derived alias-graph growth
+
+
+def learned_equiv_edges(linked: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Mention-co-occurrence candidate-pair stage — the distributed analog of
+    the reference's ``GeneIdGraph`` data loop: seed from the config dictionary,
+    then LEARN alias→anchor equivalence edges from the mention stream itself
+    (``multiomics_kg/download/gene_id_graph.py:118-196`` ``process_row`` /
+    ``process_all_rows``; anchoring priority ``_find_anchor`` ``:200-244``).
+
+    Per turn (conv_id, turn_idx):
+    - anchor = the MINIMAL resolved entity id among the turn's mention sides
+      (deterministic first-hit analog of the tier-1-first anchor search);
+      turns with no resolved side have no anchor and learn nothing (the
+      reference counts those as unresolved rows).
+    - every surface form in an anchored turn contributes a learned edge
+      ``tok:<surface> — <anchor>`` (the "add its other IDs" step), and the
+      turn itself contributes ``turn:<conv>:<idx> — <anchor>`` (the row →
+      canonical-entity assignment), so the label space grows with the DATA,
+      not with the config dictionary.
+
+    Output is the raw (a, b) edge stream — duplicated, skewed (hot tokens
+    co-occur with many anchors) — exactly what the distributed CC must
+    handle; dedup happens inside the CC shuffle, never on the driver.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min as _Min
+
+    from ..tuning import default_join_partitions
+
+    def sides(batch: pa.Table) -> pa.Table:
+        parts = []
+        for side in ("subj", "obj"):
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        batch.column("conv_id"),
+                        # int64: groupby aggregate keys come back int64, and
+                        # the join requires exact key-type agreement
+                        pc.cast(batch.column("turn_idx"), pa.int64()),
+                        batch.column(f"{side}_text"),
+                        batch.column(f"{side}_id"),
+                    ],
+                    names=["conv_id", "turn_idx", "text", "eid"],
+                )
+            )
+        return pa.concat_tables(parts)
+
+    side_ds = linked.map_batches(sides, batch_format="pyarrow").materialize()
+
+    def anchored_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("eid"))).select(
+            ["conv_id", "turn_idx", "eid"]
+        )
+
+    anchors = (
+        side_ds.map_batches(anchored_only, batch_format="pyarrow")
+        .groupby(["conv_id", "turn_idx"])
+        .aggregate(_Min("eid", alias_name="anchor"))
+    )
+
+    joined = side_ds.join(
+        anchors,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("conv_id", "turn_idx"),
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        tok = pc.binary_join_element_wise("tok:", batch.column("text"), "")
+        turn = pc.binary_join_element_wise(
+            "turn:",
+            batch.column("conv_id"),
+            ":",
+            pc.cast(batch.column("turn_idx"), pa.string()),
+            "",
+        )
+        anchor = batch.column("anchor")
+        t_tok = pa.Table.from_arrays([tok, anchor], names=["a", "b"])
+        t_turn = pa.Table.from_arrays([turn, anchor], names=["a", "b"])
+        return pa.concat_tables([t_tok, t_turn])
+
+    return joined.map_batches(emit, batch_format="pyarrow")
+
+
+def data_canonical_map(
+    linked: "ray.data.Dataset",
+    seed_edges: list[tuple[str, str]],
+    prefix: str = "ent_",
+    width: int = 6,
+) -> "ray.data.Dataset":
+    """Full data-scale canonicalization: config seed edges ∪ learned mention
+    edges → distributed connected components → stable canonical ids. This is
+    the path that runs CC on a data-proportional, skewed edge set (the
+    config-only graph is entity-bounded and exercises nothing)."""
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": [a for a, _ in seed_edges],
+                "b": [b for _, b in seed_edges],
+            }
+        )
+    )
+    edges = learned_equiv_edges(linked).union(seed)
+    comps = connected_components_distributed(edges)
+    return assign_stable_ids(comps, prefix=prefix, width=width)
+
+
 # ------------------------------------------------- stable id assignment
 
 def zip_with_index(sorted_ds: "ray.data.Dataset", col: str = "rank") -> "ray.data.Dataset":

@@ -74,3 +74,47 @@ def test_assign_stable_ids_empty():
     )
     out = assign_stable_ids(comps).to_pandas()
     assert len(out) == 0
+
+
+def test_learned_equiv_edges_and_data_canonical_map():
+    """The GeneIdGraph data-loop analog: per-turn min-entity anchors, learned
+    tok:/turn: edges, and component parity with a driver union-find over the
+    same edge set."""
+    from multiomics_biocypher_kg_ray.stages.canonicalize import (
+        data_canonical_map,
+        learned_equiv_edges,
+        union_find_components,
+    )
+
+    linked = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c1", "c1", "c2", "c3"],
+                "turn_idx": pa.array([0, 1, 0, 0], pa.int32()),
+                "subj_text": ["foo", "bar", "baz", "qux"],
+                "obj_text": ["x", "y", "x", "z"],
+                "subj_id": ["term:b", None, "term:a", None],
+                "obj_id": [None, "term:c", "term:a", None],
+            }
+        )
+    )
+    edges = learned_equiv_edges(linked).to_pandas()
+    got = set(map(tuple, edges[["a", "b"]].itertuples(index=False)))
+    # c1 turn0: anchor term:b → tok:foo, tok:x, turn edge
+    # c1 turn1: anchor term:c → tok:bar, tok:y, turn edge
+    # c2 turn0: anchor term:a (min of subj/obj both term:a) → tok:baz, tok:x
+    # c3 turn0: no resolved side → NO anchor, learns nothing
+    assert ("tok:foo", "term:b") in got
+    assert ("tok:x", "term:b") in got and ("tok:x", "term:a") in got
+    assert ("turn:c1:0", "term:b") in got and ("turn:c1:1", "term:c") in got
+    assert not any(a.startswith("tok:qux") or a == "turn:c3:0" for a, _ in got)
+
+    seed = [("term:b", "term:bb")]
+    out = data_canonical_map(linked, seed).to_pandas()
+    ref = union_find_components(list(got) + seed)
+    comp = dict(zip(out["member"], out["component_key"]))
+    assert comp == ref
+    # tok:x bridges term:a and term:b ⇒ same canonical id
+    ids = dict(zip(out["member"], out["canonical_id"]))
+    assert ids["term:a"] == ids["term:b"] == ids["term:bb"]
+    assert ids["term:c"] != ids["term:a"]
