@@ -498,13 +498,10 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    all_df = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
+    # distributed block-pair exact join: no full-table driver read, no
+    # whole-table broadcast; per-task memory bounded by two id-blocks
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return similarity.embedding_near_dup_pairs(ds, all_df, threshold=0.3)
+    return similarity.embedding_near_dup_pairs_blocked(ds, threshold=0.3)
 
 
 # -------------------------------------------------------------- multimodal

@@ -104,6 +104,81 @@ def knn_bruteforce(
     return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
 
 
+def embedding_near_dup_pairs_blocked(
+    vectors: "ray.data.Dataset",
+    threshold: float,
+    n_blocks: int = 8,
+    round_decimals: int = 6,
+) -> "ray.data.Dataset":
+    """Exact cosine-threshold self-join, fully distributed — the registered
+    scale path for LOW thresholds (where no bucketing scheme can prune
+    without losing pairs).
+
+    Block-pair (triangle) join: vectors are hashed into ``n_blocks``
+    id-blocks; each row is replicated to the ``n_blocks`` unordered block
+    pairs it participates in; a keyed shuffle co-locates each (i ≤ j) block
+    pair in one task, which does a single float64 matmul between the two
+    sides and emits qualifying (id_a < id_b) pairs. No full-table driver
+    materialization, no whole-table broadcast: per-task memory is bounded by
+    two blocks (pick ``n_blocks`` ≈ N·dim·8 / task-heap), replication factor
+    is ``n_blocks`` (≈ √tasks), and the O(N²) FLOPs — inherent to exact
+    low-threshold pair enumeration — spread over n_blocks·(n_blocks+1)/2
+    independent tasks. Each unordered id pair lives in exactly one block
+    pair, so the result needs no dedup pass."""
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id")
+        blk_np = ids.to_numpy(zero_copy_only=False) % n_blocks
+        blk = pa.array(blk_np.astype(np.int32))
+        parts = []
+        for other in range(n_blocks):
+            lo = np.minimum(blk_np, other)
+            hi = np.maximum(blk_np, other)
+            pair = lo * n_blocks + hi
+            parts.append(
+                pa.Table.from_arrays(
+                    [pa.array(pair.astype(np.int64)), ids, blk, batch.column("embedding")],
+                    names=["pair", "vec_id", "blk", "embedding"],
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def score_pair(g: pd.DataFrame) -> pd.DataFrame:
+        pair = int(g["pair"].iloc[0])
+        i, j = pair // n_blocks, pair % n_blocks
+        a = g[g["blk"] == i].drop_duplicates("vec_id")
+        ids_a = a["vec_id"].to_numpy()
+        ma = _normalize(np.asarray(list(a["embedding"]), dtype=np.float64))
+        if i == j:
+            sims = ma @ ma.T
+            # within one block: each unordered pair once via a < b
+            keep = (sims >= threshold) & (ids_a[None, :] > ids_a[:, None])
+            ids_b, sims_ab = ids_a, sims
+        else:
+            # disjoint id sets (id % n_blocks): every cross pair is valid
+            b = g[g["blk"] == j].drop_duplicates("vec_id")
+            ids_b = b["vec_id"].to_numpy()
+            mb = _normalize(np.asarray(list(b["embedding"]), dtype=np.float64))
+            sims_ab = ma @ mb.T
+            keep = sims_ab >= threshold
+        ai, bi = np.nonzero(keep)
+        id_a = np.minimum(ids_a[ai], ids_b[bi])
+        id_b = np.maximum(ids_a[ai], ids_b[bi])
+        cos = np.round(sims_ab[ai, bi], round_decimals)
+        return pd.DataFrame(
+            {
+                "id_a": id_a.astype("int64"),
+                "id_b": id_b.astype("int64"),
+                "cosine": cos.astype("float64"),
+            }
+        )
+
+    return (
+        vectors.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(score_pair, batch_format="pandas")
+    )
+
+
 def embedding_near_dup_pairs(
     candidates: "ray.data.Dataset",
     all_df: "pd.DataFrame",
@@ -113,11 +188,12 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: every (a, b) with a.vec_id <
     b.vec_id and cosine ≥ threshold.
 
-    Exact variant: the full id+vector table (``all_df``, the broadcast small
-    side) is ``ray.put`` once and each candidate batch is scored against it
-    with one matmul — O(batch × all) FLOPs but zero shuffle. The scale path
-    for corpora whose vector table does NOT fit in one object is ``knn_lsh``
-    bucketing (same hyperplane trick) with in-bucket exact rescoring."""
+    SMALL-N broadcast variant (kept for provably node-sized vector tables):
+    the full id+vector table is ``ray.put`` once and each candidate batch is
+    scored against it with one matmul. The registered/scale paths are
+    ``embedding_near_dup_pairs_blocked`` (exact, bounded memory, any
+    threshold) and ``embedding_near_dups_grid`` (guaranteed-recall grid
+    bucketing, prunes when the threshold is high)."""
     ref = ray.put(all_df)
     return candidates.map_batches(
         _pair_scorer_fn,
@@ -160,6 +236,83 @@ def _pair_scorer_fn(batch: pa.Table, all_ref, threshold, round_decimals) -> pa.T
         lambda: _PairScorer(all_ref, threshold, round_decimals),
     )
     return scorer(batch)
+
+
+def embedding_near_dups_grid(
+    vectors: "ray.data.Dataset",
+    threshold: float,
+    n_proj: int = 2,
+    seed: int = 13,
+    round_decimals: int = 6,
+) -> "ray.data.Dataset":
+    """EXACT cosine-threshold self-join with guaranteed-recall grid
+    bucketing — the pruning tier for HIGH thresholds (true near-dups).
+
+    For unit vectors, cosine ≥ θ ⟹ ‖a−b‖ ≤ w = √(2−2θ), so along any unit
+    projection the pair differs by < w. Quantize ``n_proj`` deterministic
+    random projections into cells of width w; every vector is emitted to the
+    2^n_proj cells {c − e : e ∈ {0,1}^n_proj}; any qualifying pair then
+    shares ≥ 1 emitted cell (per-dim min(c_a, c_b) is emitted by both), so
+    recall is exactly 1 — no LSH luck involved. In-cell exact rescore; a
+    final (id_a, id_b) groupby dedups multi-cell hits. Pruning is real when
+    w is small vs the projected spread (θ ≥ ~0.7); at low θ the cells cover
+    everything and ``embedding_near_dup_pairs_blocked`` is the right tier.
+    """
+    w = float(np.sqrt(max(2.0 - 2.0 * threshold, 1e-12)))
+    rng = np.random.RandomState(seed)
+
+    def make_planes(dim: int) -> np.ndarray:
+        p = rng.normal(size=(dim, n_proj))
+        return p / np.linalg.norm(p, axis=0, keepdims=True)
+
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _normalize(_stack(batch.column("embedding")))
+        planes = planes_cache.setdefault(m.shape[1], make_planes(m.shape[1]))
+        cells = np.floor((m @ planes) / w).astype(np.int64)  # (n, n_proj)
+        parts = []
+        for mask in range(1 << n_proj):
+            off = np.array(
+                [(mask >> d) & 1 for d in range(n_proj)], dtype=np.int64
+            )
+            c = cells - off[None, :]
+            # pack the n_proj cell coords into one int64 key (21 bits each)
+            key = np.zeros(len(ids), dtype=np.int64)
+            for d in range(n_proj):
+                key = key * (1 << 21) + (c[:, d] & ((1 << 21) - 1))
+            parts.append(
+                pa.Table.from_arrays(
+                    [pa.array(key), pa.array(ids.astype(np.int64)), batch.column("embedding")],
+                    names=["cell", "vec_id", "embedding"],
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def score_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
+        sims = m @ m.T
+        keep = (sims >= threshold) & (ids[None, :] > ids[:, None])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai].astype("int64"),
+                "id_b": ids[bi].astype("int64"),
+                "cosine": np.round(sims[ai, bi], round_decimals).astype("float64"),
+            }
+        )
+
+    cand = (
+        vectors.map_batches(replicate, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(score_cell, batch_format="pandas")
+    )
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
 
 # ----------------------------------------------------------------- IVF path

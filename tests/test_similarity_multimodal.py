@@ -80,3 +80,68 @@ def test_media_plumbing_deterministic_fake():
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         DecodeStub(fake=False)._decode(b"payload")
+
+
+def test_embedding_near_dups_blocked_matches_broadcast_exact():
+    """Block-pair distributed exact join ≡ broadcast exact join (same pairs,
+    same rounded cosines) on the real embeddings table."""
+    import pyarrow.parquet as pq
+
+    from multiomics_biocypher_kg_ray.stages.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    all_df = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    blocked = (
+        embedding_near_dup_pairs_blocked(ds, threshold=0.3, n_blocks=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    bcast = (
+        embedding_near_dup_pairs(ds, all_df, threshold=0.3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(blocked, bcast)
+
+
+def test_embedding_near_dups_grid_guaranteed_recall_on_planted_dups():
+    """Grid bucketing must find EVERY pair ≥ θ (recall exactly 1 by the
+    per-dim adjacent-cell cover), verified against brute force on a corpus
+    with planted high-cosine near-duplicates."""
+    from multiomics_biocypher_kg_ray.stages.similarity import (
+        embedding_near_dup_pairs_blocked,
+        embedding_near_dups_grid,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(120, 16))
+    rows = []
+    vid = 0
+    for i in range(120):
+        rows.append({"vec_id": vid, "embedding": base[i].tolist()}); vid += 1
+        if i % 4 == 0:  # plant a near-dup: tiny perturbation → cosine ≈ 0.99+
+            rows.append(
+                {"vec_id": vid, "embedding": (base[i] + rng.normal(scale=0.02, size=16)).tolist()}
+            ); vid += 1
+    ds = ray.data.from_items(rows).map_batches(
+        lambda t: t, batch_size=32, batch_format="pyarrow"
+    )
+    theta = 0.95
+    exact = (
+        embedding_near_dup_pairs_blocked(ds, threshold=theta, n_blocks=4)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    grid = (
+        embedding_near_dups_grid(ds, threshold=theta, n_proj=2)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(exact) >= 25  # the planted dups are actually found
+    pd.testing.assert_frame_equal(grid, exact)
