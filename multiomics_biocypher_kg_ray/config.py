@@ -46,6 +46,16 @@ DEFAULT_RULES: tuple[ExtractionRule, ...] = (
     ExtractionRule("r_merge", r"(\w+) merge (\w+)", "merges_with"),
     ExtractionRule("r_filter", r"(\w+) filter (\w+)", "filters", applies_role=("user",)),
     ExtractionRule("r_scan", r"(\w+) scan (\w+)", "scans"),
+    # chained-transform rule (M7 coverage in the kg_mentions oracle): the
+    # two-token subject context collapses to its first token via the
+    # transform chain — engine (functions.transforms.compile_chain) and
+    # oracle (transforms.sql_chain) compose the SAME named transforms
+    ExtractionRule(
+        "r_group",
+        r"(\w+ \w+) group (\w+)",
+        "groups",
+        transforms=("normalize_ws", "first_token_space"),
+    ),
 )
 
 

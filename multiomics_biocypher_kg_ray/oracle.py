@@ -47,11 +47,25 @@ transcripts AS (
 def _rule_select(rule: ExtractionRule) -> str:
     roles = ", ".join(f"'{r}'" for r in rule.applies_role)
     # zipped unnest over the two capture groups (DuckDB zips parallel unnests)
-    return f"""
+    base = f"""
   SELECT conv_id, turn_idx, '{rule.rule_id}' AS rule_id, '{rule.predicate}' AS pred,
          unnest(regexp_extract_all(text, '{rule.pattern}', 1)) AS subj_text,
          unnest(regexp_extract_all(text, '{rule.pattern}', 2)) AS obj_text
   FROM transcripts WHERE role IN ({roles})""".strip()
+    if not rule.transforms:
+        return base
+    # chained transforms: compose the registered DuckDB twins around both
+    # sides, in the same order the engine's compile_chain applies them
+    from .functions.transforms import sql_chain
+
+    s_expr = sql_chain(rule.transforms, "subj_text")
+    o_expr = sql_chain(rule.transforms, "obj_text")
+    return (
+        f"  SELECT conv_id, turn_idx, rule_id, pred,\n"
+        f"         {s_expr} AS subj_text,\n"
+        f"         {o_expr} AS obj_text\n"
+        f"  FROM (\n{base}\n  )"
+    )
 
 
 def mentions_cte(rules: tuple[ExtractionRule, ...] = DEFAULT_RULES) -> str:
