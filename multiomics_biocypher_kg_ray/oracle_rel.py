@@ -416,6 +416,82 @@ FROM v a JOIN v b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= {threshold}"""
 
 
+def sql_dag_closure_levels(cap: int = 4096) -> str:
+    """Twin of ``q_dag_closure_levels``: recursive-CTE root-path depths over
+    the key-derived DAG (parents k//2 and k//3); UNION dedup keeps the state
+    space at nodes × max_depth."""
+    return f"""
+WITH RECURSIVE keys AS (
+  SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey <= {cap}
+),
+e2 AS (
+  SELECT child, parent FROM (
+    SELECT k AS child, k // 2 AS parent FROM keys WHERE k // 2 >= 1 AND k // 2 <> k
+    UNION
+    SELECT k, k // 3 FROM keys WHERE k // 3 >= 1 AND k // 3 <> k
+  ) WHERE parent IN (SELECT k FROM keys)
+),
+paths(node, depth) AS (
+  SELECT k, 0 FROM keys WHERE k NOT IN (SELECT child FROM e2)
+  UNION
+  SELECT e2.child, p.depth + 1 FROM paths p JOIN e2 ON e2.parent = p.node
+)
+SELECT 'n' || node AS node, min(depth)::BIGINT AS min_depth,
+       max(depth)::BIGINT AS max_depth,
+       (min(depth) <> max(depth)) AS is_best_effort
+FROM paths GROUP BY 1"""
+
+
+def sql_tree_prune(cap: int = 4096) -> str:
+    """Twin of ``q_tree_prune``: the curated code tree is generated from the
+    same ranges; anchor = longest dot-prefix present (find_ancestor); kept =
+    prefixes ∪ extensions of every anchor; unresolvable seeds surface as
+    alias rows with anchor ''."""
+    return f"""
+WITH hier AS (
+  SELECT (c + 1)::VARCHAR AS code FROM range(3) t(c)
+  UNION ALL
+  SELECT (c + 1) || '.' || chr((65 + l)::INTEGER) FROM range(3) t(c), range(5) u(l)
+  UNION ALL
+  SELECT (c + 1) || '.' || chr((65 + l)::INTEGER) || '.' || (f + 1)
+  FROM range(3) t(c), range(5) u(l), range(7) v(f)
+  UNION ALL
+  SELECT (c + 1) || '.' || chr((65 + l)::INTEGER) || '.' || (f + 1) || '.' || (s + 1)
+  FROM range(3) t(c), range(5) u(l), range(7) v(f), range(5) w(s)
+),
+seeds AS (
+  SELECT DISTINCT CASE
+    WHEN k % 13 = 0 THEN '9.Z.9.9'
+    WHEN k % 2 = 1 THEN base || '.' || (k % 6 + 1)
+    ELSE base END AS seed
+  FROM (
+    SELECT k, (k % 3 + 1) || '.' || chr((65 + k % 5)::INTEGER) || '.' || (k % 7 + 1)
+              || '.' || (k % 4 + 1) AS base
+    FROM (SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey <= {cap})
+  )
+),
+anchors AS (
+  SELECT seed,
+         CASE WHEN seed IN (SELECT code FROM hier) THEN seed
+              ELSE (SELECT code FROM hier
+                    WHERE seed LIKE code || '.%'
+                    ORDER BY length(code) DESC LIMIT 1) END AS anchor
+  FROM seeds
+),
+kept AS (
+  SELECT DISTINCT h.code FROM hier h
+  JOIN anchors a ON a.anchor IS NOT NULL
+                AND (a.anchor = h.code OR a.anchor LIKE h.code || '.%')
+  UNION
+  SELECT DISTINCT h.code FROM hier h
+  JOIN anchors a ON a.anchor IS NOT NULL AND h.code LIKE a.anchor || '.%'
+)
+SELECT 'kept' AS kind, code AS id, '' AS anchor FROM kept
+UNION ALL
+SELECT 'alias', seed, coalesce(anchor, '')
+FROM anchors WHERE seed NOT IN (SELECT code FROM hier)"""
+
+
 def sql_vocab_top_terms(k: int = 50) -> str:
     return f"""
 WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),

@@ -398,6 +398,82 @@ def q_region_rollup(sf_dir: str):
     return relational.tree_rollup(cust, "c_nationkey", closure)
 
 
+HIERARCHY_KEY_CAP = 4096  # hierarchies are 10^2-10^4 nodes (SURVEY §2.9)
+
+
+def _part_keys(sf_dir: str) -> list[int]:
+    """Distinct part keys ≤ cap — the deterministic seed universe for the
+    hierarchy operators. Bounded by contract (mirrored in the oracle SQL),
+    so the driver-side pull is hierarchy-sized, never data-proportional."""
+    ks = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("p_partkey"), HIERARCHY_KEY_CAP)),
+        batch_format="pyarrow",
+    )
+    return sorted({int(k) for k in ks.unique("p_partkey")})
+
+
+def q_dag_closure_levels(sf_dir: str):
+    """DAG min/max-depth levels with best-effort flag (go_utils.py:255-290
+    semantics) over a deterministic key-derived DAG: node k has parents
+    k//2 and k//3 (two parent relations ⇒ min ≠ max on many nodes)."""
+    from ..stages.hierarchy import dag_levels
+
+    keys = set(_part_keys(sf_dir))
+    parents = {
+        f"n{k}": sorted(
+            {f"n{p}" for p in (k // 2, k // 3) if p >= 1 and p in keys and p != k}
+        )
+        for k in keys
+    }
+    return dag_levels(parents)
+
+
+def _tcdb_like_hierarchy() -> set[str]:
+    """Deterministic dot-segment code tree (TCDB-shape): 3 classes × 5
+    letters × 7 families × 5 subfamilies, plus all prefixes."""
+    hier: set[str] = set()
+    for c in range(1, 4):
+        hier.add(f"{c}")
+        for li in range(5):
+            letter = chr(65 + li)
+            hier.add(f"{c}.{letter}")
+            for f in range(1, 8):
+                hier.add(f"{c}.{letter}.{f}")
+                for s in range(1, 6):
+                    hier.add(f"{c}.{letter}.{f}.{s}")
+    return hier
+
+
+def _tcdb_like_seed(k: int) -> str:
+    base = f"{k % 3 + 1}.{chr(65 + k % 5)}.{k % 7 + 1}.{k % 4 + 1}"
+    if k % 13 == 0:
+        return "9.Z.9.9"  # unresolvable: reported via alias '' (never silent)
+    if k % 2 == 1:
+        return f"{base}.{k % 6 + 1}"  # deeper than curated → ancestor truncation
+    return base
+
+
+def q_tree_prune(sf_dir: str):
+    """Seed-based bidirectional prune with dot-segment ancestor remap (J6;
+    build_kegg_metabolism_xrefs.py:597-672): kept subtree codes plus the
+    seed→anchor alias table (anchor '' = unresolvable, reported)."""
+    from ..stages.hierarchy import tree_prune
+
+    hier = _tcdb_like_hierarchy()
+    seeds = sorted({_tcdb_like_seed(k) for k in _part_keys(sf_dir)})
+    kept, aliases = tree_prune(hier, seeds)
+    kinds, ids, anchors = [], [], []
+    for code in sorted(kept):
+        kinds.append("kept")
+        ids.append(code)
+        anchors.append("")
+    for seed in sorted(aliases):
+        kinds.append("alias")
+        ids.append(seed)
+        anchors.append(aliases[seed])
+    return pa.table({"kind": kinds, "id": ids, "anchor": anchors})
+
+
 def q_table_counts(sf_dir: str):
     counts = [
         (t, _read(sf_dir, t).count()) for t in TABLES
@@ -573,6 +649,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         ),
         "user_value_flags": (q_user_value_flags, oracle_rel.sql_user_value_flags()),
         "region_rollup": (q_region_rollup, oracle_rel.sql_region_rollup()),
+        # hierarchy operators (SURVEY §2.9)
+        "dag_closure_levels": (q_dag_closure_levels, oracle_rel.sql_dag_closure_levels()),
+        "tree_prune": (q_tree_prune, oracle_rel.sql_tree_prune()),
         # text analysis
         "text_stats": (q_text_stats, oracle_rel.sql_text_stats()),
         "lang_id": (q_lang_id, oracle_rel.sql_lang_id()),
