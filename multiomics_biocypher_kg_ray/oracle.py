@@ -240,6 +240,20 @@ SELECT conv_id, turn_idx, raw_mention, reason FROM (
 ) WHERE reason IN {bad}"""
 
 
+def sql_kg_link_stats() -> str:
+    """Per-method resolution stats over both mention sides — twin of
+    ``link.resolution_stats`` (the diagnostic-report counts)."""
+    return f"""{_kg_prefix()},
+sides AS (
+  SELECT subj_method AS method, subj_text AS alias FROM linked
+  UNION ALL
+  SELECT obj_method, obj_text FROM linked
+)
+SELECT method, count(*)::BIGINT AS n_mentions,
+       count(DISTINCT alias)::BIGINT AS n_distinct_aliases
+FROM sides GROUP BY 1"""
+
+
 def sql_kg_components() -> str:
     return f"WITH RECURSIVE {canon_ctes()} SELECT member, component_key, canonical_id FROM canon"
 

@@ -146,6 +146,20 @@ def run_kg_to_parquet(
             f"{out_dir}/reports/dangling_edges/empty.parquet",
         )
     manifest["dangling_edges"] = n_dang
+    # canonicalization diagnostics (gene_id_graph.py:345-409 analog):
+    # per-method stats + conflict table + reclassification warnings as
+    # first-class report outputs, not log lines
+    from ..stages.link import canonicalization_report
+
+    cfg = cfg or KGConfig()
+    report = canonicalization_report(res.linked, cfg.aliases)
+    report["method_stats"].write_parquet(f"{out_dir}/reports/link_method_stats")
+    import pyarrow.parquet as pq
+
+    pq.write_table(report["conflicts"], f"{out_dir}/reports/conflicts.parquet")
+    manifest["link_methods"] = report["method_stats"].count()
+    manifest["conflict_aliases"] = report["conflicts"].num_rows
+    manifest["warnings"] = report["warnings"]
     # rollups
     deg = node_degree(res.edges)
     deg.write_parquet(f"{out_dir}/rollups/node_degree")
@@ -153,4 +167,10 @@ def run_kg_to_parquet(
     rk.write_parquet(f"{out_dir}/rollups/edge_rank")
     cs = conv_stats(res.transcripts, res.linked)
     cs.write_parquet(f"{out_dir}/rollups/conv_stats")
+    # re-dump the manifest with the full key set (write_graph wrote only the
+    # node/edge counts before the report/rollup phases ran)
+    import json
+
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest

@@ -91,6 +91,12 @@ def q_kg_unresolved(sf_dir: str):
     return unresolved_report(_linked(sf_dir))
 
 
+def q_kg_link_stats(sf_dir: str):
+    from ..stages.link import resolution_stats
+
+    return resolution_stats(_linked(sf_dir))
+
+
 def q_kg_components(sf_dir: str):
     # sf-independent; exercises the DISTRIBUTED label-propagation path
     return canonical_map(
@@ -603,6 +609,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_mentions": (q_kg_mentions, oracle.sql_kg_mentions()),
         "kg_linked": (q_kg_linked, oracle.sql_kg_linked()),
         "kg_unresolved": (q_kg_unresolved, oracle.sql_kg_unresolved()),
+        "kg_link_stats": (q_kg_link_stats, oracle.sql_kg_link_stats()),
         "kg_components": (q_kg_components, oracle.sql_kg_components()),
         "kg_components_data": (q_kg_components_data, oracle.sql_kg_components_data()),
         "kg_nodes": (q_kg_nodes, oracle.sql_kg_nodes()),

@@ -197,6 +197,91 @@ def link_mentions(
 UNRESOLVED_REASONS = (METHOD_UNRESOLVED, METHOD_AMBIGUOUS, METHOD_TIER1_CONFLICT)
 
 
+def resolution_stats(linked: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-method resolution statistics over both mention sides:
+    (method, n_mentions, n_distinct_aliases) — the distributed analog of the
+    reference's per-id_type diagnostic counts
+    (``gene_id_graph.py:345-383`` ``build_diagnostic_report``).
+
+    Combiner shape: per-batch (method, alias) distinct + counts, then one
+    keyed shuffle over (method, alias) partials, then the tiny per-method
+    rollup."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for side in ("subj", "obj"):
+            parts.append(
+                pa.Table.from_arrays(
+                    [batch.column(f"{side}_method"), batch.column(f"{side}_text")],
+                    names=["method", "alias"],
+                )
+            )
+        t = pa.concat_tables(parts)
+        g = t.group_by(["method", "alias"]).aggregate([([], "count_all")])
+        return g.rename_columns(["method", "alias", "n"])
+
+    per_alias = (
+        linked.map_batches(partial, batch_format="pyarrow")
+        .groupby(["method", "alias"])
+        .aggregate(Sum("n", alias_name="n_mentions"))
+    )
+    return (
+        per_alias.groupby("method")
+        .aggregate(
+            Sum("n_mentions", alias_name="n_mentions"),
+            Count(alias_name="n_distinct_aliases"),
+        )
+        .map_batches(
+            lambda t: t.select(["method", "n_mentions", "n_distinct_aliases"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def canonicalization_report(
+    linked: "ray.data.Dataset", aliases
+) -> dict:
+    """First-class canonicalization diagnostics (the ``gene_id_graph.py:
+    345-409`` report as tables, not log lines):
+
+    - ``method_stats``: Dataset (method, n_mentions, n_distinct_aliases);
+    - ``conflicts``: pa.Table (alias, candidates) — the tier-1 conflict
+      dictionary, recorded and never guessed;
+    - ``warnings``: list[str] — reclassification hints computed from the
+      observed method mix (ambiguous-heavy dictionaries, any conflict hits).
+    """
+    stats_ds = resolution_stats(linked).materialize()
+    stats = {
+        r["method"]: (int(r["n_mentions"]), int(r["n_distinct_aliases"]))
+        for r in stats_ds.take_all()
+    }
+    total = sum(n for n, _ in stats.values()) or 1
+    warnings: list[str] = []
+    n_conf = stats.get(METHOD_TIER1_CONFLICT, (0, 0))[0]
+    if n_conf:
+        warnings.append(
+            f"[CONFLICT] {n_conf} mention(s) hit tier-1 conflict aliases — "
+            "check dictionary quality."
+        )
+    n_amb = stats.get(METHOD_AMBIGUOUS, (0, 0))[0]
+    if n_amb * 100 > total * 10:
+        warnings.append(
+            f"[RECLASSIFY?] {n_amb * 100 // total}% of mentions are ambiguous "
+            "multi-candidate aliases — consider promoting frequent ones to tier 1."
+        )
+    conflicts = pa.table(
+        {
+            "alias": sorted(aliases.conflicts),
+            "candidates": [
+                "|".join(aliases.conflicts[a]) for a in sorted(aliases.conflicts)
+            ],
+        }
+    )
+    return {"method_stats": stats_ds, "conflicts": conflicts, "warnings": warnings}
+
+
 def unresolved_report(linked: "ray.data.Dataset") -> "ray.data.Dataset":
     """First-class diagnostics table (resolve_paper_ids.py:590-656 analog):
     one row per unresolved mention side with its reason."""

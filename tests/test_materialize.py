@@ -121,3 +121,33 @@ def test_build_graph_tables_matches_standalone_builders():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(e1[e2.columns], e2)
+
+
+def test_run_kg_to_parquet_emits_canonicalization_report(tmp_path):
+    """The diagnostics report (gene_id_graph.py:345-409 analog) is a
+    first-class output: per-method stats parquet, conflict table, warnings
+    and full manifest keys on disk."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from multiomics_biocypher_kg_ray.pipelines.kg import run_kg_to_parquet
+    from multiomics_biocypher_kg_ray.sources.transcripts import transcripts_dataset
+
+    out = str(tmp_path / "kg")
+    m = run_kg_to_parquet(transcripts_dataset("/root/testdata/sf0.001"), out)
+    assert m["link_methods"] >= 3  # tier1_exact / tier2_singleton / unresolved…
+    assert m["conflict_aliases"] == 1  # 'value' is the configured conflict
+    stats = pq.read_table(f"{out}/reports/link_method_stats").to_pandas()
+    assert set(stats.columns) == {"method", "n_mentions", "n_distinct_aliases"}
+    assert "tier1_exact" in set(stats["method"])
+    assert (stats["n_mentions"] >= stats["n_distinct_aliases"]).all()
+    conf = pq.read_table(f"{out}/reports/conflicts.parquet").to_pandas()
+    assert list(conf["alias"]) == ["value"]
+    assert conf["candidates"].iloc[0] == "term:value_a|term:value_b"
+    # manifest on disk carries the FULL key set, including report keys
+    disk = json.load(open(f"{out}/manifest.json"))
+    for k in ("nodes", "edges", "unresolved", "link_methods", "warnings"):
+        assert k in disk
+    assert os.path.isdir(f"{out}/rollups/edge_rank")
