@@ -137,7 +137,11 @@ def run_bench() -> dict:
 
     from multiomics_biocypher_kg_ray.pipelines.queries import (
         q_dedup_exact,
+        q_embedding_near_dups,
+        q_event_percentiles,
+        q_jaccard_pairs,
         q_knn_cosine,
+        q_lsh_candidate_pairs,
         q_minhash_bands,
         q_pricing_summary,
         q_sessionize,
@@ -151,12 +155,62 @@ def run_bench() -> dict:
         ("minhash_bands", q_minhash_bands),
         ("knn_cosine", q_knn_cosine),
         ("dedup_exact", q_dedup_exact),
+        # heavy finalizers reworked in round 2 — tracked per-round so the
+        # sort+split-numbering rank path and the capped LSH/jaccard joins
+        # show regressions immediately
+        ("event_percentiles", q_event_percentiles),
+        ("lsh_candidate_pairs", q_lsh_candidate_pairs),
+        ("jaccard_pairs", q_jaccard_pairs),
+        ("embedding_near_dups", q_embedding_near_dups),
     ]:
         t = time.time()
         out = fn(SF_DIR)
         if hasattr(out, "count"):
             out.count()
         queries[name] = round(time.time() - t, 3)
+
+    # edge_rank over the freshly-built graph edges (predicate-skewed input)
+    from multiomics_biocypher_kg_ray.stages.materialize import edge_rank
+
+    t = time.time()
+    edge_rank(res.edges).count()
+    queries["edge_rank"] = round(time.time() - t, 3)
+
+    # distributed CC on DATA-DERIVED edges (config graph is entity-bounded
+    # and exercises nothing): learned mention-co-occurrence edges from a
+    # deterministic slice of the bench transcript stream, ≥1M edges
+    from multiomics_biocypher_kg_ray.stages.canonicalize import (
+        connected_components_distributed,
+        learned_equiv_edges,
+    )
+
+    from multiomics_biocypher_kg_ray.config import default_alias_dictionary
+    from multiomics_biocypher_kg_ray.pipelines.kg import _fused_extract_link
+    from multiomics_biocypher_kg_ray.stages.link import AliasIndex
+
+    cc_turns = int(os.environ.get("GRAFT_CC_TURNS", "2000000"))
+    t = time.time()
+    sl = ray.data.read_parquet(
+        tdir, columns=["conv_id", "turn_idx", "role", "text"]
+    ).limit(cc_turns)
+    idx_ref = ray.put(AliasIndex(default_alias_dictionary()))
+    linked_cc = sl.map_batches(
+        _fused_extract_link,
+        fn_kwargs={"rules": KGConfig().rules, "index_ref": idx_ref},
+        batch_format="pyarrow",
+    )
+    cc_stats: dict = {}
+    comps = connected_components_distributed(
+        learned_equiv_edges(linked_cc), stats=cc_stats
+    )
+    cc_members = comps.count()
+    queries["cc_data"] = round(time.time() - t, 3)
+    cc_info = {
+        "edges": cc_stats.get("n_edges", 0),
+        "rounds": cc_stats.get("rounds", 0),
+        "members": cc_members,
+        "sec": queries["cc_data"],
+    }
 
     result = {
         "metric": "kg_build_sec",
@@ -168,6 +222,7 @@ def run_bench() -> dict:
         "turns": n_turns,
         "mentions": n_mentions,
         "turns_per_sec": round(n_turns / headline, 1),
+        "cc_data": cc_info,
     }
     ray.shutdown()
     return result

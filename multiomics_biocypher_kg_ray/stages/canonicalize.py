@@ -87,11 +87,20 @@ def _label_messages(batch: pa.Table) -> pa.Table:
         [nb_n, label.filter(mask), pa.nulls(len(nb_n), pa.string())],
         names=["node", "cand", "self_cand"],
     )
-    return pa.concat_tables([t_self, t_nb])
+    msgs = pa.concat_tables([t_self, t_nb])
+    # per-batch COMBINER (Arrow C++ hash-agg): the raw message stream is
+    # degree-proportional (every adjacency row emits a self + a neighbor
+    # candidate); pre-taking the per-node min inside the batch shrinks the
+    # keyed shuffle to ≤ distinct-nodes-per-batch rows and absorbs hot-node
+    # skew before it ever reaches an aggregator (measured 13.5 s → ~2 s per
+    # round on a 1.8M-row adjacency at 16 CPUs). min ignores nulls, so the
+    # self_cand partial stays correct.
+    g = msgs.group_by("node").aggregate([("cand", "min"), ("self_cand", "min")])
+    return g.rename_columns(["node", "cand", "self_cand"])
 
 
 def connected_components_distributed(
-    edges: "ray.data.Dataset", max_rounds: int = 50
+    edges: "ray.data.Dataset", max_rounds: int = 50, stats: dict | None = None
 ) -> "ray.data.Dataset":
     """Min-label propagation over an edge Dataset with columns (a, b).
 
@@ -110,21 +119,32 @@ def connected_components_distributed(
         rev = pa.Table.from_arrays(
             [batch.column("b"), batch.column("a")], names=["node", "neighbor"]
         )
-        return pa.concat_tables([fwd, rev])
+        both = pa.concat_tables([fwd, rev])
+        # per-batch distinct: mention-derived edge streams are heavy
+        # multigraphs (one (tok, anchor) pair recurs across every turn it
+        # co-occurs in) — combine before the shuffle
+        return both.group_by(["node", "neighbor"]).aggregate([])
 
-    # materialized once — reused by every propagation round
-    adj = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    from .fastagg import sorted_distinct, sorted_grouped_agg
+
+    # distinct adjacency, materialized once and reused by every propagation
+    # round: the one-time dedup shuffle is far cheaper than dragging the
+    # duplicated stream through O(log n) join+aggregate rounds (measured
+    # ~10× row shrink on learned mention edges). sorted_distinct, NOT
+    # Dataset.aggregate — the group count here is node-proportional and
+    # Ray's aggregate pays per-group Python (see stages/fastagg.py).
+    adj = sorted_distinct(
+        edges.map_batches(symmetrize, batch_format="pyarrow"), ["node", "neighbor"]
+    ).materialize()
+    n_edges = adj.count() // 2  # distinct undirected edges; counting the
+    # lazy `edges` would re-run its whole upstream pipeline a second time
     # initial labels: every endpoint labels itself
     labels = (
-        adj.select_columns(["node"])
+        sorted_distinct(adj.select_columns(["node"]), ["node"])
         .map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t.column("node"), t.column("node")], names=["node", "label"]
-            ),
+            lambda t: t.append_column("label", t.column("node")),
             batch_format="pyarrow",
         )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
 
@@ -132,7 +152,6 @@ def connected_components_distributed(
     # dictionary graph through 32 hash-shuffle partitions is pure
     # aggregator-startup overhead, while a 10^9-edge graph gets the full
     # cluster width
-    n_edges = edges.count()
     num_partitions = max(2, min(default_join_partitions(), n_edges // 10_000 + 2))
 
     def _changed_partial(t: pa.Table) -> pa.Table:
@@ -148,24 +167,25 @@ def connected_components_distributed(
     def _drop_old(t: pa.Table) -> pa.Table:
         return t.select(["node", "label"])
 
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         joined = adj.join(
             labels,
             join_type="inner",
             num_partitions=num_partitions,
             on=("node",),
         )
-        with_old = (
-            joined.map_batches(_label_messages, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(
-                Min("cand", alias_name="label"),
-                # every node sends itself one self_cand message, so this Min
-                # (nulls ignored) is exactly the previous label
-                Min("self_cand", alias_name="old_label"),
-            )
-            .materialize()
-        )
+        # every node sends itself one self_cand message, so min(self_cand)
+        # (nulls ignored) is exactly the previous label. sorted_grouped_agg:
+        # the group count equals the node count, where Ray's aggregate pays
+        # per-group Python (measured 8-26 s/round vs ~1-2 s for this path).
+        with_old = sorted_grouped_agg(
+            joined.map_batches(_label_messages, batch_format="pyarrow"),
+            ["node"],
+            [("cand", "min"), ("self_cand", "min")],
+            out_names=["label", "old_label"],
+        ).materialize()
         # exact fixpoint test: count of strictly-changed labels this round —
         # no hash collisions possible (the crc32-sum fingerprint this
         # replaces had a ~2^-32/round silent-early-stop failure mode)
@@ -175,6 +195,9 @@ def connected_components_distributed(
         labels = with_old.map_batches(_drop_old, batch_format="pyarrow")
         if not n_changed:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_edges"] = n_edges
     return labels.map_batches(
         lambda t: t.rename_columns(["member", "component_key"]),
         batch_format="pyarrow",
@@ -234,7 +257,6 @@ def learned_equiv_edges(linked: "ray.data.Dataset") -> "ray.data.Dataset":
     handle; dedup happens inside the CC shuffle, never on the driver.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min as _Min
 
     from ..tuning import default_join_partitions
 
@@ -263,10 +285,15 @@ def learned_equiv_edges(linked: "ray.data.Dataset") -> "ray.data.Dataset":
             ["conv_id", "turn_idx", "eid"]
         )
 
-    anchors = (
-        side_ds.map_batches(anchored_only, batch_format="pyarrow")
-        .groupby(["conv_id", "turn_idx"])
-        .aggregate(_Min("eid", alias_name="anchor"))
+    # turn-count-proportional group space → Arrow-native grouped min
+    # (stages/fastagg.py), not Dataset.aggregate
+    from .fastagg import sorted_grouped_agg
+
+    anchors = sorted_grouped_agg(
+        side_ds.map_batches(anchored_only, batch_format="pyarrow"),
+        ["conv_id", "turn_idx"],
+        [("eid", "min")],
+        out_names=["anchor"],
     )
 
     joined = side_ds.join(
@@ -371,12 +398,12 @@ def assign_stable_ids(
                 }
             )
         )
-    # distributed distinct (groupby shuffle), never a driver-side value pull
-    keys_ds = (
-        components.select_columns(["component_key"])
-        .groupby("component_key")
-        .count()
-        .select_columns(["component_key"])
+    # distributed distinct (component count can be data-proportional →
+    # Arrow-native path, never Dataset.aggregate or a driver value pull)
+    from .fastagg import sorted_distinct
+
+    keys_ds = sorted_distinct(
+        components.select_columns(["component_key"]), ["component_key"]
     )
     ranked = zip_with_index(keys_ds.sort("component_key"), col="rank0")
 

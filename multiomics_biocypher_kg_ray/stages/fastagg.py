@@ -1,0 +1,165 @@
+"""Arrow-native grouped aggregation for DATA-PROPORTIONAL group counts.
+
+Ray's built-in ``Dataset.groupby().aggregate(...)`` pays per-GROUP Python
+overhead in its reduce (measured: 26 s for 160K groups vs 4 s for 100 groups
+on identical row counts at 16 CPUs) — fine for the small rollup keyspaces in
+``relational.py`` (they pre-combine then reduce a few thousand groups), fatal
+when the group count scales with the data (one group per graph node, per
+turn, per document…).
+
+``sorted_grouped_agg`` computes the same exact result with zero per-group
+Python:
+
+1. per-batch partial combine (pyarrow ``Table.group_by`` — C++ hash agg);
+2. one range-partitioned ``sort`` on the keys (Ray's sort is sample-based
+   and cheap: the same 320K-row input sorts in ~0.2 s);
+3. per-BLOCK C++ group_by over the sorted partials. Sorted order means a
+   key whose rows sit strictly inside one block is globally complete —
+   emitted as-is. Only the first/last key of each block can straddle a
+   block boundary;
+4. those edge keys (≤ 2 per block, hundreds of rows total at any scale)
+   are collapsed exactly in one tiny task.
+
+Supported agg fns are the associative pyarrow hash-agg kernels the partial/
+final composition is valid for ("min", "max", "sum"); "count" composes as
+partial count + final sum. Null handling matches Ray's default
+``ignore_nulls=True`` (pyarrow hash kernels skip nulls).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_FINAL_FN = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
+
+
+def _agg_names(keys: list[str], aggs: list[tuple[str, str]]) -> list[str]:
+    return list(keys) + [f"{c}_{fn}" for c, fn in aggs]
+
+
+def sorted_grouped_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    out_names: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Exact grouped aggregation, Arrow-native end to end.
+
+    ``aggs`` is [(column, fn)] with fn ∈ {min, max, sum, count}. Output
+    columns are keys + ``out_names`` (default ``<col>_<fn>``). Scale shape:
+    one sample-sort shuffle; no task ever iterates groups in Python.
+    """
+    partial_specs = [(c, fn) for c, fn in aggs]
+    inter_names = _agg_names(keys, aggs)
+    final_specs = [(n, _FINAL_FN[fn]) for n, (c, fn) in zip(inter_names[len(keys):], aggs)]
+    out_cols = list(keys) + (out_names or inter_names[len(keys):])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(partial_specs)
+        return g.rename_columns(inter_names)
+
+    def finalize_block(t: pa.Table) -> pa.Table:
+        """Per sorted block: C++ group_by, then tag edge keys (first/last
+        key tuple of the block) that may straddle a boundary."""
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], t.schema.field(k).type) for k in keys},
+                 **{n: pa.array([], t.schema.field(n).type) for n in inter_names[len(keys):]},
+                 "_edge": pa.array([], pa.bool_())}
+            )
+        g = t.group_by(keys).aggregate(final_specs)
+        g = g.rename_columns(inter_names)
+        mask_first = None
+        mask_last = None
+        for k in keys:
+            col = t.column(k)
+            first_v, last_v = col[0], col[len(col) - 1]
+            mf = pc.equal(g.column(k), first_v)
+            ml = pc.equal(g.column(k), last_v)
+            mask_first = mf if mask_first is None else pc.and_(mask_first, mf)
+            mask_last = ml if mask_last is None else pc.and_(mask_last, ml)
+        edge = pc.or_(mask_first, mask_last)
+        return g.append_column("_edge", pc.fill_null(edge, True))
+
+    def collapse_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_edge"])
+        g = t.drop_columns(["_edge"]).group_by(keys).aggregate(final_specs)
+        return g.rename_columns(inter_names)
+
+    def drop_flag(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["_edge"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    tagged = (
+        partials.sort(keys)
+        .map_batches(finalize_block, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    interior = tagged.map_batches(
+        lambda t: drop_flag(t.filter(pc.invert(t.column("_edge")))),
+        batch_format="pyarrow",
+    )
+    edges_fixed = (
+        tagged.map_batches(
+            lambda t: t.filter(t.column("_edge")), batch_format="pyarrow"
+        )
+        .repartition(1)
+        .map_batches(
+            lambda t: collapse_edges(t),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=1,
+        )
+    )
+    out = interior.union(edges_fixed)
+    if out_cols != inter_names:
+        out = out.map_batches(
+            lambda t: t.rename_columns(out_cols), batch_format="pyarrow"
+        )
+    return out
+
+
+def sorted_distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
+    """Exact distinct over data-proportional key spaces, same machinery."""
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(keys).group_by(keys).aggregate([])
+
+    def finalize_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_edge", pa.array([], pa.bool_()))
+        g = t.group_by(keys).aggregate([])
+        mask_first = None
+        mask_last = None
+        for k in keys:
+            col = t.column(k)
+            mf = pc.equal(g.column(k), col[0])
+            ml = pc.equal(g.column(k), col[len(col) - 1])
+            mask_first = mf if mask_first is None else pc.and_(mask_first, mf)
+            mask_last = ml if mask_last is None else pc.and_(mask_last, ml)
+        return g.append_column("_edge", pc.fill_null(pc.or_(mask_first, mask_last), True))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    tagged = (
+        partials.sort(keys)
+        .map_batches(finalize_block, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    interior = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("_edge"))).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edges_fixed = (
+        tagged.map_batches(lambda t: t.filter(t.column("_edge")), batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: t.drop_columns(["_edge"]).group_by(keys).aggregate([]),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=1,
+        )
+    )
+    return interior.union(edges_fixed)
