@@ -23,6 +23,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..arrow_util import pa_from_pandas
+
 from ..functions.textfn import (
     lsh_bands,
     md5_hex,
@@ -160,7 +162,7 @@ def lsh_candidate_pairs(bands: "ray.data.Dataset", cap: int = LSH_BUCKET_CAP) ->
             for j in range(i + 1, len(ids)):
                 rows_a.append(ids[i])
                 rows_b.append(ids[j])
-        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b})
+        return pa_from_pandas(pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b}))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -245,7 +247,7 @@ def simhash_near_dups(
                     rows["doc_a"].append(int(ids[i]))
                     rows["doc_b"].append(int(ids[j]))
                     rows["hamming"].append(ham)
-        return pd.DataFrame(rows)
+        return pa_from_pandas(pd.DataFrame(rows))
 
     exploded = simhashes(docs).map_batches(explode, batch_format="pyarrow")
     cand = exploded.groupby(["band_idx", "band_val"]).map_groups(
@@ -303,15 +305,17 @@ def ngram_jaccard_pairs(
             for j in range(i + 1, len(ids)):
                 rows_a.append(ids[i])
                 rows_b.append(ids[j])
-        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b})
+        return pa_from_pandas(pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b}))
 
-    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_a": [int(g["doc_a"].iloc[0])],
-                "doc_b": [int(g["doc_b"].iloc[0])],
-                "n_shared": [len(g)],
-            }
+    def count_shared(g: pd.DataFrame) -> pa.Table:
+        return pa_from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": [int(g["doc_a"].iloc[0])],
+                    "doc_b": [int(g["doc_b"].iloc[0])],
+                    "n_shared": [len(g)],
+                }
+            )
         )
 
     inter = (

@@ -20,6 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..arrow_util import pa_from_pandas
 from ..state.broadcast import fetch
 
 
@@ -290,20 +291,20 @@ def embedding_near_dups_grid(
             )
         return pa.concat_tables(parts)
 
-    def score_cell(g: pd.DataFrame) -> pd.DataFrame:
+    def score_cell(g: pd.DataFrame) -> pa.Table:
         g = g.drop_duplicates("vec_id")
         ids = g["vec_id"].to_numpy()
         m = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
         sims = m @ m.T
         keep = (sims >= threshold) & (ids[None, :] > ids[:, None])
         ai, bi = np.nonzero(keep)
-        return pd.DataFrame(
+        return pa_from_pandas(pd.DataFrame(
             {
                 "id_a": ids[ai].astype("int64"),
                 "id_b": ids[bi].astype("int64"),
                 "cosine": np.round(sims[ai, bi], round_decimals).astype("float64"),
             }
-        )
+        ))
 
     cand = (
         vectors.map_batches(replicate, batch_format="pyarrow")
