@@ -103,6 +103,20 @@ SELECT event_type, count(*)::BIGINT AS n,
 FROM e GROUP BY 1"""
 
 
+def sql_event_type_stats_disc() -> str:
+    """Twin of ``distribution_stats(method='disc')`` — quantile_disc is
+    numpy's inverted_cdf (verified on boundary cases)."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_type, {v} AS cents FROM events)
+SELECT event_type, count(*)::BIGINT AS n,
+       min(cents)::DOUBLE AS min_v, max(cents)::DOUBLE AS max_v,
+       quantile_disc(cents, 0.25)::DOUBLE AS q1,
+       quantile_disc(cents, 0.5)::DOUBLE AS median,
+       quantile_disc(cents, 0.75)::DOUBLE AS q3
+FROM e GROUP BY 1"""
+
+
 def sql_nation_segments() -> str:
     return """
 SELECT n_name, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments

@@ -291,6 +291,17 @@ def q_event_type_stats(sf_dir: str):
     )
 
 
+def q_event_type_stats_disc(sf_dir: str):
+    # percentileDisc variant (assay semantics, post-import.cypher:1203-1214)
+    ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}), batch_format="pyarrow"
+    )
+    return relational.distribution_stats(
+        ev.select_columns(["event_type", "cents"]), ["event_type"], "cents",
+        method="disc",
+    )
+
+
 def q_nation_segments(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -640,6 +651,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "user_hour_activity": (q_user_hour_activity, oracle_rel.sql_user_hour_activity()),
         "event_percentiles": (q_event_percentiles, oracle_rel.sql_event_percentiles()),
         "event_type_stats": (q_event_type_stats, oracle_rel.sql_event_type_stats()),
+        "event_type_stats_disc": (
+            q_event_type_stats_disc,
+            oracle_rel.sql_event_type_stats_disc(),
+        ),
         "nation_segments": (q_nation_segments, oracle_rel.sql_nation_segments()),
         "top10_orders": (q_top10_orders, oracle_rel.sql_top10_orders()),
         "event_props_k": (q_event_props_k, oracle_rel.sql_event_props_k()),

@@ -53,19 +53,15 @@ def exact_dedup_groups(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             names=["doc_id", "fingerprint_md5"],
         )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "fingerprint_md5": [g["fingerprint_md5"].iloc[0]],
-                "keep_doc_id": [int(g["doc_id"].min())],
-                "n_dupes": [len(g)],
-            }
-        )
+    # group count = distinct-document count (data-proportional) → the
+    # Arrow-native grouped agg, not Ray's per-group-Python map_groups
+    from .fastagg import sorted_grouped_agg
 
-    return (
-        docs.map_batches(fp, batch_format="pyarrow")
-        .groupby("fingerprint_md5")
-        .map_groups(first, batch_format="pandas")
+    return sorted_grouped_agg(
+        docs.map_batches(fp, batch_format="pyarrow"),
+        ["fingerprint_md5"],
+        [("doc_id", "min"), ("doc_id", "count")],
+        out_names=["keep_doc_id", "n_dupes"],
     )
 
 
@@ -162,22 +158,21 @@ def lsh_candidate_pairs(bands: "ray.data.Dataset", cap: int = LSH_BUCKET_CAP) ->
             for j in range(i + 1, len(ids)):
                 rows_a.append(ids[i])
                 rows_b.append(ids[j])
-        return pa_from_pandas(pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b}))
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": [g["doc_a"].iloc[0]],
-                "doc_b": [g["doc_b"].iloc[0]],
-                "n_shared_bands": [len(g)],
+                "doc_a": pa.array(rows_a, pa.int64()),
+                "doc_b": pa.array(rows_b, pa.int64()),
             }
         )
 
-    return (
-        bands.groupby(["band_idx", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(merge, batch_format="pandas")
+    from .fastagg import sorted_grouped_agg
+
+    cand = bands.groupby(["band_idx", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # pair-count-proportional groups → Arrow-native count
+    return sorted_grouped_agg(
+        cand, ["doc_a", "doc_b"], [("doc_a", "count")], out_names=["n_shared_bands"]
     )
 
 
@@ -247,14 +242,24 @@ def simhash_near_dups(
                     rows["doc_a"].append(int(ids[i]))
                     rows["doc_b"].append(int(ids[j]))
                     rows["hamming"].append(ham)
-        return pa_from_pandas(pd.DataFrame(rows))
+        return pa.table(
+            {
+                "doc_a": pa.array(rows["doc_a"], pa.int64()),
+                "doc_b": pa.array(rows["doc_b"], pa.int64()),
+                "hamming": pa.array(rows["hamming"], pa.int64()),
+            }
+        )
 
     exploded = simhashes(docs).map_batches(explode, batch_format="pyarrow")
     cand = exploded.groupby(["band_idx", "band_val"]).map_groups(
         pairs, batch_format="pandas"
     )
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # multi-band duplicates carry identical hamming → min == first; pair-
+    # count-proportional groups → Arrow-native dedup
+    from .fastagg import sorted_grouped_agg
+
+    return sorted_grouped_agg(
+        cand, ["doc_a", "doc_b"], [("hamming", "min")], out_names=["hamming"]
     )
 
 
@@ -305,24 +310,21 @@ def ngram_jaccard_pairs(
             for j in range(i + 1, len(ids)):
                 rows_a.append(ids[i])
                 rows_b.append(ids[j])
-        return pa_from_pandas(pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b}))
-
-    def count_shared(g: pd.DataFrame) -> pa.Table:
-        return pa_from_pandas(
-            pd.DataFrame(
-                {
-                    "doc_a": [int(g["doc_a"].iloc[0])],
-                    "doc_b": [int(g["doc_b"].iloc[0])],
-                    "n_shared": [len(g)],
-                }
-            )
+        return pa.table(
+            {
+                "doc_a": pa.array(rows_a, pa.int64()),
+                "doc_b": pa.array(rows_b, pa.int64()),
+            }
         )
 
-    inter = (
-        exploded.groupby("shingle")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(count_shared, batch_format="pandas")
+    from .fastagg import sorted_grouped_agg
+
+    # intersection counts over pair-count-proportional groups → Arrow-native
+    inter = sorted_grouped_agg(
+        exploded.groupby("shingle").map_groups(pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        [("doc_a", "count")],
+        out_names=["n_shared"],
     )
     np_ = default_join_partitions()
     with_a = inter.join(

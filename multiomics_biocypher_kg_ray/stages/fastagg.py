@@ -36,6 +36,28 @@ import ray.data
 _FINAL_FN = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
 
 
+def drop_empty_blocks(ds: "ray.data.Dataset", schema: pa.Schema) -> "ray.data.Dataset":
+    """Materialize and drop 0-row blocks (zero-copy: block refs only).
+
+    Ray (2.49) never invokes a map UDF on a 0-row block — it forwards a
+    0-COLUMN empty block instead — and ``Dataset.join`` then fails with
+    'No match … for key field' when any such block reaches a partition. Any
+    dataset that may carry empty blocks and later feeds a join must pass
+    through here. The driver handles only ObjectRefs + metadata, never
+    block contents."""
+    import ray
+
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
 def _agg_names(keys: list[str], aggs: list[tuple[str, str]]) -> list[str]:
     return list(keys) + [f"{c}_{fn}" for c, fn in aggs]
 
@@ -84,43 +106,59 @@ def sorted_grouped_agg(
         edge = pc.or_(mask_first, mask_last)
         return g.append_column("_edge", pc.fill_null(edge, True))
 
-    def collapse_edges(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.drop_columns(["_edge"])
-        g = t.drop_columns(["_edge"]).group_by(keys).aggregate(final_specs)
-        return g.rename_columns(inter_names)
-
-    def drop_flag(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["_edge"])
-
     partials = ds.map_batches(partial, batch_format="pyarrow")
     tagged = (
         partials.sort(keys)
         .map_batches(finalize_block, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
-    interior = tagged.map_batches(
-        lambda t: drop_flag(t.filter(pc.invert(t.column("_edge")))),
-        batch_format="pyarrow",
+    # authoritative output schema, captured from the materialized stage: any
+    # 0-row block LOSES its schema when it passes through a later map op
+    # (Ray skips the UDF and emits a 0-column block, which breaks downstream
+    # joins), so (a) the renames are FUSED into the branch lambdas — their
+    # inputs are the non-empty tagged blocks — and (b) every lambda rebuilds
+    # degenerate empties from this schema.
+    tag_fields = [
+        (n, t) for n, t in zip(tagged.schema().names, tagged.schema().types)
+        if n != "_edge"
+    ]
+    out_schema = pa.schema(
+        [pa.field(o, t) for o, (_, t) in zip(out_cols, tag_fields)]
     )
+
+    def interior_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        kept = t.filter(pc.invert(t.column("_edge"))).drop_columns(["_edge"])
+        return kept.rename_columns(out_cols)
+
+    def edge_filter(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table().append_column(
+                "_edge", pa.array([], pa.bool_())
+            ).rename_columns(inter_names + ["_edge"])
+        return t.filter(t.column("_edge"))
+
+    def collapse_edges(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.drop_columns(["_edge"]).group_by(keys).aggregate(final_specs)
+        return g.rename_columns(out_cols)
+
+    interior = tagged.map_batches(interior_fn, batch_format="pyarrow")
     edges_fixed = (
-        tagged.map_batches(
-            lambda t: t.filter(t.column("_edge")), batch_format="pyarrow"
-        )
+        tagged.map_batches(edge_filter, batch_format="pyarrow")
         .repartition(1)
         .map_batches(
-            lambda t: collapse_edges(t),
+            collapse_edges,
             batch_format="pyarrow",
             batch_size=None,
             concurrency=1,
         )
     )
-    out = interior.union(edges_fixed)
-    if out_cols != inter_names:
-        out = out.map_batches(
-            lambda t: t.rename_columns(out_cols), batch_format="pyarrow"
-        )
-    return out
+    # aggregated outputs are group-count-sized; materialize + prune the
+    # 0-row blocks so the result is always safely joinable
+    return drop_empty_blocks(interior.union(edges_fixed), out_schema)
 
 
 def sorted_distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
@@ -148,18 +186,44 @@ def sorted_distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Datase
         .map_batches(finalize_block, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
-    interior = tagged.map_batches(
-        lambda t: t.filter(pc.invert(t.column("_edge"))).drop_columns(["_edge"]),
-        batch_format="pyarrow",
+    # see sorted_grouped_agg: 0-row blocks lose their schema through later
+    # map ops, so every lambda rebuilds degenerate empties explicitly
+    out_schema = pa.schema(
+        [
+            pa.field(n, t)
+            for n, t in zip(tagged.schema().names, tagged.schema().types)
+            if n != "_edge"
+        ]
     )
+
+    def interior_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        return t.filter(pc.invert(t.column("_edge"))).drop_columns(["_edge"])
+
+    def edge_filter(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table().append_column(
+                "_edge", pa.array([], pa.bool_())
+            )
+        return t.filter(t.column("_edge"))
+
+    def collapse_edges(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        return t.drop_columns(["_edge"]).group_by(keys).aggregate([])
+
+    interior = tagged.map_batches(interior_fn, batch_format="pyarrow")
     edges_fixed = (
-        tagged.map_batches(lambda t: t.filter(t.column("_edge")), batch_format="pyarrow")
+        tagged.map_batches(edge_filter, batch_format="pyarrow")
         .repartition(1)
         .map_batches(
-            lambda t: t.drop_columns(["_edge"]).group_by(keys).aggregate([]),
+            collapse_edges,
             batch_format="pyarrow",
             batch_size=None,
             concurrency=1,
         )
     )
-    return interior.union(edges_fixed)
+    # aggregated outputs are group-count-sized; materialize + prune the
+    # 0-row blocks so the result is always safely joinable
+    return drop_empty_blocks(interior.union(edges_fixed), out_schema)

@@ -286,13 +286,14 @@ def node_degree(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         )
         return pa.concat_tables([t1, t2])
 
-    return (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(
-            Count(alias_name="degree"),
-            Sum("weight", alias_name="weighted_degree"),
-        )
+    # node-count-proportional groups → Arrow-native agg (stages/fastagg.py)
+    from .fastagg import sorted_grouped_agg
+
+    return sorted_grouped_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["id"],
+        [("weight", "count"), ("weight", "sum")],
+        out_names=["degree", "weighted_degree"],
     )
 
 
@@ -320,10 +321,14 @@ def conv_stats(
 ) -> "ray.data.Dataset":
     """Per-conversation rollup (A1/A2 experiment-stats analog): turn count,
     mention count, resolved-mention count, first/last timestamp."""
-    t_agg = transcripts.groupby("conv_id").aggregate(
-        Count(alias_name="n_turns"),
-        Min("ts", alias_name="first_ts"),
-        Max("ts", alias_name="last_ts"),
+    # conversation-count-proportional groups → Arrow-native agg
+    from .fastagg import sorted_grouped_agg
+
+    t_agg = sorted_grouped_agg(
+        transcripts.select_columns(["conv_id", "ts"]),
+        ["conv_id"],
+        [("ts", "count"), ("ts", "min"), ("ts", "max")],
+        out_names=["n_turns", "first_ts", "last_ts"],
     )
 
     def mention_flags(batch: pa.Table) -> pa.Table:
@@ -338,13 +343,11 @@ def conv_stats(
             names=["conv_id", "resolved"],
         )
 
-    m_agg = (
-        linked.map_batches(mention_flags, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(
-            Count(alias_name="n_mentions"),
-            Sum("resolved", alias_name="n_resolved"),
-        )
+    m_agg = sorted_grouped_agg(
+        linked.map_batches(mention_flags, batch_format="pyarrow"),
+        ["conv_id"],
+        [("resolved", "count"), ("resolved", "sum")],
+        out_names=["n_mentions", "n_resolved"],
     )
     joined = t_agg.join(
         m_agg,

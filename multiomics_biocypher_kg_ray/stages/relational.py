@@ -67,51 +67,22 @@ def top_k_per_group(
     """Deterministic per-group top-k: multi-key sort with explicit tie-break
     columns in ``order_by`` (post-import.cypher:699-701 ordering discipline).
 
-    Skew: ``map_groups`` materializes one group per task. For groups that can
-    be giant (hot keys), pass ``presalt=S``: phase 1 takes top-k within each
-    of S random-but-deterministic salt slices of a group (bounding any task
-    at group_size/S and shrinking the real shuffle to ≤ S·k rows per group),
-    phase 2 merges slice winners. Top-k is associative, so the result is
-    IDENTICAL to the unsalted path (asserted in tests)."""
-    cols = [c for c, _ in order_by]
-    asc = [a for _, a in order_by]
+    Implemented as ``ranked_over`` (global range-partitioned sort +
+    order-preserving split numbering) + a rank filter — row_number semantics
+    with NO per-group task materialization and no per-group Python, so both
+    hot keys (one group ≫ one block) and data-proportional group counts are
+    safe. ``presalt`` is accepted for API compatibility and ignored: the
+    sort-based path needs no salting (nothing ever holds a whole group)."""
+    import pyarrow.compute as pc
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        if rank_col:
-            g[rank_col] = g.index.to_numpy() + 1
-        return g
+    ranked = ranked_over(ds, keys, order_by, rank_col=rank_col or "_rank")
+    rc = rank_col or "_rank"
 
-    if presalt is None:
-        return ds.groupby(keys).map_groups(head, batch_format="pandas")
+    def head(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column(rc), k))
+        return t.drop_columns(["_rank"]) if rank_col is None else t
 
-    import zlib
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        # deterministic per-row salt from the ORDER columns (not arrival
-        # order), so reruns and different parallelism salt identically
-        first = batch.column(cols[0]).to_pandas().astype(str)
-        salt = first.map(lambda v: zlib.crc32(v.encode()) % presalt)
-        return batch.append_column("_salt", pa.array(salt.to_numpy(), pa.int32()))
-
-    def head_nosalt(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
-
-    phase1 = (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby(keys + ["_salt"])
-        .map_groups(head_nosalt, batch_format="pandas")
-    )
-
-    def drop_salt(batch: pa.Table) -> pa.Table:
-        return batch.drop_columns(["_salt"])
-
-    return (
-        phase1.map_batches(drop_salt, batch_format="pyarrow")
-        .groupby(keys)
-        .map_groups(head, batch_format="pandas")
-    )
+    return ranked.map_batches(head, batch_format="pyarrow")
 
 
 def global_top_k(
@@ -222,15 +193,20 @@ def percentile_buckets(
 
 
 def distribution_stats(
-    ds: "ray.data.Dataset", keys: list[str], value_col: str
+    ds: "ray.data.Dataset", keys: list[str], value_col: str,
+    method: str = "cont",
 ) -> "ray.data.Dataset":
     """Per-group n/min/max/q1/median/q3 (A6 analog, post-import.cypher:
-    339-350). Quantiles are linear-interpolated over integer-valued doubles —
-    exact in float64, hence identical to DuckDB ``quantile_cont``."""
+    339-350). ``method="cont"``: linear interpolation over integer-valued
+    doubles — exact in float64, identical to DuckDB ``quantile_cont``.
+    ``method="disc"``: discrete quantiles (numpy ``inverted_cdf`` ==
+    DuckDB ``quantile_disc``) — the assay variant
+    (post-import.cypher:1203-1214 uses percentileDisc)."""
+    np_method = "linear" if method == "cont" else "inverted_cdf"
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         v = g[value_col].to_numpy(dtype=np.float64)
-        qs = np.percentile(v, [25, 50, 75])  # linear interpolation
+        qs = np.percentile(v, [25, 50, 75], method=np_method)
         out = {k: [g[k].iloc[0]] for k in keys}
         out.update(
             {

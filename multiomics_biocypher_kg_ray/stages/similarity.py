@@ -311,8 +311,12 @@ def embedding_near_dups_grid(
         .groupby("cell")
         .map_groups(score_cell, batch_format="pandas")
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # multi-cell duplicates carry identical cosine → min == first; pair-
+    # count-proportional groups → Arrow-native dedup (stages/fastagg.py)
+    from .fastagg import sorted_grouped_agg
+
+    return sorted_grouped_agg(
+        cand, ["id_a", "id_b"], [("cosine", "min")], out_names=["cosine"]
     )
 
 
