@@ -131,6 +131,23 @@ def run_bench() -> dict:
 
     # component timings (separate passes; headline above is the fused run)
     queries: dict[str, float] = {}
+    cc_info: dict = {}
+    n_mentions = 0
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # scaling subprocesses measure ONLY the headline: the per-query
+        # suite would add unrelated load/noise to the efficiency comparison
+        result = {
+            "metric": "kg_build_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / headline, 1),
+        }
+        ray.shutdown()
+        return result
     t = time.time()
     n_mentions = res.mentions.count()
     queries["extract_only"] = round(time.time() - t, 3)
@@ -243,6 +260,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_TURNS=str(SCALING_TURNS),
             GRAFT_BENCH_REPEATS="3",
+            GRAFT_HEADLINE_ONLY="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

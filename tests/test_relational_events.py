@@ -106,3 +106,108 @@ def test_asof_last_marker():
     assert list(out["event_id"]) == [1, 3, 4]
     assert pd.isna(out.iloc[0]["last_marker_ts"])  # purchase before any signup
     assert out.iloc[1]["last_marker_ts"] == base + pd.Timedelta(minutes=5)
+
+
+def _pandas_sessionize(df, gap_minutes=30):
+    import numpy as np
+
+    out = []
+    for k, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_minutes * 60_000_000
+        sid = np.cumsum(new) - 1
+        for s in range(sid.max() + 1):
+            m = sid == s
+            out.append(
+                {
+                    "user_id": k,
+                    "session_idx": s,
+                    "n_events": int(m.sum()),
+                    "start_ts": pd.Timestamp(ts[m].min(), unit="us"),
+                    "end_ts": pd.Timestamp(ts[m].max(), unit="us"),
+                }
+            )
+    return (
+        pd.DataFrame(out)
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_sessionize_hot_key_cross_block_stitching():
+    """One user ≫ one block: sessions that straddle sorted-block boundaries
+    must stitch exactly; result equals the pandas per-user reference."""
+    import numpy as np
+
+    from multiomics_biocypher_kg_ray.stages.events import sessionize
+
+    rng = np.random.RandomState(17)
+    rows = []
+    eid = 0
+    t0 = 1_700_000_000_000_000
+    # hot user 1: 20k events in bursts separated by > and < the 30-min gap
+    t = t0
+    for burst in range(300):
+        t += rng.randint(1, 90) * 60_000_000  # inter-burst gap, some > 30min
+        for _ in range(rng.randint(10, 120)):
+            t += rng.randint(1, 300) * 1_000_000  # within-burst seconds
+            rows.append({"user_id": 1, "event_id": eid, "ts": pd.Timestamp(t, unit="us")})
+            eid += 1
+    # a few cold users
+    for u in range(2, 12):
+        t = t0 + u * 1_000_000
+        for _ in range(5):
+            t += rng.randint(1, 40) * 60_000_000
+            rows.append({"user_id": u, "event_id": eid, "ts": pd.Timestamp(t, unit="us")})
+            eid += 1
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    ).map_batches(lambda t: t, batch_size=512, batch_format="pyarrow")
+
+    got = (
+        sessionize(ds)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    expect = _pandas_sessionize(df)
+    pd.testing.assert_frame_equal(
+        got[expect.columns].astype(expect.dtypes.to_dict()), expect
+    )
+
+
+def test_asof_hot_key_cross_block_carry():
+    """Carry-forward across sorted-block boundaries: a purchase whose last
+    signup lives many blocks earlier must still resolve; purchases before
+    any signup stay null."""
+    import numpy as np
+
+    from multiomics_biocypher_kg_ray.stages.events import asof_last_marker
+
+    rows = []
+    eid = 0
+    t0 = 1_700_000_000_000_000
+    # user 1: early purchase (no marker yet), one signup, then a long tail
+    # of purchases that spans MANY blocks
+    rows.append({"user_id": 1, "event_id": eid, "ts": pd.Timestamp(t0, unit="us"), "event_type": "purchase"}); eid += 1
+    signup_ts = t0 + 60_000_000
+    rows.append({"user_id": 1, "event_id": eid, "ts": pd.Timestamp(signup_ts, unit="us"), "event_type": "signup"}); eid += 1
+    for i in range(5000):
+        rows.append({"user_id": 1, "event_id": eid,
+                     "ts": pd.Timestamp(signup_ts + (i + 1) * 1_000_000, unit="us"),
+                     "event_type": "purchase"}); eid += 1
+    # user 2: purchases only — always null
+    rows.append({"user_id": 2, "event_id": eid, "ts": pd.Timestamp(t0, unit="us"), "event_type": "purchase"}); eid += 1
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    ).map_batches(lambda t: t, batch_size=256, batch_format="pyarrow")
+    out = asof_last_marker(ds).to_pandas()
+    assert len(out) == 5002
+    tail = out[(out["user_id"] == 1) & (out["ts"] > pd.Timestamp(signup_ts, unit="us"))]
+    assert (tail["last_marker_ts"] == pd.Timestamp(signup_ts, unit="us")).all()
+    early = out[(out["user_id"] == 1) & (out["ts"] == pd.Timestamp(t0, unit="us"))]
+    assert early["last_marker_ts"].isna().all()
+    assert out[out["user_id"] == 2]["last_marker_ts"].isna().all()
