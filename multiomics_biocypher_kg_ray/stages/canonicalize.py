@@ -358,7 +358,9 @@ def zip_with_index(sorted_ds: "ray.data.Dataset", col: str = "rank") -> "ray.dat
             lambda t: t.append_column(col, pa.array([], pa.int64())),
             batch_format="pyarrow",
         )
-    num_splits = max(1, min(32, n // 65536 or 1))
+    # splits scale with the data up to a 256-task cap (a 10^9-row table gets
+    # 256 numbering tasks of ~4M rows; tiny tables stay single-split)
+    num_splits = max(1, min(256, n // 65536 or 1))
     bounds = [n * i // num_splits for i in range(1, num_splits)]
     splits = sorted_ds.split_at_indices(bounds) if bounds else [sorted_ds]
     offsets = [0] + bounds

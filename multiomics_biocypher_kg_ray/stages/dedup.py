@@ -152,16 +152,14 @@ def lsh_candidate_pairs(bands: "ray.data.Dataset", cap: int = LSH_BUCKET_CAP) ->
     CAP = cap
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())[:CAP]
-        rows_a, rows_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows_a.append(ids[i])
-                rows_b.append(ids[j])
+        import numpy as np
+
+        ids = np.sort(g["doc_id"].unique())[:CAP]
+        ia, ib = np.triu_indices(len(ids), k=1)
         return pa.table(
             {
-                "doc_a": pa.array(rows_a, pa.int64()),
-                "doc_b": pa.array(rows_b, pa.int64()),
+                "doc_a": pa.array(ids[ia].astype(np.int64)),
+                "doc_b": pa.array(ids[ib].astype(np.int64)),
             }
         )
 
@@ -304,16 +302,14 @@ def ngram_jaccard_pairs(
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())[:cap]
-        rows_a, rows_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows_a.append(ids[i])
-                rows_b.append(ids[j])
+        import numpy as np
+
+        ids = np.sort(g["doc_id"].unique())[:cap]
+        ia, ib = np.triu_indices(len(ids), k=1)
         return pa.table(
             {
-                "doc_a": pa.array(rows_a, pa.int64()),
-                "doc_b": pa.array(rows_b, pa.int64()),
+                "doc_a": pa.array(ids[ia].astype(np.int64)),
+                "doc_b": pa.array(ids[ib].astype(np.int64)),
             }
         )
 

@@ -453,7 +453,7 @@ def knn_lsh(
     }
     ref = ray.put((hasher.planes, by_bucket))
     scored = candidates.map_batches(
-        _lsh_scorer_fn, fn_kwargs={"state_ref": ref}, batch_format="pyarrow"
+        _lsh_scorer_fn, fn_kwargs={"state_ref": ref, "k": k}, batch_format="pyarrow"
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -469,8 +469,9 @@ def knn_lsh(
 
 
 class _LSHScorer:
-    def __init__(self, state_ref) -> None:
+    def __init__(self, state_ref, k: int = 5) -> None:
         self.planes, self.by_bucket = fetch(state_ref)
+        self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cand_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
@@ -486,8 +487,16 @@ class _LSHScorer:
             qmn = _normalize(np.asarray(list(qdf["embedding"]), dtype=np.float64))
             sims = qmn @ cmn[mask].T
             ids = cand_ids[mask]
+            # per-batch PARTIAL top-k per query (tie-stable on (-cos, id))
+            # shrinks the shuffle to ≤ k rows per (query, batch) instead of
+            # the whole in-bucket candidate set (top-k is associative)
+            k = min(self.k, sims.shape[1])
             for qi, qid in enumerate(qdf["vec_id"].to_numpy()):
-                for ci in range(sims.shape[1]):
+                part = np.argpartition(-sims[qi], k - 1)[:k]
+                kth = sims[qi, part].min()
+                pool = np.flatnonzero(sims[qi] >= kth)
+                order = np.lexsort((ids[pool], -sims[qi, pool]))
+                for ci in pool[order[:k]]:
                     out_q.append(int(qid))
                     out_c.append(int(ids[ci]))
                     out_s.append(float(sims[qi, ci]))
@@ -501,10 +510,12 @@ class _LSHScorer:
         )
 
 
-def _lsh_scorer_fn(batch: pa.Table, state_ref) -> pa.Table:
+def _lsh_scorer_fn(batch: pa.Table, state_ref, k: int = 5) -> pa.Table:
     from ..state.broadcast import state_key, task_state
 
-    return task_state(state_key("lsh", state_ref), lambda: _LSHScorer(state_ref))(batch)
+    return task_state(
+        state_key("lsh", state_ref, k), lambda: _LSHScorer(state_ref, k)
+    )(batch)
 
 
 def _bf_scorer_fn(batch: pa.Table, queries_ref, k: int) -> pa.Table:
