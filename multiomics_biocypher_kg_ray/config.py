@@ -138,6 +138,19 @@ def default_alias_dictionary() -> AliasDictionary:
     return AliasDictionary(specific, multi, conflicts, equiv)
 
 
+# Default EC transfer map for the ec_chain_resolve query (ST3 analog,
+# annotation_transforms.py:160-259): chains (A→B→C collapses to C),
+# a deleted entry, and a multi-successor transfer. Kept acyclic here — the
+# cycle guard is exercised by property tests on arbitrary maps.
+DEFAULT_EC_TRANSFER_RAW: dict[str, list[str]] = {
+    "1.1.1.1": ["2.2.2.2"],  # chain hop 1
+    "2.2.2.2": ["3.3.3.3"],  # chain hop 2 → both resolve to 3.3.3.3
+    "4.4.4.4": [],  # deleted entry → ''
+    "5.5.5.5": ["3.3.3.3", "6.6.6.6"],  # multi-successor
+    "7.7.7.7": ["4.4.4.4"],  # transfers INTO a deleted entry → ''
+}
+
+
 # Resolution-method vocabulary (resolve_row analog, gene_id_utils.py:478-622).
 METHOD_TIER1_EXACT = "tier1_exact"
 METHOD_TIER1_CI = "tier1_ci"

@@ -430,6 +430,70 @@ FROM v a JOIN v b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= {threshold}"""
 
 
+def sql_dag_closure(cap: int = 4096) -> str:
+    """Twin of ``q_dag_closure``: recursive-CTE ancestry pairs incl. self."""
+    return f"""
+WITH RECURSIVE keys AS (
+  SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey <= {cap}
+),
+e2 AS (
+  SELECT child, parent FROM (
+    SELECT k AS child, k // 2 AS parent FROM keys WHERE k // 2 >= 1 AND k // 2 <> k
+    UNION
+    SELECT k, k // 3 FROM keys WHERE k // 3 >= 1 AND k // 3 <> k
+  ) WHERE parent IN (SELECT k FROM keys)
+),
+up(node, anc) AS (
+  SELECT k, k FROM keys
+  UNION
+  SELECT u.node, e2.parent FROM up u JOIN e2 ON e2.child = u.anc
+)
+SELECT 'n' || node AS node, 'n' || anc AS ancestor FROM up"""
+
+
+def _ec_raw_values() -> str:
+    from .config import DEFAULT_EC_TRANSFER_RAW
+
+    rows = []
+    for old, succs in sorted(DEFAULT_EC_TRANSFER_RAW.items()):
+        if not succs:
+            rows.append(f"('{old}', NULL)")
+        for s in succs:
+            rows.append(f"('{old}', '{s}')")
+    return ", ".join(rows)
+
+
+def sql_ec_chain_resolve() -> str:
+    """Twin of ``q_ec_chain_resolve``: the RAW transfer map goes into SQL and
+    the recursive CTE does the chain-following independently — terminals are
+    ids never transferred; deleted chains end at NULL and resolve to ''."""
+    return f"""
+WITH RECURSIVE raw(old, succ) AS (VALUES {_ec_raw_values()}),
+ecs AS (
+  SELECT p_partkey,
+         (p_partkey % 9 + 1) || '.' || (p_partkey % 7 + 1) || '.'
+         || (p_partkey % 5 + 1) || '.' || (p_partkey % 11 + 1) AS ec
+  FROM part
+),
+distinct_ec AS (SELECT DISTINCT ec FROM ecs),
+chase(ec, cur) AS (
+  SELECT ec, ec FROM distinct_ec
+  UNION
+  SELECT c.ec, r.succ FROM chase c JOIN raw r ON c.cur = r.old
+),
+term AS (
+  SELECT DISTINCT ec, cur FROM chase
+  WHERE cur IS NOT NULL AND cur NOT IN (SELECT old FROM raw)
+),
+resolved AS (
+  SELECT d.ec, coalesce(string_agg(t.cur, '|' ORDER BY t.cur), '') AS resolved
+  FROM distinct_ec d LEFT JOIN term t ON d.ec = t.ec
+  GROUP BY d.ec
+)
+SELECT e.p_partkey, e.ec, r.resolved
+FROM ecs e JOIN resolved r ON e.ec = r.ec"""
+
+
 def sql_dag_closure_levels(cap: int = 4096) -> str:
     """Twin of ``q_dag_closure_levels``: recursive-CTE root-path depths over
     the key-derived DAG (parents k//2 and k//3); UNION dedup keeps the state

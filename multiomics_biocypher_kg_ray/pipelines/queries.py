@@ -429,6 +429,54 @@ def _part_keys(sf_dir: str) -> list[int]:
     return sorted({int(k) for k in ks.unique("p_partkey")})
 
 
+def q_ec_chain_resolve(sf_dir: str):
+    """EC transfer-chain resolution (ST3, annotation_transforms.py:160-259)
+    as a data operator: derive a deterministic pseudo-EC per part key, apply
+    the configured transfer map with chain following, emit
+    (ec, resolved = '|'-joined sorted successor set; '' = deleted)."""
+    from ..config import DEFAULT_EC_TRANSFER_RAW
+    from ..functions.transforms import EcTransferMap
+
+    tm = EcTransferMap(DEFAULT_EC_TRANSFER_RAW)
+
+    def derive_and_resolve(batch: pa.Table) -> pa.Table:
+        k = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        ecs = [
+            f"{x % 9 + 1}.{x % 7 + 1}.{x % 5 + 1}.{x % 11 + 1}" for x in k
+        ]
+        out = []
+        for e in ecs:
+            r = tm.normalize(e)
+            vals = r if isinstance(r, list) else ([r] if r else [])
+            out.append("|".join(sorted(set(vals))))
+        return pa.table(
+            {
+                "p_partkey": pa.array(k.astype("int64")),
+                "ec": pa.array(ecs, pa.string()),
+                "resolved": pa.array(out, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        derive_and_resolve, batch_format="pyarrow"
+    )
+
+
+def q_dag_closure(sf_dir: str):
+    """Full ancestry closure pairs (go_utils.py:207-253 semantics) over the
+    key-derived DAG — (node, ancestor) incl. self."""
+    from ..stages.hierarchy import dag_closure
+
+    keys = set(_part_keys(sf_dir))
+    parents = {
+        f"n{k}": sorted(
+            {f"n{p}" for p in (k // 2, k // 3) if p >= 1 and p in keys and p != k}
+        )
+        for k in keys
+    }
+    return dag_closure(parents)
+
+
 def q_dag_closure_levels(sf_dir: str):
     """DAG min/max-depth levels with best-effort flag (go_utils.py:255-290
     semantics) over a deterministic key-derived DAG: node k has parents
@@ -671,9 +719,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         ),
         "user_value_flags": (q_user_value_flags, oracle_rel.sql_user_value_flags()),
         "region_rollup": (q_region_rollup, oracle_rel.sql_region_rollup()),
-        # hierarchy operators (SURVEY §2.9)
+        # hierarchy operators (SURVEY §2.9) + EC chains (ST3)
+        "dag_closure": (q_dag_closure, oracle_rel.sql_dag_closure()),
         "dag_closure_levels": (q_dag_closure_levels, oracle_rel.sql_dag_closure_levels()),
         "tree_prune": (q_tree_prune, oracle_rel.sql_tree_prune()),
+        "ec_chain_resolve": (q_ec_chain_resolve, oracle_rel.sql_ec_chain_resolve()),
         # text analysis
         "text_stats": (q_text_stats, oracle_rel.sql_text_stats()),
         "lang_id": (q_lang_id, oracle_rel.sql_lang_id()),
