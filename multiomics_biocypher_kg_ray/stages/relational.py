@@ -50,10 +50,15 @@ def preaggregate(
         out[count_alias] = g.size()
         return pa_from_pandas(out.reset_index())
 
+    # final reduce on the Arrow-native path: key cardinality is often small
+    # for rollups but DATA-PROPORTIONAL for e.g. (user, hour) buckets, and
+    # fastagg wins even at 100 groups (no per-group Python)
+    from .fastagg import sorted_grouped_agg
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(count_alias, alias_name=count_alias)]
-    aggs += [Sum(c, alias_name=c) for c in sums]
-    return partials.groupby(keys).aggregate(*aggs)
+    agg_specs = [(count_alias, "sum")] + [(c, "sum") for c in sums]
+    out_names = [count_alias] + list(sums)
+    return sorted_grouped_agg(partials, keys, agg_specs, out_names=out_names)
 
 
 def top_k_per_group(
@@ -234,18 +239,46 @@ def majority_vote(
     ``ortholog_group_adapter.py:51-81`` most-common non-excluded product/name).
 
     Two-phase: partial (keys+value) counts inside map_batches shrink the
-    shuffle to distinct combinations; the final per-key argmax is a tiny
-    map_groups."""
+    shuffle to distinct combinations; the final per-key argmax packs
+    (count desc, value asc) into one lexicographic key and takes an
+    Arrow-native grouped MIN — zero per-group Python, so entity-proportional
+    key spaces are safe (stages/fastagg.py)."""
+    import pyarrow.compute as pc
+
+    from .fastagg import sorted_grouped_agg
+
+    BIG = 10**12
     counted = preaggregate(ds.select_columns(keys + [value_col]), keys + [value_col], [])
 
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", value_col], ascending=[False, True], kind="mergesort")
-        out = {k: [g[k].iloc[0]] for k in keys}
-        out[out_col] = [g[value_col].iloc[0]]
-        out["n_votes"] = [int(g["n"].iloc[0])]
-        return pd.DataFrame(out)
+    def pack(t: pa.Table) -> pa.Table:
+        inv = pc.utf8_lpad(
+            pc.cast(pc.subtract(pa.scalar(BIG, pa.int64()), pc.cast(t.column("n"), pa.int64())), pa.string()),
+            12,
+            "0",
+        )
+        packed = pc.binary_join_element_wise(inv, t.column(value_col), "\x00")
+        return t.select(keys).append_column("_pack", packed)
 
-    return counted.groupby(keys).map_groups(top1, batch_format="pandas")
+    winner = sorted_grouped_agg(
+        counted.map_batches(pack, batch_format="pyarrow"),
+        keys,
+        [("_pack", "min")],
+        out_names=["_pack"],
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("_pack"), "\x00", max_splits=1)
+        n = pc.subtract(
+            pa.scalar(BIG, pa.int64()),
+            pc.cast(pc.list_element(parts, 0), pa.int64()),
+        )
+        return (
+            t.drop_columns(["_pack"])
+            .append_column(out_col, pc.list_element(parts, 1))
+            .append_column("n_votes", n)
+        )
+
+    return winner.map_batches(unpack, batch_format="pyarrow")
 
 
 def replicate_stats(
@@ -274,15 +307,13 @@ def replicate_stats(
         out["_n"] = g.size()
         return pa_from_pandas(out.reset_index())
 
-    totals = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(
-            Sum("_sum", alias_name="_sum"),
-            Sum("_sumsq", alias_name="_sumsq"),
-            Sum("_nz", alias_name="n_non_zero"),
-            Sum("_n", alias_name="n"),
-        )
+    from .fastagg import sorted_grouped_agg
+
+    totals = sorted_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        [("_sum", "sum"), ("_sumsq", "sum"), ("_nz", "sum"), ("_n", "sum")],
+        out_names=["_sum", "_sumsq", "n_non_zero", "n"],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -346,13 +377,13 @@ def flag_counts(
             g[["n_true", "n_false"]].sum().reset_index()
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(
-            Sum("n_true", alias_name="n_true"),
-            Sum("n_false", alias_name="n_false"),
-        )
+    from .fastagg import sorted_grouped_agg
+
+    return sorted_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        [("n_true", "sum"), ("n_false", "sum")],
+        out_names=["n_true", "n_false"],
     )
 
 
