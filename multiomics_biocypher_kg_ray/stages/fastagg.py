@@ -35,6 +35,10 @@ import ray.data
 
 _FINAL_FN = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
 
+# combined per-batch partials at or below this row count collapse in ONE
+# C++ group_by task instead of the sort + boundary-fixup machinery
+SMALL_PARTIALS_ROWS = 200_000
+
 
 def drop_empty_blocks(ds: "ray.data.Dataset", schema: pa.Schema) -> "ray.data.Dataset":
     """Materialize and drop 0-row blocks (zero-copy: block refs only).
@@ -83,6 +87,29 @@ def sorted_grouped_agg(
         g = t.group_by(keys).aggregate(partial_specs)
         return g.rename_columns(inter_names)
 
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() <= SMALL_PARTIALS_ROWS:
+        # combined partials fit one task: single C++ group_by, no sort, no
+        # branch/union machinery (a small rollup should not pay the
+        # boundary-fixup barriers built for data-proportional key spaces)
+        sch = {n: t for n, t in zip(partials.schema().names, partials.schema().types)}
+        small_schema = pa.schema(
+            [pa.field(o, sch[n]) for o, n in zip(out_cols, inter_names)]
+        )
+
+        def collapse_all(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return small_schema.empty_table()
+            g = t.group_by(keys).aggregate(final_specs)
+            return g.rename_columns(out_cols)
+
+        return drop_empty_blocks(
+            partials.repartition(1).map_batches(
+                collapse_all, batch_format="pyarrow", batch_size=None, concurrency=1
+            ),
+            small_schema,
+        )
+
     def finalize_block(t: pa.Table) -> pa.Table:
         """Per sorted block: C++ group_by, then tag edge keys (first/last
         key tuple of the block) that may straddle a boundary."""
@@ -106,7 +133,6 @@ def sorted_grouped_agg(
         edge = pc.or_(mask_first, mask_last)
         return g.append_column("_edge", pc.fill_null(edge, True))
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
     tagged = (
         partials.sort(keys)
         .map_batches(finalize_block, batch_format="pyarrow", batch_size=None)
@@ -166,6 +192,23 @@ def sorted_distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Datase
     def partial(t: pa.Table) -> pa.Table:
         return t.select(keys).group_by(keys).aggregate([])
 
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() <= SMALL_PARTIALS_ROWS:
+        sch = {n: t for n, t in zip(partials.schema().names, partials.schema().types)}
+        small_schema = pa.schema([pa.field(k, sch[k]) for k in keys])
+
+        def collapse_all(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return small_schema.empty_table()
+            return t.group_by(keys).aggregate([])
+
+        return drop_empty_blocks(
+            partials.repartition(1).map_batches(
+                collapse_all, batch_format="pyarrow", batch_size=None, concurrency=1
+            ),
+            small_schema,
+        )
+
     def finalize_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("_edge", pa.array([], pa.bool_()))
@@ -180,7 +223,6 @@ def sorted_distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Datase
             mask_last = ml if mask_last is None else pc.and_(mask_last, ml)
         return g.append_column("_edge", pc.fill_null(pc.or_(mask_first, mask_last), True))
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
     tagged = (
         partials.sort(keys)
         .map_batches(finalize_block, batch_format="pyarrow", batch_size=None)
