@@ -137,10 +137,16 @@ def ranked_over(
     desc = [False] * len(keys) + [not asc for _, asc in order_by]
     idxed = zip_with_index(ds.sort(cols, descending=desc), col="_gidx")
 
-    aggs = [Min("_gidx", alias_name="_gstart")]
+    from .fastagg import sorted_grouped_agg
+
+    agg_specs = [("_gidx", "min")]
+    out_names = ["_gstart"]
     if with_group_size:
-        aggs.append(Count(alias_name="_gn"))
-    stats = idxed.groupby(keys).aggregate(*aggs).materialize()
+        agg_specs.append(("_gidx", "count"))
+        out_names.append("_gn")
+    stats = sorted_grouped_agg(
+        idxed.select_columns(keys + ["_gidx"]), keys, agg_specs, out_names=out_names
+    ).materialize()
 
     if stats.count() <= BROADCAST_GROUP_STATS_MAX:
         joined = broadcast_join(idxed, stats.to_pandas(), on=keys, how="inner")
@@ -349,17 +355,20 @@ def categorical_distribution(
 ) -> "ray.data.Dataset":
     """Per-group categorical distribution as PARALLEL sorted arrays
     (labels, counts) — A7 analog (post-import.cypher:366-373). Arrays are
-    rendered as joined strings in label-sorted order for hash-stable compare."""
+    rendered as joined strings in label-sorted order for hash-stable compare.
+    Segmented ``sorted_collect`` over the counted pairs — no whole-group
+    tasks at parent-entity-proportional key counts."""
+    import pyarrow.compute as pc
+
     counted = preaggregate(ds.select_columns(keys + [value_col]), keys + [value_col], [])
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(value_col, kind="mergesort")
-        out = {k: [g[k].iloc[0]] for k in keys}
-        out["labels"] = [sep.join(str(v) for v in g[value_col])]
-        out["counts"] = [sep.join(str(int(n)) for n in g["n"])]
-        return pd.DataFrame(out)
+    def n_to_str(t: pa.Table) -> pa.Table:
+        return t.append_column("_n_str", pc.cast(pc.cast(t.column("n"), pa.int64()), pa.string()))
 
-    return counted.groupby(keys).map_groups(collect, batch_format="pandas")
+    pairs = counted.map_batches(n_to_str, batch_format="pyarrow")
+    return sorted_collect(
+        pairs, keys, value_col, [(value_col, "labels"), ("_n_str", "counts")], sep=sep
+    )
 
 
 def flag_counts(
@@ -411,6 +420,92 @@ def tree_rollup(
     )
 
 
+def sorted_collect(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    order_col: str,
+    join_specs: list[tuple[str, str]],
+    sep: str = ",",
+) -> "ray.data.Dataset":
+    """Per-key ordered string-collect WITHOUT whole-group tasks — the
+    scale shape behind the A2/A7 collect rollups.
+
+    ``ds`` rows must be UNIQUE on (keys, order_col) (callers distinct /
+    pre-count first). One global sort on (keys…, order_col) → per-block
+    pandas join of each key's segment (a key interior to a block is
+    complete); only each block's first/last key's segment-partials — one
+    row per (key, block), already joined strings — flow to a single stitch
+    task that concatenates them in order. The per-key Python cost is
+    building the output string itself (inherent to the format), distributed
+    across blocks, never Ray's per-group reduce."""
+    import pyarrow as pa
+
+    out_fields = [(src, out) for src, out in join_specs]
+    OUT_SCHEMA = None  # built after first schema peek below
+
+    sch = ds.schema()
+    key_types = {n: t for n, t in zip(sch.names, sch.types)}
+    OUT_SCHEMA = pa.schema(
+        [pa.field(k, key_types[k]) for k in keys]
+        + [pa.field(out, pa.string()) for _, out in out_fields]
+    )
+    MID_SCHEMA = pa.schema(
+        list(OUT_SCHEMA)
+        + [pa.field("_first_order", key_types[order_col]), pa.field("_edge", pa.bool_())]
+    )
+
+    def block_collect(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID_SCHEMA.empty_table()
+        df = t.to_pandas()
+        first_key = tuple(df.iloc[0][k] for k in keys)
+        last_key = tuple(df.iloc[-1][k] for k in keys)
+        g = df.groupby(keys, sort=False)
+        agg_kw = {out: (src, lambda s: sep.join(str(v) for v in s)) for src, out in out_fields}
+        agg_kw["_first_order"] = (order_col, lambda s: s.iloc[0])
+        res = g.agg(**agg_kw).reset_index()
+        kt = res[keys].apply(tuple, axis=1)
+        res["_edge"] = (kt == first_key) | (kt == last_key)
+        return pa_from_pandas(res).cast(MID_SCHEMA)
+
+    def interior_fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        return t.filter(pc.invert(t.column("_edge"))).drop_columns(
+            ["_first_order", "_edge"]
+        )
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        df = t.drop_columns(["_edge"]).to_pandas()
+        df = df.sort_values(keys + ["_first_order"], kind="mergesort")
+        g = df.groupby(keys, sort=False)
+        agg_kw = {out: (out, lambda s: sep.join(s)) for _, out in out_fields}
+        res = g.agg(**agg_kw).reset_index()
+        return pa_from_pandas(res).cast(OUT_SCHEMA)
+
+    from .fastagg import drop_empty_blocks
+
+    tagged = (
+        ds.sort(keys + [order_col])
+        .map_batches(block_collect, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    interior = tagged.map_batches(interior_fn, batch_format="pyarrow")
+    edges = (
+        tagged.map_batches(
+            lambda t: t.filter(t.column("_edge")) if t.num_columns else MID_SCHEMA.empty_table(),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(stitch, batch_format="pyarrow", batch_size=None, concurrency=1)
+    )
+    return drop_empty_blocks(interior.union(edges), OUT_SCHEMA)
+
+
 def collect_sorted_distinct(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -419,22 +514,9 @@ def collect_sorted_distinct(
     sep: str = ",",
 ) -> "ray.data.Dataset":
     """Per-group sorted distinct values joined to a string — the collect_set
-    rollup (A2 analog) in a hash-stable representation. Partial pass first:
-    per-batch distinct shrinks the shuffle."""
+    rollup (A2 analog) in a hash-stable representation. Distributed distinct
+    first, then the segmented ``sorted_collect`` — no whole-group tasks."""
+    from .fastagg import sorted_distinct
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys + [value_col]).to_pandas()
-        out = df.drop_duplicates()
-        return pa_from_pandas(out)
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(set(g[value_col]))
-        out = {k: [g[k].iloc[0]] for k in keys}
-        out[out_col] = [sep.join(str(v) for v in vals)]
-        return pd.DataFrame(out)
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .map_groups(final, batch_format="pandas")
-    )
+    pairs = sorted_distinct(ds.select_columns(keys + [value_col]), keys + [value_col])
+    return sorted_collect(pairs, keys, value_col, [(value_col, out_col)], sep=sep)
