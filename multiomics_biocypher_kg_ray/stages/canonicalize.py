@@ -352,6 +352,9 @@ def zip_with_index(sorted_ds: "ray.data.Dataset", col: str = "rank") -> "ray.dat
     splits with known offsets; each split numbers its rows locally from its
     offset. No driver materialization of the data itself.
     """
+    # materialize ONCE: count(), split_at_indices() and every downstream
+    # consumer would otherwise re-execute the whole upstream pipeline
+    sorted_ds = sorted_ds.materialize()
     n = sorted_ds.count()
     if n == 0:
         return sorted_ds.map_batches(

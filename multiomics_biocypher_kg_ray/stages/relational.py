@@ -135,7 +135,8 @@ def ranked_over(
 
     cols = list(keys) + [c for c, _ in order_by]
     desc = [False] * len(keys) + [not asc for _, asc in order_by]
-    idxed = zip_with_index(ds.sort(cols, descending=desc), col="_gidx")
+    # materialized: consumed twice (group stats + the join back)
+    idxed = zip_with_index(ds.sort(cols, descending=desc), col="_gidx").materialize()
 
     from .fastagg import sorted_grouped_agg
 
