@@ -344,6 +344,28 @@ SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
 FROM r WHERE rank <= {k}"""
 
 
+def sql_media_embed(dim: int = 8) -> str:
+    """Twin of ``multimodal.media_embed``: dims = ascii codes of the first
+    ``dim`` hex chars of md5(payload); payload = utf-8 text bytes."""
+    terms = ", ".join(
+        f"ascii(substr(m, {i + 1}, 1))::VARCHAR" for i in range(dim)
+    )
+    return f"""
+SELECT doc_id AS media_id, array_to_string([{terms}], '|') AS emb
+FROM (SELECT doc_id, md5(text) AS m FROM documents)  -- md5(VARCHAR) hashes the utf-8 bytes"""
+
+
+def sql_frame_sample(k: int = 4) -> str:
+    """Twin of ``multimodal.frame_sample`` on the ascii synthetic corpus:
+    byte i·L//k == character at that 1-based position."""
+    return f"""
+SELECT doc_id AS media_id, i::BIGINT AS frame_idx,
+       (i * length(text) // {k})::BIGINT AS byte_offset,
+       ascii(substr(text, (i * length(text) // {k}) + 1, 1))::BIGINT AS byte_val
+FROM (SELECT doc_id, text, unnest(range({k})) AS i FROM documents)
+WHERE length(text) > 0"""
+
+
 def sql_media_features() -> str:
     return """
 SELECT doc_id AS media_id, 'image' AS media_type,

@@ -658,6 +658,26 @@ def q_media_features(sf_dir: str):
     return feats.select_columns(["media_id", "media_type", "n_bytes"])
 
 
+def _media(sf_dir: str):
+    from ..stages.multimodal import docs_to_media
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        docs_to_media, batch_format="pyarrow"
+    )
+
+
+def q_media_embed(sf_dir: str):
+    from ..stages.multimodal import media_embed
+
+    return media_embed(_media(sf_dir), batch_size=256)
+
+
+def q_frame_sample(sf_dir: str):
+    from ..stages.multimodal import frame_sample
+
+    return frame_sample(_media(sf_dir), k=4)
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -753,4 +773,6 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         ),
         # multimodal plumbing
         "media_features": (q_media_features, oracle_rel.sql_media_features()),
+        "media_embed": (q_media_embed, oracle_rel.sql_media_embed()),
+        "frame_sample": (q_frame_sample, oracle_rel.sql_frame_sample()),
     }

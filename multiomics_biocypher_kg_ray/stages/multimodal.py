@@ -97,3 +97,82 @@ def extract_media_features(
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+EMBED_DIM = 8
+
+
+class MediaEmbedder:
+    """Batched 'model inference' actor: payload → fixed-dim embedding.
+
+    The kernel is a deterministic md5-derived stand-in (dims = ascii codes of
+    the digest's first hex chars) chosen to be EXACTLY reproducible in the
+    DuckDB oracle — the Ray side (actor pool, small batches for fat rows,
+    payload dropped at the boundary, embedding rendered hash-stable) is the
+    production shape for a real encoder."""
+
+    def __init__(self, dim: int = EMBED_DIM) -> None:
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        embs = [
+            "|".join(
+                str(ord(c)) for c in hashlib.md5(p or b"").hexdigest()[: self.dim]
+            )
+            for p in payloads
+        ]
+        return pa.Table.from_arrays(
+            [batch.column("media_id"), pa.array(embs, pa.string())],
+            names=["media_id", "emb"],
+        )
+
+
+def media_embed(
+    media: "ray.data.Dataset", *, batch_size: int = 256, dim: int = EMBED_DIM
+) -> "ray.data.Dataset":
+    """Actor-pool batched embedding over binary payloads (ST5 model-scorer
+    shape): (media_id, emb) with emb rendered as a '|'-joined dim string."""
+    return media.map_batches(
+        MediaEmbedder,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def frame_sample(
+    media: "ray.data.Dataset", k: int = 4
+) -> "ray.data.Dataset":
+    """Deterministic frame sampling for 'video'-shaped payloads: k evenly
+    spaced byte offsets per payload (off_i = i·L // k), emitting
+    (media_id, frame_idx, byte_offset, byte_val) — the 1→k flat-map shape a
+    real frame sampler has, with the payload never riding past the stage."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_fi, o_off, o_val = [], [], [], []
+        for mid, p in zip(ids, payloads):
+            p = p or b""
+            n = len(p)
+            if n == 0:
+                continue
+            for i in range(k):
+                off = i * n // k
+                o_id.append(mid)
+                o_fi.append(i)
+                o_off.append(off)
+                o_val.append(p[off])
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "frame_idx": pa.array(o_fi, pa.int64()),
+                "byte_offset": pa.array(o_off, pa.int64()),
+                "byte_val": pa.array(o_val, pa.int64()),
+            }
+        )
+
+    return media.map_batches(sample, batch_format="pyarrow", batch_size=256)
