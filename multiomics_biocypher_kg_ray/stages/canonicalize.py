@@ -234,7 +234,9 @@ def connected_components(
 # ------------------------------------- data-derived alias-graph growth
 
 
-def learned_equiv_edges(linked: "ray.data.Dataset") -> "ray.data.Dataset":
+def learned_equiv_edges(
+    linked: "ray.data.Dataset", *, materialize_sides: bool = True
+) -> "ray.data.Dataset":
     """Mention-co-occurrence candidate-pair stage — the distributed analog of
     the reference's ``GeneIdGraph`` data loop: seed from the config dictionary,
     then LEARN alias→anchor equivalence edges from the mention stream itself
@@ -255,6 +257,13 @@ def learned_equiv_edges(linked: "ray.data.Dataset") -> "ray.data.Dataset":
     Output is the raw (a, b) edge stream — duplicated, skewed (hot tokens
     co-occur with many anchors) — exactly what the distributed CC must
     handle; dedup happens inside the CC shuffle, never on the driver.
+
+    The side table is consumed twice (anchor aggregate + the join), so by
+    default it is materialized once — it is mention-bounded and NARROW (4
+    key columns, no payload), and the object store spills it rather than
+    recomputing the upstream extract+link pass twice. Pass
+    ``materialize_sides=False`` to trade 2× upstream compute for zero
+    pinning when the mention stream itself is the dominant footprint.
     """
     import pyarrow.compute as pc
 
@@ -278,7 +287,9 @@ def learned_equiv_edges(linked: "ray.data.Dataset") -> "ray.data.Dataset":
             )
         return pa.concat_tables(parts)
 
-    side_ds = linked.map_batches(sides, batch_format="pyarrow").materialize()
+    side_ds = linked.map_batches(sides, batch_format="pyarrow")
+    if materialize_sides:
+        side_ds = side_ds.materialize()
 
     def anchored_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch.column("eid"))).select(

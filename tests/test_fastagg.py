@@ -73,3 +73,63 @@ def test_sorted_distinct_unique_and_complete():
     ref = sorted(set(ds.to_pandas()["node"]))
     assert d["node"].is_unique
     assert sorted(d["node"]) == ref
+
+
+def test_sorted_grouped_agg_property_vs_pandas():
+    """Property-style sweep: random tables (varied sizes, null rates, group
+    cardinalities, forced small/large path) must equal the pandas reference
+    exactly."""
+    from multiomics_biocypher_kg_ray.stages import fastagg
+
+    rng = np.random.RandomState(42)
+    for trial in range(6):
+        n = int(rng.choice([0, 1, 37, 5000, 40000]))
+        ngroups = max(1, int(rng.choice([1, 3, n or 1, (n or 1) * 2])))
+        null_rate = float(rng.choice([0.0, 0.3, 1.0]))
+        keys = [f"g{rng.randint(0, ngroups):06d}" for _ in range(n)]
+        vals = [
+            None if rng.rand() < null_rate else f"v{rng.randint(0, 50):03d}"
+            for _ in range(n)
+        ]
+        nums = rng.randint(-100, 100, size=n)
+        t = pa.table(
+            {"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.string()),
+             "w": pa.array(nums, pa.int64())}
+        )
+        ds = ray.data.from_arrow(t)
+        if n:
+            ds = ds.map_batches(lambda x: x, batch_size=max(1, n // 7), batch_format="pyarrow")
+        # alternate forcing the big path
+        old = fastagg.SMALL_PARTIALS_ROWS
+        try:
+            fastagg.SMALL_PARTIALS_ROWS = 0 if trial % 2 else old
+            got = (
+                fastagg.sorted_grouped_agg(
+                    ds, ["k"], [("v", "min"), ("w", "sum"), ("w", "max")],
+                    out_names=["vmin", "wsum", "wmax"],
+                )
+                .to_pandas().sort_values("k").reset_index(drop=True)
+            )
+        finally:
+            fastagg.SMALL_PARTIALS_ROWS = old
+        df = t.to_pandas()
+        if n == 0:
+            assert len(got) == 0
+            continue
+        ref = (
+            df.groupby("k", as_index=False)
+            .agg(
+                # pandas object-min chokes on str/NaN mixes; dropna to match
+                # arrow's ignore-null semantics
+                vmin=("v", lambda s: s.dropna().min() if s.notna().any() else None),
+                wsum=("w", "sum"),
+                wmax=("w", "max"),
+            )
+            .sort_values("k").reset_index(drop=True)
+        )
+        # pandas min over all-NaN gives NaN; arrow gives null — both map to NaN
+        pd.testing.assert_frame_equal(
+            got.astype({"wsum": "int64", "wmax": "int64"}),
+            ref.astype({"wsum": "int64", "wmax": "int64"}),
+        )
+        assert got["k"].is_unique
