@@ -220,11 +220,15 @@ def q_parts_in_heavy_lineitems(sf_dir: str):
     # distributed LEFT SEMI join — the filtered key set stays in the cluster
     # (a driver-side ``set(ds.unique(...))`` is data-proportional at scale);
     # ``semi_join_filter`` remains for provably-small broadcast key sets
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("l_quantity"), 49.0)).select(
-            ["l_partkey"]
-        ),
-        batch_format="pyarrow",
+    from ..stages.fastagg import drop_empty_blocks
+
+    li = drop_empty_blocks(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("l_quantity"), 49.0)).select(
+                ["l_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
     )
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
     return part.join(
@@ -237,12 +241,17 @@ def q_parts_in_heavy_lineitems(sf_dir: str):
 
 
 def q_customers_without_orders(sf_dir: str):
+    from ..stages.fastagg import drop_empty_blocks
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
-        lambda t: t.filter(
-            pc.equal(t.column("o_orderstatus"), "F")
-        ).select(["o_custkey"]),
-        batch_format="pyarrow",
+    # filtered join sides may contain 0-row blocks, which break Ray's join
+    orders = drop_empty_blocks(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("o_orderstatus"), "F")
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
     )
     return cust.join(
         orders,

@@ -289,7 +289,12 @@ def learned_equiv_edges(
 
     side_ds = linked.map_batches(sides, batch_format="pyarrow")
     if materialize_sides:
-        side_ds = side_ds.materialize()
+        # prune 0-row blocks (a turn block with zero mentions would emit
+        # one): this table is the LEFT side of the anchor join, and Ray's
+        # join breaks on empty blocks — see fastagg.drop_empty_blocks
+        from .fastagg import drop_empty_blocks
+
+        side_ds = drop_empty_blocks(side_ds)
 
     def anchored_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch.column("eid"))).select(

@@ -40,7 +40,9 @@ _FINAL_FN = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
 SMALL_PARTIALS_ROWS = 200_000
 
 
-def drop_empty_blocks(ds: "ray.data.Dataset", schema: pa.Schema) -> "ray.data.Dataset":
+def drop_empty_blocks(
+    ds: "ray.data.Dataset", schema: pa.Schema | None = None
+) -> "ray.data.Dataset":
     """Materialize and drop 0-row blocks (zero-copy: block refs only).
 
     Ray (2.49) never invokes a map UDF on a 0-row block — it forwards a
@@ -48,7 +50,8 @@ def drop_empty_blocks(ds: "ray.data.Dataset", schema: pa.Schema) -> "ray.data.Da
     'No match … for key field' when any such block reaches a partition. Any
     dataset that may carry empty blocks and later feeds a join must pass
     through here. The driver handles only ObjectRefs + metadata, never
-    block contents."""
+    block contents. ``schema`` backs the all-blocks-empty case; when omitted
+    it is derived from the materialized dataset's own schema."""
     import ray
 
     mat = ds.materialize()
@@ -58,6 +61,9 @@ def drop_empty_blocks(ds: "ray.data.Dataset", schema: pa.Schema) -> "ray.data.Da
             if meta.num_rows:
                 refs.append(ref)
     if not refs:
+        if schema is None:
+            sch = mat.schema()
+            schema = pa.schema(list(zip(sch.names, sch.types))) if sch else pa.schema([])
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow_refs(refs)
 

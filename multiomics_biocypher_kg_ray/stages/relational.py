@@ -135,8 +135,11 @@ def ranked_over(
 
     cols = list(keys) + [c for c, _ in order_by]
     desc = [False] * len(keys) + [not asc for _, asc in order_by]
-    # materialized: consumed twice (group stats + the join back)
-    idxed = zip_with_index(ds.sort(cols, descending=desc), col="_gidx").materialize()
+    # materialized: consumed twice (group stats + the join back); empty
+    # blocks pruned — this can be a join side and Ray's join breaks on them
+    from .fastagg import drop_empty_blocks
+
+    idxed = drop_empty_blocks(zip_with_index(ds.sort(cols, descending=desc), col="_gidx"))
 
     from .fastagg import sorted_grouped_agg
 
