@@ -2,11 +2,13 @@
 tumbling-window aggregates, gap-based sessionization, as-of carry-forward.
 
 Ray Data has no event-time windows/watermarks (neither does the reference —
-SURVEY.md §2.10); stream semantics are expressed as
-``groupby(key).map_groups(fn)`` over ts-sorted groups (the ray_guide
-"streaming-shaped workloads" pattern). Ordering assumption: within one key
-group, rows are explicitly sorted by (ts, event_id) inside the group function;
-no cross-group ordering is assumed.
+SURVEY.md §2.10); stream semantics are expressed as SEGMENTED SCANS: one
+global (key, ts, id) range-partitioned sort, per-block vectorized run
+detection / carry-forward, and a tiny boundary-stitch task for each block's
+edge keys. No task ever materializes a whole key group, so hot keys (one
+user with 10^8 events) are bounded by their sorted-block share, and the
+per-key state that travels to the stitcher is session/summary-bounded,
+never event-bounded.
 """
 
 from __future__ import annotations

@@ -442,8 +442,11 @@ def knn_lsh(
     """LSH-bucketed ANN: candidates are hashed into 2^n_planes buckets; each
     query scores only its own bucket. Approximate by design — recall is
     whatever the bucketing gives (reported by comparing to knn_bruteforce in
-    tests). Scale shape: bucket column → hash-partitioned groupby, queries
-    broadcast per bucket."""
+    tests) — EXCEPT that queries whose bucket yields fewer than k neighbors
+    fall back to one brute-force pass (query-bounded, not corpus-bounded),
+    so no query silently returns an empty/short result. Scale shape: bucket
+    column → hash-partitioned groupby, queries broadcast per bucket; the
+    fallback check reads only the nq×k result table."""
     dim = len(queries_df["embedding"].iloc[0])
     hasher = _HyperplaneBucketer(n_planes, dim, seed)
     qm = np.asarray(list(queries_df["embedding"]), dtype=np.float64)
@@ -465,7 +468,21 @@ def knn_lsh(
         g["cosine"] = g["cosine"].round(round_decimals)
         return g[["query_id", "rank", "neighbor_id", "cosine"]]
 
-    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+    res = scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+    # thin-bucket fallback: the result table is nq x k (query-bounded), so
+    # the completeness check is cheap; short queries re-run brute force
+    df = res.to_pandas()
+    counts = df.groupby("query_id").size() if len(df) else pd.Series(dtype=int)
+    short = [int(q) for q in queries_df["vec_id"] if counts.get(q, 0) < k]
+    if short:
+        bf = knn_bruteforce(
+            candidates, queries_df[queries_df["vec_id"].isin(short)], k,
+            round_decimals=round_decimals,
+        ).to_pandas()
+        df = pd.concat(
+            [df[~df["query_id"].isin(short)], bf], ignore_index=True
+        ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return ray.data.from_arrow(pa_from_pandas(df))
 
 
 class _LSHScorer:

@@ -145,3 +145,23 @@ def test_embedding_near_dups_grid_guaranteed_recall_on_planted_dups():
     )
     assert len(exact) >= 25  # the planted dups are actually found
     pd.testing.assert_frame_equal(grid, exact)
+
+
+def test_knn_lsh_thin_bucket_fallback_returns_full_k():
+    """Every query must return exactly k neighbors even when its LSH bucket
+    holds fewer candidates (brute-force fallback for short queries)."""
+    import pyarrow.parquet as pq
+
+    from multiomics_biocypher_kg_ray.stages.similarity import knn_lsh
+
+    sf = "/root/testdata/sf0.001"
+    df = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    queries = df[df["vec_id"] < 10]
+    cands = ray.data.from_arrow(
+        pa.Table.from_pandas(df[df["vec_id"] >= 480], preserve_index=False)
+        .replace_schema_metadata(None)
+    )  # only 20 candidates → with 4 planes many buckets are thin/empty
+    out = knn_lsh(cands, queries, k=5).to_pandas()
+    counts = out.groupby("query_id").size()
+    assert len(counts) == 10
+    assert (counts == 5).all()
