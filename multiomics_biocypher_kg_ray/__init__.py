@@ -55,3 +55,39 @@ def _install_schema_hash_log_filter() -> None:
 
 
 _install_schema_hash_log_filter()
+
+
+def _stabilize_fsspec_http() -> None:
+    """Make the fsspec HTTP import race-free for concurrent Datasets.
+
+    ``aiohttp`` is absent in this environment, so
+    ``fsspec.implementations.http`` fails to import. Ray's
+    ``_is_http_filesystem`` guards that with ``except ModuleNotFoundError``
+    — but when several driver threads run ``read_parquet`` concurrently
+    (checkpointed shards, write_graph), the racing imports can surface as a
+    plain ``ImportError`` ("cannot import name 'HTTPFileSystem'…") that
+    escapes Ray's guard and kills a shard. Registering a stub module once,
+    at import time on the main thread, makes the lookup deterministic; the
+    stub class is used only in an ``isinstance`` check, which then simply
+    answers False (exactly the no-aiohttp semantics).
+    """
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        m = sys.modules.get("fsspec.implementations.http")
+        if m is None:
+            m = types.ModuleType("fsspec.implementations.http")
+            sys.modules["fsspec.implementations.http"] = m
+        if not hasattr(m, "HTTPFileSystem"):
+            class _NoHTTPFileSystem:  # isinstance-only stand-in
+                pass
+
+            m.HTTPFileSystem = _NoHTTPFileSystem
+    except ImportError:
+        pass  # partially-imported module from a racing thread; leave it
+
+
+_stabilize_fsspec_http()
