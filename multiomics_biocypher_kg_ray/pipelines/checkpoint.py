@@ -45,12 +45,26 @@ def _hash_str(s: str) -> int:
 def detect_hot_conversations(
     transcripts: "ray.data.Dataset", hot_threshold: int
 ) -> set[str]:
-    """Conversations with more than ``hot_threshold`` turns (skew pass —
-    a cheap count-only aggregation over the conv_id column)."""
-    counts = (
-        transcripts.select_columns(["conv_id"]).groupby("conv_id").count()
-    ).to_pandas()
-    return set(counts.loc[counts["count()"] > hot_threshold, "conv_id"])
+    """Conversations with more than ``hot_threshold`` turns (skew pass).
+
+    Conversation-count-proportional group space → Arrow-native count
+    (stages/fastagg.py), and the filter runs DISTRIBUTED before anything
+    reaches the driver — only the hot set (tiny by definition) is pulled."""
+    from ..stages.fastagg import sorted_grouped_agg
+
+    counts = sorted_grouped_agg(
+        transcripts.select_columns(["conv_id"]),
+        ["conv_id"],
+        [("conv_id", "count")],
+        out_names=["n"],
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), hot_threshold)).select(
+            ["conv_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    return {r["conv_id"] for r in hot.take_all()}
 
 
 def shard_transcripts(
@@ -75,18 +89,33 @@ def shard_transcripts(
     hot_ref = ray.put(hot)
 
     def add_shard(batch: pa.Table) -> pa.Table:
+        # vectorized: crc once per DISTINCT conv (C++ unique + take fan-out);
+        # the per-row Python path only runs for rows of HOT conversations
+        # (few by definition) whose shard also depends on the turn block
+        import numpy as np
+
         hotset = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
-        conv = batch.column("conv_id").to_pylist()
-        tidx = batch.column("turn_idx").to_numpy(zero_copy_only=False)
-        shard = [
-            (
-                _hash_str(f"{c}:{int(t) // hot_turn_block}")
-                if c in hotset
-                else _hash_str(c)
-            )
-            % num_shards
-            for c, t in zip(conv, tidx)
-        ]
+        conv = batch.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        uniq = pc.unique(conv)
+        uniq_py = uniq.to_pylist()
+        uniq_shard = np.asarray(
+            [_hash_str(c) % num_shards for c in uniq_py], dtype=np.int32
+        )
+        inv = pc.index_in(conv, value_set=uniq).to_numpy(zero_copy_only=False)
+        shard = uniq_shard[inv]
+        hot_idx = [i for i, c in enumerate(uniq_py) if c in hotset]
+        if hot_idx:
+            tidx = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+            hot_mask = np.isin(inv, np.asarray(hot_idx))
+            conv_py = None
+            for i in np.flatnonzero(hot_mask):
+                if conv_py is None:
+                    conv_py = conv.to_pylist()
+                shard[i] = _hash_str(
+                    f"{conv_py[i]}:{int(tidx[i]) // hot_turn_block}"
+                ) % num_shards
         return batch.append_column("shard", pa.array(shard, pa.int32()))
 
     ds = transcripts.map_batches(add_shard, batch_format="pyarrow")

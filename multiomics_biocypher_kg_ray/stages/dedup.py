@@ -126,7 +126,15 @@ def lsh_bucket_stats(bands: "ray.data.Dataset", cap: int = LSH_BUCKET_CAP) -> "r
     bucket with n_truncated > 0 means the pair table under-reports it."""
     import pyarrow.compute as pc
 
-    counted = bands.groupby(["band_idx", "band_hash"]).count()
+    from .fastagg import sorted_grouped_agg
+
+    # bucket-count-proportional groups → Arrow-native count
+    counted = sorted_grouped_agg(
+        bands.select_columns(["band_idx", "band_hash"]),
+        ["band_idx", "band_hash"],
+        [("band_hash", "count")],
+        out_names=["count()"],
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         n = pc.cast(batch.column("count()"), pa.int64())
@@ -397,7 +405,15 @@ def jaccard_shingle_stats(
     n_truncated > 0 are under-reported in the pair table (the cap fired)."""
     import pyarrow.compute as pc
 
-    counted = _shingle_explode(docs, k_shingle, max_doc_id).groupby("shingle").count()
+    from .fastagg import sorted_grouped_agg
+
+    # shingle-count-proportional groups → Arrow-native count
+    counted = sorted_grouped_agg(
+        _shingle_explode(docs, k_shingle, max_doc_id),
+        ["shingle"],
+        [("shingle", "count")],
+        out_names=["count()"],
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         n = pc.cast(batch.column("count()"), pa.int64())

@@ -98,9 +98,19 @@ def sorted_grouped_agg(
         # combined partials fit one task: single C++ group_by, no sort, no
         # branch/union machinery (a small rollup should not pay the
         # boundary-fixup barriers built for data-proportional key spaces)
-        sch = {n: t for n, t in zip(partials.schema().names, partials.schema().types)}
+        sch_obj = partials.schema() or ds.schema()
+        if sch_obj is None:
+            # fully empty input with no recoverable schema: best-effort
+            # empty result (string keys, int64 aggregates) — nothing can
+            # consume typed values out of a stream that never had any
+            small_schema = pa.schema(
+                [pa.field(k, pa.string()) for k in keys]
+                + [pa.field(o, pa.int64()) for o in out_cols[len(keys):]]
+            )
+            return ray.data.from_arrow(small_schema.empty_table())
+        sch = {n: t for n, t in zip(sch_obj.names, sch_obj.types)}
         small_schema = pa.schema(
-            [pa.field(o, sch[n]) for o, n in zip(out_cols, inter_names)]
+            [pa.field(o, sch.get(n, pa.string())) for o, n in zip(out_cols, inter_names)]
         )
 
         def collapse_all(t: pa.Table) -> pa.Table:
@@ -200,8 +210,12 @@ def sorted_distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Datase
 
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
     if partials.count() <= SMALL_PARTIALS_ROWS:
-        sch = {n: t for n, t in zip(partials.schema().names, partials.schema().types)}
-        small_schema = pa.schema([pa.field(k, sch[k]) for k in keys])
+        sch_obj = partials.schema() or ds.schema()
+        if sch_obj is None:
+            small_schema = pa.schema([pa.field(k, pa.string()) for k in keys])
+            return ray.data.from_arrow(small_schema.empty_table())
+        sch = {n: t for n, t in zip(sch_obj.names, sch_obj.types)}
+        small_schema = pa.schema([pa.field(k, sch.get(k, pa.string())) for k in keys])
 
         def collapse_all(t: pa.Table) -> pa.Table:
             if t.num_columns == 0 or t.num_rows == 0:

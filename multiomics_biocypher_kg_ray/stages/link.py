@@ -206,7 +206,6 @@ def resolution_stats(linked: "ray.data.Dataset") -> "ray.data.Dataset":
     Combiner shape: per-batch (method, alias) distinct + counts, then one
     keyed shuffle over (method, alias) partials, then the tiny per-method
     rollup."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -222,10 +221,14 @@ def resolution_stats(linked: "ray.data.Dataset") -> "ray.data.Dataset":
         g = t.group_by(["method", "alias"]).aggregate([([], "count_all")])
         return g.rename_columns(["method", "alias", "n"])
 
-    per_alias = (
-        linked.map_batches(partial, batch_format="pyarrow")
-        .groupby(["method", "alias"])
-        .aggregate(Sum("n", alias_name="n_mentions"))
+    # alias-cardinality groups → Arrow-native (stages/fastagg.py)
+    from .fastagg import sorted_grouped_agg
+
+    per_alias = sorted_grouped_agg(
+        linked.map_batches(partial, batch_format="pyarrow"),
+        ["method", "alias"],
+        [("n", "sum")],
+        out_names=["n_mentions"],
     )
     return (
         per_alias.groupby("method")

@@ -387,11 +387,14 @@ def dangling_edges(
     miss_dst = edges.join(
         node_ids, join_type="left_anti", num_partitions=np_, on=("dst",), right_on=("id",)
     )
-    return (
-        miss_src.union(miss_dst)
-        .groupby(["src", "pred", "dst"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
+    # the two anti-joins can emit the SAME edge row (src and dst both
+    # dangling); rows are identical, so a distinct over all columns dedups —
+    # edge-proportional group space → Arrow-native (stages/fastagg.py)
+    from .fastagg import sorted_distinct
+
+    both = miss_src.union(miss_dst)
+    cols = ["src", "pred", "dst", "weight", "evidence"]
+    return sorted_distinct(both.select_columns(cols), cols)
 
 
 # ------------------------------------------------------------------- writer

@@ -167,8 +167,6 @@ def vocab_top_terms(
     deterministic (n desc, term asc) ordering — the classic wide-shuffle-
     with-combiner: per-batch token counts shrink the exchange to distinct
     terms per batch; the final groupby moves pre-combined counts only."""
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         s = batch.column("text").to_pandas()
         counts = (
@@ -181,9 +179,13 @@ def vocab_top_terms(
             }
         )
 
-    counted = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="n"))
+    # term-cardinality groups (real vocabularies reach 10^7+) → Arrow-native
+    from .fastagg import sorted_grouped_agg
+
+    counted = sorted_grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["term"],
+        [("n", "sum")],
+        out_names=["n"],
     )
     return counted.sort(["n", "term"], descending=[True, False]).limit(k)
