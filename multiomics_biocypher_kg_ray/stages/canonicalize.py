@@ -138,15 +138,25 @@ def connected_components_distributed(
     ).materialize()
     n_edges = adj.count() // 2  # distinct undirected edges; counting the
     # lazy `edges` would re-run its whole upstream pipeline a second time
-    # initial labels: every endpoint labels itself
-    labels = (
-        sorted_distinct(adj.select_columns(["node"]), ["node"])
-        .map_batches(
-            lambda t: t.append_column("label", t.column("node")),
-            batch_format="pyarrow",
+    # initial labels: min(self ∪ neighbors) — the first propagation round
+    # computed DURING init as a single grouped min over the adjacency (no
+    # join needed because the candidates are the adjacency rows themselves),
+    # so the loop below starts one round ahead
+    def init_msgs(t: pa.Table) -> pa.Table:
+        self_c = pa.Table.from_arrays(
+            [t.column("node"), t.column("node")], names=["node", "cand"]
         )
-        .materialize()
-    )
+        nb_c = pa.Table.from_arrays(
+            [t.column("node"), t.column("neighbor")], names=["node", "cand"]
+        )
+        return pa.concat_tables([self_c, nb_c])
+
+    labels = sorted_grouped_agg(
+        adj.map_batches(init_msgs, batch_format="pyarrow"),
+        ["node"],
+        [("cand", "min")],
+        out_names=["label"],
+    ).materialize()
 
     # partitions sized to the DATA, not just the cluster: a 50-edge
     # dictionary graph through 32 hash-shuffle partitions is pure
