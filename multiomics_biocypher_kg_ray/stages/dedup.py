@@ -209,11 +209,14 @@ def simhashes(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def simhash_near_dups(
-    docs: "ray.data.Dataset", max_hamming: int = 8
+    docs: "ray.data.Dataset", max_hamming: int = 8, cap: int = LSH_BUCKET_CAP
 ) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: bucket on each of 4 16-bit bands (a pair
     within hamming ≤ 3 of 64 bits shares ≥1 exact band by pigeonhole; wider
-    thresholds trade recall), verify hamming inside the bucket."""
+    thresholds trade recall), verify hamming inside the bucket. Buckets are
+    capped at the first ``cap`` docs by id (a degenerate corpus where every
+    doc shares a band would otherwise quadratic-blow one task), same
+    contract as ``lsh_candidate_pairs``."""
 
     def explode(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -237,7 +240,7 @@ def simhash_near_dups(
         return pa.concat_tables(parts)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        g = g.sort_values("doc_id").drop_duplicates("doc_id").head(cap)
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().astype("uint64")
         rows = {"doc_a": [], "doc_b": [], "hamming": []}
@@ -303,10 +306,11 @@ def ngram_jaccard_pairs(
 
         return fn
 
-    sizes = (
-        exploded.groupby("doc_id")
-        .count()
-        .map_batches(_rename(["doc_id", "set_size"]), batch_format="pyarrow")
+    # doc-count-proportional groups → Arrow-native count
+    from .fastagg import sorted_grouped_agg
+
+    sizes = sorted_grouped_agg(
+        exploded, ["doc_id"], [("doc_id", "count")], out_names=["set_size"]
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

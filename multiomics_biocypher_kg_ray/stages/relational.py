@@ -216,26 +216,100 @@ def distribution_stats(
     doubles — exact in float64, identical to DuckDB ``quantile_cont``.
     ``method="disc"``: discrete quantiles (numpy ``inverted_cdf`` ==
     DuckDB ``quantile_disc``) — the assay variant
-    (post-import.cypher:1203-1214 uses percentileDisc)."""
-    np_method = "linear" if method == "cont" else "inverted_cdf"
+    (post-import.cypher:1203-1214 uses percentileDisc).
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        v = g[value_col].to_numpy(dtype=np.float64)
-        qs = np.percentile(v, [25, 50, 75], method=np_method)
-        out = {k: [g[k].iloc[0]] for k in keys}
-        out.update(
-            {
-                "n": [len(v)],
-                "min_v": [v.min()],
-                "max_v": [v.max()],
-                "q1": [qs[0]],
-                "median": [qs[1]],
-                "q3": [qs[2]],
-            }
-        )
-        return pd.DataFrame(out)
+    Scale shape: exact quantiles WITHOUT materializing a group in one task —
+    ``ranked_over`` assigns per-group value ranks via the global sort; each
+    quantile needs only its two bracketing ranked rows (the markers), so a
+    vectorized pass keeps ≤ 8 marker rows per group and one Arrow-native
+    grouped min folds them into the closed-form interpolation. A hot group
+    with billions of rows costs any task only its sorted-block share."""
+    QS = (0.25, 0.5, 0.75)
+    qnames = ("q1", "median", "q3")
 
-    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+    ranked = ranked_over(
+        ds.select_columns(keys + [value_col]),
+        keys,
+        [(value_col, True)],
+        rank_col="_rnk",
+        with_group_size=True,
+    )
+
+    def markers(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            cols = {k: pa.array([], pa.string()) for k in keys}
+            cols["_n"] = pa.array([], pa.int64())
+            for qn in qnames:
+                cols[f"_{qn}_lo"] = pa.array([], pa.float64())
+                cols[f"_{qn}_hi"] = pa.array([], pa.float64())
+            cols["_min"] = pa.array([], pa.float64())
+            cols["_max"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        rnk = t.column("_rnk").to_numpy(zero_copy_only=False)
+        n = t.column("_gn").to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.zeros(len(rnk), dtype=bool)
+        marks: dict[str, np.ndarray] = {}
+        for q, qn in zip(QS, qnames):
+            if method == "cont":
+                pos = (n - 1) * q
+                lo = np.floor(pos).astype(np.int64) + 1
+                hi = np.ceil(pos).astype(np.int64) + 1
+            else:  # disc = inverted_cdf: 0-based index ceil(q*n) - 1
+                lo = np.maximum(np.ceil(q * n).astype(np.int64), 1)
+                hi = lo
+            m_lo = rnk == lo
+            m_hi = rnk == hi
+            marks[f"_{qn}_lo"] = np.where(m_lo, v, np.nan)
+            marks[f"_{qn}_hi"] = np.where(m_hi, v, np.nan)
+            keep |= m_lo | m_hi
+        m_min = rnk == 1
+        m_max = rnk == n
+        marks["_min"] = np.where(m_min, v, np.nan)
+        marks["_max"] = np.where(m_max, v, np.nan)
+        keep |= m_min | m_max
+        idx = pa.array(np.flatnonzero(keep))
+        cols = {k: t.column(k).take(idx) for k in keys}
+        cols["_n"] = pa.array(n[keep].astype(np.int64))
+        for name, arr in marks.items():
+            sel = arr[keep]
+            cols[name] = pa.array(sel, pa.float64(), mask=np.isnan(sel))
+        return pa.table(cols)
+
+    marked = ranked.map_batches(markers, batch_format="pyarrow")
+    from .fastagg import sorted_grouped_agg
+
+    agg_specs = [("_n", "max")]
+    out_names = ["n"]
+    for qn in qnames:
+        agg_specs += [(f"_{qn}_lo", "min"), (f"_{qn}_hi", "min")]
+        out_names += [f"_{qn}_lo", f"_{qn}_hi"]
+    agg_specs += [("_min", "min"), ("_max", "min")]
+    out_names += ["min_v", "max_v"]
+    stats = sorted_grouped_agg(marked, keys, agg_specs, out_names=out_names)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        out_cols: dict[str, object] = {k: t.column(k) for k in keys}
+        out_cols["n"] = pc.cast(t.column("n"), pa.int64())
+        out_cols["min_v"] = t.column("min_v")
+        out_cols["max_v"] = t.column("max_v")
+        for q, qn in zip(QS, qnames):
+            lo = t.column(f"_{qn}_lo").to_numpy(zero_copy_only=False)
+            hi = t.column(f"_{qn}_hi").to_numpy(zero_copy_only=False)
+            if method == "cont":
+                pos = (n - 1) * q
+                frac = pos - np.floor(pos)
+                val = lo + (hi - lo) * frac  # numpy 'linear' formula exactly
+            else:
+                val = lo
+            out_cols[qn] = pa.array(val, pa.float64())
+        order = keys + ["n", "min_v", "max_v", "q1", "median", "q3"]
+        return pa.table({c: out_cols[c] for c in order})
+
+    return stats.map_batches(finalize, batch_format="pyarrow")
 
 
 def majority_vote(
