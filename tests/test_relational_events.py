@@ -211,3 +211,32 @@ def test_asof_hot_key_cross_block_carry():
     early = out[(out["user_id"] == 1) & (out["ts"] == pd.Timestamp(t0, unit="us"))]
     assert early["last_marker_ts"].isna().all()
     assert out[out["user_id"] == 2]["last_marker_ts"].isna().all()
+
+
+def test_distribution_stats_hot_group_matches_numpy():
+    """One group ≫ one block: exact cont AND disc quantiles must equal the
+    numpy whole-group reference (the path never holds a group in one task)."""
+    import numpy as np
+
+    from multiomics_biocypher_kg_ray.stages.relational import distribution_stats
+
+    rng = np.random.RandomState(23)
+    vals = rng.randint(0, 10000, size=30000).astype("float64")
+    rows = [{"g": "hot", "v": float(x)} for x in vals]
+    rows += [{"g": "cold", "v": float(i)} for i in range(7)]
+    ds = ray.data.from_items(rows).map_batches(
+        lambda t: t, batch_size=1024, batch_format="pyarrow"
+    )
+    for method, np_method in (("cont", "linear"), ("disc", "inverted_cdf")):
+        out = (
+            distribution_stats(ds, ["g"], "v", method=method)
+            .to_pandas().set_index("g")
+        )
+        for gname, gvals in (("hot", vals), ("cold", np.arange(7, dtype="float64"))):
+            qs = np.percentile(gvals, [25, 50, 75], method=np_method)
+            assert out.loc[gname, "n"] == len(gvals)
+            assert out.loc[gname, "min_v"] == gvals.min()
+            assert out.loc[gname, "max_v"] == gvals.max()
+            assert out.loc[gname, "q1"] == qs[0], (method, gname)
+            assert out.loc[gname, "median"] == qs[1]
+            assert out.loc[gname, "q3"] == qs[2]
