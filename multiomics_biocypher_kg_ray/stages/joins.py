@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -49,7 +50,31 @@ def broadcast_join(
 
     The small side is ``ray.put`` once and pulled once per actor — never
     re-shipped per batch (SURVEY.md §2.4 J1-J7 pattern).
+
+    Fast path: when the small side is UNIQUE on a single join key and ``how``
+    is inner/left, the probe is Arrow-native (``index_in`` + ``take`` — no
+    per-batch pandas round-trip); anything else falls back to pandas merge.
     """
+    # decide the path from the small side's shape (driver-side, once)
+    small_tbl = small
+    if isinstance(small, ray.ObjectRef):
+        small_tbl = None  # unknown shape → generic path
+    elif isinstance(small, pd.DataFrame):
+        small_tbl = pa.Table.from_pandas(small, preserve_index=False)
+    if (
+        small_tbl is not None
+        and len(on) == 1
+        and how in ("inner", "left")
+        and small_tbl.column(on[0]).null_count == 0
+        and len(pc.unique(small_tbl.column(on[0]).combine_chunks()))
+        == small_tbl.num_rows
+    ):
+        ref = ray.put(small_tbl.replace_schema_metadata(None))
+        return large.map_batches(
+            _broadcast_probe_fn,
+            fn_kwargs={"small_ref": ref, "key": on[0], "how": how},
+            batch_format="pyarrow",
+        )
     ref = small if isinstance(small, ray.ObjectRef) else ray.put(small)
     return large.map_batches(
         _broadcast_merge_fn,
@@ -61,6 +86,28 @@ def broadcast_join(
         },
         batch_format="pandas",
     )
+
+
+def _broadcast_probe_fn(batch: pa.Table, small_ref, key: str, how: str) -> pa.Table:
+    """Arrow-native probe: inv = index_in(batch.key, small.key); append every
+    small payload column via take(inv); inner drops non-matches."""
+    from ..state.broadcast import state_key, task_state
+
+    small: pa.Table = task_state(state_key("bprobe", small_ref), lambda: fetch(small_ref))
+    col = batch.column(key)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    inv = pc.index_in(col, value_set=small.column(key).combine_chunks())
+    if how == "inner":
+        keep = pc.is_valid(inv)
+        batch = batch.filter(keep)
+        inv = inv.filter(keep)
+    out = batch
+    for name in small.column_names:
+        if name == key:
+            continue
+        out = out.append_column(name, pc.take(small.column(name), inv))
+    return out
 
 
 def _broadcast_merge_fn(batch, small_ref, on, how, suffix):
