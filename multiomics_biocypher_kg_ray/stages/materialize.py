@@ -150,7 +150,25 @@ def build_graph_tables(
     partial pass emits both node partials (kind='N') and edge partials
     (kind='E') into a single groupby; the materialized (tiny) result splits
     into the two tables with trivial filters. Used by the end-to-end
-    pipeline; the standalone operators remain for per-table use."""
+    pipeline; the standalone operators remain for per-table use.
+
+    Scale dispatch: the canonical map is broadcast-probed only while it is
+    provably node-sized; a Dataset-typed map, or one beyond
+    ``BROADCAST_CANON_MAX`` members, routes through the fully-distributed
+    join path (``build_graph_tables_joined``) instead — no data-proportional
+    dict ever pins on one node."""
+    import ray.data as _rd
+
+    if isinstance(canon, _rd.Dataset):
+        return build_graph_tables_joined(linked, canon, label=label)
+    n_canon = canon.num_rows if isinstance(canon, pa.Table) else len(canon)
+    if n_canon > BROADCAST_CANON_MAX:
+        tbl = canon if isinstance(canon, pa.Table) else pa.Table.from_pandas(
+            canon, preserve_index=False
+        )
+        return build_graph_tables_joined(
+            linked, _rd.from_arrow(tbl.replace_schema_metadata(None)), label=label
+        )
     if isinstance(canon, pa.Table):
         canon = canon.to_pandas()
     cid = dict(zip(canon["member"], canon["canonical_id"]))
@@ -268,6 +286,124 @@ def build_graph_tables(
 
     nodes = combined.map_batches(as_nodes, batch_format="pyarrow")
     edges = combined.map_batches(as_edges, batch_format="pyarrow")
+    return nodes, edges
+
+
+BROADCAST_CANON_MAX = 2_000_000
+
+
+def build_graph_tables_joined(
+    linked: "ray.data.Dataset",
+    canon_ds: "ray.data.Dataset",
+    label: str = "term",
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Node/edge materialization for canonical maps TOO LARGE to broadcast:
+    the (member → canonical_id, component_key) mapping attaches via
+    distributed hash joins; weights via Arrow-native grouped counts; the
+    evidence set-union via the segmented string-collect. Every stage is
+    data-proportional-safe — nothing is pinned on one node.
+
+    Output-identical to the broadcast path (asserted in tests); dispatched
+    automatically by ``build_graph_tables`` above ``BROADCAST_CANON_MAX``
+    members."""
+    from ..tuning import default_join_partitions
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .relational import sorted_collect
+
+    np_ = default_join_partitions()
+    cmap = canon_ds.select_columns(["member", "component_key", "canonical_id"])
+
+    def side_rows(batch: pa.Table) -> pa.Table:
+        parts = []
+        for side in ("subj", "obj"):
+            t = batch.select([f"{side}_id"]).rename_columns(["member"])
+            parts.append(t.filter(pc.is_valid(t.column("member"))))
+        return pa.concat_tables(parts)
+
+    # ---- nodes: resolved mention sides joined to the map, grouped counts
+    sides = drop_empty_blocks(
+        linked.map_batches(side_rows, batch_format="pyarrow")
+    )
+    withc = sides.join(
+        cmap, join_type="inner", num_partitions=np_, on=("member",)
+    )
+    nodes = sorted_grouped_agg(
+        withc.map_batches(
+            lambda t: t.select(["canonical_id", "component_key"]),
+            batch_format="pyarrow",
+        ),
+        ["canonical_id", "component_key"],
+        [("canonical_id", "count")],
+        out_names=["mention_count"],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("canonical_id"),
+                pa.array([label] * len(t), pa.string()),
+                t.column("component_key"),
+                pc.cast(t.column("mention_count"), pa.int64()),
+            ],
+            names=["id", "label", "name", "mention_count"],
+        ),
+        batch_format="pyarrow",
+    )
+
+    # ---- edges: both sides resolved → join map twice → weight + evidence
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        t = batch.select(["subj_id", "pred", "obj_id", "rule_id"])
+        ok = pc.and_(pc.is_valid(t.column("subj_id")), pc.is_valid(t.column("obj_id")))
+        return t.filter(ok)
+
+    er = drop_empty_blocks(linked.map_batches(edge_rows, batch_format="pyarrow"))
+    j1 = er.join(
+        cmap.select_columns(["member", "canonical_id"]),
+        join_type="inner",
+        num_partitions=np_,
+        on=("subj_id",),
+        right_on=("member",),
+    ).map_batches(
+        lambda t: t.rename_columns(["subj_id", "pred", "obj_id", "rule_id", "src"]),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        cmap.select_columns(["member", "canonical_id"]),
+        join_type="inner",
+        num_partitions=np_,
+        on=("obj_id",),
+        right_on=("member",),
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["subj_id", "pred", "obj_id", "rule_id", "src", "dst"]
+        ).select(["src", "pred", "dst", "rule_id"]),
+        batch_format="pyarrow",
+    )
+    j2 = drop_empty_blocks(j2).materialize()
+    weights = sorted_grouped_agg(
+        j2.select_columns(["src", "pred", "dst"]),
+        ["src", "pred", "dst"],
+        [("src", "count")],
+        out_names=["weight"],
+    )
+    ev_pairs = sorted_distinct(j2, ["src", "pred", "dst", "rule_id"])
+    evidence = sorted_collect(
+        ev_pairs, ["src", "pred", "dst"], "rule_id", [("rule_id", "evidence")],
+        sep=EVIDENCE_SEP,
+    )
+    edges = weights.join(
+        evidence, join_type="inner", num_partitions=np_, on=("src", "pred", "dst")
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("src"),
+                t.column("pred"),
+                t.column("dst"),
+                pc.cast(t.column("weight"), pa.int64()),
+                t.column("evidence"),
+            ],
+            names=["src", "pred", "dst", "weight", "evidence"],
+        ),
+        batch_format="pyarrow",
+    )
     return nodes, edges
 
 

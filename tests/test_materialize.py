@@ -151,3 +151,35 @@ def test_run_kg_to_parquet_emits_canonicalization_report(tmp_path):
     for k in ("nodes", "edges", "unresolved", "link_methods", "warnings"):
         assert k in disk
     assert os.path.isdir(f"{out}/rollups/edge_rank")
+
+
+def test_build_graph_tables_joined_matches_broadcast_path():
+    """The fully-distributed join path (used when the canonical map outgrows
+    broadcast) must be output-identical to the broadcast dict path."""
+    import ray
+
+    from multiomics_biocypher_kg_ray.config import default_alias_dictionary
+    from multiomics_biocypher_kg_ray.pipelines.kg import _fused_extract_link, KGConfig
+    from multiomics_biocypher_kg_ray.sources.transcripts import transcripts_dataset
+    from multiomics_biocypher_kg_ray.stages.canonicalize import canonical_map_table
+    from multiomics_biocypher_kg_ray.stages.link import AliasIndex
+    from multiomics_biocypher_kg_ray.stages.materialize import (
+        build_graph_tables,
+        build_graph_tables_joined,
+    )
+
+    ts = transcripts_dataset("/root/testdata/sf0.001")
+    idx_ref = ray.put(AliasIndex(default_alias_dictionary()))
+    linked = ts.map_batches(
+        _fused_extract_link,
+        fn_kwargs={"rules": KGConfig().rules, "index_ref": idx_ref},
+        batch_format="pyarrow",
+    ).materialize()
+    canon = canonical_map_table(default_alias_dictionary().all_equiv_edges())
+
+    n1, e1 = build_graph_tables(linked, canon)
+    n2, e2 = build_graph_tables_joined(linked, ray.data.from_arrow(canon))
+    for a, b, keys in ((n1, n2, ["id"]), (e1, e2, ["src", "pred", "dst"])):
+        da = a.to_pandas().sort_values(keys).reset_index(drop=True)
+        db = b.to_pandas().sort_values(keys).reset_index(drop=True)[da.columns]
+        pd.testing.assert_frame_equal(da, db.astype(da.dtypes.to_dict()))
