@@ -51,9 +51,12 @@ def build_nodes(
     to (canonical id, name) and pre-combines counts, leaving exactly ONE
     keyed shuffle over entity-count-sized partials. (Previously this was two
     hash shuffles + a join; for tiny keyspaces the extra shuffle's aggregator
-    startup alone cost ~4 s per run.) Swap the dict probe for ``hash_join``
-    if the entity space outgrows a node's memory.
+    startup alone cost ~4 s per run.) Maps beyond ``BROADCAST_CANON_MAX``
+    members (or Dataset-typed maps) dispatch to the distributed join path.
     """
+    big = _canon_as_dataset_if_big(canon)
+    if big is not None:
+        return build_graph_tables_joined(linked, big, label=label)[0]
     if isinstance(canon, pa.Table):
         canon = canon.to_pandas()
     cid = dict(zip(canon["member"], canon["canonical_id"]))
@@ -96,8 +99,12 @@ def build_edges(
 
     Two-phase: per-batch partial (groupby within batch → partial weight +
     partial evidence set) then a keyed shuffle merging partials — the A14
-    dedup-with-set-union expressed as partial+final aggregation.
+    dedup-with-set-union expressed as partial+final aggregation. Maps beyond
+    ``BROADCAST_CANON_MAX`` members dispatch to the distributed join path.
     """
+    big = _canon_as_dataset_if_big(canon)
+    if big is not None:
+        return build_graph_tables_joined(linked, big)[1]
     if isinstance(canon, pa.Table):
         canon = canon.to_pandas()
     cmap = dict(zip(canon["member"], canon["canonical_id"]))
@@ -137,6 +144,22 @@ def build_edges(
     )
 
 
+def _canon_as_dataset_if_big(canon):
+    """None while the canonical map is provably broadcast-sized; otherwise
+    the map as a Dataset for the distributed join path."""
+    import ray.data as _rd
+
+    if isinstance(canon, _rd.Dataset):
+        return canon
+    n = canon.num_rows if isinstance(canon, pa.Table) else len(canon)
+    if n <= BROADCAST_CANON_MAX:
+        return None
+    tbl = canon if isinstance(canon, pa.Table) else pa.Table.from_pandas(
+        canon, preserve_index=False
+    )
+    return _rd.from_arrow(tbl.replace_schema_metadata(None))
+
+
 def build_graph_tables(
     linked: "ray.data.Dataset",
     canon: "pa.Table | pd.DataFrame",
@@ -157,18 +180,9 @@ def build_graph_tables(
     ``BROADCAST_CANON_MAX`` members, routes through the fully-distributed
     join path (``build_graph_tables_joined``) instead — no data-proportional
     dict ever pins on one node."""
-    import ray.data as _rd
-
-    if isinstance(canon, _rd.Dataset):
-        return build_graph_tables_joined(linked, canon, label=label)
-    n_canon = canon.num_rows if isinstance(canon, pa.Table) else len(canon)
-    if n_canon > BROADCAST_CANON_MAX:
-        tbl = canon if isinstance(canon, pa.Table) else pa.Table.from_pandas(
-            canon, preserve_index=False
-        )
-        return build_graph_tables_joined(
-            linked, _rd.from_arrow(tbl.replace_schema_metadata(None)), label=label
-        )
+    big = _canon_as_dataset_if_big(canon)
+    if big is not None:
+        return build_graph_tables_joined(linked, big, label=label)
     if isinstance(canon, pa.Table):
         canon = canon.to_pandas()
     cid = dict(zip(canon["member"], canon["canonical_id"]))
