@@ -174,13 +174,18 @@ def sessionize(
         .map_batches(runs_in_block, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
-    interior = tagged.map_batches(finalize_interior, batch_format="pyarrow")
+    # batch_size=None pins positional run-index logic to whole-block batches
+    # (ADVICE r2: never rely on Ray's default batching for positional state)
+    interior = tagged.map_batches(
+        finalize_interior, batch_format="pyarrow", batch_size=None
+    )
     edges = (
         tagged.map_batches(
             lambda t: t.filter(t.column("_edge"))
             if t.num_columns
             else _SESSION_SCHEMA.empty_table().append_column("_edge", pa.array([], pa.bool_())),
             batch_format="pyarrow",
+            batch_size=None,
         )
         .repartition(1)
         .map_batches(stitch_edges, batch_format="pyarrow", batch_size=None, concurrency=1)
@@ -199,17 +204,23 @@ def asof_last_marker(
     out_col: str = "last_marker_ts",
 ) -> "ray.data.Dataset":
     """As-of join within a key: for every ``target_type`` row, the most recent
-    ``marker_type`` timestamp at-or-before it (merge_asof semantics —
-    SURVEY.md §2.4 as-of pattern).
+    ``marker_type`` timestamp strictly-preceding-or-tied in (ts, id) window
+    order (the oracle's ``ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING``).
 
     HOT-KEY-SAFE segmented scan (same shape as ``sessionize``): global sort
     on (key, ts, id) → per-block vectorized carry-forward. Interior keys
-    resolve completely in-block. Only target rows of a block's FIRST/LAST
-    key that precede that block's first marker are PENDING; they plus
-    one last-marker summary row per (edge key, block) — never raw events —
-    go to one small stitching task, which answers each pending row as the
-    max summary marker ts ≤ its ts (sorted order guarantees any earlier
-    block's markers sort before)."""
+    resolve completely in-block. Target rows of a block's FIRST/LAST key
+    that precede that block's first marker are PENDING; each block also
+    emits ONE summary row per (edge key) carrying its positionally-last
+    marker's own (ts, id). The summary table is block-count-bounded (≤ 2
+    rows/block), so it is collected once, broadcast, and every pending row
+    resolves DISTRIBUTED in the same pass that emits finals — a markerless
+    hot key never funnels raw rows into a single stitch task. Window
+    correctness under ts ties: a summary marker answers a pending target
+    iff (marker_ts, marker_id) < (target_ts, target_id) lexicographically —
+    a same-block marker (always positionally after a pending target) and
+    any later-block marker fail that test, an earlier-block marker passes
+    it, exactly matching ROWS UNBOUNDED PRECEDING."""
     gap_na = np.int64(np.iinfo(np.int64).min)
     sch = ds.schema()
     key_type = dict(zip(sch.names, sch.types))[key_col]
@@ -274,19 +285,24 @@ def asof_last_marker(
             emit(is_target & (valid | ~is_edge), "final", True),
             emit(is_target & ~valid & is_edge, "pending", False),
         ]
-        # per-(edge key) last marker summary: one row per edge key (≤ 2)
-        s_key, s_ts = [], []
+        # per-(edge key) last marker summary: one row per edge key (≤ 2),
+        # carrying the marker's OWN (ts, id) so ties at ts resolve by the
+        # window order (ADVICE r2: ts-only comparison picked up markers
+        # that sort AFTER the target by event_id)
+        s_key, s_ts, s_id = [], [], []
         for k in {keys[0], keys[-1]}:
             mask = (keys == k) & is_marker
             if mask.any():
+                last = int(np.flatnonzero(mask)[-1])  # positionally last = max (ts, id)
                 s_key.append(k)
-                s_ts.append(int(ts[mask].max()))
+                s_ts.append(int(ts[last]))
+                s_id.append(ids[last])
         if s_key:
             parts.append(
                 pa.table(
                     {
                         "kind": pa.array(["summary"] * len(s_key), pa.string()),
-                        id_col: pa.array([ids[0]] * len(s_key), id_type),  # unused
+                        id_col: pa.array(s_id, id_type),
                         key_col: pa.array(s_key, key_type),
                         ts_col: pa.array(s_ts, pa.int64()).cast(pa.timestamp("us")),
                         out_col: pa.array(s_ts, pa.int64()).cast(pa.timestamp("us")),
@@ -295,52 +311,99 @@ def asof_last_marker(
             )
         return pa.concat_tables(parts)
 
-    def finals(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
-            return OUT_SCHEMA.empty_table()
-        f = t.filter(pc.equal(t.column("kind"), "final"))
-        return f.select([id_col, key_col, ts_col, out_col])
-
-    def stitch(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
-            return OUT_SCHEMA.empty_table()
-        df = t.to_pandas()
-        pend = df[df["kind"] == "pending"]
-        summ = df[df["kind"] == "summary"]
-        if len(pend) == 0:
-            return OUT_SCHEMA.empty_table()
-        m = pend[[id_col, key_col, ts_col]].merge(
-            summ[[key_col, out_col]], on=key_col, how="left"
-        )
-        # at-or-before: keep summary markers ≤ the target ts, take the max
-        m.loc[m[out_col] > m[ts_col], out_col] = pd.NaT
-        agg = (
-            m.groupby([id_col, key_col, ts_col], as_index=False)[out_col].max()
-        )
-        agg[ts_col] = agg[ts_col].astype("datetime64[us]")
-        agg[out_col] = agg[out_col].astype("datetime64[us]")
-        return pa.Table.from_pandas(
-            agg[[id_col, key_col, ts_col, out_col]], preserve_index=False
-        ).replace_schema_metadata(None).cast(OUT_SCHEMA)
-
     from .fastagg import drop_empty_blocks
+    from ..state.broadcast import broadcast, state_key, task_state
 
     mid = (
         ds.sort([key_col, ts_col, id_col])
         .map_batches(per_block, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
-    final_rows = mid.map_batches(finals, batch_format="pyarrow")
-    stitched = (
-        mid.map_batches(
-            lambda t: t.filter(
-                pc.is_in(t.column("kind"), value_set=pa.array(["pending", "summary"]))
-            )
-            if t.num_columns
-            else MID_SCHEMA.empty_table(),
-            batch_format="pyarrow",
-        )
-        .repartition(1)
-        .map_batches(stitch, batch_format="pyarrow", batch_size=None, concurrency=1)
+    # summary table is block-count-bounded (≤ 2 rows per sorted block): the
+    # only state small enough to broadcast, and all a pending row needs
+    summ_tbl = pa.concat_tables(
+        [
+            b
+            for b in mid.map_batches(
+                lambda t: t.filter(pc.equal(t.column("kind"), "summary"))
+                if t.num_columns
+                else MID_SCHEMA.empty_table(),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        or [MID_SCHEMA.empty_table()]
     )
-    return drop_empty_blocks(final_rows.union(stitched), OUT_SCHEMA)
+    summ_ref = broadcast(
+        summ_tbl.select([key_col, ts_col, id_col]).sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+    )
+
+    def _summ_index(ref):
+        """Per-worker memo: key → (marker_ts int64 asc, marker_id asc-within-ts)."""
+        tbl = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        sts = pc.cast(
+            pc.cast(tbl.column(ts_col), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        sids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        idx: dict = {}
+        if len(keys):
+            bounds = np.flatnonzero(
+                np.concatenate(([True], keys[1:] != keys[:-1], [True]))
+            )
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                idx[keys[a]] = (sts[a:b], sids[a:b])
+        return idx
+
+    def resolve(t: pa.Table) -> pa.Table:
+        """Finals pass through; pendings resolve against broadcast summaries:
+        max marker ts among markers with (ts, id) strictly before the target
+        in window order. Vectorized per edge key (≤ 2 keys per block)."""
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        finals = t.filter(pc.equal(t.column("kind"), "final")).select(
+            [id_col, key_col, ts_col, out_col]
+        )
+        pend = t.filter(pc.equal(t.column("kind"), "pending"))
+        if pend.num_rows == 0:
+            return finals
+        index = task_state(state_key("asof_summ", summ_ref), lambda: _summ_index(summ_ref))
+        keys = pend.column(key_col).to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(pend.column(ts_col), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ids = pend.column(id_col).to_numpy(zero_copy_only=False)
+        ans = np.full(len(keys), gap_na, dtype=np.int64)
+        for k in np.unique(keys):
+            entry = index.get(k)
+            if entry is None:
+                continue
+            sts, sids = entry
+            m = keys == k
+            t_k, i_k = ts[m], ids[m]
+            lo = np.searchsorted(sts, t_k, side="left")   # markers with ts <  target
+            hi = np.searchsorted(sts, t_k, side="right")  # markers with ts <= target
+            # tie run [lo, hi): ids ascending, so a tie qualifies iff the
+            # run's FIRST id < target id
+            has_tie = (hi > lo) & (sids[np.minimum(lo, len(sts) - 1)] < i_k)
+            a = np.where(
+                has_tie, t_k, np.where(lo > 0, sts[np.maximum(lo - 1, 0)], gap_na)
+            )
+            ans[m] = a
+        out_arr = pa.array(ans, pa.int64(), mask=(ans == gap_na)).cast(
+            pa.timestamp("us")
+        )
+        resolved = pa.table(
+            {
+                id_col: pend.column(id_col),
+                key_col: pend.column(key_col),
+                ts_col: pc.cast(pend.column(ts_col), pa.timestamp("us")),
+                out_col: out_arr,
+            }
+        )
+        return pa.concat_tables([finals.cast(OUT_SCHEMA), resolved.cast(OUT_SCHEMA)])
+
+    return drop_empty_blocks(
+        mid.map_batches(resolve, batch_format="pyarrow", batch_size=None), OUT_SCHEMA
+    )

@@ -240,3 +240,56 @@ def test_distribution_stats_hot_group_matches_numpy():
             assert out.loc[gname, "q1"] == qs[0], (method, gname)
             assert out.loc[gname, "median"] == qs[1]
             assert out.loc[gname, "q3"] == qs[2]
+
+
+def test_asof_ts_tie_marker_after_target_is_null():
+    """ADVICE r2 repro: target and marker share (user_id, ts) with the marker
+    HIGHER by event_id — the window (ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING) must NOT see the marker, at any block layout."""
+    from multiomics_biocypher_kg_ray.stages.events import asof_last_marker
+
+    t0 = 1_700_000_000_000_000
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": pd.Timestamp(t0, unit="us"), "event_type": "purchase"},
+        {"user_id": 1, "event_id": 2, "ts": pd.Timestamp(t0, unit="us"), "event_type": "signup"},
+    ]
+    # long tail so the sort splits user 1 across many blocks
+    for i in range(3000):
+        rows.append({"user_id": 1, "event_id": 3 + i,
+                     "ts": pd.Timestamp(t0 + (i + 1) * 1_000_000, unit="us"),
+                     "event_type": "purchase"})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    ).map_batches(lambda t: t, batch_size=128, batch_format="pyarrow")
+    out = asof_last_marker(ds).to_pandas().sort_values("event_id")
+    first = out[out["event_id"] == 1]
+    assert first["last_marker_ts"].isna().all()  # tie, marker after → NULL
+    tail = out[out["event_id"] >= 3]
+    assert (tail["last_marker_ts"] == pd.Timestamp(t0, unit="us")).all()
+
+
+def test_asof_markerless_hot_key_stays_distributed():
+    """A hot key with many targets and NO markers: every pending row must
+    resolve to NULL through the distributed resolve pass (pendings never
+    funnel into a single stitch task)."""
+    from multiomics_biocypher_kg_ray.stages.events import asof_last_marker
+
+    t0 = 1_700_000_000_000_000
+    rows = [
+        {"user_id": 1, "event_id": i,
+         "ts": pd.Timestamp(t0 + i * 1_000_000, unit="us"), "event_type": "purchase"}
+        for i in range(20000)
+    ]
+    # one cold user with a marker to keep the summary path exercised
+    rows.append({"user_id": 2, "event_id": 30000, "ts": pd.Timestamp(t0, unit="us"), "event_type": "signup"})
+    rows.append({"user_id": 2, "event_id": 30001, "ts": pd.Timestamp(t0 + 1, unit="us"), "event_type": "purchase"})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    ).map_batches(lambda t: t, batch_size=512, batch_format="pyarrow")
+    out = asof_last_marker(ds).to_pandas()
+    assert len(out) == 20001
+    assert out[out["user_id"] == 1]["last_marker_ts"].isna().all()
+    assert (out[out["user_id"] == 2]["last_marker_ts"]
+            == pd.Timestamp(t0, unit="us")).all()
