@@ -28,9 +28,28 @@ def strip_meta(batch: pa.Table) -> pa.Table:
 
 
 def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
-    """``ray.data.read_parquet`` with hashable (metadata-free) block schemas."""
+    """``ray.data.read_parquet`` with hashable (metadata-free) block schemas.
+
+    The clean schema is passed INTO the read so blocks are born metadata-free
+    (pandas-written Parquet carries unhashable ``b'pandas'`` schema metadata,
+    and the read operator itself logs "Failed to hash the schemas" while
+    deduping its output bundles — a post-read strip is too late). The strip
+    map stays as a belt-and-braces pass for multi-file reads with mixed
+    schemas, where ``schema=`` cannot be derived from one footer."""
+    import os
+
     import ray.data
 
+    if "schema" not in kw and os.path.isfile(path):
+        import pyarrow.parquet as pq
+
+        file_schema = pq.read_schema(path)
+        fields = (
+            [file_schema.field(c) for c in columns]
+            if columns is not None
+            else list(file_schema)
+        )
+        kw["schema"] = pa.schema(fields)  # new schema ⇒ no metadata
     return ray.data.read_parquet(path, columns=columns, **kw).map_batches(
         strip_meta, batch_format="pyarrow"
     )

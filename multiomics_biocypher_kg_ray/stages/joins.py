@@ -72,7 +72,7 @@ def broadcast_join(
         ref = ray.put(small_tbl.replace_schema_metadata(None))
         return large.map_batches(
             _broadcast_probe_fn,
-            fn_kwargs={"small_ref": ref, "key": on[0], "how": how},
+            fn_kwargs={"small_ref": ref, "key": on[0], "how": how, "suffix": suffix},
             batch_format="pyarrow",
         )
     ref = small if isinstance(small, ray.ObjectRef) else ray.put(small)
@@ -88,9 +88,14 @@ def broadcast_join(
     )
 
 
-def _broadcast_probe_fn(batch: pa.Table, small_ref, key: str, how: str) -> pa.Table:
+def _broadcast_probe_fn(
+    batch: pa.Table, small_ref, key: str, how: str, suffix: str = "_r"
+) -> pa.Table:
     """Arrow-native probe: inv = index_in(batch.key, small.key); append every
-    small payload column via take(inv); inner drops non-matches."""
+    small payload column via take(inv); inner drops non-matches. A small-side
+    column whose name already exists in the batch gets ``suffix`` appended —
+    same contract as the pandas merge path's ``suffixes=("", suffix)``
+    (ADVICE r2: the fast path silently produced duplicate column names)."""
     from ..state.broadcast import state_key, task_state
 
     small: pa.Table = task_state(state_key("bprobe", small_ref), lambda: fetch(small_ref))
@@ -103,10 +108,12 @@ def _broadcast_probe_fn(batch: pa.Table, small_ref, key: str, how: str) -> pa.Ta
         batch = batch.filter(keep)
         inv = inv.filter(keep)
     out = batch
+    existing = set(batch.column_names)
     for name in small.column_names:
         if name == key:
             continue
-        out = out.append_column(name, pc.take(small.column(name), inv))
+        out_name = name + suffix if name in existing else name
+        out = out.append_column(out_name, pc.take(small.column(name), inv))
     return out
 
 
