@@ -276,6 +276,57 @@ _TRANSFORMS: dict[str, Transform] = {
 # list-valued transforms: excluded from scalar rule chains (they fan out)
 _LIST_VALUED: frozenset[str] = frozenset({"split_cog_category"})
 
+
+def _arrow_transforms():
+    """Vectorized Arrow twins for the transforms that have exact pyarrow
+    kernels — used by the extractor's single-match fast path so a chained
+    rule never pays a per-value Python loop (VERDICT r2 #6: r_group cost 3×
+    the other rules through ``[chain(v) for v in ...to_pylist()]``).
+    Equivalence with the scalar fns is asserted in tests/test_extract.py."""
+    import pyarrow.compute as pc
+
+    return {
+        "first_token_space": lambda a: pc.list_element(
+            pc.split_pattern(a, " ", max_splits=1), 0
+        ),
+        "casefold": pc.utf8_lower,
+        "upper": pc.utf8_upper,
+        "strip_footnotes": lambda a: pc.utf8_trim_whitespace(
+            pc.utf8_rtrim(a, characters="*+")
+        ),
+        "strip_version_suffix": lambda a: pc.replace_substring_regex(
+            a, r"\.\d+$", ""
+        ),
+        "normalize_ws": lambda a: pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(a, r"\s+", " ")
+        ),
+        "drop_parenthesized": lambda a: pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(a, r"\([^)]*\)", "")
+        ),
+    }
+
+
+_ARROW_TRANSFORMS = None
+
+
+def compile_chain_arrow(names: tuple[str, ...]):
+    """Arrow-vectorized chain (``pa.Array → pa.Array``), or None when any
+    named transform lacks an exact Arrow kernel — callers then fall back to
+    the scalar ``compile_chain``."""
+    global _ARROW_TRANSFORMS
+    if _ARROW_TRANSFORMS is None:
+        _ARROW_TRANSFORMS = _arrow_transforms()
+    fns = [_ARROW_TRANSFORMS.get(n) for n in names]
+    if any(f is None for f in fns):
+        return None
+
+    def chain(arr):
+        for f in fns:
+            arr = f(arr)
+        return arr
+
+    return chain
+
 # DuckDB twins for transforms legal inside oracle-checked extraction rules;
 # {x} is the wrapped SQL expression. Semantics must match the Python fns on
 # the single-space-normalized corpus (asserted in tests/test_extract.py).

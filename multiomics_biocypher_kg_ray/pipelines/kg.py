@@ -39,7 +39,9 @@ class KGConfig:
     aliases: AliasDictionary = field(default_factory=default_alias_dictionary)
     extract_concurrency: int | tuple[int, int] | None = None  # None → CPU-sized
     link_concurrency: int | tuple[int, int] | None = None
-    batch_size: int = 8192
+    # None = whole-block batches: per-call fixed costs (role masks, combined
+    # prefilter, concat) amortize over the block instead of every 8K rows
+    batch_size: int | None = None
 
 
 @dataclass
