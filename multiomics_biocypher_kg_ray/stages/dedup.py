@@ -18,6 +18,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -36,6 +37,9 @@ from ..functions.textfn import (
 
 NUM_MINHASHES = 8
 BAND_SIZE = 2  # → 4 bands
+
+# byte-wise popcount lookup for the vectorized hamming filter
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 # ------------------------------------------------------------------- exact
@@ -118,6 +122,195 @@ def minhash_bands(docs: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
 LSH_BUCKET_CAP = 1000
 
 
+def bucket_pairs(
+    ds: "ray.data.Dataset",
+    bucket_keys: list[str],
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = (),
+    cap: int | None = LSH_BUCKET_CAP,
+    pair_fn=None,
+    segment_fn=None,
+    segment_schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """All intra-bucket (a < b) id pairs, capped at the first ``cap`` ids per
+    bucket (ascending — the same contract the SQL oracles apply).
+
+    SEGMENTED-SCAN shape, not ``groupby().map_groups`` (VERDICT r2 #3: Ray's
+    per-group reduce pays per-group Python — measured 26 s for 160K groups —
+    so at data-proportional bucket counts the harness, not the pair math,
+    dominates): one range-partitioned sort on (bucket_keys…, id), then
+    per-BLOCK pair emission over each bucket segment. A bucket strictly
+    interior to a block is globally complete; only each block's FIRST/LAST
+    bucket may straddle a boundary, and for those only the first ``cap``
+    (id, payload) rows per (block, bucket) — never the raw bucket — travel
+    to one stitch task. Worst case for the stitch is one bucket spanning
+    every block: ≤ cap × n_blocks rows, block-count- (not member-)bounded.
+
+    Rows must be UNIQUE on (bucket_keys, id_col). ``payload_cols`` are
+    carried per id and emitted as ``<col>_a`` / ``<col>_b``. ``pair_fn``
+    (pa.Table → pa.Table), if given, runs vectorized on every emitted pair
+    table INSIDE the emission task (e.g. a hamming filter) so unfiltered
+    pair blow-up never leaves the task. ``segment_fn(ids, payloads) →
+    pa.Table | None`` replaces the default triu emission entirely (e.g. an
+    in-cell matmul rescore); it receives the capped, ascending, DEDUPED ids
+    of one bucket. ``cap=None`` disables truncation."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .fastagg import drop_empty_blocks
+
+    id_type = pa.int64()
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    id_type = types[id_col]
+    PAIR_SCHEMA_BASE = pa.schema(
+        [("doc_a", id_type), ("doc_b", id_type)]
+        + [(f"{c}_a", types[c]) for c in payload_cols]
+        + [(f"{c}_b", types[c]) for c in payload_cols]
+    )
+    EDGE_SCHEMA = pa.schema(
+        [(k, types[k]) for k in bucket_keys]
+        + [(id_col, id_type)]
+        + [(c, types[c]) for c in payload_cols]
+    )
+
+    def _emit_one(ids: np.ndarray, payloads: dict) -> "pa.Table | None":
+        """segment_fn emission for ONE bucket (deduped, capped ids)."""
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]  # defensive dedupe (sorted ids)
+        if not keep.all():
+            ids = ids[keep]
+            payloads = {c: v[keep] for c, v in payloads.items()}
+        e = len(ids) if cap is None else min(len(ids), cap)
+        if e < 2:
+            return None
+        return segment_fn(ids[:e], {c: v[:e] for c, v in payloads.items()})
+
+    def _emit_segments(
+        t: pa.Table, starts: np.ndarray, ends: np.ndarray
+    ) -> pa.Table:
+        """Vectorized triu pairs over MANY bucket segments at once: one
+        index-array computation and ONE table build per block — per-bucket
+        Python table construction at 10⁶+ buckets was as slow as the
+        map_groups harness this replaces."""
+        o = starts.astype(np.int64)
+        ln = (ends - starts).astype(np.int64)
+        eff = ln if cap is None else np.minimum(ln, cap)
+        cnt = eff * (eff - 1) // 2
+        total = int(cnt.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        seg = np.repeat(np.arange(len(o)), cnt)
+        base = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        k = np.arange(total, dtype=np.int64) - base
+        m = eff[seg]
+        # inverse row index of the k-th (row-major, i<j) triu pair of size m:
+        # T(i) = i*(2m-i-1)/2 pairs precede row i; solve T(i) <= k < T(i+1)
+        disc = (2 * m - 1).astype(np.float64) ** 2 - 8 * k
+        i = np.floor((2 * m - 1 - np.sqrt(disc)) / 2).astype(np.int64)
+        i = np.clip(i, 0, m - 2)
+        for _ in range(2):  # float guess is off by at most ±1
+            over = i * (2 * m - i - 1) // 2 > k
+            i = np.where(over, i - 1, i)
+            under = (i + 1 <= m - 2) & ((i + 1) * (2 * m - i - 2) // 2 <= k)
+            i = np.where(under, i + 1, i)
+        j = k - i * (2 * m - i - 1) // 2 + i + 1
+        pa_a, pa_b = pa.array(o[seg] + i), pa.array(o[seg] + j)
+        id_arr = t.column(id_col)
+        cols = {"doc_a": id_arr.take(pa_a), "doc_b": id_arr.take(pa_b)}
+        for c in payload_cols:
+            col = t.column(c)
+            cols[f"{c}_a"] = col.take(pa_a)
+            cols[f"{c}_b"] = col.take(pa_b)
+        out = pa.table(cols).cast(PAIR_SCHEMA_BASE)
+        return pair_fn(out) if pair_fn is not None else out
+
+    def _segments(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """bucket segment boundaries of a sorted block."""
+        change = np.zeros(t.num_rows, dtype=bool)
+        change[0] = True
+        for k in bucket_keys:
+            col = t.column(k).to_numpy(zero_copy_only=False)
+            change[1:] |= col[1:] != col[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], t.num_rows)
+        return starts, ends
+
+    if segment_fn is not None:
+        if segment_schema is None:
+            raise ValueError("segment_fn requires segment_schema")
+        out_schema = segment_schema
+    elif pair_fn is not None:
+        out_schema = pair_fn(PAIR_SCHEMA_BASE.empty_table()).schema
+    else:
+        out_schema = PAIR_SCHEMA_BASE
+
+    def interior_pairs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        starts, ends = _segments(t)
+        # skip segment 0 and the last segment (block-edge buckets → stitch)
+        if len(starts) <= 2:
+            return out_schema.empty_table()
+        s, e = starts[1:-1], ends[1:-1]
+        if segment_fn is None:
+            return _emit_segments(t, s, e)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pls = {
+            c: t.column(c).to_numpy(zero_copy_only=False) for c in payload_cols
+        }
+        parts = []
+        for a, b in zip(s, e):
+            p = _emit_one(ids[a:b], {c: v[a:b] for c, v in pls.items()})
+            if p is not None:
+                parts.append(p)
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return EDGE_SCHEMA.empty_table()
+        starts, ends = _segments(t)
+        take: list[int] = []
+        for a, b in ((starts[0], ends[0]), (starts[-1], ends[-1])):
+            take.extend(range(a, b if cap is None else min(b, a + cap)))
+        idx = pa.array(np.unique(np.asarray(take, dtype=np.int64)))
+        return t.select(list(EDGE_SCHEMA.names)).take(idx)
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        # re-sort (repartition loses order), then per-bucket capped triu
+        t = t.sort_by([(k, "ascending") for k in bucket_keys] + [(id_col, "ascending")])
+        starts, ends = _segments(t)
+        if segment_fn is None:
+            return _emit_segments(t, starts, ends)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pls = {
+            c: t.column(c).to_numpy(zero_copy_only=False) for c in payload_cols
+        }
+        parts = []
+        for a, b in zip(starts, ends):
+            p = _emit_one(ids[a:b], {c: v[a:b] for c, v in pls.items()})
+            if p is not None:
+                parts.append(p)
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    mid = ds.sort(bucket_keys + [id_col]).materialize()
+    interior = mid.map_batches(
+        interior_pairs, batch_format="pyarrow", batch_size=None
+    )
+    stitched = (
+        mid.map_batches(edge_rows, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(stitch, batch_format="pyarrow", batch_size=None, concurrency=1)
+    )
+    return drop_empty_blocks(interior.union(stitched), out_schema)
+
+
 def lsh_bucket_stats(bands: "ray.data.Dataset", cap: int = LSH_BUCKET_CAP) -> "ray.data.Dataset":
     """Per-bucket size + truncation report for ``lsh_candidate_pairs``:
     (band_idx, band_hash, n_docs, n_truncated) for every candidate-generating
@@ -157,25 +350,9 @@ def lsh_candidate_pairs(bands: "ray.data.Dataset", cap: int = LSH_BUCKET_CAP) ->
     operator contract — the SQL oracle applies the identical row_number cap —
     and truncation is reported via the companion ``lsh_bucket_stats`` table
     (n_truncated per bucket), never silently."""
-    CAP = cap
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        ids = np.sort(g["doc_id"].unique())[:CAP]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[ia].astype(np.int64)),
-                "doc_b": pa.array(ids[ib].astype(np.int64)),
-            }
-        )
-
     from .fastagg import sorted_grouped_agg
 
-    cand = bands.groupby(["band_idx", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
+    cand = bucket_pairs(bands, ["band_idx", "band_hash"], "doc_id", cap=cap)
     # pair-count-proportional groups → Arrow-native count
     return sorted_grouped_agg(
         cand, ["doc_a", "doc_b"], [("doc_a", "count")], out_names=["n_shared_bands"]
@@ -239,29 +416,35 @@ def simhash_near_dups(
             )
         return pa.concat_tables(parts)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id").head(cap)
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype("uint64")
-        rows = {"doc_a": [], "doc_b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if ham <= max_hamming:
-                    rows["doc_a"].append(int(ids[i]))
-                    rows["doc_b"].append(int(ids[j]))
-                    rows["hamming"].append(ham)
-        return pa.table(
+    def hamming_filter(pairs_t: pa.Table) -> pa.Table:
+        """Vectorized popcount(xor) + threshold filter, applied inside the
+        pair-emission task so unfiltered pair blow-up never leaves it."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ha = pairs_t.column("simhash_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = pairs_t.column("simhash_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = ha ^ hb
+        ham = np.zeros(len(x), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            ham += _POPCNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
+        out = pa.table(
             {
-                "doc_a": pa.array(rows["doc_a"], pa.int64()),
-                "doc_b": pa.array(rows["doc_b"], pa.int64()),
-                "hamming": pa.array(rows["hamming"], pa.int64()),
+                "doc_a": pairs_t.column("doc_a"),
+                "doc_b": pairs_t.column("doc_b"),
+                "hamming": pa.array(ham),
             }
         )
+        return out.filter(pc.less_equal(out.column("hamming"), max_hamming))
 
     exploded = simhashes(docs).map_batches(explode, batch_format="pyarrow")
-    cand = exploded.groupby(["band_idx", "band_val"]).map_groups(
-        pairs, batch_format="pandas"
+    cand = bucket_pairs(
+        exploded,
+        ["band_idx", "band_val"],
+        "doc_id",
+        payload_cols=("simhash",),
+        cap=cap,
+        pair_fn=hamming_filter,
     )
     # multi-band duplicates carry identical hamming → min == first; pair-
     # count-proportional groups → Arrow-native dedup
@@ -313,23 +496,11 @@ def ngram_jaccard_pairs(
         exploded, ["doc_id"], [("doc_id", "count")], out_names=["set_size"]
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        ids = np.sort(g["doc_id"].unique())[:cap]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[ia].astype(np.int64)),
-                "doc_b": pa.array(ids[ib].astype(np.int64)),
-            }
-        )
-
     from .fastagg import sorted_grouped_agg
 
     # intersection counts over pair-count-proportional groups → Arrow-native
     inter = sorted_grouped_agg(
-        exploded.groupby("shingle").map_groups(pairs, batch_format="pandas"),
+        bucket_pairs(exploded, ["shingle"], "doc_id", cap=cap),
         ["doc_a", "doc_b"],
         [("doc_a", "count")],
         out_names=["n_shared"],
