@@ -96,6 +96,9 @@ def extract_media_features(
         batch_size=batch_size,
         concurrency=(1, 8),
         num_cpus=1,
+        # stub state rebuilds in ms; max_restarts=0 avoids Ray's
+        # constructor-args-in-object-store restart warning (core_worker.cc)
+        max_restarts=0,
     )
 
 
@@ -140,6 +143,9 @@ def media_embed(
         batch_size=batch_size,
         concurrency=(1, 8),
         num_cpus=1,
+        # stub state rebuilds in ms; max_restarts=0 avoids Ray's
+        # constructor-args-in-object-store restart warning (core_worker.cc)
+        max_restarts=0,
     )
 
 

@@ -327,12 +327,47 @@ def majority_vote(
     (count desc, value asc) into one lexicographic key and takes an
     Arrow-native grouped MIN — zero per-group Python, so entity-proportional
     key spaces are safe (stages/fastagg.py)."""
+    import numpy as np
     import pyarrow.compute as pc
 
     from .fastagg import sorted_grouped_agg
 
     BIG = 10**12
+    sch = ds.schema()
+    vtype = dict(zip(sch.names, sch.types))[value_col]
+    if not isinstance(vtype, pa.DataType):  # pandas-backed: numpy dtype
+        try:
+            vtype = pa.from_numpy_dtype(vtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            vtype = pa.string()  # object dtype → string values
+    is_utf8 = pa.types.is_string(vtype) or pa.types.is_large_string(vtype)
     counted = preaggregate(ds.select_columns(keys + [value_col]), keys + [value_col], [])
+
+    # non-string values pack through an ORDER-PRESERVING fixed-width string
+    # encoding (int: flip the sign bit of the two's-complement bits; float:
+    # IEEE-754 total-order bit trick; both bijective), so the lexicographic
+    # min keeps the numeric value-asc tie-break (ADVICE r2: the utf8-only
+    # pack raised on non-string columns and changed their tie-break).
+    # Caveat shared with the SQL twin: utf8 values must not contain NUL.
+    def _encode(col: pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+        if is_utf8:
+            return col
+        v = col.to_numpy(zero_copy_only=False)
+        if pa.types.is_floating(vtype):
+            b = np.ascontiguousarray(v, dtype=np.float64).view(np.uint64)
+            u = np.where(b >> np.uint64(63) != 0, ~b, b | np.uint64(1 << 63))
+        else:  # ints / bools via int64 two's complement
+            u = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+        return pc.utf8_lpad(pc.cast(pa.array(u, pa.uint64()), pa.string()), 20, "0")
+
+    def _decode(arr: pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+        if is_utf8:
+            return pc.cast(arr, vtype)
+        u = pc.cast(arr, pa.uint64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        if pa.types.is_floating(vtype):
+            b = np.where(u >> np.uint64(63) != 0, u & ~np.uint64(1 << 63), ~u)
+            return pa.array(b.view(np.float64)).cast(vtype)
+        return pa.array((u ^ np.uint64(1 << 63)).view(np.int64)).cast(vtype)
 
     def pack(t: pa.Table) -> pa.Table:
         inv = pc.utf8_lpad(
@@ -340,7 +375,8 @@ def majority_vote(
             12,
             "0",
         )
-        packed = pc.binary_join_element_wise(inv, t.column(value_col), "\x00")
+        val = _encode(t.column(value_col))
+        packed = pc.binary_join_element_wise(inv, pc.cast(val, pa.string()), "\x00")
         return t.select(keys).append_column("_pack", packed)
 
     winner = sorted_grouped_agg(
@@ -358,7 +394,7 @@ def majority_vote(
         )
         return (
             t.drop_columns(["_pack"])
-            .append_column(out_col, pc.list_element(parts, 1))
+            .append_column(out_col, _decode(pc.list_element(parts, 1)))
             .append_column("n_votes", n)
         )
 

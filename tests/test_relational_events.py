@@ -293,3 +293,17 @@ def test_asof_markerless_hot_key_stays_distributed():
     assert out[out["user_id"] == 1]["last_marker_ts"].isna().all()
     assert (out[out["user_id"] == 2]["last_marker_ts"]
             == pd.Timestamp(t0, unit="us")).all()
+
+
+def test_majority_vote_non_string_values():
+    """ADVICE r2: non-string value columns must keep count-desc, value-ASC
+    (numeric order) tie-break through the packed-argmax path."""
+    from multiomics_biocypher_kg_ray.stages.relational import majority_vote
+
+    df = pd.DataFrame({"g": ["a"] * 3 + ["b"] * 4, "v": [10, 10, 2, -5, -5, 10, 10]})
+    out = majority_vote(ray.data.from_pandas(df), ["g"], "v").to_pandas().sort_values("g")
+    assert out[out.g == "a"].iloc[0]["consensus"] == 10
+    assert out[out.g == "b"].iloc[0]["consensus"] == -5  # tie → numeric asc
+    df2 = pd.DataFrame({"g": ["a"] * 3, "v": [1.5, -2.25, -2.25]})
+    out2 = majority_vote(ray.data.from_pandas(df2), ["g"], "v").to_pandas()
+    assert out2.iloc[0]["consensus"] == -2.25 and out2.iloc[0]["n_votes"] == 2
