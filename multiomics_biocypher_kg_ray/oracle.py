@@ -44,14 +44,14 @@ transcripts AS (
 # ------------------------------------------------------------------ mentions
 
 
-def _rule_select(rule: ExtractionRule) -> str:
+def _rule_select(rule: ExtractionRule, from_table: str = "transcripts") -> str:
     roles = ", ".join(f"'{r}'" for r in rule.applies_role)
     # zipped unnest over the two capture groups (DuckDB zips parallel unnests)
     base = f"""
   SELECT conv_id, turn_idx, '{rule.rule_id}' AS rule_id, '{rule.predicate}' AS pred,
          unnest(regexp_extract_all(text, '{rule.pattern}', 1)) AS subj_text,
          unnest(regexp_extract_all(text, '{rule.pattern}', 2)) AS obj_text
-  FROM transcripts WHERE role IN ({roles})""".strip()
+  FROM {from_table} WHERE role IN ({roles})""".strip()
     if not rule.transforms:
         return base
     # chained transforms: compose the registered DuckDB twins around both
@@ -68,9 +68,13 @@ def _rule_select(rule: ExtractionRule) -> str:
     )
 
 
-def mentions_cte(rules: tuple[ExtractionRule, ...] = DEFAULT_RULES) -> str:
-    body = "\n  UNION ALL\n".join(_rule_select(r) for r in rules)
-    return f"mentions AS (\n{body}\n)"
+def mentions_cte(
+    rules: tuple[ExtractionRule, ...] = DEFAULT_RULES,
+    name: str = "mentions",
+    from_table: str = "transcripts",
+) -> str:
+    body = "\n  UNION ALL\n".join(_rule_select(r, from_table) for r in rules)
+    return f"{name} AS (\n{body}\n)"
 
 
 # ------------------------------------------------------- alias dict as VALUES
@@ -341,3 +345,34 @@ r AS (SELECT entity_id, mention, n,
              row_number() OVER (PARTITION BY entity_id ORDER BY n DESC, mention) AS rn
       FROM cnt)
 SELECT entity_id, mention AS consensus, n AS n_votes FROM r WHERE rn = 1"""
+
+
+def sql_kg_multisource() -> str:
+    """Composed MULTI-SOURCE build twin (the ``create_knowledge_graph.py:
+    52-279`` dependency-ordered multi-adapter run, shrunk to two sources):
+    transcript mentions AND document-level mentions flow through the SAME
+    alias linking + shared canonicalization, edges dedup across sources with
+    a source-tagged evidence union ('doc:<rule>' | 'transcript:<rule>')."""
+    doc_turns = (
+        "doc_turns AS (SELECT 'doc_' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id, "
+        "0 AS turn_idx, 'user' AS role, text FROM documents)"
+    )
+    tagged = """
+mentions AS (
+  SELECT conv_id, turn_idx, 'transcript:' || rule_id AS rule_id, pred, subj_text, obj_text
+  FROM t_mentions
+  UNION ALL
+  SELECT conv_id, turn_idx, 'doc:' || rule_id, pred, subj_text, obj_text
+  FROM d_mentions
+)""".strip()
+    parts = [
+        transcripts_cte(),
+        doc_turns,
+        mentions_cte(name="t_mentions", from_table="transcripts"),
+        mentions_cte(name="d_mentions", from_table="doc_turns"),
+        tagged,
+        alias_ctes(),
+        linked_cte(),
+        canon_ctes(),
+    ]
+    return "WITH RECURSIVE " + ",\n".join(parts) + " " + _edges_select()

@@ -135,6 +135,71 @@ def q_kg_conv_stats(sf_dir: str):
     return materialize.conv_stats(transcripts_dataset(sf_dir), _linked(sf_dir))
 
 
+def q_kg_multisource(sf_dir: str):
+    """COMPOSED multi-source build (reference flagship shape:
+    ``create_knowledge_graph.py:52-279`` — 20 adapters in one
+    dependency-ordered run, shrunk to two sources): transcript mentions AND
+    document-level mentions flow through the SAME broadcast alias linking and
+    SHARED canonicalization; edges dedup across sources with a source-tagged
+    evidence union ('doc:<rule>' | 'transcript:<rule>') and cross-source
+    summed weights."""
+    import ray as _ray
+
+    from ..config import DEFAULT_RULES, default_alias_dictionary
+    from ..stages.canonicalize import canonical_map_table
+    from ..stages.link import AliasIndex
+    from .kg import _fused_extract_link
+
+    aliases = default_alias_dictionary()
+    index_ref = _ray.put(AliasIndex(aliases))
+
+    def tag(src: str):
+        def fn(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("rule_id")
+            return t.set_column(
+                i,
+                "rule_id",
+                pc.binary_join_element_wise(src, t.column("rule_id"), ":"),
+            )
+
+        return fn
+
+    def link(ds):
+        return ds.map_batches(
+            _fused_extract_link,
+            fn_kwargs={"rules": DEFAULT_RULES, "index_ref": index_ref},
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    def docs_as_turns(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table(
+            {
+                "conv_id": pa.array([f"doc_{d:08d}" for d in ids], pa.string()),
+                "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+                "role": pa.array(["user"] * n, pa.string()),
+                "text": t.column("text"),
+            }
+        )
+
+    tr_linked = link(transcripts_dataset(sf_dir)).map_batches(
+        tag("transcript"), batch_format="pyarrow"
+    )
+    doc_linked = link(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            docs_as_turns, batch_format="pyarrow"
+        )
+    ).map_batches(tag("doc"), batch_format="pyarrow")
+
+    canon_tbl = canonical_map_table(aliases.all_equiv_edges())
+    _nodes, edges = materialize.build_graph_tables(
+        tr_linked.union(doc_linked), canon_tbl
+    )
+    return edges
+
+
 def q_entity_consensus(sf_dir: str):
     linked = _linked(sf_dir)
 
@@ -719,6 +784,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_node_degree": (q_kg_node_degree, oracle.sql_kg_node_degree()),
         "kg_edge_rank": (q_kg_edge_rank, oracle.sql_kg_edge_rank()),
         "kg_conv_stats": (q_kg_conv_stats, oracle.sql_kg_conv_stats()),
+        "kg_multisource": (q_kg_multisource, oracle.sql_kg_multisource()),
         "entity_consensus": (q_entity_consensus, oracle.sql_entity_consensus()),
         # relational operators (SURVEY §2.4-2.6)
         "pricing_summary": (q_pricing_summary, oracle_rel.sql_pricing_summary()),

@@ -183,3 +183,27 @@ def test_build_graph_tables_joined_matches_broadcast_path():
         da = a.to_pandas().sort_values(keys).reset_index(drop=True)
         db = b.to_pandas().sort_values(keys).reset_index(drop=True)[da.columns]
         pd.testing.assert_frame_equal(da, db.astype(da.dtypes.to_dict()))
+
+
+def test_kg_multisource_cross_source_union():
+    """Composed two-source build: edges carry source-tagged evidence; an edge
+    mentioned in both sources unions both tags and sums both weights."""
+    import pandas as pd
+
+    from multiomics_biocypher_kg_ray.pipelines.queries import q_kg_multisource
+
+    edges = q_kg_multisource("/root/testdata/sf0.001").to_pandas()
+    assert len(edges) > 0
+    tags = set()
+    for ev in edges["evidence"]:
+        tags.update(p.split(":")[0] for p in ev.split("|"))
+    assert tags == {"doc", "transcript"}
+    both = edges[
+        edges["evidence"].str.contains("doc:")
+        & edges["evidence"].str.contains("transcript:")
+    ]
+    assert len(both) > 0  # cross-source evidence union actually fires
+    # evidence entries are sorted and distinct per edge
+    for ev in edges["evidence"].head(50):
+        parts = ev.split("|")
+        assert parts == sorted(set(parts))
