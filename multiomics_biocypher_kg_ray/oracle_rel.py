@@ -542,13 +542,11 @@ SELECT 'n' || node AS node, min(depth)::BIGINT AS min_depth,
 FROM paths GROUP BY 1"""
 
 
-def sql_tree_prune(cap: int = 4096) -> str:
-    """Twin of ``q_tree_prune``: the curated code tree is generated from the
-    same ranges; anchor = longest dot-prefix present (find_ancestor); kept =
-    prefixes ∪ extensions of every anchor; unresolvable seeds surface as
-    alias rows with anchor ''."""
-    return f"""
-WITH hier AS (
+def _tree_prune_ctes(cap: int) -> str:
+    """Shared CTE chain (hier, seeds, anchors, kept) for the tree-prune
+    family — the synthetic TCDB-like code tree, seed anchoring, and the
+    bidirectional prune."""
+    return f"""hier AS (
   SELECT (c + 1)::VARCHAR AS code FROM range(3) t(c)
   UNION ALL
   SELECT (c + 1) || '.' || chr((65 + l)::INTEGER) FROM range(3) t(c), range(5) u(l)
@@ -585,11 +583,39 @@ kept AS (
   UNION
   SELECT DISTINCT h.code FROM hier h
   JOIN anchors a ON a.anchor IS NOT NULL AND h.code LIKE a.anchor || '.%'
-)
+)"""
+
+
+def sql_tree_prune(cap: int = 4096) -> str:
+    """Twin of ``q_tree_prune``: the curated code tree is generated from the
+    same ranges; anchor = longest dot-prefix present (find_ancestor); kept =
+    prefixes ∪ extensions of every anchor; unresolvable seeds surface as
+    alias rows with anchor ''."""
+    return f"""
+WITH {_tree_prune_ctes(cap)}
 SELECT 'kept' AS kind, code AS id, '' AS anchor FROM kept
 UNION ALL
 SELECT 'alias', seed, coalesce(anchor, '')
 FROM anchors WHERE seed NOT IN (SELECT code FROM hier)"""
+
+
+def sql_tree_prune_rollup(cap: int = 4096) -> str:
+    """Twin of ``q_tree_prune_rollup`` (A12 composition): per-node substrate
+    sets union up the FULL tree (self + all dot-descendants) BEFORE the
+    prune, so every kept node's set is single-hop complete even where the
+    prune removed intermediate descendants."""
+    sub = "'s_' || replace(d.code, '.', '_')"
+    return f"""
+WITH {_tree_prune_ctes(cap)},
+rolled AS (
+  SELECT h.code,
+         count(DISTINCT d.code)::BIGINT AS n_substrates,
+         string_agg(DISTINCT {sub}, '|' ORDER BY {sub}) AS substrates
+  FROM hier h JOIN hier d ON d.code = h.code OR d.code LIKE h.code || '.%'
+  GROUP BY 1
+)
+SELECT k.code AS id, r.n_substrates, r.substrates
+FROM kept k JOIN rolled r ON r.code = k.code"""
 
 
 def sql_vocab_top_terms(k: int = 50) -> str:

@@ -622,6 +622,27 @@ def q_tree_prune(sf_dir: str):
     return pa.table({"kind": kinds, "id": ids, "anchor": anchors})
 
 
+def q_tree_prune_rollup(sf_dir: str):
+    """A12 composition (build_kegg_metabolism_xrefs.py:27-43,674-708): roll
+    per-node substrate sets up the FULL curated tree, THEN prune from the
+    data seeds — kept ancestors are single-hop complete, including the
+    contributions of pruned-away descendants."""
+    from ..stages.hierarchy import rollup_then_prune
+
+    hier = _tcdb_like_hierarchy()
+    own = {c: {"s_" + c.replace(".", "_")} for c in hier}
+    seeds = sorted({_tcdb_like_seed(k) for k in _part_keys(sf_dir)})
+    rolled, kept, _aliases = rollup_then_prune(hier, own, seeds)
+    codes = sorted(kept)
+    return pa.table(
+        {
+            "id": pa.array(codes, pa.string()),
+            "n_substrates": pa.array([len(rolled[c]) for c in codes], pa.int64()),
+            "substrates": pa.array(["|".join(sorted(rolled[c])) for c in codes], pa.string()),
+        }
+    )
+
+
 def q_table_counts(sf_dir: str):
     counts = [
         (t, _read(sf_dir, t).count()) for t in TABLES
@@ -832,6 +853,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "dag_closure": (q_dag_closure, oracle_rel.sql_dag_closure()),
         "dag_closure_levels": (q_dag_closure_levels, oracle_rel.sql_dag_closure_levels()),
         "tree_prune": (q_tree_prune, oracle_rel.sql_tree_prune()),
+        "tree_prune_rollup": (q_tree_prune_rollup, oracle_rel.sql_tree_prune_rollup()),
         "ec_chain_resolve": (q_ec_chain_resolve, oracle_rel.sql_ec_chain_resolve()),
         # text analysis
         "text_stats": (q_text_stats, oracle_rel.sql_text_stats()),

@@ -187,3 +187,26 @@ def tree_prune(
         walk_up(anchor)
         walk_down(anchor)
     return kept, aliases
+
+
+def rollup_then_prune(
+    hierarchy: set[str],
+    own: dict[str, set[str]],
+    seeds: "list[str] | set[str]",
+) -> tuple[dict[str, set[str]], set[str], dict[str, str]]:
+    """A12 composition: bottom-up property-set union over the FULL tree
+    BEFORE pruning (``build_kegg_metabolism_xrefs.py:27-43,674-708`` — TCDB
+    substrate rollup), then the seed-based bidirectional prune. Because the
+    rollup ran pre-prune, every kept ancestor's set is SINGLE-HOP complete:
+    it already contains the contributions of descendants the prune removed.
+
+    Returns (rolled_sets_full_tree, kept_codes, seed_aliases)."""
+    rolled = {c: set(own.get(c, ())) for c in hierarchy}
+    # deepest-first: each node folds into its immediate dot-prefix parent
+    for code in sorted(hierarchy, key=lambda c: c.count("."), reverse=True):
+        if "." in code:
+            parent = code.rsplit(".", 1)[0]
+            if parent in rolled:
+                rolled[parent] |= rolled[code]
+    kept, aliases = tree_prune(hierarchy, seeds)
+    return rolled, kept, aliases

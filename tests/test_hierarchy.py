@@ -75,3 +75,25 @@ def test_tree_prune_bidirectional_and_aliases():
     # unresolvable seed reported with '' anchor, keeps nothing
     assert aliases["9.X"] == ""
     assert not any(c.startswith("9") for c in kept)
+
+
+def test_rollup_then_prune_single_hop_includes_pruned_descendants():
+    """A12: the rollup runs over the FULL tree before pruning, so a kept
+    ancestor's set must contain substrates of descendants the prune removed
+    — and equal a naive full-tree recompute for every kept node."""
+    from multiomics_biocypher_kg_ray.stages.hierarchy import rollup_then_prune
+
+    hier = {"1", "1.A", "1.A.1", "1.A.2", "1.B", "1.B.1"}
+    own = {c: {"s_" + c.replace(".", "_")} for c in hier}
+    # seed anchors at 1.A.1 → kept = up-path {1, 1.A, 1.A.1} + descendants of
+    # 1.A.1 (none); 1.A.2 and the whole 1.B subtree are pruned away
+    rolled, kept, aliases = rollup_then_prune(hier, own, ["1.A.1"])
+    assert kept == {"1", "1.A", "1.A.1"}
+    for node in kept:
+        naive = set()
+        for d in hier:
+            if d == node or d.startswith(node + "."):
+                naive |= own[d]
+        assert rolled[node] == naive, node
+    # the invariant that matters: pruned descendants still contribute
+    assert "s_1_A_2" in rolled["1.A"] and "s_1_B_1" in rolled["1"]
