@@ -294,6 +294,49 @@ SELECT band_idx, band_hash, count(*)::BIGINT AS n_docs,
 FROM band GROUP BY 1, 2 HAVING count(*) >= 2"""
 
 
+def sql_simhash_near_dups(max_hamming: int = 8, cap: int = 1000) -> str:
+    """Bit-exact twin of ``dedup.simhash_near_dups``: 64-bit SimHash per doc
+    (token hash = first 8 md5 bytes big-endian, bit majority over ALL tokens
+    incl. duplicates), 4×16-bit band buckets capped at the first ``cap`` docs
+    by id, hamming = popcount(xor) ≤ ``max_hamming``, min over shared bands.
+    The engine stores the sketch as two's-complement int64; the oracle stays
+    in UBIGINT throughout — band values and xor agree bit-for-bit."""
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tokh AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM d)
+),
+bits AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tokh CROSS JOIN (SELECT unnest(range(64)) AS i) r
+  GROUP BY 1, 2
+),
+sk AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END)::UBIGINT AS u
+  FROM bits GROUP BY 1
+),
+band AS (
+  SELECT doc_id, band_idx, ((u >> (16 * band_idx)) & 65535)::BIGINT AS band_val, u
+  FROM sk CROSS JOIN (SELECT unnest(range(4)) AS band_idx) b
+),
+capped AS (
+  SELECT doc_id, band_idx, band_val, u,
+         row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn
+  FROM band
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.u, b.u))::BIGINT AS hamming
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+)
+SELECT doc_a, doc_b, min(hamming)::BIGINT AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+GROUP BY 1, 2"""
+
+
 def sql_jaccard_pairs(max_doc_id: int = 60, k: int = 3, cap: int = 1000) -> str:
     """Mirrors ``dedup.ngram_jaccard_pairs`` including the hot-shingle pair-
     generation cap (first ``cap`` docs by doc_id per shingle bucket). Set

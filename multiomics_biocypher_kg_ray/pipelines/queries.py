@@ -706,7 +706,6 @@ def q_jaccard_shingle_stats(sf_dir: str):
 
 
 def q_simhash_near_dups(sf_dir: str):
-    # no SQL oracle (bit-level sketch); rows-only check + pytest coverage
     return dedup.simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
@@ -873,7 +872,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_jaccard_shingle_stats,
             oracle_rel.sql_jaccard_shingle_stats(),
         ),
-        "simhash_near_dups": (q_simhash_near_dups, None),
+        "simhash_near_dups": (q_simhash_near_dups, oracle_rel.sql_simhash_near_dups()),
         # similarity search
         "knn_cosine": (q_knn_cosine, oracle_rel.sql_knn_cosine()),
         "knn_lsh": (q_knn_lsh, None),
