@@ -666,3 +666,33 @@ def sql_vocab_top_terms(k: int = 50) -> str:
 WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
 cnt AS (SELECT term, count(*)::BIGINT AS n FROM toks WHERE term <> '' GROUP BY 1)
 SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT {k}"""
+
+
+def sql_hopping_event_counts(window_s: int = 3600, hop_s: int = 900) -> str:
+    """Twin of ``events.hopping_window_agg`` over the events table: an event
+    at t belongs to every hop-aligned window start in (t - window, t] —
+    exactly window/hop of them."""
+    k = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+    return f"""
+SELECT event_type,
+       make_timestamp(((epoch_us(ts) // {hop_us}) - j) * {hop_us}) AS window_start,
+       count(value)::BIGINT AS n_events,
+       max(value) AS max_value
+FROM events CROSS JOIN (SELECT unnest(range({k})) AS j) r
+GROUP BY 1, 2"""
+
+
+def sql_urgent_window_shipments(days: int = 60) -> str:
+    """Twin of the ``range_join`` demo: shipments falling in each urgent
+    order's [orderdate, orderdate + days) attribution window."""
+    return f"""
+WITH urgent AS (
+  SELECT o_orderkey, o_orderdate AS w_start,
+         o_orderdate + INTERVAL {days} DAY AS w_end
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o_orderkey, count(*)::BIGINT AS n_shipments, sum(l_quantity) AS sum_qty
+FROM urgent u JOIN lineitem l
+  ON l.l_shipdate >= u.w_start AND l.l_shipdate < u.w_end
+GROUP BY 1"""

@@ -433,6 +433,58 @@ def q_asof_signup(sf_dir: str):
     return _cast_ts_us(events.asof_last_marker(ev), ["ts", "last_marker_ts"])
 
 
+def q_hopping_event_counts(sf_dir: str):
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return _cast_ts_us(
+        events.hopping_window_agg(
+            ev,
+            ["event_type"],
+            [("value", "count"), ("value", "max")],
+            window_s=3600,
+            hop_s=900,
+            out_names=["n_events", "max_value"],
+        ),
+        ["window_start"],
+    )
+
+
+def q_urgent_window_shipments(sf_dir: str, days: int = 60):
+    from ..stages.fastagg import sorted_grouped_agg
+    from ..stages.joins import range_join
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        start = pc.cast(t.column("o_orderdate"), pa.int64())
+        end = pc.add(start, pa.scalar(days * 86_400_000_000, pa.int64()))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "w_start": pc.cast(start, pa.timestamp("us")),
+                "w_end": pc.cast(end, pa.timestamp("us")),
+            }
+        )
+
+    intervals = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(mk_intervals, batch_format="pyarrow")
+    points = _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+    joined = range_join(
+        points,
+        intervals,
+        point_ts="l_shipdate",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_s=days * 86_400,
+        closed="left",
+    )
+    return sorted_grouped_agg(
+        joined,
+        ["o_orderkey"],
+        [("l_quantity", "count"), ("l_quantity", "sum")],
+        out_names=["n_shipments", "sum_qty"],
+    )
+
+
 def q_replicate_user_stats(sf_dir: str):
     ev = _read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
         lambda t: relational.to_cents(t, {"value": "c"}).drop_columns(["value"]),
@@ -837,6 +889,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "event_props_k": (q_event_props_k, oracle_rel.sql_event_props_k()),
         "sessionize": (q_sessionize, oracle_rel.sql_sessionize()),
         "asof_signup": (q_asof_signup, oracle_rel.sql_asof_signup()),
+        "hopping_event_counts": (
+            q_hopping_event_counts,
+            oracle_rel.sql_hopping_event_counts(),
+        ),
+        "urgent_window_shipments": (
+            q_urgent_window_shipments,
+            oracle_rel.sql_urgent_window_shipments(),
+        ),
         "table_counts": (q_table_counts, oracle_rel.sql_table_counts(TABLES)),
         "replicate_user_stats": (
             q_replicate_user_stats,

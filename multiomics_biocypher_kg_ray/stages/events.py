@@ -407,3 +407,67 @@ def asof_last_marker(
     return drop_empty_blocks(
         mid.map_batches(resolve, batch_format="pyarrow", batch_size=None), OUT_SCHEMA
     )
+
+
+# ------------------------------------------------------- hopping windows
+
+
+def _hop_explode_fn(
+    batch: pa.Table, ts_col: str, window_us: int, hop_us: int
+) -> pa.Table:
+    """Each event lands in exactly window/hop overlapping hopping windows;
+    emit one copy per window_start. The fan-out constant k = window/hop is
+    small (e.g. 4 for 1h/15min), so the loop is over k shifted COPIES —
+    each iteration fully vectorized — never over rows."""
+    k = window_us // hop_us
+    us = pc.cast(batch.column(ts_col), pa.int64())
+    base = pc.multiply(pc.divide(us, hop_us), pa.scalar(hop_us, pa.int64()))
+    parts = []
+    for j in range(k):
+        ws = pc.subtract(base, pa.scalar(j * hop_us, pa.int64()))
+        parts.append(
+            batch.append_column("window_start", pc.cast(ws, pa.timestamp("us")))
+        )
+    return pa.concat_tables(parts)
+
+
+def hopping_window_agg(
+    events: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    hop_s: int = 900,
+    out_names: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Hopping (sliding) window aggregate: per (keys…, window_start) over
+    windows of ``window_s`` seconds advancing every ``hop_s`` (tumbling when
+    window == hop). The reference has no stream windows (SURVEY.md §2.10 —
+    its closest shape is the per-experiment timepoint rollup); this is the
+    windowed aggregate a monitoring/training-data pipeline needs.
+
+    Scale shape: the window assignment is a k = window/hop constant fan-out
+    inside map_batches (an event at t belongs to every window starting in
+    (t - window, t], i.e. exactly k hop-aligned starts), then ONE
+    Arrow-native grouped aggregation (fastagg sample-sort; no per-group
+    Python). Skew rides the existing fastagg partial-combine: per-batch
+    group_by collapses each (key, window) to one partial row before the
+    shuffle, so a hot key costs bandwidth proportional to its distinct
+    windows, not its events.
+    """
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    from .fastagg import sorted_grouped_agg
+
+    exploded = events.map_batches(
+        _hop_explode_fn,
+        fn_kwargs={
+            "ts_col": ts_col,
+            "window_us": window_s * 1_000_000,
+            "hop_us": hop_s * 1_000_000,
+        },
+        batch_format="pyarrow",
+    )
+    return sorted_grouped_agg(
+        exploded, list(keys) + ["window_start"], aggs, out_names=out_names
+    )

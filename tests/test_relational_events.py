@@ -307,3 +307,122 @@ def test_majority_vote_non_string_values():
     df2 = pd.DataFrame({"g": ["a"] * 3, "v": [1.5, -2.25, -2.25]})
     out2 = majority_vote(ray.data.from_pandas(df2), ["g"], "v").to_pandas()
     assert out2.iloc[0]["consensus"] == -2.25 and out2.iloc[0]["n_votes"] == 2
+
+
+# -------------------------------------------------- hopping windows / range join
+
+
+def _ts(us_list):
+    return pa.array(np.array(us_list, dtype="int64")).cast(pa.timestamp("us"))
+
+
+def test_hopping_window_agg_matches_bruteforce():
+    HOP, WIN = 900_000_000, 3_600_000_000  # 15 min hop, 1h window, in us
+    rng = np.random.RandomState(7)
+    ts = rng.randint(0, 20 * 3_600, 500).astype("int64") * 1_000_000
+    key = rng.choice(["a", "b"], 500)
+    val = rng.randint(0, 50, 500).astype("float64")
+    t = pa.table({"ts": _ts(ts), "k": key, "v": val})
+    out = (
+        events.hopping_window_agg(
+            ray.data.from_arrow(t).repartition(4),
+            ["k"],
+            [("v", "count"), ("v", "max")],
+            window_s=3600,
+            hop_s=900,
+            out_names=["n", "mx"],
+        )
+        .to_pandas()
+        .set_index(["k", "window_start"])
+        .sort_index()
+    )
+    # brute force: every hop-aligned start w with w <= t < w + window
+    rows = {}
+    for tt, kk, vv in zip(ts, key, val):
+        base = (tt // HOP) * HOP
+        w = base
+        while w > tt - WIN:
+            r = rows.setdefault((kk, pd.Timestamp(w, unit="us")), [0, -1.0])
+            r[0] += 1
+            r[1] = max(r[1], vv)
+            w -= HOP
+    assert len(out) == len(rows)
+    for (kk, ws), (n, mx) in rows.items():
+        assert out.loc[(kk, ws), "n"] == n
+        assert out.loc[(kk, ws), "mx"] == mx
+
+
+def test_hopping_window_rejects_non_multiple():
+    t = pa.table({"ts": _ts([0]), "k": ["a"], "v": [1.0]})
+    try:
+        events.hopping_window_agg(
+            ray.data.from_arrow(t), ["k"], [("v", "count")], window_s=100, hop_s=7
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_range_join_multi_bucket_intervals_and_closedness():
+    from multiomics_biocypher_kg_ray.stages.joins import range_join
+
+    SEC = 1_000_000
+    # interval A spans 5 buckets (bucket_s=10); B is length-0 half-open (empty);
+    # C shares its end with a point (kept only when closed="both")
+    iv = pa.table(
+        {
+            "iv_id": ["A", "B", "C"],
+            "s": _ts([5 * SEC, 30 * SEC, 40 * SEC]),
+            "e": _ts([47 * SEC, 30 * SEC, 55 * SEC]),
+        }
+    )
+    pts = pa.table(
+        {
+            "pt_id": list(range(7)),
+            "ts": _ts([x * SEC for x in [0, 5, 14, 30, 46, 47, 55]]),
+        }
+    )
+    for closed, expect in (
+        ("left", {(5, "A"), (14, "A"), (30, "A"), (46, "A"), (46, "C"), (47, "C")}),
+        (
+            "both",
+            {
+                (5, "A"), (14, "A"), (30, "A"), (46, "A"), (47, "A"),
+                (30, "B"), (46, "C"), (47, "C"), (55, "C"),
+            },
+        ),
+    ):
+        out = range_join(
+            ray.data.from_arrow(pts).repartition(3),
+            ray.data.from_arrow(iv).repartition(2),
+            point_ts="ts",
+            start_col="s",
+            end_col="e",
+            bucket_s=10,
+            closed=closed,
+            num_partitions=4,
+        ).to_pandas()
+        got = {
+            (int(r.ts.timestamp()), r.iv_id) for r in out.itertuples()
+        }
+        assert got == expect, (closed, got)
+        # exactly-once: no duplicate (point, interval) pairs across buckets
+        assert len(out) == len(got)
+
+
+def test_range_join_rejects_overlapping_columns():
+    from multiomics_biocypher_kg_ray.stages.joins import range_join
+
+    t = pa.table({"x": [1], "ts": _ts([0]), "s": _ts([0]), "e": _ts([1])})
+    try:
+        range_join(
+            ray.data.from_arrow(t),
+            ray.data.from_arrow(t),
+            point_ts="ts",
+            start_col="s",
+            end_col="e",
+            bucket_s=10,
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
