@@ -466,61 +466,36 @@ def ngram_jaccard_pairs(
     cap: int = LSH_BUCKET_CAP,
 ) -> "ray.data.Dataset":
     """Exact pairwise Jaccard over k-token shingle sets via a shingle-keyed
-    self-join: explode (shingle, doc) → groupby shingle → co-occurring pairs
-    → per-pair intersection counts → JOIN sizes → jaccard = |∩| / (|A|+|B|-|∩|).
+    self-join: explode (shingle, doc, set_size) → groupby shingle →
+    co-occurring pairs carrying both sizes → per-pair intersection counts →
+    jaccard = |∩| / (|A|+|B|-|∩|).
 
     Scale contract:
-    - set sizes flow back through two distributed hash joins on doc id —
-      never a driver-side size dict captured in a task closure (that dict is
-      corpus-proportional and re-pickles per task).
+    - a document's UNCAPPED set size is known inside the batch that shingles
+      it, so it rides every exploded row and flows to each pair as
+      ``bucket_pairs`` payload — no size join, no shuffle, and never a
+      driver-side size dict captured in a task closure (that dict is
+      corpus-proportional and re-pickles per task). The whole operator is
+      ONE sorted pair emission + ONE grouped aggregation.
     - hot shingles (stopword-like, m ≫ cap co-occurring docs) are capped at
       the first ``cap`` docs by doc_id, the SAME cap + ordering the SQL
       oracle applies (``oracle_rel.sql_jaccard_pairs``), with truncation
       reported by ``jaccard_shingle_stats`` — never silently.
     - ``max_doc_id`` bounds the candidate universe for the verification tier
       (pairs outside it are dropped; part of the operator contract)."""
-    from ..tuning import default_join_partitions
-
-    exploded = _shingle_explode(docs, k_shingle, max_doc_id).materialize()
-
-    def _rename(cols: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns(cols)
-
-        return fn
-
-    # doc-count-proportional groups → Arrow-native count
     from .fastagg import sorted_grouped_agg
 
-    sizes = sorted_grouped_agg(
-        exploded, ["doc_id"], [("doc_id", "count")], out_names=["set_size"]
-    )
+    exploded = _shingle_explode(docs, k_shingle, max_doc_id, with_size=True)
 
-    from .fastagg import sorted_grouped_agg
-
-    # intersection counts over pair-count-proportional groups → Arrow-native
-    inter = sorted_grouped_agg(
-        bucket_pairs(exploded, ["shingle"], "doc_id", cap=cap),
+    # pair-count-proportional groups → Arrow-native count; set_size_a/b are
+    # constant within a pair group (min == the value)
+    with_b = sorted_grouped_agg(
+        bucket_pairs(
+            exploded, ["shingle"], "doc_id", payload_cols=("set_size",), cap=cap
+        ),
         ["doc_a", "doc_b"],
-        [("doc_a", "count")],
-        out_names=["n_shared"],
-    )
-    np_ = default_join_partitions()
-    with_a = inter.join(
-        sizes, join_type="inner", num_partitions=np_, on=("doc_a",), right_on=("doc_id",)
-    ).map_batches(
-        lambda t: t.rename_columns(
-            ["doc_a", "doc_b", "n_shared", "size_a"]
-        ),
-        batch_format="pyarrow",
-    )
-    with_b = with_a.join(
-        sizes, join_type="inner", num_partitions=np_, on=("doc_b",), right_on=("doc_id",)
-    ).map_batches(
-        lambda t: t.rename_columns(
-            ["doc_a", "doc_b", "n_shared", "size_a", "size_b"]
-        ),
-        batch_format="pyarrow",
+        [("doc_a", "count"), ("set_size_a", "min"), ("set_size_b", "min")],
+        out_names=["n_shared", "size_a", "size_b"],
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -549,22 +524,37 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_explode(
-    docs: "ray.data.Dataset", k_shingle: int, max_doc_id: int | None
+    docs: "ray.data.Dataset",
+    k_shingle: int,
+    max_doc_id: int | None,
+    with_size: bool = False,
 ) -> "ray.data.Dataset":
+    """(doc_id, shingle[, set_size]) rows — ``set_size`` is the doc's UNCAPPED
+    distinct-shingle count, known locally in the batch that shingles it."""
+
     def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if max_doc_id is not None:
+            # filter BEFORE the whole-column regex normalize — the
+            # verification tier must not pay normalization for the full corpus
+            batch = batch.filter(pc.less(batch.column("doc_id"), max_doc_id))
         doc_ids = batch.column("doc_id").to_pylist()
         texts = normalize_ws_lower(batch.column("text")).to_pylist()
-        o_doc, o_sh = [], []
+        o_doc, o_sh, o_sz = [], [], []
         for d, t in zip(doc_ids, texts):
-            if max_doc_id is not None and d >= max_doc_id:
-                continue
-            for s in set(shingles((t or "").split(" "), k_shingle)):
+            ss = set(shingles((t or "").split(" "), k_shingle))
+            for s in ss:
                 o_doc.append(d)
                 o_sh.append(s)
-        return pa.Table.from_arrays(
-            [pa.array(o_doc, pa.int64()), pa.array(o_sh, pa.string())],
-            names=["doc_id", "shingle"],
-        )
+            if with_size:
+                o_sz.extend([len(ss)] * len(ss))
+        cols = [pa.array(o_doc, pa.int64()), pa.array(o_sh, pa.string())]
+        names = ["doc_id", "shingle"]
+        if with_size:
+            cols.append(pa.array(o_sz, pa.int64()))
+            names.append("set_size")
+        return pa.Table.from_arrays(cols, names=names)
 
     return docs.map_batches(explode, batch_format="pyarrow")
 
