@@ -696,3 +696,47 @@ SELECT o_orderkey, count(*)::BIGINT AS n_shipments, sum(l_quantity) AS sum_qty
 FROM urgent u JOIN lineitem l
   ON l.l_shipdate >= u.w_start AND l.l_shipdate < u.w_end
 GROUP BY 1"""
+
+
+# -------------------------------------------------------- sampling / splits
+
+
+def _split_case(key_expr: str, splits, salt: str) -> str:
+    """CASE expression twin of ``sampling.hash_split`` — built from the SAME
+    ``_thresholds`` integer cuts so engine and oracle agree row-for-row."""
+    from .stages.sampling import PRECISION, _thresholds
+
+    cuts = _thresholds(list(splits))
+    b = f"(('0x' || substr(md5('{salt}:' || {key_expr}), 1, 8))::UBIGINT % {PRECISION})"
+    whens = " ".join(
+        f"WHEN {b} < {hi} THEN '{name}'" for name, hi in cuts[:-1]
+    )
+    return f"CASE {whens} ELSE '{cuts[-1][0]}' END"
+
+
+def sql_doc_split_assign(splits=(("train", 0.8), ("val", 0.1), ("test", 0.1))) -> str:
+    return f"""
+SELECT doc_id, {_split_case('doc_id', splits, 'split')} AS split FROM documents"""
+
+
+def sql_order_split_counts(splits=(("train", 0.8), ("val", 0.1), ("test", 0.1))) -> str:
+    """Key-stable split check: every lineitem of an order lands in the
+    order's split; counts per split of rows AND distinct keys."""
+    return f"""
+SELECT {_split_case('l_orderkey', splits, 'split')} AS split,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT l_orderkey)::BIGINT AS n_keys
+FROM lineitem GROUP BY 1"""
+
+
+def sql_events_stratified_sample(rates=None, default_rate: float = 0.05) -> str:
+    from .stages.sampling import PRECISION
+
+    rates = rates or {"signup": 1.0, "purchase": 0.5}
+    b = f"(('0x' || substr(md5('sample:' || event_id), 1, 8))::UBIGINT % {PRECISION})"
+    whens = " ".join(
+        f"WHEN event_type = '{s}' THEN {round(r * PRECISION)}" for s, r in rates.items()
+    )
+    cut = f"CASE {whens} ELSE {round(default_rate * PRECISION)} END"
+    return f"""
+SELECT event_id, event_type FROM events WHERE {b} < {cut}"""

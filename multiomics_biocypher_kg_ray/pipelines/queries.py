@@ -485,6 +485,35 @@ def q_urgent_window_shipments(sf_dir: str, days: int = 60):
     )
 
 
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_doc_split_assign(sf_dir: str):
+    from ..stages import sampling
+
+    return sampling.hash_split(_read(sf_dir, "documents", ["doc_id"]), "doc_id", _SPLITS)
+
+
+def q_order_split_counts(sf_dir: str):
+    from ..stages import sampling
+
+    return sampling.split_counts(
+        _read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey", _SPLITS
+    )
+
+
+def q_events_stratified_sample(sf_dir: str):
+    from ..stages import sampling
+
+    return sampling.stratified_sample(
+        _read(sf_dir, "events", ["event_id", "event_type"]),
+        "event_type",
+        "event_id",
+        {"signup": 1.0, "purchase": 0.5},
+        default_rate=0.05,
+    )
+
+
 def q_replicate_user_stats(sf_dir: str):
     ev = _read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
         lambda t: relational.to_cents(t, {"value": "c"}).drop_columns(["value"]),
@@ -896,6 +925,15 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "urgent_window_shipments": (
             q_urgent_window_shipments,
             oracle_rel.sql_urgent_window_shipments(),
+        ),
+        "doc_split_assign": (q_doc_split_assign, oracle_rel.sql_doc_split_assign()),
+        "order_split_counts": (
+            q_order_split_counts,
+            oracle_rel.sql_order_split_counts(),
+        ),
+        "events_stratified_sample": (
+            q_events_stratified_sample,
+            oracle_rel.sql_events_stratified_sample(),
         ),
         "table_counts": (q_table_counts, oracle_rel.sql_table_counts(TABLES)),
         "replicate_user_stats": (

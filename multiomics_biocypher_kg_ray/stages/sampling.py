@@ -1,0 +1,166 @@
+"""Deterministic sampling / dataset-splitting operators for training-data
+pipelines — hash-based train/val/test splits and (stratified) subsampling.
+
+The reference has no sampling (its builds are exhaustive); a 100 TB corpus
+pipeline needs splits and samples that are (a) DETERMINISTIC — re-running
+the pipeline, at any parallelism, on any cluster, assigns every row the
+same split, (b) KEY-STABLE — all rows sharing a key (one conversation, one
+document) land in the same split so no near-duplicate leakage across
+train/val, and (c) STREAMING — a pure map_batches filter/annotate, no
+shuffle, no driver state, no RNG whose stream depends on block order.
+
+All assignment derives from ``md5(salt || ':' || key)`` so every operator
+here has an exact DuckDB oracle twin (``oracle_rel.sql_hash_split`` /
+``sql_deterministic_sample``): bucket = first-8-hex-chars as uint32 modulo
+``PRECISION``, compared against cumulative weight thresholds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+PRECISION = 1_000_000
+
+
+def _buckets(keys: list, salt: str) -> list[int]:
+    """md5-derived bucket in [0, PRECISION) per key — the same math as the
+    SQL twin: ('0x' || substr(md5(salt || ':' || key), 1, 8))::UBIGINT %
+    PRECISION. hashlib.md5 is C; the comprehension is per-KEY, not per-token."""
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{salt}:{k}".encode("utf-8")).digest()[:4], "big"
+        )
+        % PRECISION
+        for k in keys
+    ]
+
+
+def _thresholds(splits: list[tuple[str, float]]) -> list[tuple[str, int]]:
+    total = sum(w for _, w in splits)
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    acc, out = 0.0, []
+    for name, w in splits:
+        acc += w / total
+        out.append((name, min(PRECISION, round(acc * PRECISION))))
+    out[-1] = (out[-1][0], PRECISION)  # close the last interval exactly
+    return out
+
+
+def _assign_fn(
+    batch: pa.Table, key_col: str, salt: str, cuts: list[tuple[str, int]], out_col: str
+) -> pa.Table:
+    b = _buckets(batch.column(key_col).to_pylist(), salt)
+    names = []
+    for v in b:
+        for name, hi in cuts:
+            if v < hi:
+                names.append(name)
+                break
+    return batch.append_column(out_col, pa.array(names, pa.string()))
+
+
+def hash_split(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "split",
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Annotate every row with a deterministic split name (e.g.
+    [("train", 0.8), ("val", 0.1), ("test", 0.1)]). Weights are normalized;
+    interval edges are exact integer bucket cuts so engine and oracle agree
+    row-for-row. Pure map; consume with a filter per split or write
+    partitioned by ``out_col``."""
+    cuts = _thresholds(splits)
+    return ds.map_batches(
+        _assign_fn,
+        fn_kwargs={"key_col": key_col, "salt": salt, "cuts": cuts, "out_col": out_col},
+        batch_format="pyarrow",
+    )
+
+
+def _sample_fn(batch: pa.Table, key_col: str, salt: str, cut: int) -> pa.Table:
+    b = _buckets(batch.column(key_col).to_pylist(), salt)
+    mask = pa.array([v < cut for v in b], pa.bool_())
+    return batch.filter(mask)
+
+
+def deterministic_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    rate: float,
+    salt: str = "sample",
+) -> "ray.data.Dataset":
+    """Keep a deterministic ~``rate`` fraction of keys (all rows of a kept
+    key survive together). Streaming filter; no RNG, no shuffle."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    cut = round(rate * PRECISION)
+    return ds.map_batches(
+        _sample_fn,
+        fn_kwargs={"key_col": key_col, "salt": salt, "cut": cut},
+        batch_format="pyarrow",
+    )
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    stratum_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> "ray.data.Dataset":
+    """Per-stratum deterministic sampling (e.g. keep 100% of rare classes,
+    1% of the head class). ``rates`` maps stratum value → keep rate; strata
+    absent from the map use ``default_rate``. The rate table is a constant
+    captured in the task closure (class-count-bounded, not data-bounded)."""
+    cuts = {s: round(r * PRECISION) for s, r in rates.items()}
+    dflt = round(default_rate * PRECISION)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = _buckets(batch.column(key_col).to_pylist(), salt)
+        strata = batch.column(stratum_col).to_pylist()
+        mask = pa.array(
+            [v < cuts.get(s, dflt) for v, s in zip(b, strata)], pa.bool_()
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "split",
+) -> "ray.data.Dataset":
+    """(split, n_rows, n_keys) summary of a hash_split assignment — the
+    verification rollup (key counts are distinct via fastagg, no driver set)."""
+    from .fastagg import sorted_grouped_agg
+
+    assigned = hash_split(ds, key_col, splits, salt=salt)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["split", key_col])
+
+    # distinct (split, key) pairs first, then per-split counts — both
+    # group-count-proportional, both Arrow-native
+    pairs = sorted_grouped_agg(
+        assigned.map_batches(project, batch_format="pyarrow"),
+        ["split", key_col],
+        [(key_col, "count")],
+        out_names=["n_rows_key"],
+    )
+    return sorted_grouped_agg(
+        pairs,
+        ["split"],
+        [("n_rows_key", "sum"), ("n_rows_key", "count")],
+        out_names=["n_rows", "n_keys"],
+    )

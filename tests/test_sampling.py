@@ -1,0 +1,80 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from multiomics_biocypher_kg_ray.stages import sampling
+
+
+def _docs(n=500):
+    return pa.table({"k": pa.array(np.arange(n, dtype="int64")),
+                     "grp": pa.array((np.arange(n) % 3).astype("str"))})
+
+
+def test_hash_split_deterministic_across_partitioning():
+    t = _docs()
+    a = (
+        sampling.hash_split(ray.data.from_arrow(t), "k", [("tr", 0.8), ("te", 0.2)])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    b = (
+        sampling.hash_split(
+            ray.data.from_arrow(t).repartition(7), "k", [("tr", 0.8), ("te", 0.2)]
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    frac = (a["split"] == "tr").mean()
+    assert 0.7 < frac < 0.9  # ~0.8 modulo hash noise
+
+
+def test_hash_split_key_stable_and_weights_normalized():
+    # repeated keys land in one split; weights 8/2 == 0.8/0.2
+    t = pa.table({"k": pa.array([1, 1, 1, 2, 2, 3] * 50, pa.int64())})
+    out = sampling.hash_split(
+        ray.data.from_arrow(t).repartition(5), "k", [("a", 8), ("b", 2)]
+    ).to_pandas()
+    per_key = out.groupby("k")["split"].nunique()
+    assert (per_key == 1).all()
+
+
+def test_deterministic_sample_is_subset_and_stable():
+    ds = ray.data.from_arrow(_docs())
+    s1 = set(sampling.deterministic_sample(ds, "k", 0.3).to_pandas()["k"])
+    s2 = set(
+        sampling.deterministic_sample(
+            ray.data.from_arrow(_docs()).repartition(9), "k", 0.3
+        ).to_pandas()["k"]
+    )
+    assert s1 == s2
+    assert 0.2 < len(s1) / 500 < 0.4
+    full = set(sampling.deterministic_sample(ds, "k", 1.0).to_pandas()["k"])
+    assert full == set(range(500))
+    assert sampling.deterministic_sample(ds, "k", 0.0).count() == 0
+
+
+def test_stratified_sample_rates_per_stratum():
+    out = sampling.stratified_sample(
+        ray.data.from_arrow(_docs(3000)).repartition(4),
+        "grp",
+        "k",
+        {"0": 1.0, "1": 0.0},
+        default_rate=0.5,
+    ).to_pandas()
+    by = out.groupby("grp")["k"].count()
+    assert by.get("0", 0) == 1000
+    assert "1" not in by.index
+    assert 350 < by.get("2", 0) < 650
+
+
+def test_split_counts_rows_vs_keys():
+    t = pa.table({"k": pa.array(np.repeat(np.arange(100, dtype="int64"), 3))})
+    out = (
+        sampling.split_counts(
+            ray.data.from_arrow(t).repartition(6), "k", [("x", 0.5), ("y", 0.5)]
+        )
+        .to_pandas().set_index("split")
+    )
+    assert out["n_rows"].sum() == 300
+    assert out["n_keys"].sum() == 100
+    assert (out["n_rows"] == 3 * out["n_keys"]).all()
