@@ -352,7 +352,8 @@ def sql_kg_multisource() -> str:
     52-279`` dependency-ordered multi-adapter run, shrunk to two sources):
     transcript mentions AND document-level mentions flow through the SAME
     alias linking + shared canonicalization, edges dedup across sources with
-    a source-tagged evidence union ('doc:<rule>' | 'transcript:<rule>')."""
+    a source-tagged evidence union ('doc:<rule>' | 'transcript:<rule>');
+    embedding near-dup pairs join as a third source of document-node edges."""
     doc_turns = (
         "doc_turns AS (SELECT 'doc_' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id, "
         "0 AS turn_idx, 'user' AS role, text FROM documents)"
@@ -375,4 +376,18 @@ mentions AS (
         linked_cte(),
         canon_ctes(),
     ]
-    return "WITH RECURSIVE " + ",\n".join(parts) + " " + _edges_select()
+    # third source: embedding-cosine near-dup pairs as near_dup_of edges
+    # between document nodes (cross-reference edges between sources)
+    nd = """
+SELECT 'doc_' || lpad(a.vec_id::VARCHAR, 8, '0') AS src,
+       'near_dup_of' AS pred,
+       'doc_' || lpad(b.vec_id::VARCHAR, 8, '0') AS dst,
+       1::BIGINT AS weight, 'emb:cosine' AS evidence
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+  ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.3""".strip()
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + " " + _edges_select()
+        + "\nUNION ALL\n" + nd
+    )

@@ -138,11 +138,13 @@ def q_kg_conv_stats(sf_dir: str):
 def q_kg_multisource(sf_dir: str):
     """COMPOSED multi-source build (reference flagship shape:
     ``create_knowledge_graph.py:52-279`` — 20 adapters in one
-    dependency-ordered run, shrunk to two sources): transcript mentions AND
+    dependency-ordered run, shrunk to three sources): transcript mentions AND
     document-level mentions flow through the SAME broadcast alias linking and
     SHARED canonicalization; edges dedup across sources with a source-tagged
     evidence union ('doc:<rule>' | 'transcript:<rule>') and cross-source
-    summed weights."""
+    summed weights. A third, non-textual source joins the same edge table:
+    embedding-cosine near-dup pairs become ``near_dup_of`` edges between the
+    document nodes (the cross-reference-edges-between-sources shape)."""
     import ray as _ray
 
     from ..config import DEFAULT_RULES, default_alias_dictionary
@@ -197,7 +199,28 @@ def q_kg_multisource(sf_dir: str):
     _nodes, edges = materialize.build_graph_tables(
         tr_linked.union(doc_linked), canon_tbl
     )
-    return edges
+
+    def neardup_as_edges(t: pa.Table) -> pa.Table:
+        def doc_node(col):
+            return pc.binary_join_element_wise(
+                "doc_", pc.utf8_lpad(pc.cast(col, pa.string()), 8, "0"), ""
+            )
+
+        n = len(t)
+        return pa.table(
+            {
+                "src": doc_node(t.column("id_a")),
+                "pred": pa.array(["near_dup_of"] * n, pa.string()),
+                "dst": doc_node(t.column("id_b")),
+                "weight": pa.array(np.ones(n, dtype=np.int64)),
+                "evidence": pa.array(["emb:cosine"] * n, pa.string()),
+            }
+        )
+
+    nd_edges = similarity.embedding_near_dup_pairs_blocked(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.3
+    ).map_batches(neardup_as_edges, batch_format="pyarrow")
+    return edges.union(nd_edges)
 
 
 def q_entity_consensus(sf_dir: str):

@@ -186,8 +186,9 @@ def test_build_graph_tables_joined_matches_broadcast_path():
 
 
 def test_kg_multisource_cross_source_union():
-    """Composed two-source build: edges carry source-tagged evidence; an edge
-    mentioned in both sources unions both tags and sums both weights."""
+    """Composed three-source build: edges carry source-tagged evidence; an
+    edge mentioned in both textual sources unions both tags and sums both
+    weights; the embedding source contributes near_dup_of document edges."""
     import pandas as pd
 
     from multiomics_biocypher_kg_ray.pipelines.queries import q_kg_multisource
@@ -197,7 +198,12 @@ def test_kg_multisource_cross_source_union():
     tags = set()
     for ev in edges["evidence"]:
         tags.update(p.split(":")[0] for p in ev.split("|"))
-    assert tags == {"doc", "transcript"}
+    assert tags == {"doc", "transcript", "emb"}
+    nd = edges[edges["pred"] == "near_dup_of"]
+    assert len(nd) > 0
+    assert (nd["evidence"] == "emb:cosine").all()
+    assert nd["src"].str.startswith("doc_").all()
+    assert (nd["src"] < nd["dst"]).all()  # each unordered pair exactly once
     both = edges[
         edges["evidence"].str.contains("doc:")
         & edges["evidence"].str.contains("transcript:")
