@@ -157,12 +157,16 @@ def run_bench() -> dict:
         q_dedup_exact,
         q_embedding_near_dups,
         q_event_percentiles,
+        q_hopping_event_counts,
         q_jaccard_pairs,
         q_knn_cosine,
         q_lsh_candidate_pairs,
         q_minhash_bands,
+        q_order_split_counts,
         q_pricing_summary,
         q_sessionize,
+        q_simhash_near_dups,
+        q_urgent_window_shipments,
         q_user_hour_activity,
     )
 
@@ -180,6 +184,12 @@ def run_bench() -> dict:
         ("lsh_candidate_pairs", q_lsh_candidate_pairs),
         ("jaccard_pairs", q_jaccard_pairs),
         ("embedding_near_dups", q_embedding_near_dups),
+        # round-3 additions: hopping windows, bucketed range join,
+        # deterministic splits, simhash banding
+        ("hopping_event_counts", q_hopping_event_counts),
+        ("urgent_window_shipments", q_urgent_window_shipments),
+        ("order_split_counts", q_order_split_counts),
+        ("simhash_near_dups", q_simhash_near_dups),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -472,8 +472,7 @@ def q_hopping_event_counts(sf_dir: str):
 
 
 def q_urgent_window_shipments(sf_dir: str, days: int = 60):
-    from ..stages.fastagg import sorted_grouped_agg
-    from ..stages.joins import range_join
+    from ..stages.joins import range_join_agg
 
     def mk_intervals(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
@@ -491,20 +490,20 @@ def q_urgent_window_shipments(sf_dir: str, days: int = 60):
         sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(mk_intervals, batch_format="pyarrow")
     points = _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
-    joined = range_join(
+    # aggregate-after-range-join goes through the pre-aggregated fine-bucket
+    # path: the pair-materializing range_join + groupby paid
+    # points_in_bucket × intervals_in_bucket joined rows per bucket (518 s
+    # at sf0.1); this is ~5 s and density-proportional, not quadratic
+    return range_join_agg(
         points,
         intervals,
         point_ts="l_shipdate",
         start_col="w_start",
         end_col="w_end",
-        bucket_s=days * 86_400,
-        closed="left",
-    )
-    return sorted_grouped_agg(
-        joined,
-        ["o_orderkey"],
-        [("l_quantity", "count"), ("l_quantity", "sum")],
+        fine_s=86_400,
+        aggs=[("l_quantity", "count"), ("l_quantity", "sum")],
         out_names=["n_shipments", "sum_qty"],
+        closed="left",
     )
 
 

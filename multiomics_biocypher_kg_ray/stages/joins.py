@@ -229,7 +229,11 @@ def range_join(
     cost is points_in_bucket × intervals_overlapping_bucket — pick
     ``bucket_s`` near the typical interval length (intervals then span ≤ 2
     buckets) and pre-filter/pre-aggregate hot buckets upstream if point
-    density is very skewed.
+    density is very skewed. This materializes every qualifying PAIR — right
+    only when the pairs themselves are the output. A consumer that
+    aggregates per interval must use ``range_join_agg`` instead (the pair
+    count is quadratic in density at fixed span: 518 s vs 9 s on the sf0.1
+    shipments query).
 
     Timestamp columns on both sides must share one unit (timestamp[us] or
     int64); column names must be disjoint apart from the join bucket.
@@ -274,3 +278,238 @@ def range_join(
         return batch.filter(pc.and_(lo, hi)).drop_columns([_RJ_BUCKET])
 
     return joined.map_batches(containment, batch_format="pyarrow")
+
+
+def _iv_decompose_fn(
+    batch: pa.Table, start_col: str, end_col: str, fine_us: int, closed: str
+) -> pa.Table:
+    """Decompose each interval into its touched fine buckets, flagging each
+    (interval, bucket) row FULL (bucket ⊆ interval) or PARTIAL (boundary).
+    ≤ 2 partial rows per interval; full fan-out = span/fine. Vectorized via
+    the same repeat/cumsum machinery as ``_explode_intervals_fn``."""
+    import numpy as np
+
+    s = pc.cast(batch.column(start_col), pa.int64()).to_numpy(zero_copy_only=False)
+    e = pc.cast(batch.column(end_col), pa.int64()).to_numpy(zero_copy_only=False)
+    # integer-microsecond half-open view: [s, e] ≡ [s, e+1)
+    e_x = e + 1 if closed == "both" else e
+    e_x = np.maximum(e_x, s)  # empty intervals touch nothing
+    b0 = s // fine_us
+    b1 = np.maximum((e_x - 1) // fine_us, b0)  # last touched bucket
+    counts = np.where(e_x > s, b1 - b0 + 1, 0).astype(np.int64)
+    idx = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+    base = batch.drop_columns([start_col, end_col])
+    if len(idx) == 0:
+        out = base.take(idx)
+        for name in (_RJ_BUCKET, "_rj_full", "_rj_s", "_rj_e"):
+            typ = pa.bool_() if name == "_rj_full" else pa.int64()
+            out = out.append_column(name, pa.array([], typ))
+        return out
+    offs = np.arange(len(idx), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    bucket = b0[idx] + (offs - starts[idx])
+    full = (bucket * fine_us >= s[idx]) & ((bucket + 1) * fine_us <= e_x[idx])
+    return (
+        base.take(idx)
+        .append_column(_RJ_BUCKET, pa.array(bucket))
+        .append_column("_rj_full", pa.array(full))
+        .append_column("_rj_s", pa.array(s[idx]))
+        .append_column("_rj_e", pa.array(e_x[idx]))
+    )
+
+
+_FINAL_COMBINE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def range_join_agg(
+    points: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    fine_s: int,
+    aggs: list[tuple[str, str]],
+    out_names: list[str] | None = None,
+    closed: str = "left",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Aggregate points per containing interval WITHOUT materializing the
+    point×interval pairs — the scale path for aggregate-after-range-join
+    (``range_join`` + groupby would pay points_in_bucket ×
+    intervals_in_bucket joined rows per bucket, which is quadratic in data
+    density at fixed time span; measured 518 s vs ~5 s on the sf0.1
+    shipments query).
+
+    Exact decomposition: each interval splits into fully-covered fine
+    buckets of ``fine_s`` seconds (joined against per-bucket PRE-AGGREGATED
+    point partials — one row per bucket) plus ≤ 2 boundary buckets (joined
+    against raw points, containment-filtered). Both contribution streams
+    union into one Arrow-native grouped aggregation over the interval's
+    carried columns. Decomposable aggs only: fn ∈ {count, sum, min, max}
+    (count → sum of bucket counts + 1s; min/max → min/max of partials).
+    Intervals with zero contained points do not appear (inner-join
+    semantics, same as the pair-path + GROUP BY).
+
+    Fan-out/granularity trade-off: full-bucket rows per interval =
+    span/fine_s, boundary raw-point work per interval = points in ≤ 2 fine
+    buckets. Pick ``fine_s`` so both are acceptable (e.g. 1 day for
+    month-scale windows over date-grained points).
+    """
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    overlap = (set(points.schema().names) & set(intervals.schema().names)) - {point_ts}
+    if overlap:
+        raise ValueError(f"range_join_agg sides share column names: {sorted(overlap)}")
+    bad = [fn for _, fn in aggs if fn not in _FINAL_COMBINE]
+    if bad:
+        raise ValueError(f"non-decomposable agg fns: {bad}")
+    if closed not in ("left", "both"):
+        raise ValueError("closed must be 'left' or 'both'")
+    fine_us = fine_s * 1_000_000
+    if num_partitions is None:
+        from ..tuning import default_join_partitions
+
+        num_partitions = default_join_partitions()
+    ikeys = [c for c in intervals.schema().names if c not in (start_col, end_col)]
+    names = out_names or [f"{c}_{fn}" for c, fn in aggs]
+    acols = sorted({c for c, _ in aggs})
+
+    decomposed = intervals.map_batches(
+        _iv_decompose_fn,
+        fn_kwargs={
+            "start_col": start_col,
+            "end_col": end_col,
+            "fine_us": fine_us,
+            "closed": closed,
+        },
+        batch_format="pyarrow",
+    ).materialize()  # consumed by both the full and the partial branch
+
+    # explicit schemas: either branch can be EMPTY (day-aligned intervals
+    # have no partial buckets; sub-bucket intervals have no full ones), and
+    # an all-empty dataset must still present typed columns to the join
+    iv_sch = intervals.schema()
+    ityp = dict(zip(iv_sch.names, iv_sch.types))
+    key_fields = [(c, ityp[c]) for c in ikeys]
+    full_sch = pa.schema(key_fields + [(_RJ_BUCKET, pa.int64())])
+    part_sch = pa.schema(
+        key_fields
+        + [(_RJ_BUCKET, pa.int64()), ("_rj_s", pa.int64()), ("_rj_e", pa.int64())]
+    )
+    full_iv = drop_empty_blocks(
+        decomposed.map_batches(
+            lambda t: t.filter(t.column("_rj_full")).select(ikeys + [_RJ_BUCKET]),
+            batch_format="pyarrow",
+        ),
+        full_sch,
+    )
+    part_iv = drop_empty_blocks(
+        decomposed.map_batches(
+            lambda t: t.filter(pc.invert(t.column("_rj_full"))).select(
+                ikeys + [_RJ_BUCKET, "_rj_s", "_rj_e"]
+            ),
+            batch_format="pyarrow",
+        ),
+        part_sch,
+    )
+
+    # narrow projection (bucket, ts, agg cols) materialized ONCE — consumed
+    # by both branches; without the pin the whole upstream would re-execute
+    # twice (fastagg note), and the projection keeps the pinned bytes to the
+    # columns the aggregation actually needs
+    pcols = [c for c in dict.fromkeys([point_ts] + acols)]
+    p = points.map_batches(
+        _bucket_points_fn,
+        fn_kwargs={"ts_col": point_ts, "bucket_us": fine_us},
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.select([_RJ_BUCKET] + pcols), batch_format="pyarrow"
+    ).materialize()
+
+    # one pre-aggregated partial row per fine bucket — the full-branch join
+    # is interval-bucket × bucket-row, never × raw points
+    bucket_aggs = sorted_grouped_agg(
+        p.map_batches(
+            lambda t: t.select([_RJ_BUCKET] + acols), batch_format="pyarrow"
+        ),
+        [_RJ_BUCKET],
+        aggs,
+        out_names=names,
+    )
+    p_sch = points.schema()
+    ptyp = dict(zip(p_sch.names, p_sch.types))
+
+    def _out_type(c: str, fn: str):
+        if fn == "count":
+            return pa.int64()
+        return ptyp[c]
+
+    contrib_sch = pa.schema(
+        key_fields + [(n, _out_type(c, fn)) for (c, fn), n in zip(aggs, names)]
+    )
+
+    def _empty_contrib():
+        return ray.data.from_arrow(contrib_sch.empty_table())
+
+    # materialized so the two hash joins NEVER run concurrently: each join
+    # spins an aggregator pool sized to num_partitions, and two full-width
+    # pools in one streaming topology starve each other's upstream tasks
+    # (observed as a hard hang). The pin is narrow and ≈ fan-out-bounded
+    # (≤ span/fine_s rows per interval). An EMPTY side never enters a join:
+    # the hash shuffle forwards 0-row blocks as 0-column blocks and Acero
+    # then rejects the key reference; drop_empty_blocks materializes, so
+    # the count here is metadata-only.
+    if full_iv.count() == 0:
+        full_contrib = _empty_contrib()
+    else:
+        full_contrib = hash_join(
+            full_iv, bucket_aggs, on=(_RJ_BUCKET,), num_partitions=num_partitions
+        ).map_batches(
+            lambda t: t.drop_columns([_RJ_BUCKET]), batch_format="pyarrow"
+        ).materialize()
+
+    raw_joined = (
+        None
+        if part_iv.count() == 0
+        else hash_join(
+            part_iv,
+            drop_empty_blocks(p),
+            on=(_RJ_BUCKET,),
+            num_partitions=num_partitions,
+        )
+    )
+
+    def partial_contrib(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column(point_ts), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(ts, batch.column("_rj_s")),
+            pc.less(ts, batch.column("_rj_e")),
+        )
+        batch = batch.filter(keep)
+        arrays, out_cols = [], []
+        for col in ikeys:
+            arrays.append(batch.column(col))
+            out_cols.append(col)
+        for (c, fn), name in zip(aggs, names):
+            if fn == "count":
+                arrays.append(
+                    pc.cast(pc.is_valid(batch.column(c)), pa.int64())
+                )
+            else:
+                arrays.append(batch.column(c))
+            out_cols.append(name)
+        return pa.Table.from_arrays(arrays, names=out_cols)
+
+    part_contrib = (
+        _empty_contrib()
+        if raw_joined is None
+        else raw_joined.map_batches(partial_contrib, batch_format="pyarrow")
+    )
+
+    combined = drop_empty_blocks(full_contrib.union(part_contrib), contrib_sch)
+    return sorted_grouped_agg(
+        combined,
+        ikeys,
+        [(name, _FINAL_COMBINE[fn]) for (_, fn), name in zip(aggs, names)],
+        out_names=names,
+    )

@@ -426,3 +426,99 @@ def test_range_join_rejects_overlapping_columns():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_range_join_agg_matches_bruteforce_unaligned():
+    from multiomics_biocypher_kg_ray.stages.joins import range_join_agg
+
+    SEC = 1_000_000
+    rng = np.random.RandomState(11)
+    pts_ts = rng.randint(0, 1000, 400).astype("int64") * SEC + rng.randint(
+        0, 1_000_000, 400
+    )  # NOT bucket-aligned
+    vals = rng.randint(0, 100, 400).astype("float64")
+    s = rng.randint(0, 900, 30).astype("int64") * SEC + rng.randint(0, 999, 30)
+    lens = rng.randint(1, 120, 30).astype("int64") * SEC + rng.randint(0, 999, 30)
+    e = s + lens
+    pts = pa.table({"ts": _ts(pts_ts), "v": vals})
+    iv = pa.table({"iv_id": list(range(30)), "s": _ts(s), "e": _ts(e)})
+    for closed in ("left", "both"):
+        out = (
+            range_join_agg(
+                ray.data.from_arrow(pts).repartition(5),
+                ray.data.from_arrow(iv).repartition(3),
+                point_ts="ts",
+                start_col="s",
+                end_col="e",
+                fine_s=10,
+                aggs=[("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")],
+                out_names=["n", "sv", "mn", "mx"],
+                closed=closed,
+            )
+            .to_pandas()
+            .set_index("iv_id")
+            .sort_index()
+        )
+        expect = {}
+        for i in range(30):
+            if closed == "left":
+                m = (pts_ts >= s[i]) & (pts_ts < e[i])
+            else:
+                m = (pts_ts >= s[i]) & (pts_ts <= e[i])
+            if m.sum():
+                expect[i] = (
+                    int(m.sum()),
+                    float(vals[m].sum()),
+                    float(vals[m].min()),
+                    float(vals[m].max()),
+                )
+        assert set(out.index) == set(expect), closed
+        for i, (n, sv, mn, mx) in expect.items():
+            row = out.loc[i]
+            assert (row["n"], row["sv"], row["mn"], row["mx"]) == (n, sv, mn, mx), (
+                closed,
+                i,
+            )
+
+
+def test_range_join_agg_aligned_has_no_partial_branch():
+    # bucket-aligned intervals: the partial branch is EMPTY and must not
+    # break the join/union plumbing
+    from multiomics_biocypher_kg_ray.stages.joins import range_join_agg
+
+    SEC = 1_000_000
+    pts = pa.table(
+        {"ts": _ts([x * SEC for x in [5, 15, 25, 35]]), "v": [1.0, 2.0, 3.0, 4.0]}
+    )
+    iv = pa.table({"iv_id": ["A"], "s": _ts([10 * SEC]), "e": _ts([30 * SEC])})
+    out = range_join_agg(
+        ray.data.from_arrow(pts),
+        ray.data.from_arrow(iv),
+        point_ts="ts",
+        start_col="s",
+        end_col="e",
+        fine_s=10,
+        aggs=[("v", "count"), ("v", "sum")],
+        out_names=["n", "sv"],
+    ).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["n"] == 2 and out.iloc[0]["sv"] == 5.0
+
+
+def test_range_join_agg_all_intervals_sub_bucket():
+    # intervals strictly inside one fine bucket: the FULL branch is empty
+    from multiomics_biocypher_kg_ray.stages.joins import range_join_agg
+
+    SEC = 1_000_000
+    pts = pa.table({"ts": _ts([3 * SEC, 7 * SEC, 12 * SEC]), "v": [1.0, 2.0, 4.0]})
+    iv = pa.table({"iv_id": ["A"], "s": _ts([2 * SEC]), "e": _ts([8 * SEC])})
+    out = range_join_agg(
+        ray.data.from_arrow(pts),
+        ray.data.from_arrow(iv),
+        point_ts="ts",
+        start_col="s",
+        end_col="e",
+        fine_s=100,
+        aggs=[("v", "count"), ("v", "sum")],
+        out_names=["n", "sv"],
+    ).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["n"] == 2 and out.iloc[0]["sv"] == 3.0
