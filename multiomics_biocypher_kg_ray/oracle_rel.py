@@ -740,3 +740,44 @@ def sql_events_stratified_sample(rates=None, default_rate: float = 0.05) -> str:
     cut = f"CASE {whens} ELSE {round(default_rate * PRECISION)} END"
     return f"""
 SELECT event_id, event_type FROM events WHERE {b} < {cut}"""
+
+
+def sql_near_dup_clusters(k: int = 3, min_jaccard: float = 0.5, cap: int = 1000) -> str:
+    """Twin of ``dedup.near_dup_clusters ∘ ngram_jaccard_pairs`` over the FULL
+    corpus: jaccard edges (strictly > ``min_jaccard``, hot-shingle cap
+    mirrored) → transitive closure (recursive CTE) → min-doc-id component
+    label; docs in no pair are their own singleton cluster."""
+    return f"""
+WITH RECURSIVE {_shingle_cte(k=k)},
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+capped AS (
+  SELECT doc_id, shingle,
+         row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+  FROM sh
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  WHERE n_shared::DOUBLE / (sa.sz + sb.sz - n_shared)::DOUBLE > {min_jaccard}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+reach AS (
+  SELECT a AS node, b AS peer FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer
+),
+lab AS (SELECT node, least(node, min(peer))::BIGINT AS cluster_id FROM reach GROUP BY 1),
+base AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id
+  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+       (doc_id = cluster_id) AS is_canonical
+FROM base"""

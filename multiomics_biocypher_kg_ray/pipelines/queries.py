@@ -808,6 +808,15 @@ def q_jaccard_shingle_stats(sf_dir: str):
     )
 
 
+def q_near_dup_clusters(sf_dir: str):
+    # full-corpus near-dedup: exact-jaccard verified edges → CC → one
+    # canonical doc per cluster (the training-corpus dedup composition)
+    pairs = dedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_jaccard=0.5
+    )
+    return dedup.near_dup_clusters(_read(sf_dir, "documents", ["doc_id"]), pairs)
+
+
 def q_simhash_near_dups(sf_dir: str):
     return dedup.simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -993,6 +1002,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_jaccard_shingle_stats(),
         ),
         "simhash_near_dups": (q_simhash_near_dups, oracle_rel.sql_simhash_near_dups()),
+        "near_dup_clusters": (
+            q_near_dup_clusters,
+            oracle_rel.sql_near_dup_clusters(),
+        ),
         # similarity search
         "knn_cosine": (q_knn_cosine, oracle_rel.sql_knn_cosine()),
         "knn_lsh": (q_knn_lsh, None),

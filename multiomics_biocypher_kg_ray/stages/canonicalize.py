@@ -84,7 +84,7 @@ def _label_messages(batch: pa.Table) -> pa.Table:
     )
     nb_n = neighbor.filter(mask)
     t_nb = pa.Table.from_arrays(
-        [nb_n, label.filter(mask), pa.nulls(len(nb_n), pa.string())],
+        [nb_n, label.filter(mask), pa.nulls(len(nb_n), label.type)],
         names=["node", "cand", "self_cand"],
     )
     msgs = pa.concat_tables([t_self, t_nb])

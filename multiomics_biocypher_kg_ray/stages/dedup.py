@@ -590,3 +590,118 @@ def jaccard_shingle_stats(
         return out.filter(pc.greater_equal(out.column("n_docs"), 2))
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- near-dup cluster dedup
+
+
+def near_dup_clusters(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    id_type: pa.DataType | None = None,
+) -> "ray.data.Dataset":
+    """Corpus near-dedup: verified near-dup PAIR edges → connected
+    components → one canonical doc per cluster. Output is one row per input
+    doc: ``(doc_id, cluster_id, cluster_size, is_canonical)`` where
+    ``cluster_id`` is the min doc id of the doc's component (the CC
+    min-label key) and ``is_canonical`` marks the keeper — downstream drops
+    the rest, the standard training-corpus dedup contract. Compose with
+    ``ngram_jaccard_pairs`` (exact verify tier) or ``lsh_candidate_pairs``
+    upstream; extends the reference's exact canonical-key dedup
+    (SURVEY.md §2.7) to near-dup equivalence classes.
+
+    Scale contract: the CC, the per-cluster size aggregate and the
+    label×size join touch only PAIRED docs (near-dup-proportional); the full
+    corpus flows once, through a left-anti join that routes singleton docs
+    straight to the output with cluster_size=1. No corpus-proportional
+    driver state; the only materialized set is the pair-edge table (block
+    refs in the object store).
+
+    ``id_type`` backs the output schema when the corpus can be empty;
+    default int64.
+    """
+    import pyarrow.compute as pc
+
+    from ..tuning import default_join_partitions
+    from .canonicalize import connected_components_distributed
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+
+    typ = id_type or pa.int64()
+    out_names = [id_col, "cluster_id", "cluster_size", "is_canonical"]
+    out_schema = pa.schema(
+        [
+            (id_col, typ),
+            ("cluster_id", typ),
+            ("cluster_size", pa.int64()),
+            ("is_canonical", pa.bool_()),
+        ]
+    )
+    ids = docs.select_columns([id_col])
+
+    def to_single(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        n = len(t)
+        return pa.Table.from_arrays(
+            [
+                col,
+                col,
+                pa.array(np.ones(n, dtype=np.int64)),
+                pa.array(np.ones(n, dtype=bool)),
+            ],
+            names=out_names,
+        )
+
+    a_col, b_col = pair_cols
+    edges = pairs.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column(a_col), t.column(b_col)], names=["a", "b"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if edges.count() == 0:
+        return ids.map_batches(to_single, batch_format="pyarrow")
+
+    labels = connected_components_distributed(edges).map_batches(
+        lambda t: t.select(["member", "component_key"]).rename_columns(
+            [id_col, "cluster_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    # cluster count is near-dup-doc-proportional → Arrow-native grouped count
+    sizes = sorted_grouped_agg(
+        labels, ["cluster_id"], [(id_col, "count")], out_names=["cluster_size"]
+    )
+    paired = hash_join(
+        drop_empty_blocks(labels), drop_empty_blocks(sizes), on=("cluster_id",)
+    )
+
+    def finish_paired(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column(id_col),
+                t.column("cluster_id"),
+                pc.cast(t.column("cluster_size"), pa.int64()),
+                pc.equal(t.column(id_col), t.column("cluster_id")),
+            ],
+            names=out_names,
+        )
+
+    paired = drop_empty_blocks(
+        paired.map_batches(finish_paired, batch_format="pyarrow"), out_schema
+    )
+    # anti-join partitions with no survivors emit 0-row 0-COLUMN blocks;
+    # guard before to_single touches columns and before the union mixes
+    # schemas (fastagg.drop_empty_blocks docstring)
+    singles = drop_empty_blocks(
+        ids.join(
+            drop_empty_blocks(labels.select_columns([id_col])),
+            join_type="left_anti",
+            num_partitions=default_join_partitions(),
+            on=(id_col,),
+        ),
+        pa.schema([(id_col, typ)]),
+    ).map_batches(to_single, batch_format="pyarrow")
+    return paired.union(singles)

@@ -132,14 +132,21 @@ def hash_join(
     right: "ray.data.Dataset",
     on: tuple[str, ...],
     how: str = "inner",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Large-large join: Ray Data hash-partitioned join (all-to-all shuffle).
 
     Keep the sides projected to the minimum column set before calling — wide
     payload columns must never ride through a shuffle (SURVEY.md §7.4).
+    ``num_partitions`` defaults to the cluster-aware
+    ``tuning.default_join_partitions()``: a fixed 32 spawns 32 aggregator
+    actors whose combined fractional CPUs consume a small session whole and
+    deadlock the producing stage (observed at num_cpus=4).
     """
-    return left.join(right, join_type=how, num_partitions=num_partitions, on=tuple(on))
+    from ..tuning import default_join_partitions
+
+    np_ = num_partitions or default_join_partitions()
+    return left.join(right, join_type=how, num_partitions=np_, on=tuple(on))
 
 
 def semi_join_filter(

@@ -90,3 +90,29 @@ def test_langid_deterministic():
     assert out.loc[1, "lang_guess"] == "en"
     assert out.loc[2, "lang_guess"] == "query"
     assert out.loc[3, "lang_guess"] == "und"
+
+
+def test_near_dup_clusters_components_and_singletons():
+    docs = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3, 4, 5, 6]}))
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": [1, 2, 5], "doc_b": [2, 3, 6]})
+    )
+    out = (
+        dedup.near_dup_clusters(docs, pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["cluster_id"].tolist() == [1, 1, 1, 4, 5, 5]
+    assert out["cluster_size"].tolist() == [3, 3, 3, 1, 2, 2]
+    assert out["is_canonical"].tolist() == [True, False, False, True, True, False]
+
+
+def test_near_dup_clusters_empty_pairs_all_singletons():
+    docs = ray.data.from_arrow(pa.table({"doc_id": [7, 8]}))
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    )
+    out = dedup.near_dup_clusters(docs, pairs).to_pandas().sort_values("doc_id")
+    assert out["cluster_id"].tolist() == [7, 8]
+    assert out["is_canonical"].all() and (out["cluster_size"] == 1).all()
