@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -27,17 +28,25 @@ import ray.data
 PRECISION = 1_000_000
 
 
-def _buckets(keys: list, salt: str) -> list[int]:
+def _buckets(keys, salt: str) -> np.ndarray:
     """md5-derived bucket in [0, PRECISION) per key — the same math as the
     SQL twin: ('0x' || substr(md5(salt || ':' || key), 1, 8))::UBIGINT %
-    PRECISION. hashlib.md5 is C; the comprehension is per-KEY, not per-token."""
-    return [
-        int.from_bytes(
-            hashlib.md5(f"{salt}:{k}".encode("utf-8")).digest()[:4], "big"
-        )
-        % PRECISION
-        for k in keys
-    ]
+    PRECISION. The md5 digest itself is irreducibly per-key (C, ~1 µs), but
+    everything around it is hoisted: one pre-encoded salt prefix, int
+    casting via the str of the ARROW scalar only once, and the result lands
+    straight in an int64 ndarray so every downstream comparison is a numpy
+    kernel, not a list comprehension."""
+    md5 = hashlib.md5
+    pre = (salt + ":").encode("utf-8")
+    return np.fromiter(
+        (
+            int.from_bytes(md5(pre + str(k).encode("utf-8")).digest()[:4], "big")
+            % PRECISION
+            for k in keys
+        ),
+        dtype=np.int64,
+        count=len(keys),
+    )
 
 
 def _thresholds(splits: list[tuple[str, float]]) -> list[tuple[str, int]]:
@@ -56,13 +65,16 @@ def _assign_fn(
     batch: pa.Table, key_col: str, salt: str, cuts: list[tuple[str, int]], out_col: str
 ) -> pa.Table:
     b = _buckets(batch.column(key_col).to_pylist(), salt)
-    names = []
-    for v in b:
-        for name, hi in cuts:
-            if v < hi:
-                names.append(name)
-                break
-    return batch.append_column(out_col, pa.array(names, pa.string()))
+    # cuts are ascending cumulative thresholds; the first (name, hi) with
+    # v < hi is searchsorted(his, v, side="right") — one numpy kernel plus a
+    # small-array take instead of a rows×splits Python loop
+    his = np.array([hi for _, hi in cuts], dtype=np.int64)
+    idx = np.searchsorted(his, b, side="right")
+    names = pc.take(
+        pa.array([name for name, _ in cuts], pa.string()),
+        pa.array(idx, pa.int64()),
+    )
+    return batch.append_column(out_col, names)
 
 
 def hash_split(
@@ -87,8 +99,7 @@ def hash_split(
 
 def _sample_fn(batch: pa.Table, key_col: str, salt: str, cut: int) -> pa.Table:
     b = _buckets(batch.column(key_col).to_pylist(), salt)
-    mask = pa.array([v < cut for v in b], pa.bool_())
-    return batch.filter(mask)
+    return batch.filter(pa.array(b < cut))
 
 
 def deterministic_sample(
@@ -121,16 +132,24 @@ def stratified_sample(
     1% of the head class). ``rates`` maps stratum value → keep rate; strata
     absent from the map use ``default_rate``. The rate table is a constant
     captured in the task closure (class-count-bounded, not data-bounded)."""
-    cuts = {s: round(r * PRECISION) for s, r in rates.items()}
-    dflt = round(default_rate * PRECISION)
+    strata_vals = list(rates.keys())
+    # per-row cut via index_in against the (class-count-bounded) rate table:
+    # absent strata map to the appended default slot — no per-row dict.get
+    cut_table = np.array(
+        [round(rates[s] * PRECISION) for s in strata_vals]
+        + [round(default_rate * PRECISION)],
+        dtype=np.int64,
+    )
+    value_set = pa.array(strata_vals)
+    dflt_slot = len(strata_vals)
 
     def fn(batch: pa.Table) -> pa.Table:
         b = _buckets(batch.column(key_col).to_pylist(), salt)
-        strata = batch.column(stratum_col).to_pylist()
-        mask = pa.array(
-            [v < cuts.get(s, dflt) for v, s in zip(b, strata)], pa.bool_()
+        inv = pc.fill_null(
+            pc.index_in(batch.column(stratum_col), value_set=value_set), dflt_slot
         )
-        return batch.filter(mask)
+        row_cuts = cut_table[inv.to_numpy(zero_copy_only=False).astype(np.int64)]
+        return batch.filter(pa.array(b < row_cuts))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
