@@ -742,11 +742,11 @@ def sql_events_stratified_sample(rates=None, default_rate: float = 0.05) -> str:
 SELECT event_id, event_type FROM events WHERE {b} < {cut}"""
 
 
-def sql_near_dup_clusters(k: int = 3, min_jaccard: float = 0.5, cap: int = 1000) -> str:
-    """Twin of ``dedup.near_dup_clusters ∘ ngram_jaccard_pairs`` over the FULL
-    corpus: jaccard edges (strictly > ``min_jaccard``, hot-shingle cap
-    mirrored) → transitive closure (recursive CTE) → min-doc-id component
-    label; docs in no pair are their own singleton cluster."""
+def _ndc_ctes(k: int = 3, min_jaccard: float = 0.5, cap: int = 1000) -> str:
+    """Shared CTE chain for near-dup clustering: jaccard edges (strictly >
+    ``min_jaccard``, hot-shingle cap mirrored) → transitive closure
+    (recursive CTE) → min-doc-id component label in ``base``; docs in no
+    pair are their own singleton cluster."""
     return f"""
 WITH RECURSIVE {_shingle_cte(k=k)},
 sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
@@ -776,8 +776,29 @@ lab AS (SELECT node, least(node, min(peer))::BIGINT AS cluster_id FROM reach GRO
 base AS (
   SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id
   FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
-)
+)"""
+
+
+def sql_near_dup_clusters(k: int = 3, min_jaccard: float = 0.5, cap: int = 1000) -> str:
+    """Twin of ``dedup.near_dup_clusters ∘ ngram_jaccard_pairs`` over the
+    FULL corpus: one row per doc with its component label, component size,
+    and the min-doc-id keeper flag."""
+    return f"""{_ndc_ctes(k, min_jaccard, cap)}
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
        (doc_id = cluster_id) AS is_canonical
+FROM base"""
+
+
+def sql_near_dup_split(
+    splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    cap: int = 1000,
+) -> str:
+    """Twin of the leakage-safe split: hash_split keyed on the near-dup
+    CLUSTER label, so near-duplicate documents can never straddle
+    train/val/test."""
+    return f"""{_ndc_ctes(k, min_jaccard, cap)}
+SELECT doc_id, cluster_id, {_split_case('cluster_id', splits, 'split')} AS split
 FROM base"""

@@ -817,6 +817,23 @@ def q_near_dup_clusters(sf_dir: str):
     return dedup.near_dup_clusters(_read(sf_dir, "documents", ["doc_id"]), pairs)
 
 
+def q_near_dup_split(sf_dir: str):
+    # leakage-safe train/val/test: split keyed on the near-dup CLUSTER
+    # label, so near-duplicate documents always co-travel — composes
+    # near_dup_clusters with the deterministic md5 hash_split
+    from ..stages import sampling
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_jaccard=0.5
+    )
+    clusters = dedup.near_dup_clusters(_read(sf_dir, "documents", ["doc_id"]), pairs)
+    return sampling.hash_split(
+        clusters.select_columns(["doc_id", "cluster_id"]),
+        "cluster_id",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+
+
 def q_simhash_near_dups(sf_dir: str):
     return dedup.simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1006,6 +1023,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_near_dup_clusters,
             oracle_rel.sql_near_dup_clusters(),
         ),
+        "near_dup_split": (q_near_dup_split, oracle_rel.sql_near_dup_split()),
         # similarity search
         "knn_cosine": (q_knn_cosine, oracle_rel.sql_knn_cosine()),
         "knn_lsh": (q_knn_lsh, None),

@@ -78,3 +78,28 @@ def test_split_counts_rows_vs_keys():
     assert out["n_rows"].sum() == 300
     assert out["n_keys"].sum() == 100
     assert (out["n_rows"] == 3 * out["n_keys"]).all()
+
+
+def test_near_dup_split_no_cluster_straddles_splits():
+    from multiomics_biocypher_kg_ray.stages import dedup
+
+    docs = ray.data.from_arrow(pa.table({"doc_id": np.arange(200, dtype="int64")}))
+    # pair up (2i, 2i+1) -> 100 two-doc clusters
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": np.arange(0, 200, 2, dtype="int64"),
+                "doc_b": np.arange(1, 200, 2, dtype="int64"),
+            }
+        )
+    )
+    clusters = dedup.near_dup_clusters(docs, pairs)
+    out = sampling.hash_split(
+        clusters.select_columns(["doc_id", "cluster_id"]),
+        "cluster_id",
+        [("train", 0.8), ("val", 0.2)],
+    ).to_pandas()
+    assert len(out) == 200
+    # the leakage property: every cluster lands in exactly one split
+    assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
+    assert out["split"].nunique() == 2
