@@ -668,6 +668,34 @@ cnt AS (SELECT term, count(*)::BIGINT AS n FROM toks WHERE term <> '' GROUP BY 1
 SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT {k}"""
 
 
+def sql_doc_tfidf_top_terms(k: int = 5) -> str:
+    """Twin of ``text.doc_tfidf_top_terms``: tf · ln(N/df) per (doc, term)
+    quantized to the integer micro-score floor(score·10⁶) (numpy's and
+    DuckDB's ln differ in the last ulp — floats never enter the compared
+    output or the rank key), top-``k`` per doc, (tfidf_q DESC, term ASC)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         floor(tf.tf * ln(n.n / df.df) * 1000000)::BIGINT AS tfidf_q
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_q DESC, term
+  ) AS rk FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf_q FROM ranked WHERE rk <= {k}"""
+
+
 def sql_hopping_event_counts(window_s: int = 3600, hop_s: int = 900) -> str:
     """Twin of ``events.hopping_window_agg`` over the events table: an event
     at t belongs to every hop-aligned window start in (t - window, t] —

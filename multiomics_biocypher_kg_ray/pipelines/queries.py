@@ -776,6 +776,16 @@ def q_vocab_top_terms(sf_dir: str):
     return text.vocab_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_doc_tfidf_top_terms(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    # N from Parquet metadata only — no data pass for the corpus size
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return text.doc_tfidf_top_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n_docs=n_docs
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1005,6 +1015,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "lang_id": (q_lang_id, oracle_rel.sql_lang_id()),
         "doc_fingerprint": (q_doc_fingerprint, oracle_rel.sql_doc_fingerprint()),
         "vocab_top_terms": (q_vocab_top_terms, oracle_rel.sql_vocab_top_terms()),
+        "doc_tfidf_top_terms": (
+            q_doc_tfidf_top_terms,
+            oracle_rel.sql_doc_tfidf_top_terms(),
+        ),
         # dedup family
         "dedup_exact": (q_dedup_exact, oracle_rel.sql_dedup_exact()),
         "minhash_bands": (q_minhash_bands, oracle_rel.sql_minhash_bands()),

@@ -189,3 +189,81 @@ def vocab_top_terms(
         out_names=["n"],
     )
     return counted.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def doc_tfidf_top_terms(
+    docs: "ray.data.Dataset", n_docs: int, k: int = 5
+) -> "ray.data.Dataset":
+    """Per-document top-``k`` terms by tf-idf (tf · ln(N/df)) — the feature-
+    extraction step of classic relevance scoring / keyword tagging over a
+    training corpus. Scale contract: a document's text is one row, so exact
+    per-doc term counts are a pure per-batch flat map (no tf shuffle at
+    all); document frequencies aggregate through fastagg (term-cardinality
+    groups); the score join moves pre-counted (doc, term, tf) rows only;
+    the final top-k uses the hot-key-safe global-sort ``ranked_over``, never
+    a whole-group task. ``n_docs`` is the corpus size N (callers usually
+    have it from a metadata count — pass it in rather than forcing an extra
+    pass here).
+    """
+    import numpy as np
+
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+    from .relational import ranked_over
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = batch.column("text").to_pandas()
+        ids = batch.column("doc_id").to_pandas()
+        ex = s.str.split(" ").explode()
+        frame = pd.DataFrame(
+            {"doc_id": ids.reindex(ex.index).to_numpy(), "term": ex.to_numpy()}
+        )
+        frame = frame[frame["term"].notna() & (frame["term"] != "")]
+        g = frame.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(g["term"].astype(str), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(tf_partial, batch_format="pyarrow").materialize()
+    # each (doc, term) appears exactly once above → df = rows per term
+    df = sorted_grouped_agg(tf, ["term"], [("tf", "count")], out_names=["df"])
+
+    scored = hash_join(drop_empty_blocks(tf), drop_empty_blocks(df), on=("term",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf_v = batch.column("tf").to_numpy().astype(np.float64)
+        df_v = batch.column("df").to_numpy().astype(np.float64)
+        # tfidf quantized to an integer micro-score: numpy's and DuckDB's ln
+        # differ in the last ulp, so the float itself can never be part of
+        # the compared output or the rank key — floor(score·10⁶) is
+        # bit-stable across engines (the sampling-oracle PRECISION trick)
+        q = np.floor(tf_v * np.log(float(n_docs) / df_v) * 1e6).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("term"),
+                batch.column("tf"),
+                batch.column("df"),
+                pa.array(q, pa.int64()),
+            ],
+            names=["doc_id", "term", "tf", "df", "tfidf_q"],
+        )
+
+    ranked = ranked_over(
+        scored.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        [("tfidf_q", False), ("term", True)],
+        rank_col="_rk",
+    )
+    import pyarrow.compute as pc
+
+    def topk(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t.column("_rk"), k)).drop_columns(["_rk"])
+
+    return ranked.map_batches(topk, batch_format="pyarrow")

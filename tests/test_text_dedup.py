@@ -116,3 +116,33 @@ def test_near_dup_clusters_empty_pairs_all_singletons():
     out = dedup.near_dup_clusters(docs, pairs).to_pandas().sort_values("doc_id")
     assert out["cluster_id"].tolist() == [7, 8]
     assert out["is_canonical"].all() and (out["cluster_size"] == 1).all()
+
+
+def test_doc_tfidf_top_terms():
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "apple banana apple",
+                    "banana cherry",
+                    "cherry cherry dates banana",
+                ],
+            }
+        )
+    )
+    out = text.doc_tfidf_top_terms(docs, n_docs=3, k=2).to_pandas()
+    top1 = (
+        out.sort_values(["doc_id", "tfidf_q"], ascending=[True, False])
+        .groupby("doc_id")
+        .first()
+    )
+    # the doc-exclusive term always outranks shared terms
+    assert top1.loc[1, "term"] == "apple"
+    assert top1.loc[3, "term"] == "dates"
+    # df counts documents, not occurrences
+    assert (out.loc[out["term"] == "cherry", "df"] == 2).all()
+    assert (out.loc[out["term"] == "apple", "tf"] == 2).all()
+    # idf of a term present in every doc is ln(1) = 0
+    banana = out[out["term"] == "banana"]
+    assert (banana["tfidf_q"] == 0).all() if len(banana) else True
