@@ -668,6 +668,20 @@ cnt AS (SELECT term, count(*)::BIGINT AS n FROM toks WHERE term <> '' GROUP BY 1
 SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT {k}"""
 
 
+def sql_doc_quality_filter(min_quality: int = 2) -> str:
+    """Twin of ``text.quality_filter``: keep/drop + comma-joined reason codes
+    (``concat_ws`` skips NULL parts — same semantics as the numpy join)."""
+    return f"""
+WITH st AS ({sql_text_stats()})
+SELECT doc_id, quality, (quality >= {min_quality}) AS keep,
+       concat_ws(',',
+         CASE WHEN n_tokens < 20 THEN 'short_tokens' END,
+         CASE WHEN n_chars < 100 THEN 'short_chars' END,
+         CASE WHEN stop_ratio < 0.05 THEN 'low_stopword' END
+       ) AS reason
+FROM st"""
+
+
 def sql_doc_tfidf_top_terms(k: int = 5) -> str:
     """Twin of ``text.doc_tfidf_top_terms``: tf · ln(N/df) per (doc, term)
     quantized to the integer micro-score floor(score·10⁶) (numpy's and

@@ -776,6 +776,12 @@ def q_vocab_top_terms(sf_dir: str):
     return text.vocab_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_doc_quality_filter(sf_dir: str):
+    # quality gate with audit reasons — no silent drops; annotated, not
+    # filtered, so the oracle compares every doc's decision
+    return text.quality_filter(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_doc_tfidf_top_terms(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1018,6 +1024,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_tfidf_top_terms": (
             q_doc_tfidf_top_terms,
             oracle_rel.sql_doc_tfidf_top_terms(),
+        ),
+        "doc_quality_filter": (
+            q_doc_quality_filter,
+            oracle_rel.sql_doc_quality_filter(),
         ),
         # dedup family
         "dedup_exact": (q_dedup_exact, oracle_rel.sql_dedup_exact()),

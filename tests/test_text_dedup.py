@@ -146,3 +146,14 @@ def test_doc_tfidf_top_terms():
     # idf of a term present in every doc is ln(1) = 0
     banana = out[out["term"] == "banana"]
     assert (banana["tfidf_q"] == 0).all() if len(banana) else True
+
+
+def test_quality_filter_reasons():
+    long_good = ("the and of to a " * 10).strip()  # 50 tokens, stopword-heavy
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": [long_good, "tiny doc"]})
+    )
+    out = text.quality_filter(docs).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "keep"]) and out.loc[1, "reason"] == ""
+    assert not bool(out.loc[2, "keep"])
+    assert out.loc[2, "reason"] == "short_tokens,short_chars,low_stopword"
