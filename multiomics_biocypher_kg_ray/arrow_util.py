@@ -20,6 +20,23 @@ def pa_from_pandas(df: "pd.DataFrame") -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
+def floor_div_i64(col: "pa.Array | pa.ChunkedArray", divisor: int) -> pa.Array:
+    """Floor (toward −∞) integer division of a non-null int64 Arrow column.
+
+    ``pc.divide`` truncates toward zero, while numpy's ``//`` and DuckDB's
+    integer ``//``/``floor`` conventions floor — for negative values (e.g.
+    pre-epoch timestamps) a point bucketed with one convention and an
+    interval exploded with the other can land in DIFFERENT buckets and a
+    qualifying pair is silently dropped. Every time/bucket division in the
+    package routes through this single floor-convention helper so engine,
+    interval-explode, and SQL-oracle math agree for any sign.
+    """
+    import numpy as np
+
+    vals = col.to_numpy(zero_copy_only=False)
+    return pa.array(vals // np.int64(divisor), type=pa.int64())
+
+
 def strip_meta(batch: pa.Table) -> pa.Table:
     """Zero-copy schema-metadata strip, applied right after ``read_parquet``
     (fuses with the read task): Parquet files written by pandas carry the

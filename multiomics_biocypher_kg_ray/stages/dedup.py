@@ -225,6 +225,22 @@ def bucket_pairs(
         out = pa.table(cols).cast(PAIR_SCHEMA_BASE)
         return pair_fn(out) if pair_fn is not None else out
 
+    def _dedupe_sorted(t: pa.Table) -> pa.Table:
+        """Adjacent-duplicate drop on (bucket_keys…, id): the block is sorted,
+        so uniqueness costs one vectorized compare per key column. Without
+        this, a duplicate (bucket_keys, id) row would silently emit
+        self-pairs (doc_a == doc_b) and inflate n_shared counts in the
+        default ``_emit_segments`` path — the same keep mask ``_emit_one``
+        applies per segment, hoisted to the whole block."""
+        if t.num_rows < 2:
+            return t
+        keep = np.zeros(t.num_rows, dtype=bool)
+        keep[0] = True
+        for k in [*bucket_keys, id_col]:
+            col = t.column(k).to_numpy(zero_copy_only=False)
+            keep[1:] |= col[1:] != col[:-1]
+        return t if keep.all() else t.filter(pa.array(keep))
+
     def _segments(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """bucket segment boundaries of a sorted block."""
         change = np.zeros(t.num_rows, dtype=bool)
@@ -248,6 +264,7 @@ def bucket_pairs(
     def interior_pairs(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
             return out_schema.empty_table()
+        t = _dedupe_sorted(t)
         starts, ends = _segments(t)
         # skip segment 0 and the last segment (block-edge buckets → stitch)
         if len(starts) <= 2:
@@ -283,6 +300,7 @@ def bucket_pairs(
             return out_schema.empty_table()
         # re-sort (repartition loses order), then per-bucket capped triu
         t = t.sort_by([(k, "ascending") for k in bucket_keys] + [(id_col, "ascending")])
+        t = _dedupe_sorted(t)
         starts, ends = _segments(t)
         if segment_fn is None:
             return _emit_segments(t, starts, ends)

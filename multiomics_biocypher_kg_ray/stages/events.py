@@ -20,13 +20,17 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..arrow_util import floor_div_i64
+
 US_PER_HOUR = 3_600_000_000
 
 
 def add_hour_bucket(batch: pa.Table, ts_col: str = "ts", out_col: str = "hour") -> pa.Table:
     """Tumbling 1h window key: ts truncated to the hour (timestamp[us])."""
     us = pc.cast(batch.column(ts_col), pa.int64())
-    floored = pc.multiply(pc.divide(us, US_PER_HOUR), US_PER_HOUR)
+    # floor (not trunc) division: pre-epoch timestamps round down, matching
+    # the oracle's DuckDB time_bucket/floor semantics
+    floored = pc.multiply(floor_div_i64(us, US_PER_HOUR), US_PER_HOUR)
     return batch.append_column(out_col, pc.cast(floored, pa.timestamp("us")))
 
 
@@ -421,7 +425,9 @@ def _hop_explode_fn(
     each iteration fully vectorized — never over rows."""
     k = window_us // hop_us
     us = pc.cast(batch.column(ts_col), pa.int64())
-    base = pc.multiply(pc.divide(us, hop_us), pa.scalar(hop_us, pa.int64()))
+    # floor division so pre-epoch events align to the same hop grid as the
+    # oracle's floor-based window math
+    base = pc.multiply(floor_div_i64(us, hop_us), pa.scalar(hop_us, pa.int64()))
     parts = []
     for j in range(k):
         ws = pc.subtract(base, pa.scalar(j * hop_us, pa.int64()))

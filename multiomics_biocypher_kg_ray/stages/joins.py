@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..arrow_util import floor_div_i64
 from ..state.broadcast import fetch
 
 
@@ -181,10 +182,10 @@ _RJ_BUCKET = "_rj_bucket"
 
 
 def _bucket_points_fn(batch: pa.Table, ts_col: str, bucket_us: int) -> pa.Table:
+    # floor (not trunc) so negative/pre-epoch timestamps bucket identically
+    # to the numpy `//` used by the interval explode and the oracle SQL
     ts_us = pc.cast(batch.column(ts_col), pa.int64())
-    return batch.append_column(
-        _RJ_BUCKET, pc.divide(ts_us, pa.scalar(bucket_us, pa.int64()))
-    )
+    return batch.append_column(_RJ_BUCKET, floor_div_i64(ts_us, bucket_us))
 
 
 def _explode_intervals_fn(

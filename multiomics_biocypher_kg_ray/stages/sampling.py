@@ -28,6 +28,29 @@ import ray.data
 PRECISION = 1_000_000
 
 
+_KEYABLE = (pa.types.is_integer, pa.types.is_string, pa.types.is_large_string)
+
+
+def _check_key_col(col: "pa.ChunkedArray | pa.Array", key_col: str) -> None:
+    """Split/sample keys must be non-null ints or strings.
+
+    ``_buckets`` hashes ``str(key)``, so a NULL would hash the literal
+    ``'None'`` and receive a real deterministic split — while the SQL twin's
+    ``md5(salt || ':' || NULL)`` is NULL and falls through to the CASE ELSE.
+    Rather than silently diverge from the oracle (or silently accept null
+    keys into train/val), reject them. Float/timestamp keys are rejected for
+    the same reason: their ``str()`` need not match DuckDB's VARCHAR cast.
+    """
+    if col.null_count:
+        raise ValueError(f"split key column {key_col!r} contains nulls")
+    typ = col.type
+    if not any(check(typ) for check in _KEYABLE):
+        raise TypeError(
+            f"split key column {key_col!r} has type {typ}; only integer and "
+            "string keys hash identically in the engine and the SQL oracle"
+        )
+
+
 def _buckets(keys, salt: str) -> np.ndarray:
     """md5-derived bucket in [0, PRECISION) per key — the same math as the
     SQL twin: ('0x' || substr(md5(salt || ':' || key), 1, 8))::UBIGINT %
@@ -64,6 +87,7 @@ def _thresholds(splits: list[tuple[str, float]]) -> list[tuple[str, int]]:
 def _assign_fn(
     batch: pa.Table, key_col: str, salt: str, cuts: list[tuple[str, int]], out_col: str
 ) -> pa.Table:
+    _check_key_col(batch.column(key_col), key_col)
     b = _buckets(batch.column(key_col).to_pylist(), salt)
     # cuts are ascending cumulative thresholds; the first (name, hi) with
     # v < hi is searchsorted(his, v, side="right") — one numpy kernel plus a
@@ -98,6 +122,7 @@ def hash_split(
 
 
 def _sample_fn(batch: pa.Table, key_col: str, salt: str, cut: int) -> pa.Table:
+    _check_key_col(batch.column(key_col), key_col)
     b = _buckets(batch.column(key_col).to_pylist(), salt)
     return batch.filter(pa.array(b < cut))
 
@@ -144,6 +169,7 @@ def stratified_sample(
     dflt_slot = len(strata_vals)
 
     def fn(batch: pa.Table) -> pa.Table:
+        _check_key_col(batch.column(key_col), key_col)
         b = _buckets(batch.column(key_col).to_pylist(), salt)
         inv = pc.fill_null(
             pc.index_in(batch.column(stratum_col), value_set=value_set), dflt_slot

@@ -522,3 +522,37 @@ def test_range_join_agg_all_intervals_sub_bucket():
         out_names=["n", "sv"],
     ).to_pandas()
     assert len(out) == 1 and out.iloc[0]["n"] == 2 and out.iloc[0]["sv"] == 3.0
+
+
+def test_range_join_negative_timestamps_floor_bucketing():
+    # ADVICE r3: points were bucketed with trunc-toward-zero division while
+    # intervals were exploded with numpy floor — a pre-epoch point could land
+    # one bucket above its interval and the qualifying pair silently dropped.
+    from multiomics_biocypher_kg_ray.stages.joins import range_join
+
+    SEC = 1_000_000
+    # interval covers [-25s, -5s); points at -25, -15, -6 all qualify.
+    # With bucket_s=10 and trunc division, -6s buckets to 0 while the
+    # interval explode floors to bucket -1 — the (-6, A) pair was lost.
+    iv = pa.table({"iv_id": ["A"], "s": _ts([-25 * SEC]), "e": _ts([-5 * SEC])})
+    pts = pa.table({"pt_id": [0, 1, 2, 3], "ts": _ts([-25 * SEC, -15 * SEC, -6 * SEC, -5 * SEC])})
+    out = range_join(
+        ray.data.from_arrow(pts).repartition(2),
+        ray.data.from_arrow(iv),
+        point_ts="ts",
+        start_col="s",
+        end_col="e",
+        bucket_s=10,
+        closed="left",
+        num_partitions=4,
+    ).to_pandas()
+    assert sorted(out["pt_id"].tolist()) == [0, 1, 2]
+    assert len(out) == 3  # exactly-once, no cross-bucket duplicates
+
+
+def test_hour_bucket_pre_epoch_floors_down():
+    t = pa.table({"ts": _ts([-1, 0, 1, -3_600_000_000])})
+    out = events.add_hour_bucket(t)
+    hours = out.column("hour").cast(pa.int64()).to_pylist()
+    hour_us = 3_600_000_000
+    assert hours == [-hour_us, 0, 0, -hour_us]

@@ -103,3 +103,33 @@ def test_near_dup_split_no_cluster_straddles_splits():
     # the leakage property: every cluster lands in exactly one split
     assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
     assert out["split"].nunique() == 2
+
+
+def test_hash_split_rejects_null_keys():
+    # ADVICE r3: a NULL key would hash str(None) in the engine but fall to
+    # the CASE ELSE in the SQL twin — reject instead of silently diverging.
+    import pytest
+
+    t = pa.table({"k": pa.array([1, None, 3], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        sampling.hash_split(
+            ray.data.from_arrow(t), "k", [("a", 0.5), ("b", 0.5)]
+        ).materialize()
+
+
+def test_hash_split_rejects_unhashable_key_types():
+    import pytest
+
+    t = pa.table({"k": pa.array([1.5, 2.5])})
+    with pytest.raises(Exception, match="integer and"):
+        sampling.hash_split(
+            ray.data.from_arrow(t), "k", [("a", 0.5), ("b", 0.5)]
+        ).materialize()
+
+
+def test_deterministic_sample_rejects_null_keys():
+    import pytest
+
+    t = pa.table({"k": pa.array(["a", None])})
+    with pytest.raises(Exception, match="null"):
+        sampling.deterministic_sample(ray.data.from_arrow(t), "k", 0.5).materialize()

@@ -157,3 +157,35 @@ def test_quality_filter_reasons():
     assert bool(out.loc[1, "keep"]) and out.loc[1, "reason"] == ""
     assert not bool(out.loc[2, "keep"])
     assert out.loc[2, "reason"] == "short_tokens,short_chars,low_stopword"
+
+
+def test_bucket_pairs_duplicate_rows_no_self_pairs():
+    # ADVICE r3: a duplicate (bucket, id) row must not emit doc_a == doc_b
+    # self-pairs or inflate counts — the sorted-adjacent keep mask dedupes.
+    t = pa.table(
+        {
+            "bucket": pa.array([7, 7, 7, 7, 8, 8, 8], pa.int64()),
+            "doc_id": pa.array([1, 1, 2, 3, 5, 5, 5], pa.int64()),
+        }
+    )
+    out = dedup.bucket_pairs(
+        ray.data.from_arrow(t), ["bucket"], id_col="doc_id", cap=None
+    ).to_pandas()
+    got = sorted(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+    assert got == [(1, 2), (1, 3), (2, 3)]  # bucket 8 collapses to one id
+    assert (out["doc_a"] != out["doc_b"]).all()
+
+
+def test_bucket_pairs_duplicate_rows_across_blocks():
+    # duplicates that straddle the block-edge stitch path
+    t = pa.table(
+        {
+            "bucket": pa.array([1] * 6, pa.int64()),
+            "doc_id": pa.array([10, 10, 11, 11, 12, 12], pa.int64()),
+        }
+    )
+    out = dedup.bucket_pairs(
+        ray.data.from_arrow(t).repartition(3), ["bucket"], id_col="doc_id", cap=None
+    ).to_pandas()
+    got = sorted(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+    assert got == [(10, 11), (10, 12), (11, 12)]
