@@ -935,7 +935,7 @@ def q_frame_sample(sf_dir: str):
 
 
 def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
-    return {
+    base = {
         # KG pipeline (SURVEY §7.1)
         "kg_transcripts": (q_kg_transcripts, oracle.sql_kg_transcripts()),
         "kg_mentions": (q_kg_mentions, oracle.sql_kg_mentions()),
@@ -1061,3 +1061,31 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "media_embed": (q_media_embed, oracle_rel.sql_media_embed()),
         "frame_sample": (q_frame_sample, oracle_rel.sql_frame_sample()),
     }
+    # The driver's per-round correctness sweep covers the FIRST 50 registry
+    # entries; with 66 queries, ordering decides which 16 ride on the
+    # committed full-sweep artifact (CORRECTNESS_full_r*.json, from
+    # `tools/check_queries.py --json`) instead of a fresh driver row. Round 3
+    # left the dedup/similarity/multimodal family driver-uncovered, so they
+    # rotate to the front here; the entries pushed past position 50 all hold
+    # green round-3 driver rows under unchanged code paths.
+    first = [
+        "dedup_exact",
+        "minhash_bands",
+        "lsh_candidate_pairs",
+        "jaccard_pairs",
+        "lsh_bucket_stats",
+        "jaccard_shingle_stats",
+        "simhash_near_dups",
+        "near_dup_clusters",
+        "near_dup_split",
+        "knn_cosine",
+        "knn_lsh",
+        "knn_ivf",
+        "embedding_near_dups",
+        "media_features",
+        "media_embed",
+        "frame_sample",
+    ]
+    ordered = {k: base[k] for k in first}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered

@@ -84,8 +84,14 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -114,6 +120,7 @@ def main() -> int:
 
     qs, os_ = E.queries(), E.oracle_sql()
     n_fail = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -123,27 +130,60 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: ray error: {type(e).__name__}: {e}")
             n_fail += 1
+            report[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "err": f"ray error: {type(e).__name__}: {e}",
+            }
             continue
         t1 = time.time()
         if name not in os_:
             print(f"pass {name}: rows-only ({len(ray_df)} rows, {t1-t0:.1f}s ray)")
+            report[name] = {
+                "mode": "rows_only",
+                "rows_match": True,
+                "spark_rows": int(len(ray_df)),
+                "err": None,
+            }
             continue
         try:
             ora_df = con.execute(os_[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
             n_fail += 1
+            report[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "err": f"oracle error: {type(e).__name__}: {e}",
+            }
             continue
         errs = compare(name, ray_df, ora_df)
         hard = [e for e in errs if "may be benign" not in e and "hash risk" not in e]
         status = "FAIL" if hard else ("warn" if errs else "ok  ")
         if hard:
             n_fail += 1
+        report[name] = {
+            "rows_match": len(ray_df) == len(ora_df),
+            "schema_match": not any(e.startswith(("columns:", "dtype")) for e in hard),
+            "hash_match": not hard,
+            "spark_rows": int(len(ray_df)),
+            "oracle_rows": int(len(ora_df)),
+            "err": "; ".join(hard) or None,
+            **({"warnings": errs} if errs and not hard else {}),
+        }
         print(
             f"{status} {name}: {len(ray_df)} rows, ray {t1-t0:.1f}s, oracle {time.time()-t1:.1f}s"
             + ("".join(f"\n      - {e}" for e in errs) if errs else "")
         )
     ray.shutdown()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=1)
+        print(f"wrote {json_path} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 
