@@ -49,16 +49,27 @@ def sessionize(
     whole-group problem): one global range-partitioned sort on
     (key, ts, id) → per-BLOCK vectorized run detection. A key strictly
     interior to a block is globally complete; only each block's FIRST and
-    LAST key can straddle a boundary, and for those only the per-RUN
-    partials (session-count-bounded, not event-count-bounded) travel to one
-    small stitching task that merges boundary-adjacent runs and assigns the
-    final per-key session indices. A single key with 10^8 events costs any
-    one task at most its share of sorted blocks plus its run partials —
-    never the whole group in memory (the map_groups scale-killer this
-    replaces)."""
+    LAST key can straddle a boundary. Cross-block merges can only join a
+    block's LAST run of a key with the next block's FIRST run of the same
+    key (in-block adjacent runs are already separated by > gap), so the
+    only state any task needs globally is the per-(edge key, block)
+    BOUNDARY runs — ≤ 4 rows per sorted block (2 edge keys × first/last
+    run), i.e. block-count-bounded, never session- or event-bounded. Those
+    boundary rows are collected once, broadcast, and every edge run then
+    resolves DISTRIBUTED in a plain map_batches pass: from the broadcast
+    summary each worker derives, per key, the boundary-merge flags, the
+    merged-chain extents, and the per-block global session-index offsets,
+    and each run independently emits (or is absorbed into) its final
+    session row. A single key with 10^8 events across 10^4 blocks costs
+    any one task at most its share of sorted blocks; no single-task stitch
+    funnel exists (the ``repartition(1)`` shape this replaces).
+
+    Precondition: ``id_col`` is unique per key (it breaks ts ties in the
+    sort and identifies a block's first event of a key)."""
     gap_us = gap_minutes * 60_000_000
     sch = ds.schema()
     key_type = dict(zip(sch.names, sch.types))[key_col]
+    id_type = dict(zip(sch.names, sch.types))[id_col]
     _SESSION_SCHEMA = pa.schema(
         [
             (key_col, key_type),
@@ -68,31 +79,57 @@ def sessionize(
             ("end_ts", pa.timestamp("us")),
         ]
     )
+    # run-partial rows: session fields + block-boundary bookkeeping.
+    # (_kft, _kfi) = ts/id of the FIRST event of the run's key in this block
+    # — a sort-order-stable surrogate for the block ordinal within a key
+    # (id_col is unique per key, so no two blocks share it). _ridx / _nruns
+    # position the run among its key's runs within the block.
+    _RUN_SCHEMA = pa.schema(
+        [
+            (key_col, key_type),
+            ("start_ts", pa.timestamp("us")),
+            ("end_ts", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("_edge", pa.bool_()),
+            ("_kft", pa.int64()),
+            ("_kfi", id_type),
+            ("_ridx", pa.int64()),
+            ("_nruns", pa.int64()),
+        ]
+    )
 
     def runs_in_block(t: pa.Table) -> pa.Table:
         """Vectorized per-block run partials: one row per (key, local run)
         with an ``_edge`` flag on the block's first/last key."""
         if t.num_columns == 0 or t.num_rows == 0:
-            return pa.table(
-                {
-                    key_col: pa.array([], key_type),
-                    "start_ts": pa.array([], pa.timestamp("us")),
-                    "end_ts": pa.array([], pa.timestamp("us")),
-                    "n_events": pa.array([], pa.int64()),
-                    "_edge": pa.array([], pa.bool_()),
-                }
-            )
+            return _RUN_SCHEMA.empty_table()
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
         # normalize to µs FIRST (inputs may be timestamp[ns] from pandas)
         ts = pc.cast(
             pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()
         ).to_numpy(zero_copy_only=False)
-        new_run = np.ones(len(keys), dtype=bool)
-        new_run[1:] = (keys[1:] != keys[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        new_key_evt = np.ones(n, dtype=bool)
+        new_key_evt[1:] = keys[1:] != keys[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_key_evt, np.arange(n), 0))
+        new_run = new_key_evt | np.concatenate(
+            ([True], (ts[1:] - ts[:-1]) > gap_us)
+        )
         starts = np.flatnonzero(new_run)
-        ends = np.append(starts[1:], len(keys)) - 1
+        ends = np.append(starts[1:], n) - 1
         run_keys = keys[starts]
         edge = (run_keys == keys[0]) | (run_keys == keys[-1])
+        kf = seg_start[starts]  # first-event index of each run's key
+        # run index within (key, block) + runs-per-key-in-block
+        new_key_run = np.ones(len(starts), dtype=bool)
+        new_key_run[1:] = run_keys[1:] != run_keys[:-1]
+        rseg = np.maximum.accumulate(
+            np.where(new_key_run, np.arange(len(starts)), 0)
+        )
+        ridx = np.arange(len(starts)) - rseg
+        seg_id = np.cumsum(new_key_run) - 1
+        nruns = np.bincount(seg_id)[seg_id]
         return pa.table(
             {
                 key_col: pa.array(run_keys, key_type),
@@ -100,6 +137,10 @@ def sessionize(
                 "end_ts": pa.array(ts[ends]).cast(pa.timestamp("us")),
                 "n_events": pa.array((ends - starts + 1).astype(np.int64)),
                 "_edge": pa.array(edge),
+                "_kft": pa.array(ts[kf]),
+                "_kfi": pa.array(ids[kf], id_type),
+                "_ridx": pa.array(ridx.astype(np.int64)),
+                "_nruns": pa.array(nruns.astype(np.int64)),
             }
         )
 
@@ -108,7 +149,9 @@ def sessionize(
         (runs are in sorted order within the block)."""
         if t.num_columns == 0 or t.num_rows == 0:
             return _SESSION_SCHEMA.empty_table()
-        t = t.filter(pc.invert(t.column("_edge"))).drop_columns(["_edge"])
+        t = t.filter(pc.invert(t.column("_edge"))).select(
+            [key_col, "start_ts", "end_ts", "n_events"]
+        )
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
         first = np.ones(len(keys), dtype=bool)
         first[1:] = keys[1:] != keys[:-1]
@@ -125,53 +168,22 @@ def sessionize(
             }
         )
 
-    def stitch_edges(t: pa.Table) -> pa.Table:
-        """Merge boundary-adjacent runs of the block-edge keys (run partials
-        only — session-count-bounded) and assign final indices."""
+    def bound_rows(t: pa.Table) -> pa.Table:
+        """Per-(edge key, block) boundary runs: the FIRST (_ridx == 0) and
+        LAST (_ridx == _nruns-1) run of each edge key — ≤ 4 rows/block."""
         if t.num_columns == 0 or t.num_rows == 0:
-            return _SESSION_SCHEMA.empty_table()
-        df = t.drop_columns(["_edge"]).to_pandas()
-        df = df.sort_values([key_col, "start_ts", "end_ts"], kind="mergesort")
-        keys = df[key_col].to_numpy()
-        s = df["start_ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        e = df["end_ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        n = df["n_events"].to_numpy()
-        out = {key_col: [], "session_idx": [], "n_events": [], "start_ts": [], "end_ts": []}
-        i = 0
-        while i < len(df):
-            k = keys[i]
-            sidx = 0
-            cs, ce, cn = s[i], e[i], int(n[i])
-            j = i + 1
-            while j <= len(df):
-                if j < len(df) and keys[j] == k and s[j] - ce <= gap_us:
-                    ce = max(ce, e[j])
-                    cn += int(n[j])
-                    j += 1
-                    continue
-                out[key_col].append(k)
-                out["session_idx"].append(sidx)
-                out["n_events"].append(cn)
-                out["start_ts"].append(cs)
-                out["end_ts"].append(ce)
-                sidx += 1
-                if j < len(df) and keys[j] == k:
-                    cs, ce, cn = s[j], e[j], int(n[j])
-                    j += 1
-                else:
-                    break
-            i = j
-        return pa.table(
-            {
-                key_col: pa.array(out[key_col], key_type),
-                "session_idx": pa.array(out["session_idx"], pa.int64()),
-                "n_events": pa.array(out["n_events"], pa.int64()),
-                "start_ts": pa.array(out["start_ts"], pa.int64()).cast(pa.timestamp("us")),
-                "end_ts": pa.array(out["end_ts"], pa.int64()).cast(pa.timestamp("us")),
-            }
+            return _RUN_SCHEMA.empty_table()
+        m = pc.and_(
+            t.column("_edge"),
+            pc.or_(
+                pc.equal(t.column("_ridx"), 0),
+                pc.equal(t.column("_ridx"), pc.subtract(t.column("_nruns"), 1)),
+            ),
         )
+        return t.filter(m)
 
     from .fastagg import drop_empty_blocks
+    from ..state.broadcast import broadcast, state_key, task_state
 
     tagged = (
         ds.sort([key_col, ts_col, id_col])
@@ -183,16 +195,141 @@ def sessionize(
     interior = tagged.map_batches(
         finalize_interior, batch_format="pyarrow", batch_size=None
     )
-    edges = (
-        tagged.map_batches(
-            lambda t: t.filter(t.column("_edge"))
-            if t.num_columns
-            else _SESSION_SCHEMA.empty_table().append_column("_edge", pa.array([], pa.bool_())),
-            batch_format="pyarrow",
-            batch_size=None,
+    # boundary summary is block-count-bounded (≤ 4 rows per sorted block):
+    # the only state a cross-block merge needs, and small enough to broadcast
+    summ_tbl = pa.concat_tables(
+        [
+            b
+            for b in tagged.map_batches(
+                bound_rows, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        or [_RUN_SCHEMA.empty_table()]
+    ).combine_chunks()
+    summ_ref = broadcast(
+        summ_tbl.select([key_col, "_kft", "_kfi", "_ridx", "_nruns", "start_ts", "end_ts", "n_events"])
+    )
+
+    def _key_index(ref):
+        """Per-worker memo: key → per-block arrays (in sort order) of run
+        counts, boundary-merge flags, chain extents and global session-index
+        offsets — everything an edge run needs to finalize independently."""
+        tbl = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+        if tbl.num_rows == 0:
+            return {}
+        df = tbl.to_pandas()
+        df["_s"] = df["start_ts"].astype("datetime64[us]").astype("int64")
+        df["_e"] = df["end_ts"].astype("datetime64[us]").astype("int64")
+        df = df.sort_values([key_col, "_kft", "_kfi", "_ridx"], kind="mergesort")
+        index: dict = {}
+        for k, g in df.groupby(key_col, sort=False):
+            # one or two rows per (key, block): _ridx==0 is the first run,
+            # _ridx==_nruns-1 the last (the same row when _nruns == 1)
+            firsts = g[g["_ridx"] == 0]
+            lasts = g[g["_ridx"] == g["_nruns"] - 1]
+            kft = firsts["_kft"].to_numpy()
+            kfi = firsts["_kfi"].to_numpy()
+            nruns = firsts["_nruns"].to_numpy().astype(np.int64)
+            f_s = firsts["_s"].to_numpy()
+            f_e = firsts["_e"].to_numpy()
+            f_n = firsts["n_events"].to_numpy().astype(np.int64)
+            l_e = lasts["_e"].to_numpy()
+            B = len(firsts)
+            merge_prev = np.zeros(B, dtype=bool)
+            if B > 1:
+                merge_prev[1:] = (f_s[1:] - l_e[:-1]) <= gap_us
+            starts_in_block = nruns - merge_prev.astype(np.int64)
+            S = np.concatenate(([0], np.cumsum(starts_in_block)[:-1]))
+            # chains: head = a block's LAST run followed by ≥1 boundary
+            # merges; intermediate chain members are single-run blocks.
+            # One forward pass — chains are disjoint, total cost O(B).
+            head_extra = np.zeros(B, dtype=np.int64)
+            head_end = l_e.copy()
+            j = 1
+            while j < B:
+                if not merge_prev[j]:
+                    j += 1
+                    continue
+                h = j - 1
+                extra, end = 0, l_e[h]
+                while j < B and merge_prev[j]:
+                    extra += f_n[j]
+                    end = f_e[j]
+                    j += 1
+                    if nruns[j - 1] != 1:
+                        break
+                head_extra[h] = extra
+                head_end[h] = max(end, l_e[h])
+            index[k] = {
+                "bmap": {p: i for i, p in enumerate(zip(kft.tolist(), kfi.tolist()))},
+                "nruns": nruns,
+                "merge_prev": merge_prev,
+                "S": S,
+                "head_extra": head_extra,
+                "head_end": head_end,
+            }
+        return index
+
+    def resolve_edges(t: pa.Table) -> pa.Table:
+        """Finalize edge runs distributed: each run looks up its block's
+        merge flags / index offset in the broadcast summary and emits its
+        session row (absorbed first-of-block runs emit nothing; chain heads
+        emit the merged extent). Vectorized per key within the batch."""
+        if t.num_columns == 0 or t.num_rows == 0:
+            return _SESSION_SCHEMA.empty_table()
+        t = t.filter(t.column("_edge"))
+        if t.num_rows == 0:
+            return _SESSION_SCHEMA.empty_table()
+        index = task_state(
+            state_key("sess_summ", summ_ref), lambda: _key_index(summ_ref)
         )
-        .repartition(1)
-        .map_batches(stitch_edges, batch_format="pyarrow", batch_size=None, concurrency=1)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        s = pc.cast(
+            pc.cast(t.column("start_ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        e = pc.cast(
+            pc.cast(t.column("end_ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n = t.column("n_events").to_numpy(zero_copy_only=False)
+        kft = t.column("_kft").to_numpy(zero_copy_only=False)
+        kfi = t.column("_kfi").to_numpy(zero_copy_only=False)
+        ridx = t.column("_ridx").to_numpy(zero_copy_only=False)
+        o_key, o_idx, o_n, o_s, o_e = [], [], [], [], []
+        for k in np.unique(keys):
+            ki = index[k]
+            m = keys == k
+            bmap = ki["bmap"]
+            j = np.fromiter(
+                (bmap[p] for p in zip(kft[m].tolist(), kfi[m].tolist())),
+                dtype=np.int64,
+                count=int(m.sum()),
+            )
+            i = ridx[m]
+            mp = ki["merge_prev"][j]
+            keep = ~((i == 0) & mp)
+            before = ki["S"][j] + np.where(i > 0, i - mp.astype(np.int64), 0)
+            ishead = (i == ki["nruns"][j] - 1) & (ki["head_extra"][j] > 0)
+            o_key.append(pa.array(keys[m][keep], key_type))
+            o_idx.append(before[keep])
+            o_n.append((n[m] + np.where(ishead, ki["head_extra"][j], 0))[keep])
+            o_s.append(s[m][keep])
+            o_e.append(np.where(ishead, ki["head_end"][j], e[m])[keep])
+        if not o_key:
+            return _SESSION_SCHEMA.empty_table()
+        return pa.table(
+            {
+                key_col: pa.concat_arrays(o_key),
+                "session_idx": pa.array(
+                    np.concatenate(o_idx).astype(np.int64)
+                ),
+                "n_events": pa.array(np.concatenate(o_n).astype(np.int64)),
+                "start_ts": pa.array(np.concatenate(o_s)).cast(pa.timestamp("us")),
+                "end_ts": pa.array(np.concatenate(o_e)).cast(pa.timestamp("us")),
+            }
+        )
+
+    edges = tagged.map_batches(
+        resolve_edges, batch_format="pyarrow", batch_size=None
     )
     return drop_empty_blocks(interior.union(edges), _SESSION_SCHEMA)
 

@@ -178,6 +178,49 @@ def test_sessionize_hot_key_cross_block_stitching():
     )
 
 
+def test_sessionize_long_chain_spanning_many_blocks():
+    """One session whose events span MANY sorted blocks (every inter-block
+    boundary merges, intermediate blocks hold a single run of the hot key):
+    the distributed stitch must walk the whole chain to one session row,
+    while interleaved multi-session users straddling the same boundaries
+    index correctly."""
+    import numpy as np
+
+    from multiomics_biocypher_kg_ray.stages.events import sessionize
+
+    rows = []
+    eid = 0
+    t0 = 1_700_000_000_000_000
+    # hot user 1: 20k events 1s apart — ONE session across ~80 blocks of 256
+    for i in range(20_000):
+        rows.append({"user_id": 1, "event_id": eid, "ts": pd.Timestamp(t0 + i * 1_000_000, unit="us")})
+        eid += 1
+    # user 2: alternating short bursts with > gap separation — many sessions,
+    # some straddling block edges
+    t = t0
+    for burst in range(200):
+        t += 45 * 60_000_000  # 45min > 30min gap
+        for _ in range(7):
+            t += 1_000_000
+            rows.append({"user_id": 2, "event_id": eid, "ts": pd.Timestamp(t, unit="us")})
+            eid += 1
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    ).map_batches(lambda t: t, batch_size=256, batch_format="pyarrow")
+    got = (
+        sessionize(ds)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    expect = _pandas_sessionize(df)
+    assert (expect["user_id"] == 1).sum() == 1  # the chain really is one session
+    pd.testing.assert_frame_equal(
+        got[expect.columns].astype(expect.dtypes.to_dict()), expect
+    )
+
+
 def test_asof_hot_key_cross_block_carry():
     """Carry-forward across sorted-block boundaries: a purchase whose last
     signup lives many blocks earlier must still resolve; purchases before
