@@ -410,9 +410,19 @@ WHERE length(text) > 0"""
 
 
 def sql_media_features() -> str:
+    """Twin of ``multimodal.synth_real_media`` → ``decode_media``: the
+    engine encodes REAL PNG/WAV bytes and parses the headers back; the
+    oracle predicts the metadata from the same doc_id arithmetic — any
+    encoder/parser defect on the engine side hash-mismatches here."""
     return """
-SELECT doc_id AS media_id, 'image' AS media_type,
-       octet_length(encode(text))::BIGINT AS n_bytes
+SELECT doc_id::BIGINT AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN ((doc_id % 64) + 1)::BIGINT END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN (((doc_id * 7) % 64) + 1)::BIGINT END AS height,
+       CASE WHEN doc_id % 2 = 1 THEN 1::BIGINT END AS n_channels,
+       CASE WHEN doc_id % 2 = 1 THEN 8000::BIGINT END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN ((doc_id % 997) + 1)::BIGINT END AS n_frames,
+       CASE WHEN doc_id % 2 = 1 THEN (((doc_id % 997) + 1) * 1000 // 8000)::BIGINT END AS duration_ms
 FROM documents"""
 
 

@@ -902,13 +902,17 @@ def q_embedding_near_dups(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    from ..stages.multimodal import docs_to_media, extract_media_features
+    """HONEST media decode round trip: synthesize genuine PNG/WAV payloads
+    (dimensions/frame counts derived from doc_id), then actor-pool parse the
+    real bytes back (signature sniff, IHDR chunk + CRC, RIFF/WAVE header).
+    The oracle predicts the metadata arithmetically, so an encoder or parser
+    defect hash-mismatches."""
+    from ..stages.multimodal import decode_media, synth_real_media
 
-    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        docs_to_media, batch_format="pyarrow"
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_real_media, batch_format="pyarrow"
     )
-    feats = extract_media_features(media, batch_size=256)
-    return feats.select_columns(["media_id", "media_type", "n_bytes"])
+    return decode_media(media, batch_size=256)
 
 
 def _media(sf_dir: str):

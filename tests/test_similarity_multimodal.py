@@ -82,6 +82,67 @@ def test_decode_stub_raises_without_fake():
         DecodeStub(fake=False)._decode(b"payload")
 
 
+def test_png_wav_honest_round_trip():
+    """Real codecs: encode genuine PNG/WAV bytes, parse the headers back."""
+    from multiomics_biocypher_kg_ray.stages.multimodal import (
+        parse_png_header,
+        parse_wav_header,
+        png_bytes,
+        wav_bytes,
+    )
+
+    p = png_bytes(17, 43, fill=99)
+    assert p[:8] == b"\x89PNG\r\n\x1a\n"
+    h = parse_png_header(p)
+    assert h == {"width": 17, "height": 43, "bit_depth": 8, "color_type": 0}
+    # a flipped byte inside IHDR must be caught by the CRC, not parsed
+    bad = bytearray(p)
+    bad[17] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png_header(bytes(bad))
+
+    w = wav_bytes(1234, sample_rate=8000)
+    assert w[:4] == b"RIFF" and w[8:12] == b"WAVE"
+    hw = parse_wav_header(w)
+    assert hw == {
+        "n_channels": 1,
+        "sample_rate": 8000,
+        "n_frames": 1234,
+        "duration_ms": 1234 * 1000 // 8000,
+    }
+
+
+def test_media_decoder_stage_mixed_codecs_and_strictness():
+    from multiomics_biocypher_kg_ray.stages.multimodal import (
+        MediaDecoder,
+        decode_media,
+        png_bytes,
+        wav_bytes,
+    )
+
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array(
+                    [png_bytes(5, 9), wav_bytes(800), png_bytes(64, 1)],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out = decode_media(media).to_pandas().set_index("media_id").sort_index()
+    assert list(out["kind"]) == ["png", "wav", "png"]
+    assert out.loc[1, "width"] == 5 and out.loc[1, "height"] == 9
+    assert out.loc[2, "n_frames"] == 800 and out.loc[2, "duration_ms"] == 100
+    assert pd.isna(out.loc[2, "width"]) and pd.isna(out.loc[1, "n_frames"])
+    # strict decode refuses unknown codecs; lenient routes them to 'unknown'
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(strict=True)._decode(b"\xff\xd8\xff jpeg-ish")
+    row = MediaDecoder(strict=False)._decode(b"\xff\xd8\xff jpeg-ish")
+    assert row == {"kind": "unknown"}
+
+
 def test_embedding_near_dups_blocked_matches_broadcast_exact():
     """Block-pair distributed exact join ≡ broadcast exact join (same pairs,
     same rounded cosines) on the real embeddings table."""
