@@ -759,6 +759,8 @@ def _split_case(key_expr: str, splits, salt: str) -> str:
     from .stages.sampling import PRECISION, _thresholds
 
     cuts = _thresholds(list(splits))
+    if len(cuts) == 1:  # degenerate single split: CASE with no WHEN is a parse error
+        return f"'{cuts[0][0]}'"
     b = f"(('0x' || substr(md5('{salt}:' || {key_expr}), 1, 8))::UBIGINT % {PRECISION})"
     whens = " ".join(
         f"WHEN {b} < {hi} THEN '{name}'" for name, hi in cuts[:-1]
