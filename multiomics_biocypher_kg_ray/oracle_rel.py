@@ -387,6 +387,78 @@ SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
 FROM r WHERE rank <= {k}"""
 
 
+def sql_doc_chunks(chunk: int = 16, overlap: int = 4) -> str:
+    """Twin of ``corpus.chunk_documents``: overlapping token windows via
+    list_slice over string_split; integer-exact chunk-count arithmetic
+    (``1 + ceil((n - chunk)/stride)`` as pure int division)."""
+    stride = chunk - overlap
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(1 + CASE WHEN n > {chunk}
+                               THEN (n - {chunk} + {stride} - 1) // {stride}
+                               ELSE 0 END)) AS i
+  FROM d
+)
+SELECT doc_id, i::BIGINT AS chunk_idx,
+       array_to_string(list_slice(toks, i * {stride} + 1, i * {stride} + {chunk}), ' ') AS chunk_text,
+       least({chunk}, n - i * {stride})::BIGINT AS n_tokens
+FROM c"""
+
+
+def sql_doc_pack_assign(budget: int = 512, n_shards: int = 8) -> str:
+    """Twin of ``corpus.pack_sequences``: the engine's distributed prefix
+    sum must equal the window ``(sum(n) OVER shard-ordered) - n`` exactly."""
+    return f"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN text IS NULL OR text = '' THEN 0
+              ELSE len(string_split(text, ' ')) END::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens, (doc_id % {n_shards})::BIGINT AS shard,
+       ((sum(n_tokens) OVER (PARTITION BY doc_id % {n_shards} ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+        // {budget})::BIGINT AS pack_idx
+FROM d"""
+
+
+def sql_doc_redact() -> str:
+    """Twin of ``corpus.redact_patterns`` over the PII-suffixed corpus:
+    sequential regexp_replace composition (each pattern over the previous
+    pattern's output, matching the engine's subn chain) with per-pattern
+    counts from regexp_extract_all at the same stage."""
+    email = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-z]{2,}"
+    digits = r"[0-9]{7,}"
+    hexid = r"0x[0-9a-f]{6,}"
+    return f"""
+WITH t0 AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' u' || doc_id || '@ex' || (doc_id % 5)
+           || '.com ref 0xabc' || lpad(doc_id::VARCHAR, 6, '0')
+           || ' acct 9' || lpad(doc_id::VARCHAR, 8, '0') AS s
+  FROM documents
+),
+t1 AS (SELECT doc_id, s,
+              regexp_replace(s, '{email}', '<EMAIL>', 'g') AS s1,
+              len(regexp_extract_all(s, '{email}'))::BIGINT AS n_email
+       FROM t0),
+t2 AS (SELECT doc_id, s1, n_email,
+              regexp_replace(s1, '{digits}', '<NUM>', 'g') AS s2,
+              len(regexp_extract_all(s1, '{digits}'))::BIGINT AS n_long_digits
+       FROM t1)
+SELECT doc_id,
+       regexp_replace(s2, '{hexid}', '<HEX>', 'g') AS clean_text,
+       n_email, n_long_digits,
+       len(regexp_extract_all(s2, '{hexid}'))::BIGINT AS n_hex_id,
+       (n_email + n_long_digits + len(regexp_extract_all(s2, '{hexid}')))::BIGINT AS n_redactions
+FROM t2"""
+
+
 def sql_media_embed(dim: int = 8) -> str:
     """Twin of ``multimodal.media_embed``: dims = ascii codes of the first
     ``dim`` hex chars of md5(payload); payload = utf-8 text bytes."""

@@ -1,0 +1,112 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from multiomics_biocypher_kg_ray.stages import corpus
+
+
+def test_chunk_documents_window_semantics():
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    "a b c d e f g h i j",  # 10 tokens → chunks at 0,3,6 (size 5, overlap 2)
+                    "x y",  # shorter than one chunk → single chunk
+                    "",  # empty → no chunks
+                    None,  # null → no chunks
+                ],
+            }
+        )
+    )
+    out = (
+        corpus.chunk_documents(docs, chunk_tokens=5, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["chunk_text"]) == ["a b c d e", "d e f g h", "g h i j"]
+    assert list(d1["n_tokens"]) == [5, 5, 4]
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["chunk_text"]) == ["x y"] and list(d2["n_tokens"]) == [2]
+    assert set(out["doc_id"]) == {1, 2}
+
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_segmented_prefix_sum_matches_pandas_across_blocks():
+    """Hot part spanning many blocks + many small parts straddling block
+    edges: the distributed scan must equal the pandas groupby-cumsum."""
+    rng = np.random.RandomState(7)
+    n = 30_000
+    part = np.sort(rng.choice([0] * 8 + list(range(1, 40)), size=n))  # part 0 is hot
+    order = np.arange(n, dtype=np.int64)
+    rng.shuffle(order)  # order values unique but unsorted on input
+    val = rng.randint(0, 50, size=n).astype(np.int64)
+    t = pa.table(
+        {
+            "p": pa.array(part.astype(np.int64)),
+            "o": pa.array(order),
+            "v": pa.array(val),
+        }
+    )
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda x: x, batch_size=512, batch_format="pyarrow"
+    )
+    got = (
+        corpus.segmented_prefix_sum(ds, "p", "o", "v", out_col="ps")
+        .to_pandas()
+        .sort_values(["p", "o"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["p", "o"]).reset_index(drop=True)
+    df["ps"] = df.groupby("p")["v"].cumsum() - df["v"]
+    pd.testing.assert_frame_equal(got[["p", "o", "v", "ps"]], df)
+
+
+def test_pack_sequences_deterministic_across_partitioning():
+    texts = [" ".join(["w"] * (i % 37 + 1)) for i in range(600)]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(600, dtype=np.int64)), "text": texts}
+    )
+    a = (
+        corpus.pack_sequences(ray.data.from_arrow(t), budget_tokens=100, n_shards=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        corpus.pack_sequences(
+            ray.data.from_arrow(t).repartition(13), budget_tokens=100, n_shards=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # pack indices are dense per shard and follow cumulative token fill
+    df = a.sort_values(["shard", "doc_id"])
+    for _, g in df.groupby("shard"):
+        before = g["n_tokens"].cumsum() - g["n_tokens"]
+        assert (g["pack_idx"] == before // 100).all()
+
+
+def test_redactor_sequential_counts():
+    r = corpus.Redactor()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": ["mail bob123@site99.org then 123456789 and 0xdeadbeef done"],
+        }
+    )
+    out = r(t).to_pandas().iloc[0]
+    # the email's own digits were consumed by the email replacement first
+    assert out["clean_text"] == "mail <EMAIL> then <NUM> and <HEX> done"
+    assert out["n_email"] == 1
+    assert out["n_long_digits"] == 1
+    assert out["n_hex_id"] == 1
+    assert out["n_redactions"] == 3
