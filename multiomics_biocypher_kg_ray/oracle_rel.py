@@ -459,6 +459,26 @@ SELECT doc_id,
 FROM t2"""
 
 
+def sql_inverted_index(max_postings: int = 20, min_df: int = 2) -> str:
+    """Twin of ``corpus.inverted_index``: distinct (term, doc) pairs → true
+    df + posting list capped at ``max_postings`` ascending doc_ids."""
+    return f"""
+WITH p AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+p2 AS (SELECT term, doc_id FROM p WHERE term IS NOT NULL AND term <> ''),
+df AS (SELECT term, count(*)::BIGINT AS df FROM p2 GROUP BY 1),
+r AS (SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM p2),
+po AS (SELECT term, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+       FROM r WHERE rn <= {max_postings} GROUP BY 1)
+SELECT df.term, df.df, po.postings, (df.df > {max_postings}) AS truncated
+FROM df JOIN po ON df.term = po.term
+WHERE df.df >= {min_df}"""
+
+
 def sql_media_embed(dim: int = 8) -> str:
     """Twin of ``multimodal.media_embed``: dims = ascii codes of the first
     ``dim`` hex chars of md5(payload); payload = utf-8 text bytes."""

@@ -839,6 +839,14 @@ def q_doc_redact(sf_dir: str):
     return redact_patterns(docs)
 
 
+def q_inverted_index(sf_dir: str):
+    from ..stages.corpus import inverted_index
+
+    return inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_postings=20, min_df=2
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1084,6 +1092,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_chunks": (q_doc_chunks, oracle_rel.sql_doc_chunks()),
         "doc_pack_assign": (q_doc_pack_assign, oracle_rel.sql_doc_pack_assign()),
         "doc_redact": (q_doc_redact, oracle_rel.sql_doc_redact()),
+        "inverted_index": (q_inverted_index, oracle_rel.sql_inverted_index()),
         # dedup family
         "dedup_exact": (q_dedup_exact, oracle_rel.sql_dedup_exact()),
         "minhash_bands": (q_minhash_bands, oracle_rel.sql_minhash_bands()),
@@ -1127,6 +1136,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_chunks",
         "doc_pack_assign",
         "doc_redact",
+        "inverted_index",
         "dedup_exact",
         "minhash_bands",
         "lsh_candidate_pairs",

@@ -280,6 +280,72 @@ def pack_sequences(
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------- inverted index
+
+
+def inverted_index(
+    docs: "ray.data.Dataset", max_postings: int = 50, min_df: int = 1
+) -> "ray.data.Dataset":
+    """Term → document posting lists: (term, df, postings, truncated) with
+    ``postings`` = the first ``max_postings`` doc_ids in ascending order as
+    a comma-joined string (hash-stable across engines) and ``df`` the TRUE
+    document frequency — so truncation is visible, never silent.
+
+    Scale shape: per-doc distinct (term, doc) pairs are a pure per-batch
+    flat map (a doc's text is one row — no tf shuffle); global distinct and
+    df ride fastagg; the posting cap applies BEFORE the string-collect via
+    the hot-key-safe global-sort ``ranked_over`` (a stopword appearing in
+    every document costs the collect at most ``max_postings`` rows, and its
+    overflow is reported through ``df``/``truncated``, mirroring the LSH
+    bucket-cap contract in ``dedup.lsh_candidate_pairs``)."""
+    import pandas as pd
+
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .joins import hash_join
+    from .relational import ranked_over, sorted_collect
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        ids = batch.column("doc_id").to_pandas()
+        ex = s.str.split(" ").explode()
+        frame = pd.DataFrame(
+            {"term": ex.to_numpy(), "doc_id": ids.reindex(ex.index).to_numpy()}
+        )
+        frame = frame[frame["term"].notna() & (frame["term"] != "")]
+        frame = frame.drop_duplicates()
+        return pa.table(
+            {
+                "term": pa.array(frame["term"].astype(str), pa.string()),
+                "doc_id": pa.array(frame["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pairs = sorted_distinct(
+        docs.map_batches(pairs_fn, batch_format="pyarrow"), ["term", "doc_id"]
+    ).materialize()  # consumed by df AND the ranked posting path
+    df = sorted_grouped_agg(pairs, ["term"], [("doc_id", "count")], out_names=["df"])
+    ranked = ranked_over(pairs, ["term"], [("doc_id", True)], rank_col="_rk")
+    kept = ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("_rk"), max_postings)).drop_columns(
+            ["_rk"]
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+    postings = sorted_collect(kept, ["term"], "doc_id", [("doc_id", "postings")])
+
+    joined = hash_join(drop_empty_blocks(df), drop_empty_blocks(postings), on=("term",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("df"), min_df))
+        return t.append_column(
+            "truncated", pc.greater(t.column("df"), max_postings)
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- redaction
 
 # RE2-safe patterns (no backrefs/lookaround) so the DuckDB twin is exact.

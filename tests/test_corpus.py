@@ -110,3 +110,32 @@ def test_redactor_sequential_counts():
     assert out["n_long_digits"] == 1
     assert out["n_hex_id"] == 1
     assert out["n_redactions"] == 3
+
+
+def test_inverted_index_cap_and_truncation_flag():
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+                # 'common' in every doc; 'rare' only in docs 3 and 7;
+                # 'once' in doc 5 only (df < min_df → dropped)
+                "text": [
+                    "common rare once".replace(
+                        "rare", "rare" if i in (3, 7) else "x"
+                    ).replace("once", "once" if i == 5 else "y")
+                    for i in range(10)
+                ],
+            }
+        )
+    )
+    out = (
+        corpus.inverted_index(docs, max_postings=4, min_df=2)
+        .to_pandas()
+        .set_index("term")
+    )
+    assert out.loc["common", "df"] == 10
+    assert out.loc["common", "postings"] == "0,1,2,3"  # capped, ascending
+    assert bool(out.loc["common", "truncated"])
+    assert out.loc["rare", "postings"] == "3,7"
+    assert not bool(out.loc["rare", "truncated"])
+    assert "once" not in out.index
