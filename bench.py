@@ -155,9 +155,11 @@ def run_bench() -> dict:
 
     from multiomics_biocypher_kg_ray.pipelines.queries import (
         q_dedup_exact,
+        q_doc_pack_assign,
         q_embedding_near_dups,
         q_event_percentiles,
         q_hopping_event_counts,
+        q_inverted_index,
         q_jaccard_pairs,
         q_knn_cosine,
         q_lsh_candidate_pairs,
@@ -190,6 +192,10 @@ def run_bench() -> dict:
         ("urgent_window_shipments", q_urgent_window_shipments),
         ("order_split_counts", q_order_split_counts),
         ("simhash_near_dups", q_simhash_near_dups),
+        # round-4 additions: prefix-sum sequence packing, capped inverted
+        # index (both exercise the segmented-scan machinery end-to-end)
+        ("doc_pack_assign", q_doc_pack_assign),
+        ("inverted_index", q_inverted_index),
     ]:
         t = time.time()
         out = fn(SF_DIR)
