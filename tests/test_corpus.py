@@ -139,3 +139,60 @@ def test_inverted_index_cap_and_truncation_flag():
     assert out.loc["rare", "postings"] == "3,7"
     assert not bool(out.loc["rare", "truncated"])
     assert "once" not in out.index
+
+
+def test_chunk_documents_property_window_arithmetic():
+    """Hypothesis sweep of (chunk, overlap, token count): chunks must tile
+    the token list with the declared stride, cover every token, and agree
+    with a pure-python reference."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        chunk=st.integers(min_value=2, max_value=12),
+        overlap_frac=st.integers(min_value=0, max_value=100),
+        lengths=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=6),
+    )
+    def check(chunk, overlap_frac, lengths):
+        overlap = (overlap_frac * (chunk - 1)) // 100  # 0 <= overlap < chunk
+        stride = chunk - overlap
+        texts = [" ".join(f"t{j}" for j in range(n)) if n else "" for n in lengths]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": texts,
+            }
+        )
+        ds = corpus.chunk_documents(
+            ray.data.from_arrow(t), chunk_tokens=chunk, overlap=overlap
+        )
+        # schema is stable even when every doc is empty (Dataset.to_pandas
+        # drops columns on a zero-row result, so go through Arrow refs)
+        tables = [tb for tb in ray.get(ds.to_arrow_refs())]
+        got = (
+            pa.concat_tables(tables)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        exp_rows = []
+        for did, n in enumerate(lengths):
+            if n == 0:
+                continue
+            toks = [f"t{j}" for j in range(n)]
+            i = 0
+            while True:
+                s = i * stride
+                w = toks[s : s + chunk]
+                exp_rows.append((did, i, " ".join(w), len(w)))
+                if s + chunk >= n:
+                    break
+                i += 1
+        exp = pd.DataFrame(
+            exp_rows, columns=["doc_id", "chunk_idx", "chunk_text", "n_tokens"]
+        )
+        pd.testing.assert_frame_equal(
+            got.astype(exp.dtypes.to_dict()), exp, check_dtype=False
+        )
+
+    check()
