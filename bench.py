@@ -47,12 +47,18 @@ def _gen_transcripts(sf_dir: str, target_turns: int) -> tuple[str, int]:
     # ~7.5 turns per synthetic document
     base_turns = max(1, int(n_docs * 7.5))
     reps = max(1, -(-target_turns // base_turns))
-    n_files = 64  # many small fragments → real read-task parallelism (a
-    # 4-file layout caps ReadParquet at 4 tasks and the whole job at ~4 CPUs)
-    out_dir = f"/tmp/bench_transcripts_{sf_tag}_x{reps}_f{n_files}"
+    n_tasks = 64  # generation parallelism AND a floor on output-fragment
+    # count (a 4-file layout caps ReadParquet at 4 tasks and the whole job
+    # at ~4 CPUs). The docs input is a single file, so fan it out FIRST —
+    # repartitioning thousands of docs is free; repartitioning the replicated
+    # output (the old shape) materializes every turn in the object store
+    # before one byte reaches disk and spills at 256M+ turns.
+    out_dir = f"/tmp/bench_transcripts_{sf_tag}_x{reps}_f{n_tasks}"
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
-        n = pq.ParquetDataset(out_dir).read(columns=["turn_idx"]).num_rows
+        n = sum(
+            frag.metadata.num_rows for frag in pq.ParquetDataset(out_dir).fragments
+        )
         return out_dir, n
 
     def replicate(batch: pa.Table):
@@ -71,9 +77,17 @@ def _gen_transcripts(sf_dir: str, target_turns: int) -> tuple[str, int]:
             yield docs_to_turns(pa.concat_tables(tables))
 
     ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-    ds = ds.map_batches(replicate, batch_format="pyarrow", batch_size=1024)
-    ds.repartition(n_files).write_parquet(out_dir)
-    n = pq.ParquetDataset(out_dir).read(columns=["turn_idx"]).num_rows
+    # fan out BEFORE replication: 64 generator tasks stream bounded blocks
+    # straight to Parquet (one file per output block, ≥ n_tasks files) with
+    # backpressure — no post-replication shuffle, nothing pinned.
+    ds = ds.repartition(n_tasks)
+    # batch_size=None → one batch per block, one task per partition; a row
+    # target here would coalesce the 64 small doc blocks back into ~5 tasks
+    ds = ds.map_batches(replicate, batch_format="pyarrow", batch_size=None)
+    ds.write_parquet(out_dir)
+    n = sum(
+        frag.metadata.num_rows for frag in pq.ParquetDataset(out_dir).fragments
+    )
     with open(marker, "w") as f:
         f.write(str(n))
     return out_dir, n
@@ -155,7 +169,9 @@ def run_bench() -> dict:
 
     from multiomics_biocypher_kg_ray.pipelines.queries import (
         q_dedup_exact,
+        q_doc_decontaminate,
         q_doc_pack_assign,
+        q_doc_repetition,
         q_embedding_near_dups,
         q_event_percentiles,
         q_hopping_event_counts,
@@ -196,6 +212,8 @@ def run_bench() -> dict:
         # index (both exercise the segmented-scan machinery end-to-end)
         ("doc_pack_assign", q_doc_pack_assign),
         ("inverted_index", q_inverted_index),
+        ("doc_decontaminate", q_doc_decontaminate),
+        ("doc_repetition_stats", q_doc_repetition),
     ]:
         t = time.time()
         out = fn(SF_DIR)

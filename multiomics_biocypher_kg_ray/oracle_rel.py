@@ -948,3 +948,66 @@ def sql_near_dup_split(
     return f"""{_ndc_ctes(k, min_jaccard, cap)}
 SELECT doc_id, cluster_id, {_split_case('cluster_id', splits, 'split')} AS split
 FROM base"""
+
+
+CANARY = "EVAL CANARY ALPHA BETA GAMMA DELTA"
+
+
+def sql_decontaminate(k: int = 3, bench_mod: int = 101, bench_rem: int = 7,
+                      leak_mod: int = 13, leak_rem: int = 3) -> str:
+    """Twin of ``corpus.decontaminate`` over the canary-leaked corpus (the
+    query appends a fixed canary phrase to docs with ``doc_id % leak_mod ==
+    leak_rem`` on BOTH sides, so benchmark docs that carry it seed real
+    contamination hits instead of a vacuous all-zero pass). Benchmark docs
+    (``doc_id % bench_mod == bench_rem``) are excluded from the output."""
+    txt = (
+        f"coalesce(text, '') || CASE WHEN doc_id % {leak_mod} = {leak_rem} "
+        f"THEN ' {CANARY}' ELSE '' END"
+    )
+    norm = f"lower(trim(regexp_replace({txt}, '\\s+', ' ', 'g')))"
+    return f"""
+WITH d AS (SELECT doc_id, {norm} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS tk FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[(i + 1)::BIGINT:(i + {k})::BIGINT], ' ') AS shingle
+  FROM (SELECT doc_id, tk, unnest(range((len(tk) - {k - 1})::BIGINT)) AS i
+        FROM tok WHERE len(tk) >= {k})
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = {bench_rem}),
+agg AS (
+  SELECT c.doc_id, count(*) AS n_ngrams, count(b.shingle) AS n_hits
+  FROM (SELECT * FROM sh WHERE doc_id % {bench_mod} <> {bench_rem}) c
+  LEFT JOIN bench b USING (shingle)
+  GROUP BY 1
+)
+SELECT doc_id, n_ngrams::BIGINT AS n_ngrams, n_hits::BIGINT AS n_hits,
+       (n_hits > 0) AS contaminated
+FROM agg"""
+
+
+def sql_doc_repetition_stats(top_ppm: int = 200_000, dup_ppm: int = 200_000) -> str:
+    """Twin of ``corpus.doc_repetition_stats``: exact integer ppm arithmetic
+    (``(1000000 * c) // total`` — floor division of non-negatives matches
+    numpy) over normalized tokens; docs with empty normalized text excluded;
+    < 2 tokens → dup_2gram_ppm = 0."""
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS tk FROM d WHERE t <> ''),
+w AS (SELECT doc_id, unnest(tk) AS w FROM tok),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+tw AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS max_c FROM wc GROUP BY 1),
+g AS (
+  SELECT doc_id, array_to_string(tk[(i + 1)::BIGINT:(i + 2)::BIGINT], ' ') AS g2
+  FROM (SELECT doc_id, tk, unnest(range((len(tk) - 1)::BIGINT)) AS i
+        FROM tok WHERE len(tk) >= 2)
+),
+gc AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY 1, 2),
+gs AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+              sum(c) AS tot
+       FROM gc GROUP BY 1)
+SELECT t.doc_id, t.n_tokens::BIGINT AS n_tokens,
+       ((1000000 * t.max_c) // t.n_tokens)::BIGINT AS top_word_ppm,
+       coalesce((1000000 * g.dup_occ) // g.tot, 0)::BIGINT AS dup_2gram_ppm,
+       (((1000000 * t.max_c) // t.n_tokens) >= {top_ppm}
+        OR coalesce((1000000 * g.dup_occ) // g.tot, 0) >= {dup_ppm}) AS flagged
+FROM tw t LEFT JOIN gs g USING (doc_id)"""

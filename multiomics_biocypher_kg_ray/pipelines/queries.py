@@ -839,6 +839,39 @@ def q_doc_redact(sf_dir: str):
     return redact_patterns(docs)
 
 
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination over a canary-leaked corpus: docs
+    with ``doc_id % 13 == 3`` get a fixed canary phrase appended on BOTH
+    sides (word-soup docs share almost no natural 3-grams, so without the
+    leak the check would be a vacuous all-zero pass); benchmark docs whose
+    ids ALSO satisfy ``% 101 == 7`` carry the canary into the benchmark
+    shingle set, contaminating every leaked corpus doc."""
+    from ..oracle_rel import CANARY
+    from ..stages.corpus import decontaminate
+
+    def leak(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = [
+            (x or "") + f" {CANARY}" if i % 13 == 3 else (x or "")
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        leak, batch_format="pyarrow"
+    )
+    return decontaminate(docs, k_shingle=3, bench_mod=101, bench_rem=7)
+
+
+def q_doc_repetition(sf_dir: str):
+    from ..stages.corpus import doc_repetition_stats
+
+    return doc_repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_inverted_index(sf_dir: str):
     from ..stages.corpus import inverted_index
 
@@ -1093,6 +1126,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_pack_assign": (q_doc_pack_assign, oracle_rel.sql_doc_pack_assign()),
         "doc_redact": (q_doc_redact, oracle_rel.sql_doc_redact()),
         "inverted_index": (q_inverted_index, oracle_rel.sql_inverted_index()),
+        "doc_decontaminate": (
+            q_doc_decontaminate,
+            oracle_rel.sql_decontaminate(),
+        ),
+        "doc_repetition_stats": (
+            q_doc_repetition,
+            oracle_rel.sql_doc_repetition_stats(),
+        ),
         # dedup family
         "dedup_exact": (q_dedup_exact, oracle_rel.sql_dedup_exact()),
         "minhash_bands": (q_minhash_bands, oracle_rel.sql_minhash_bands()),
@@ -1137,6 +1178,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_pack_assign",
         "doc_redact",
         "inverted_index",
+        "doc_decontaminate",
+        "doc_repetition_stats",
         "dedup_exact",
         "minhash_bands",
         "lsh_candidate_pairs",

@@ -402,3 +402,158 @@ def redact_patterns(
         return inst(batch)
 
     return docs.map_batches(fn, batch_format="pyarrow", **mb)
+
+
+# ----------------------------------------------------- decontamination
+
+
+def benchmark_shingle_set(
+    docs: "ray.data.Dataset",
+    k_shingle: int = 3,
+    bench_mod: int = 101,
+    bench_rem: int = 7,
+) -> frozenset:
+    """Distinct k-token shingles of the benchmark/eval docs (``doc_id %
+    bench_mod == bench_rem``), collected to the driver. Bounded by
+    definition: eval suites are a few MB even when the corpus is 100 TB, so
+    a driver-side set + ``ray.put`` broadcast is the right side to collapse
+    (same small-side rule as the alias index in stages/link.py). The
+    benchmark filter is fused into the shingle fn — a separate filter stage
+    would emit zero-row blocks whose skipped UDF keeps the input schema.
+    Each batch emits its DISTINCT shingles only."""
+    from ..functions.textfn import normalize_ws_lower, shingles
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array((ids % bench_mod) == bench_rem))
+        texts = normalize_ws_lower(batch.column("text")).to_pylist()
+        out: set[str] = set()
+        for t in texts:
+            out.update(shingles((t or "").split(" "), k_shingle))
+        return pa.table({"shingle": pa.array(sorted(out), pa.string())})
+
+    parts = ray.get(
+        docs.map_batches(explode, batch_format="pyarrow").to_arrow_refs()
+    )
+    acc: set[str] = set()
+    for t in parts:
+        acc.update(t.column("shingle").to_pylist())
+    return frozenset(acc)
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    k_shingle: int = 3,
+    bench_mod: int = 101,
+    bench_rem: int = 7,
+) -> "ray.data.Dataset":
+    """Benchmark-overlap decontamination (the GPT-3/Pile n-gram rule): a doc
+    is contaminated when any of its k-token shingles appears in the
+    benchmark set (here: docs with ``doc_id % bench_mod == bench_rem``,
+    standing in for the eval suites a real run would load).
+
+    Shape: benchmark shingles are broadcast ONCE (``ray.put``); the corpus
+    flows through a single stateless ``map_batches`` probe — per-doc distinct
+    shingles + set-membership hits, zero shuffle, nothing corpus-sized ever
+    leaves a task. Output: (doc_id, n_ngrams, n_hits, contaminated) for every
+    non-benchmark doc with ≥ k normalized tokens.
+
+    Reference analog: the skip/filter rules of the row extractors
+    (annotation_utils.py's skip_value patterns) — a filter with an audit
+    column, never a silent drop."""
+    from ..functions.textfn import normalize_ws_lower, shingles
+
+    bench_ref = ray.put(
+        benchmark_shingle_set(docs, k_shingle, bench_mod, bench_rem)
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids_all = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array((ids_all % bench_mod) != bench_rem))
+        bset = ray.get(bench_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = normalize_ws_lower(batch.column("text")).to_pylist()
+        o_id, o_n, o_hit = [], [], []
+        for d, t in zip(ids, texts):
+            ss = set(shingles((t or "").split(" "), k_shingle))
+            if not ss:
+                continue  # < k tokens: no shingles on either side
+            o_id.append(d)
+            o_n.append(len(ss))
+            o_hit.append(sum(1 for s in ss if s in bset))
+        hits = pa.array(o_hit, pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "n_ngrams": pa.array(o_n, pa.int64()),
+                "n_hits": hits,
+                "contaminated": pc.greater(hits, 0),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow")
+
+
+# ------------------------------------------------- repetition / quality
+
+
+# Gopher-style repetition thresholds, in ppm of the respective denominator:
+# a doc is flagged when its single most-common token is ≥ 20% of all tokens
+# or ≥ 20% of its 2-gram occurrences are occurrences of repeated 2-grams.
+REP_TOP_WORD_PPM = 200_000
+REP_DUP_2GRAM_PPM = 200_000
+
+
+def doc_repetition_stats(
+    docs: "ray.data.Dataset", threshold_top_ppm: int = REP_TOP_WORD_PPM,
+    threshold_dup_ppm: int = REP_DUP_2GRAM_PPM,
+) -> "ray.data.Dataset":
+    """Per-doc repetition signals (the Gopher repetition-filter family):
+    (doc_id, n_tokens, top_word_ppm, dup_2gram_ppm, flagged) over normalized
+    tokens. ppm values are exact integer arithmetic
+    (``(1_000_000 * count) // total``) so the DuckDB twin matches bit-for-bit
+    with no float rounding. Pure per-batch map — each doc's counters live and
+    die inside its batch; zero shuffle, zero state.
+
+    Empty normalized docs are excluded (both sides); docs with < 2 tokens
+    have no 2-grams → dup_2gram_ppm = 0."""
+    from collections import Counter
+
+    from ..functions.textfn import normalize_ws_lower
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = normalize_ws_lower(batch.column("text")).to_pylist()
+        o_id, o_n, o_top, o_dup = [], [], [], []
+        for d, t in zip(ids, texts):
+            if not t:
+                continue
+            toks = t.split(" ")
+            n = len(toks)
+            wc = Counter(toks)
+            o_id.append(d)
+            o_n.append(n)
+            o_top.append((1_000_000 * max(wc.values())) // n)
+            if n >= 2:
+                gc = Counter(zip(toks, toks[1:]))
+                tot = n - 1
+                dup = sum(c for c in gc.values() if c >= 2)
+                o_dup.append((1_000_000 * dup) // tot)
+            else:
+                o_dup.append(0)
+        top = pa.array(o_top, pa.int64())
+        dup = pa.array(o_dup, pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "n_tokens": pa.array(o_n, pa.int64()),
+                "top_word_ppm": top,
+                "dup_2gram_ppm": dup,
+                "flagged": pc.or_(
+                    pc.greater_equal(top, threshold_top_ppm),
+                    pc.greater_equal(dup, threshold_dup_ppm),
+                ),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")

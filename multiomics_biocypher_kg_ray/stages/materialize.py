@@ -26,9 +26,26 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 from ..tuning import default_join_partitions
+
+# Above this many rows per side, the weights⋈evidence merge uses the
+# distributed hash join; at or below it, one driver-side Acero join (the
+# table is entity²-bounded here and the distributed join's actor spin-up
+# costs seconds of fixed serial tail on every build).
+DRIVER_JOIN_MAX = 2_000_000
+
+
+def _gather_table(ds: "ray.data.Dataset") -> pa.Table:
+    """Materialized small Dataset → one driver-side Arrow table (schema kept
+    even when every block is empty)."""
+    tbls = [t for t in ray.get(ds.to_arrow_refs())]
+    if not tbls:
+        sch = ds.schema()
+        return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    return pa.concat_tables(tbls, promote_options="default")
 
 EVIDENCE_SEP = "|"
 
@@ -247,25 +264,47 @@ def build_graph_tables(
             sep=EVIDENCE_SEP,
         )
     )
-    combined = (
-        weights.join(
-            evidence,
-            join_type="left_outer",
-            num_partitions=default_join_partitions(),
-            on=("kind", "k1", "k2", "k3"),
+    # weights/evidence are entity²-bounded in this broadcast-canon path
+    # (guarded by BROADCAST_CANON_MAX upstream). When they actually ARE
+    # small, join them with ONE driver-side Acero call instead of spinning a
+    # distributed hash-join: the actor-pool join costs ~2 s of fixed spin-up
+    # for a few-thousand-row table, and that fixed tail is exactly what caps
+    # 8→32-CPU scaling efficiency on short builds (Amdahl; measured r4:
+    # the 32-partition join ran 1.85 s on 4,420 rows).
+    w_mat = weights.materialize()
+    e_mat = evidence.materialize()
+    keys = ["kind", "k1", "k2", "k3"]
+    if w_mat.count() <= DRIVER_JOIN_MAX and e_mat.count() <= DRIVER_JOIN_MAX:
+        wt = _gather_table(w_mat)
+        et = _gather_table(e_mat)
+        joined = wt.join(et, keys=keys, join_type="left outer")
+        ev_idx = joined.schema.get_field_index("evidence")
+        joined = joined.set_column(
+            ev_idx,
+            "evidence",
+            pc.fill_null(joined.column("evidence").cast(pa.string()), ""),
         )
-        .map_batches(
-            lambda t: t.set_column(
-                t.schema.get_field_index("evidence"),
-                "evidence",
-                pc.fill_null(t.column("evidence"), ""),
+        combined = ray.data.from_arrow(joined.combine_chunks())
+    else:
+        combined = (
+            w_mat.join(
+                e_mat,
+                join_type="left_outer",
+                num_partitions=default_join_partitions(),
+                on=tuple(keys),
             )
-            if t.num_columns
-            else t,
-            batch_format="pyarrow",
+            .map_batches(
+                lambda t: t.set_column(
+                    t.schema.get_field_index("evidence"),
+                    "evidence",
+                    pc.fill_null(t.column("evidence"), ""),
+                )
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            )
+            .materialize()  # entity²-bounded — tiny; consumed by both filters
         )
-        .materialize()  # entity²-bounded — tiny; consumed by both filters
-    )
 
     def as_nodes(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch.column("kind"), "N"))

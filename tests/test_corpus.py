@@ -196,3 +196,58 @@ def test_chunk_documents_property_window_arithmetic():
         )
 
     check()
+
+
+def test_decontaminate_hand_example():
+    """Benchmark docs (id % 5 == 0) seed the shingle set; doc 1 shares the
+    3-gram 'x y z' with benchmark doc 0, doc 2 shares nothing, doc 3 is too
+    short for any shingle and is dropped."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "x y z q r",          # benchmark (0 % 5 == 0)
+                "a b x y z c",        # hit: 'x y z'
+                "p q r s",            # no 3-gram overlap ('q r s' not in bench)
+                "one two",            # < 3 tokens → excluded
+            ],
+        }
+    )
+    out = (
+        corpus.decontaminate(
+            ray.data.from_arrow(t), k_shingle=3, bench_mod=5, bench_rem=0
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "n_hits"] == 1 and bool(out.loc[1, "contaminated"])
+    assert out.loc[1, "n_ngrams"] == 4
+    assert out.loc[2, "n_hits"] == 0 and not bool(out.loc[2, "contaminated"])
+
+
+def test_doc_repetition_stats_hand_example():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "a a a b",    # top 3/4; 2-grams aa,aa,ab → dup 2/3
+                "w",          # single token: top 1/1, no 2-grams
+                "  ",         # empty after normalize → excluded
+            ],
+        }
+    )
+    out = (
+        corpus.doc_repetition_stats(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1]
+    assert out.loc[0, "n_tokens"] == 4
+    assert out.loc[0, "top_word_ppm"] == 750_000
+    assert out.loc[0, "dup_2gram_ppm"] == 666_666
+    assert bool(out.loc[0, "flagged"])
+    assert out.loc[1, "top_word_ppm"] == 1_000_000
+    assert out.loc[1, "dup_2gram_ppm"] == 0
