@@ -391,3 +391,11 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.3""".strip()
         "WITH RECURSIVE " + ",\n".join(parts) + " " + _edges_select()
         + "\nUNION ALL\n" + nd
     )
+
+
+def sql_kg_two_hop() -> str:
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()})
+SELECT e1.src AS src, count(DISTINCT e2.dst)::BIGINT AS n_two_hop
+FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+GROUP BY 1"""

@@ -1011,3 +1011,48 @@ SELECT t.doc_id, t.n_tokens::BIGINT AS n_tokens,
        (((1000000 * t.max_c) // t.n_tokens) >= {top_ppm}
         OR coalesce((1000000 * g.dup_occ) // g.tot, 0) >= {dup_ppm}) AS flagged
 FROM tw t LEFT JOIN gs g USING (doc_id)"""
+
+
+def sql_user_cumulative_value() -> str:
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_id, user_id, ts, {v} AS cents FROM events)
+SELECT event_id, user_id, ts,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_value_cents
+FROM e"""
+
+
+def sql_event_lag_delta() -> str:
+    return """
+SELECT event_id, user_id, ts,
+       (epoch_us(ts) - epoch_us(
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       ))::BIGINT AS delta_us
+FROM events"""
+
+
+def sql_events_rollup() -> str:
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, {v} AS cents FROM events
+)
+SELECT event_type, hour, count(*)::BIGINT AS n,
+       sum(cents)::BIGINT AS sum_value_cents
+FROM e GROUP BY ROLLUP(event_type, hour)"""
+
+
+def sql_embedding_centroids() -> str:
+    # the inner CAST to DOUBLE is load-bearing: FLOAT * 1000000.0 resolves
+    # to single-precision FLOAT arithmetic in DuckDB and disagrees with the
+    # engine's float64 quantization at floor boundaries (~0.2% of elements)
+    return """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS ppm
+  FROM embeddings
+)
+SELECT label, dim::BIGINT AS dim, count(*)::BIGINT AS n_vecs,
+       (sum(ppm)::DOUBLE / count(*)) AS mean_ppm
+FROM ex GROUP BY 1, 2"""

@@ -507,6 +507,96 @@ def q_urgent_window_shipments(sf_dir: str, days: int = 60):
     )
 
 
+def q_user_cumulative_value(sf_dir: str):
+    """Running per-user total — the distributed window-scan primitive
+    (sum OVER (PARTITION BY … ORDER BY … ROWS UNBOUNDED PRECEDING))."""
+    from ..stages.window import cumsum_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}), batch_format="pyarrow"
+    )
+    out = cumsum_over(
+        ev, "user_id", ["ts", "event_id"], "cents", out_col="cum_value_cents"
+    )
+    return _cast_ts_us(
+        out.select_columns(["event_id", "user_id", "ts", "cum_value_cents"]), ["ts"]
+    )
+
+
+def q_event_lag_delta(sf_dir: str):
+    """Per-user inter-event gap in µs — lag() OVER a hot-key-safe segmented
+    scan; NULL for each user's first event."""
+    from ..stages.window import lag_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def add_us(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ts_us",
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        )
+
+    out = lag_over(
+        ev.map_batches(add_us, batch_format="pyarrow"),
+        "user_id",
+        ["ts_us", "event_id"],
+        "ts_us",
+        out_col="prev_us",
+    )
+
+    def delta(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
+                "delta_us": pc.subtract(t.column("ts_us"), t.column("prev_us")),
+            }
+        )
+
+    return out.map_batches(delta, batch_format="pyarrow")
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, hour): finest + per-type + grand total in
+    one operator; coarser levels re-aggregate the finest PARTIAL."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        lambda t: relational.to_cents(
+            events.add_hour_bucket(t), {"value": "sum_value_cents"}
+        ),
+        batch_format="pyarrow",
+    )
+    out = relational.rollup_agg(
+        ev.select_columns(["event_type", "hour", "sum_value_cents"]),
+        keys=["event_type", "hour"],
+        sums=["sum_value_cents"],
+    )
+    return _cast_ts_us(out, ["hour"])
+
+
+def q_kg_two_hop(sf_dir: str):
+    """Distinct 2-hop reachability counts over the built KG edge table —
+    distributed edge self-join, no broadcast of either side."""
+    return materialize.two_hop_counts(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    )
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding (exploded to label×dim rows) with exact
+    integer-quantized sums — bit-stable vs the unnest/subscripts oracle."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return similarity.label_centroids(emb)
+
+
+def q_kmeans_embed(sf_dir: str):
+    """Distributed deterministic Lloyd's k-means assignments (rows-only:
+    iterative scoring is not SQL-expressible; exactness is pytest-verified
+    against a single-process numpy reference)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.kmeans_assign(emb, k=8, iters=4)
+
+
 _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 
 
@@ -1165,6 +1255,19 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "media_features": (q_media_features, oracle_rel.sql_media_features()),
         "media_embed": (q_media_embed, oracle_rel.sql_media_embed()),
         "frame_sample": (q_frame_sample, oracle_rel.sql_frame_sample()),
+        # round-4 window/rollup/graph/embedding operators
+        "user_cumulative_value": (
+            q_user_cumulative_value,
+            oracle_rel.sql_user_cumulative_value(),
+        ),
+        "event_lag_delta": (q_event_lag_delta, oracle_rel.sql_event_lag_delta()),
+        "events_rollup": (q_events_rollup, oracle_rel.sql_events_rollup()),
+        "kg_two_hop": (q_kg_two_hop, oracle.sql_kg_two_hop()),
+        "embedding_centroids": (
+            q_embedding_centroids,
+            oracle_rel.sql_embedding_centroids(),
+        ),
+        "kmeans_embed": (q_kmeans_embed, None),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 66 queries, ordering decides which 16 ride on the
@@ -1174,6 +1277,12 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front here; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "user_cumulative_value",
+        "event_lag_delta",
+        "events_rollup",
+        "kg_two_hop",
+        "embedding_centroids",
+        "kmeans_embed",
         "doc_chunks",
         "doc_pack_assign",
         "doc_redact",

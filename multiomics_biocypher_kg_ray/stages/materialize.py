@@ -614,3 +614,46 @@ def write_graph(
     with open(f"{out_dir}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+def two_hop_counts(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per source node: count of DISTINCT nodes reachable in exactly two
+    directed hops — the graph-traversal rollup shape of the reference's
+    post-import neighborhood statistics (gene→term→ancestor fan-outs,
+    post-import.cypher:840-911), expressed as one distributed self-join.
+
+    Scale shape: one hash-partitioned shuffle join of the edge table with
+    itself on (dst = src) — edge-count-proportional, no broadcast of either
+    side — then a distributed distinct on (src, two-hop dst) and a fastagg
+    count. A hub node with high in- AND out-degree produces in·out joined
+    rows; that fan-out is the true 2-path count (the answer itself), not an
+    implementation artifact — the distinct collapses it immediately after
+    the join, before anything else moves."""
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+
+    left = edges.select_columns(["src", "dst"])
+
+    def as_right(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("mid", pa.string()), ("dst2", pa.string())]
+            ).empty_table()
+        return t.select(["src", "dst"]).rename_columns(["mid", "dst2"])
+
+    right = drop_empty_blocks(
+        edges.map_batches(as_right, batch_format="pyarrow"),
+        pa.schema([("mid", pa.string()), ("dst2", pa.string())]),
+    )
+    joined = drop_empty_blocks(left).join(
+        right,
+        join_type="inner",
+        on=("dst",),
+        right_on=("mid",),
+        num_partitions=default_join_partitions(),
+    )
+    pairs = sorted_distinct(
+        joined.select_columns(["src", "dst2"]), ["src", "dst2"]
+    )
+    return sorted_grouped_agg(
+        pairs, ["src"], [("dst2", "count")], out_names=["n_two_hop"]
+    )

@@ -634,3 +634,72 @@ def collect_sorted_distinct(
 
     pairs = sorted_distinct(ds.select_columns(keys + [value_col]), keys + [value_col])
     return sorted_collect(pairs, keys, value_col, [(value_col, out_col)], sep=sep)
+
+
+def rollup_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    sums: list[str],
+    count_alias: str = "n",
+) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP(keys...)`` — grouping sets (k1..kn), (k1..kn-1), …,
+    (): every prefix level plus the grand total, with NULLs in the
+    grouped-out key columns (the reference's layered publication→experiment→
+    organism rollups, post-import.cypher:186-201/287-309, expressed as one
+    operator).
+
+    Scale shape: the DATA-PROPORTIONAL aggregation happens exactly once (the
+    finest-level combiner pre-agg + one fastagg shuffle); every coarser level
+    re-aggregates the finest-level PARTIAL — group-count-proportional input,
+    never the raw table — so an n-level rollup costs one full pass plus n−1
+    passes over shrinking aggregate tables. Sums must be pre-quantized ints
+    (the cents discipline) so re-aggregation is exact at any level."""
+    from .fastagg import sorted_grouped_agg
+
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    out_names = keys + [count_alias] + list(sums)
+
+    finest = preaggregate(ds, keys, sums, count_alias).materialize()
+    levels = [finest]
+    agg_specs = [(count_alias, "sum")] + [(c, "sum") for c in sums]
+    agg_out = [count_alias] + list(sums)
+    for i in range(len(keys) - 1, -1, -1):
+        kept = keys[:i]
+        dropped = keys[i:]
+        if kept:
+            lvl = sorted_grouped_agg(finest, kept, agg_specs, out_names=agg_out)
+        else:
+            # grand total: one global combine of the finest partials
+            import pandas as pd
+
+            tot = finest.select_columns(agg_out).to_pandas().sum()
+            lvl = ray.data.from_arrow(
+                pa.table({c: pa.array([int(tot[c])], pa.int64()) for c in agg_out})
+            )
+
+        OUT_SCHEMA = pa.schema(
+            [(k, typ[k]) for k in keys] + [(c, pa.int64()) for c in agg_out]
+        )
+
+        def pad(t: pa.Table, _dropped=tuple(dropped)) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return OUT_SCHEMA.empty_table()
+            for c in _dropped:
+                t = t.append_column(c, pa.nulls(t.num_rows, typ[c]))
+            return t.select(out_names)
+
+        levels.append(lvl.map_batches(pad, batch_format="pyarrow"))
+
+    OUT_SCHEMA = pa.schema(
+        [(k, typ[k]) for k in keys] + [(c, pa.int64()) for c in agg_out]
+    )
+    out = levels[0].map_batches(
+        lambda t: t.select(out_names)
+        if t.num_columns
+        else OUT_SCHEMA.empty_table(),
+        batch_format="pyarrow",
+    )
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

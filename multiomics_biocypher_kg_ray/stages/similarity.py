@@ -557,3 +557,190 @@ def _bf_scorer_fn(batch: pa.Table, queries_ref, k: int) -> pa.Table:
         state_key("bf", queries_ref, k), lambda: _BruteForceScorer(queries_ref, k)
     )
     return scorer(batch)
+
+
+# -------------------------------------------------- embedding aggregation
+
+
+def label_centroids(
+    ds: "ray.data.Dataset",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> "ray.data.Dataset":
+    """Per-label mean embedding, exploded to (label, dim, n_vecs, mean_ppm).
+
+    Exactness discipline (same as the cents convention): each float32
+    element is quantized FIRST — ``floor(x * scale)`` as int64 — and the
+    integer sums are associative, so the grouped mean is bit-identical to
+    the DuckDB ``unnest``/``generate_subscripts`` oracle at any block
+    partitioning (double division of identical exact ints). A per-batch
+    combiner emits ≤ labels×dims rows, so the shuffle moves partials,
+    never vectors."""
+    from .fastagg import sorted_grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                (label_col, t.schema.field(label_col).type if t.num_columns else pa.int32()),
+                ("dim", pa.int64()),
+                ("sum_ppm", pa.int64()),
+                ("n_vecs", pa.int64()),
+            ]
+        ).empty_table()
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        labels_arr = t.column(label_col)
+        labels = labels_arr.to_numpy(zero_copy_only=False)
+        lists = t.column(vec_col).combine_chunks()
+        flat = lists.chunk(0).flatten() if isinstance(lists, pa.ChunkedArray) else lists.flatten()
+        d = len(flat) // t.num_rows
+        ppm = np.floor(
+            flat.to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64).reshape(t.num_rows, d)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, ppm)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k = len(uniq)
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(uniq, d), labels_arr.type),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "sum_ppm": pa.array(sums.reshape(-1)),
+                "n_vecs": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = sorted_grouped_agg(
+        partials,
+        [label_col, "dim"],
+        [("sum_ppm", "sum"), ("n_vecs", "sum")],
+        out_names=["sum_ppm", "n_vecs"],
+    )
+
+    def mean(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        s = t.column("sum_ppm").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n_vecs").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.select([label_col, "dim", "n_vecs"]).append_column(
+            "mean_ppm", pa.array(s / n, pa.float64())
+        )
+
+    return agg.map_batches(mean, batch_format="pyarrow")
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Distributed deterministic Lloyd's k-means over the FULL dataset →
+    (vec_id, cluster). No RNG anywhere: init centroids are the embeddings of
+    the ``k`` smallest ids, assignment ties break to the smallest cluster
+    index (np.argmin), empty clusters keep their previous centroid — every
+    run and every parallelism level produces identical assignments (verified
+    against a single-process numpy reference in tests).
+
+    Scale shape per iteration: centroids broadcast once (k×d floats); a
+    stateless map_batches emits per-batch PARTIAL (cluster, dim, sum, n)
+    rows (≤ k×d per batch — the combiner pattern); one fastagg shuffle over
+    k×d keys; the k×d result is driver-collected (constant-bounded). The
+    vectors themselves never shuffle. Distance = squared L2 in double.
+
+    Centroid updates are EXACT integer arithmetic (elements quantized to
+    ppm int64 before summation, centroid = int_sum / (scale·n) in double),
+    so centroids — and therefore assignments — are bit-identical at any
+    block partitioning; float summation order never enters the result.
+
+    The driver-side sampled variant for IVF coarse quantizers is
+    ``_kmeans_centroids``; this is the full-data operator (the consensus/
+    canonicalization analog for embedding spaces, A13-adjacent)."""
+    from .fastagg import sorted_grouped_agg
+
+    seed_rows = ds.sort(id_col).limit(k).take_all()
+    cents = np.asarray([r[vec_col] for r in seed_rows], dtype=np.float64)
+
+    SCALE = 1_000_000.0
+
+    def partial_sums(t: pa.Table, cents_ref) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("cluster", pa.int64()),
+                ("dim", pa.int64()),
+                ("s_dim", pa.int64()),
+                ("n_vecs", pa.int64()),
+            ]
+        ).empty_table()
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        C = fetch(cents_ref)
+        m = _stack(t.column(vec_col))
+        d2 = (
+            (m * m).sum(axis=1, keepdims=True)
+            - 2.0 * (m @ C.T)
+            + (C * C).sum(axis=1)
+        )
+        assign = np.argmin(d2, axis=1)
+        kk, d = C.shape
+        mq = np.floor(m * SCALE).astype(np.int64)
+        sums = np.zeros((kk, d), dtype=np.int64)
+        np.add.at(sums, assign, mq)
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(np.arange(kk, dtype=np.int64), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), kk)),
+                "s_dim": pa.array(sums.reshape(-1)),
+                "n_vecs": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+        partials = ds.map_batches(
+            partial_sums, fn_kwargs={"cents_ref": ref}, batch_format="pyarrow"
+        )
+        agg = sorted_grouped_agg(
+            partials,
+            ["cluster", "dim"],
+            [("s_dim", "sum"), ("n_vecs", "sum")],
+            out_names=["s_dim", "n_vecs"],
+        ).to_pandas()
+        agg = agg.sort_values(["cluster", "dim"])
+        new = cents.copy()
+        for c in range(len(cents)):
+            rows = agg[agg["cluster"] == c]
+            if len(rows) and rows["n_vecs"].iloc[0] > 0:
+                new[c] = rows["s_dim"].to_numpy(dtype=np.float64) / (
+                    SCALE * float(rows["n_vecs"].iloc[0])
+                )
+        cents = new
+
+    final_ref = ray.put(cents)
+
+    def assign_fn(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [(id_col, pa.int64()), ("cluster", pa.int64())]
+        ).empty_table()
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        C = fetch(final_ref)
+        m = _stack(t.column(vec_col))
+        d2 = (
+            (m * m).sum(axis=1, keepdims=True)
+            - 2.0 * (m @ C.T)
+            + (C * C).sum(axis=1)
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign_fn, batch_format="pyarrow")

@@ -1,0 +1,227 @@
+"""Distributed SQL window functions — per-key ``lag`` and running-sum scans.
+
+The reference computes every ordered per-entity derivation (expression ranks,
+time-point orderings, parallel arrays ordered by tp_order) with explicit
+multi-key sorts inside single-process Cypher/pandas passes (reference
+``scripts/post-import.cypher:693-735``, ``omics_adapter.py:446-475``). The
+Ray-native expression is the segmented-scan shape shared with ``sessionize``
+/ ``asof_last_marker`` / ``corpus.segmented_prefix_sum``:
+
+one global range-partitioned sort on ``[part] + order_cols`` → per-block
+vectorized scan (every row whose predecessor lives in the same block resolves
+locally) → each block emits ONE summary row per (part, block-segment) — a
+block-count-bounded side table, NOT row-proportional — → summaries broadcast
+once → a second stateless pass resolves only each segment's carry-in from its
+part's earlier segments. A hot key costs its sorted-block share; no task ever
+holds a whole partition, so a single part with 10⁸ rows is as safe as 10⁸
+parts with one row.
+
+Value convention: ``val_col`` must be int64 (timestamps pre-cast to epoch
+micros, money pre-quantized to cents) so running sums are EXACT integer
+arithmetic — immune to float summation order, bit-identical to the DuckDB
+window oracles at any parallelism (the determinism discipline of SURVEY §7.4).
+
+Precondition (same as the oracle's ``ORDER BY``): ``order_cols`` tuples are
+unique within a part — they order block segments deterministically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _np(col: "pa.ChunkedArray") -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _segmented_window(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str,
+    kind: str,  # 'lag' | 'cumsum'
+    inclusive: bool = True,
+) -> "ray.data.Dataset":
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    names = list(sch.names)
+    sf_cols = [f"_sf_{c}" for c in order_cols]
+    sf_fields = [(f, typ[c]) for f, c in zip(sf_cols, order_cols)]
+    OUT_SCHEMA = pa.schema([(n, typ[n]) for n in names] + [(out_col, pa.int64())])
+    MID_SCHEMA = pa.schema(
+        [(n, typ[n]) for n in names] + [(out_col, pa.int64())] + sf_fields
+    )
+    SUMM_SCHEMA = pa.schema(
+        [(part_col, typ[part_col])] + sf_fields + [("_seg_val", pa.int64())]
+    )
+
+    def seg_starts(parts: np.ndarray) -> np.ndarray:
+        n = len(parts)
+        new_p = np.ones(n, dtype=bool)
+        new_p[1:] = parts[1:] != parts[:-1]
+        return np.maximum.accumulate(np.where(new_p, np.arange(n), 0))
+
+    def local_scan(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID_SCHEMA.empty_table()
+        parts = _np(t.column(part_col))
+        vals = _np(t.column(val_col)).astype(np.int64)
+        start = seg_starts(parts)
+        n = len(parts)
+        is_first = np.arange(n) == start
+        if kind == "lag":
+            # in-block predecessor value; segment-first rows stay null and
+            # resolve against the broadcast summaries in pass 2
+            prev = np.empty(n, dtype=np.int64)
+            prev[1:] = vals[:-1]
+            prev[0] = 0
+            local = pa.array(prev, pa.int64(), mask=is_first)
+        else:
+            cum = np.cumsum(vals)
+            excl = (cum - vals) - (cum - vals)[start]
+            local = pa.array(excl + vals if inclusive else excl, pa.int64())
+        t = t.append_column(out_col, local)
+        for f, c in zip(sf_cols, order_cols):
+            arr = t.column(c).take(pa.array(start))
+            t = t.append_column(f, arr)
+        return t
+
+    def seg_summary(t: pa.Table) -> pa.Table:
+        """One row per (part, block segment): first order tuple + the
+        segment's carry-out (total for cumsum, last value for lag)."""
+        if t.num_columns == 0 or t.num_rows == 0:
+            return SUMM_SCHEMA.empty_table()
+        parts = _np(t.column(part_col))
+        vals = _np(t.column(val_col)).astype(np.int64)
+        n = len(parts)
+        new_p = np.ones(n, dtype=bool)
+        new_p[1:] = parts[1:] != parts[:-1]
+        starts = np.flatnonzero(new_p)
+        ends = np.append(starts[1:], n)
+        if kind == "lag":
+            seg_val = vals[ends - 1]
+        else:
+            seg_val = np.add.reduceat(vals, starts).astype(np.int64)
+        cols = [t.column(part_col).take(pa.array(starts))]
+        cols += [t.column(c).take(pa.array(starts)) for c in order_cols]
+        cols.append(pa.array(seg_val, pa.int64()))
+        return pa.Table.from_arrays(cols, schema=SUMM_SCHEMA)
+
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import drop_empty_blocks
+
+    sorted_ds = ds.sort([part_col] + order_cols).materialize()
+    scanned = sorted_ds.map_batches(local_scan, batch_format="pyarrow", batch_size=None)
+    summ_tbl = pa.concat_tables(
+        [
+            b
+            for b in sorted_ds.map_batches(
+                seg_summary, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns
+        ]
+        or [SUMM_SCHEMA.empty_table()]
+    ).combine_chunks()
+    summ_ref = broadcast(summ_tbl)
+
+    def _carry_index(ref):
+        """(part, *seg_first) → carry-in: for cumsum the exclusive prefix of
+        earlier segments' totals; for lag the previous segment's last value.
+        Built once per worker from the block-count-bounded summary table."""
+        tbl = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+        out: dict = {}
+        if tbl.num_rows == 0:
+            return out
+        tbl = tbl.sort_by([(part_col, "ascending")] + [(f, "ascending") for f in sf_cols])
+        parts = _np(tbl.column(part_col))
+        firsts = [_np(tbl.column(f)) for f in sf_cols]
+        vals = _np(tbl.column("_seg_val"))
+        prev_part = None
+        run = np.int64(0)
+        prev_val = None
+        for i in range(len(parts)):
+            p = parts[i]
+            if p != prev_part:
+                run = np.int64(0)
+                prev_val = None
+                prev_part = p
+            key = (p, *(f[i] for f in firsts))
+            out[key] = prev_val if kind == "lag" else run
+            run += vals[i]
+            prev_val = vals[i]
+        return out
+
+    def add_carry(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        index = task_state(
+            state_key("window", summ_ref), lambda: _carry_index(summ_ref)
+        )
+        parts = _np(t.column(part_col))
+        firsts = [_np(t.column(f)) for f in sf_cols]
+        local = t.column(out_col)
+        # segment boundaries: part or any seg-first column changes
+        n = len(parts)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = parts[1:] != parts[:-1]
+        for f in firsts:
+            change[1:] |= f[1:] != f[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        loc = _np(local)
+        if kind == "lag":
+            out = loc.copy()
+            mask = np.asarray(local.is_null().combine_chunks())
+            for s, e in zip(starts, ends):
+                carry = index.get((parts[s], *(f[s] for f in firsts)))
+                if mask[s]:
+                    if carry is None:
+                        continue  # first row of its part: stays null
+                    out[s] = carry
+                    mask[s] = False
+            arr = pa.array(out, pa.int64(), mask=mask)
+        else:
+            off = np.zeros(n, dtype=np.int64)
+            for s, e in zip(starts, ends):
+                off[s:e] = index.get((parts[s], *(f[s] for f in firsts)), 0)
+            arr = pa.array(loc + off, pa.int64())
+        t = t.drop_columns(sf_cols + [out_col]).append_column(out_col, arr)
+        return t.select(OUT_SCHEMA.names)
+
+    return drop_empty_blocks(
+        scanned.map_batches(add_carry, batch_format="pyarrow", batch_size=None),
+        OUT_SCHEMA,
+    )
+
+
+def lag_over(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "lag_val",
+) -> "ray.data.Dataset":
+    """``lag(val) OVER (PARTITION BY part ORDER BY order_cols)`` — int64,
+    null for each part's first row."""
+    return _segmented_window(ds, part_col, order_cols, val_col, out_col, "lag")
+
+
+def cumsum_over(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "cum_val",
+    inclusive: bool = True,
+) -> "ray.data.Dataset":
+    """``sum(val) OVER (PARTITION BY part ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` — exact int64 running sum (exclusive variant available)."""
+    return _segmented_window(
+        ds, part_col, order_cols, val_col, out_col, "cumsum", inclusive=inclusive
+    )

@@ -1,0 +1,140 @@
+"""Round-4 operators: GROUP BY ROLLUP, two-hop graph counts, label
+centroids, distributed deterministic k-means — each against an independent
+single-process reference (DuckDB or numpy)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from multiomics_biocypher_kg_ray.stages.materialize import two_hop_counts
+from multiomics_biocypher_kg_ray.stages.relational import rollup_agg
+from multiomics_biocypher_kg_ray.stages.similarity import (
+    kmeans_assign,
+    label_centroids,
+)
+
+
+def test_rollup_agg_matches_duckdb():
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], size=500),
+            "b": rng.randint(0, 9, size=500).astype("int64"),
+            "c": rng.randint(-100, 100, size=500).astype("int64"),
+        }
+    )
+    out = (
+        rollup_agg(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5),
+            keys=["a", "b"],
+            sums=["c"],
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], na_position="first")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = (
+        con.sql(
+            "SELECT a, b, count(*)::BIGINT AS n, sum(c)::BIGINT AS c "
+            "FROM t GROUP BY ROLLUP(a, b)"
+        )
+        .df()
+        .sort_values(["a", "b"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref)
+    assert (out["n"].to_numpy() == ref["n"].to_numpy()).all()
+    assert (out["c"].to_numpy() == ref["c"].to_numpy()).all()
+    # levels present: finest + per-a + grand total
+    assert out["b"].isna().sum() == df["a"].nunique() + 1
+    assert (out["a"].isna() & out["b"].isna()).sum() == 1
+
+
+def test_two_hop_counts_tiny_graph():
+    edges = pd.DataFrame(
+        {
+            "src": ["a", "a", "b", "c", "d"],
+            "dst": ["b", "c", "c", "d", "a"],
+        }
+    )
+    out = (
+        two_hop_counts(
+            ray.data.from_arrow(pa.Table.from_pandas(edges, preserve_index=False)).repartition(2)
+        )
+        .to_pandas()
+        .set_index("src")["n_two_hop"]
+        .to_dict()
+    )
+    # a->b->c, a->c->d  => {c, d}; b->c->d => {d}; c->d->a => {a}; d->a->{b,c}
+    assert out == {"a": 2, "b": 1, "c": 1, "d": 2}
+
+
+def test_label_centroids_exact_vs_numpy(sf_small):
+    t = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["label", "embedding"])
+    labels = t.column("label").to_numpy(zero_copy_only=False)
+    flat = t.column("embedding").combine_chunks().flatten()
+    d = len(flat) // t.num_rows
+    ppm = (
+        np.floor(flat.to_numpy(zero_copy_only=False).astype(np.float64) * 1e6)
+        .astype(np.int64)
+        .reshape(t.num_rows, d)
+    )
+    out = (
+        label_centroids(ray.data.read_parquet(f"{sf_small}/embeddings.parquet").repartition(4))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    for lab in np.unique(labels):
+        m = labels == lab
+        want = ppm[m].sum(axis=0) / m.sum()
+        got = out[out["label"] == lab]["mean_ppm"].to_numpy()
+        assert (got == want).all()  # exact: integer sums, identical division
+
+
+def _ref_kmeans(m: np.ndarray, ids: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Single-process reference with the SAME determinism contract as
+    kmeans_assign: ppm-quantized integer sums, argmin tie → smallest index."""
+    order = np.argsort(ids, kind="stable")
+    cents = m[order[:k]].astype(np.float64).copy()
+    mq = np.floor(m * 1e6).astype(np.int64)
+    for _ in range(iters):
+        d2 = (m * m).sum(1, keepdims=True) - 2.0 * (m @ cents.T) + (cents * cents).sum(1)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                cents[c] = mq[sel].sum(axis=0).astype(np.float64) / (1e6 * sel.sum())
+    d2 = (m * m).sum(1, keepdims=True) - 2.0 * (m @ cents.T) + (cents * cents).sum(1)
+    return np.argmin(d2, axis=1)
+
+
+def test_kmeans_assign_matches_reference(sf_small):
+    t = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    flat = t.column("embedding").combine_chunks().flatten()
+    d = len(flat) // t.num_rows
+    m = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(t.num_rows, d)
+    want = _ref_kmeans(m, ids, k=8, iters=4)
+    out = (
+        kmeans_assign(
+            ray.data.read_parquet(f"{sf_small}/embeddings.parquet").repartition(4),
+            k=8,
+            iters=4,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(ids, kind="stable")
+    assert (out["cluster"].to_numpy() == want[order]).all()
+    # sane clustering: every cluster non-trivial on the synthetic blobs
+    assert out["cluster"].nunique() >= 2

@@ -1,0 +1,125 @@
+"""Window-scan operators (stages/window.py) vs single-process pandas
+references — lag / running sum per key under multi-column ordering, including
+a hot key spanning many blocks (the no-single-task-funnel contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from multiomics_biocypher_kg_ray.stages.window import cumsum_over, lag_over
+
+
+def _mk(n_keys: int, rows_per_key: list[int], seed: int) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    parts, orders, ids, vals = [], [], [], []
+    next_id = 0
+    for k in range(n_keys):
+        n = rows_per_key[k % len(rows_per_key)]
+        parts += [f"k{k:04d}"] * n
+        # duplicate primary order values to exercise the id tie-break
+        orders += list(rng.randint(0, max(2, n // 3), size=n))
+        ids += list(range(next_id, next_id + n))
+        next_id += n
+        vals += list(rng.randint(-50, 50, size=n))
+    df = pd.DataFrame({"part": parts, "o": orders, "id": ids, "v": vals})
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+def _ds(df: pd.DataFrame, blocks: int) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(
+        blocks
+    )
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_cumsum_over_matches_pandas(blocks):
+    df = _mk(12, [1, 5, 40], seed=3)
+    out = (
+        cumsum_over(_ds(df, blocks), "part", ["o", "id"], "v", out_col="cum")
+        .to_pandas()
+        .sort_values(["part", "o", "id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["part", "o", "id"]).reset_index(drop=True)
+    ref["cum"] = ref.groupby("part")["v"].cumsum()
+    pd.testing.assert_series_equal(
+        out["cum"].astype("int64"), ref["cum"].astype("int64"), check_names=False
+    )
+
+
+def test_cumsum_exclusive_variant():
+    df = _mk(5, [8], seed=11)
+    out = (
+        cumsum_over(_ds(df, 3), "part", ["o", "id"], "v", out_col="c", inclusive=False)
+        .to_pandas()
+        .sort_values(["part", "o", "id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["part", "o", "id"]).reset_index(drop=True)
+    ref["c"] = ref.groupby("part")["v"].cumsum() - ref["v"]
+    assert (out["c"].to_numpy() == ref["c"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_lag_over_matches_pandas(blocks):
+    df = _mk(12, [1, 3, 40], seed=5)
+    out = (
+        lag_over(_ds(df, blocks), "part", ["o", "id"], "v", out_col="prev")
+        .to_pandas()
+        .sort_values(["part", "o", "id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["part", "o", "id"]).reset_index(drop=True)
+    ref["prev"] = ref.groupby("part")["v"].shift(1)
+    got = out["prev"].to_numpy(dtype="float64", na_value=np.nan)
+    want = ref["prev"].to_numpy(dtype="float64", na_value=np.nan)
+    assert ((got == want) | (np.isnan(got) & np.isnan(want))).all()
+
+
+def test_hot_key_spans_many_blocks():
+    # ONE key with 20k rows across 16 blocks: every block contributes a
+    # bounded segment; results must still be the exact per-key scan
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "part": ["hot"] * n + ["cold"],
+            "o": list(range(n)) + [0],
+            "id": list(range(n + 1)),
+            "v": [1] * (n + 1),
+        }
+    )
+    ds = _ds(df.sample(frac=1.0, random_state=0), 16)
+    out = (
+        cumsum_over(ds, "part", ["o", "id"], "v", out_col="cum")
+        .to_pandas()
+        .sort_values(["part", "o"])
+        .reset_index(drop=True)
+    )
+    hot = out[out["part"] == "hot"]
+    assert (hot["cum"].to_numpy() == np.arange(1, n + 1)).all()
+    lagged = (
+        lag_over(ds, "part", ["o", "id"], "o", out_col="prev_o")
+        .to_pandas()
+        .sort_values(["part", "o"])
+        .reset_index(drop=True)
+    )
+    hotl = lagged[lagged["part"] == "hot"]
+    assert pd.isna(hotl["prev_o"].iloc[0])
+    assert (hotl["prev_o"].to_numpy()[1:] == np.arange(0, n - 1)).all()
+
+
+def test_single_row_parts_and_empty_carry():
+    df = pd.DataFrame(
+        {"part": ["a", "b", "c"], "o": [1, 1, 1], "id": [1, 2, 3], "v": [7, 8, 9]}
+    )
+    out = (
+        lag_over(_ds(df, 3), "part", ["o", "id"], "v", out_col="prev")
+        .to_pandas()
+        .sort_values("part")
+    )
+    assert out["prev"].isna().all()
