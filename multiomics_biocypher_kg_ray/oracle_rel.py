@@ -1056,3 +1056,34 @@ WITH ex AS (
 SELECT label, dim::BIGINT AS dim, count(*)::BIGINT AS n_vecs,
        (sum(ppm)::DOUBLE / count(*)) AS mean_ppm
 FROM ex GROUP BY 1, 2"""
+
+
+def sql_doc_unigram_score() -> str:
+    """Twin of ``text.doc_unigram_score``: per-token corpus frequency is
+    quantized to int ppm BEFORE any aggregation (identical double ops both
+    sides), so the per-doc mean is exact-int division — no float sums."""
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+cnt AS (SELECT term, count(*)::BIGINT AS n FROM tk GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS total FROM cnt),
+freq AS (
+  SELECT term, CAST(floor(CAST(n AS DOUBLE) * 1000000 / total) AS BIGINT) AS ppm
+  FROM cnt CROSS JOIN tot
+),
+ds AS (
+  SELECT t.doc_id, sum(f.ppm)::BIGINT AS s, count(*)::BIGINT AS n_tokens
+  FROM tk t JOIN freq f USING (term) GROUP BY 1
+)
+SELECT doc_id, n_tokens, (s::DOUBLE / n_tokens) AS mean_freq_ppm FROM ds"""
+
+
+def sql_events_above_p99(q: float = 0.99) -> str:
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_id, event_type, {v} AS cents FROM events),
+thr AS (SELECT event_type, quantile_disc(cents, {q}) AS thr FROM e GROUP BY 1)
+SELECT e.event_id, e.event_type, e.cents
+FROM e JOIN thr USING (event_type) WHERE e.cents > thr.thr"""

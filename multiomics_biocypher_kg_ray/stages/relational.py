@@ -703,3 +703,77 @@ def rollup_agg(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def filter_above_group_quantile(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    q: float = 0.99,
+) -> "ray.data.Dataset":
+    """Per-group outlier filter: keep rows with ``value_col`` strictly above
+    the group's discrete ``q``-quantile (inverted_cdf == DuckDB
+    ``quantile_disc`` — an actual element, so the comparison is exact on
+    quantized ints; no interpolation float ever enters the predicate).
+
+    Scale shape: thresholds come from ``ranked_over`` (global sort; a hot
+    group costs its block share) — the rank matching ceil(q·n) is picked
+    per block, ONE row per group survives, the group-count-bounded
+    threshold table broadcasts once, and the input streams through a
+    stateless lookup filter. Two passes over the data, zero per-group
+    tasks."""
+    ranked = ranked_over(
+        ds.select_columns(keys + [value_col]),
+        keys,
+        [(value_col, True)],
+        rank_col="_rnk",
+        with_group_size=True,
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        empty_cols = {k: pa.array([], pa.string()) for k in keys}
+        empty_cols["_thr"] = pa.array([], pa.int64())
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(empty_cols)
+        rnk = t.column("_rnk").to_numpy(zero_copy_only=False)
+        n = t.column("_gn").to_numpy(zero_copy_only=False)
+        target = np.maximum(np.ceil(q * n).astype(np.int64), 1)
+        keep = rnk == target
+        idx = pa.array(np.flatnonzero(keep))
+        cols = {k: t.column(k).take(idx) for k in keys}
+        cols["_thr"] = pc.cast(t.column(value_col).take(idx), pa.int64())
+        return pa.table(cols)
+
+    thr_tbl = pa.concat_tables(
+        [
+            b
+            for b in ranked.map_batches(pick, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if b.num_columns
+        ]
+    ).combine_chunks()
+
+    from ..state.broadcast import broadcast, state_key, task_state
+
+    thr_ref = broadcast(thr_tbl)
+
+    def flt(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        def build():
+            tb = ray.get(thr_ref) if not isinstance(thr_ref, pa.Table) else thr_ref
+            key_rows = list(zip(*[tb.column(k).to_pylist() for k in keys]))
+            return dict(zip(key_rows, tb.column("_thr").to_pylist()))
+        index = task_state(state_key("gq_thr", thr_ref), build)
+        import pandas as pd
+
+        key_df = t.select(keys).to_pandas()
+        thr = np.array(
+            [index.get(k, np.iinfo(np.int64).max) for k in key_df.itertuples(index=False, name=None)],
+            dtype=np.int64,
+        )
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v > thr))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -325,3 +325,102 @@ def doc_tfidf_top_terms(
         return t.filter(pc.less_equal(t.column("_rk"), k)).drop_columns(["_rk"])
 
     return ranked.map_batches(topk, batch_format="pyarrow")
+
+
+def doc_unigram_score(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document mean corpus-frequency of its tokens, in ppm — the
+    unigram-LM quality signal of CCNet-style corpus filtering (documents
+    made of globally rare tokens score low: gibberish, encoding damage,
+    tag soup). Emits (doc_id, n_tokens, mean_freq_ppm).
+
+    Exactness: each token's corpus frequency quantizes FIRST —
+    floor(n_term · 10⁶ / total_tokens) as int64, identical double ops on
+    both engines — and per-doc sums are integer, so mean = int_sum / n is
+    bit-stable at any partitioning (no log/float accumulates anywhere).
+
+    Scale shape: term counts run through the per-batch-combiner + fastagg
+    path (vocab-cardinality groups); the (term → ppm) table is
+    vocab-bounded and broadcasts once (documented assumption: unigram
+    vocabularies are 10⁶–10⁸ entries ≈ ≤ GBs — the same budget as the
+    alias dictionary); scoring is a single stateless pass with an Arrow
+    ``index_in`` probe per batch. The corpus flows twice, never shuffles
+    raw text."""
+    import pandas as pd
+
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import sorted_grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        counts = (
+            s.str.split(" ").explode().replace("", None).dropna().value_counts()
+        )
+        return pa.table(
+            {
+                "term": pa.array(counts.index.astype(str), pa.string()),
+                "n": pa.array(counts.to_numpy(), pa.int64()),
+            }
+        )
+
+    counted = sorted_grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["term"],
+        [("n", "sum")],
+        out_names=["n"],
+    )
+    freq_tbl = pa.concat_tables(
+        [
+            b
+            for b in counted.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns
+        ]
+    ).combine_chunks()
+    total = int(pa.compute.sum(freq_tbl.column("n")).as_py() or 0)
+    ppm = np.floor(
+        freq_tbl.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        * 1_000_000.0
+        / max(total, 1)
+    ).astype(np.int64)
+    freq_ref = broadcast(
+        pa.table({"term": freq_tbl.column("term"), "ppm": pa.array(ppm)})
+    )
+
+    OUT = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("mean_freq_ppm", pa.float64())]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return OUT.empty_table()
+
+        def build():
+            tb = ray.get(freq_ref) if not isinstance(freq_ref, pa.Table) else freq_ref
+            return (tb.column("term").combine_chunks(), tb.column("ppm").to_numpy(zero_copy_only=False))
+
+        terms_arr, ppm_arr = task_state(state_key("unigram", freq_ref), build)
+        s = batch.column("text").to_pandas()
+        ex = s.str.split(" ").explode().replace("", None).dropna()
+        if not len(ex):
+            return OUT.empty_table()
+        flat = pa.array(ex.to_numpy(), pa.string())
+        pos = pa.compute.index_in(flat, value_set=terms_arr).to_numpy(
+            zero_copy_only=False
+        )
+        tok_ppm = np.where(np.isnan(pos.astype(np.float64)), 0, ppm_arr[np.nan_to_num(pos).astype(np.int64)])
+        row_of = ex.index.to_numpy()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # segment-sum per source row (explode preserves row order)
+        change = np.ones(len(row_of), dtype=bool)
+        change[1:] = row_of[1:] != row_of[:-1]
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(tok_ppm.astype(np.int64), starts)
+        lens = np.diff(np.append(starts, len(row_of)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[row_of[starts]], pa.int64()),
+                "n_tokens": pa.array(lens.astype(np.int64)),
+                "mean_freq_ppm": pa.array(sums.astype(np.float64) / lens),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -138,3 +138,65 @@ def test_kmeans_assign_matches_reference(sf_small):
     assert (out["cluster"].to_numpy() == want[order]).all()
     # sane clustering: every cluster non-trivial on the synthetic blobs
     assert out["cluster"].nunique() >= 2
+
+
+def test_doc_unigram_score_tiny():
+    from multiomics_biocypher_kg_ray.stages.text import doc_unigram_score
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a b", "a", ""],  # corpus: a=3, b=1, total=4
+        }
+    )
+    out = (
+        doc_unigram_score(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(2)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # ppm: a = floor(3e6/4) = 750000, b = floor(1e6/4) = 250000
+    assert list(out["doc_id"]) == [1, 2]  # empty doc has no tokens
+    assert list(out["n_tokens"]) == [3, 1]
+    assert out["mean_freq_ppm"].iloc[0] == (750000 * 2 + 250000) / 3
+    assert out["mean_freq_ppm"].iloc[1] == 750000.0
+
+
+def test_filter_above_group_quantile_matches_duckdb():
+    from multiomics_biocypher_kg_ray.stages.relational import (
+        filter_above_group_quantile,
+    )
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(2000, dtype="int64"),
+            "g": rng.choice(["a", "b", "c"], size=2000),
+            "v": rng.randint(0, 10_000, size=2000).astype("int64"),
+        }
+    )
+    out = (
+        filter_above_group_quantile(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4),
+            ["g"],
+            "v",
+            q=0.9,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = (
+        con.sql(
+            "WITH thr AS (SELECT g, quantile_disc(v, 0.9) AS t9 FROM t GROUP BY 1) "
+            "SELECT id, t.g, v FROM t JOIN thr USING (g) WHERE v > t9"
+        )
+        .df()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert (out["id"].to_numpy() == ref["id"].to_numpy()).all()
