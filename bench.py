@@ -194,11 +194,16 @@ def run_bench() -> dict:
         q_doc_decontaminate,
         q_doc_pack_assign,
         q_doc_repetition,
+        q_doc_unigram_score,
         q_embedding_near_dups,
+        q_event_lag_delta,
         q_event_percentiles,
+        q_events_above_p99,
+        q_events_rollup,
         q_hopping_event_counts,
         q_inverted_index,
         q_jaccard_pairs,
+        q_kmeans_embed,
         q_knn_cosine,
         q_lsh_candidate_pairs,
         q_minhash_bands,
@@ -207,6 +212,7 @@ def run_bench() -> dict:
         q_sessionize,
         q_simhash_near_dups,
         q_urgent_window_shipments,
+        q_user_cumulative_value,
         q_user_hour_activity,
     )
 
@@ -236,6 +242,13 @@ def run_bench() -> dict:
         ("inverted_index", q_inverted_index),
         ("doc_decontaminate", q_doc_decontaminate),
         ("doc_repetition_stats", q_doc_repetition),
+        # round-4 window/rollup/embedding operators
+        ("user_cumulative_value", q_user_cumulative_value),
+        ("event_lag_delta", q_event_lag_delta),
+        ("events_rollup", q_events_rollup),
+        ("events_above_p99", q_events_above_p99),
+        ("doc_unigram_score", q_doc_unigram_score),
+        ("kmeans_embed", q_kmeans_embed),
     ]:
         t = time.time()
         out = fn(SF_DIR)
