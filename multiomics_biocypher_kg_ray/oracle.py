@@ -399,3 +399,12 @@ edges AS ({_edges_select()})
 SELECT e1.src AS src, count(DISTINCT e2.dst)::BIGINT AS n_two_hop
 FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
 GROUP BY 1"""
+
+
+def sql_conv_text_concat() -> str:
+    """Twin of the per-conversation ordered text reassembly (sorted_collect
+    over (conv_id, turn_idx)) — the document-reconstruction step a transcript
+    pipeline runs before doc-level dedup/scoring."""
+    return f"""WITH {transcripts_cte()}
+SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS full_text
+FROM transcripts GROUP BY 1"""

@@ -603,6 +603,16 @@ def q_doc_unigram_score(sf_dir: str):
     return text.doc_unigram_score(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_conv_text_concat(sf_dir: str):
+    """Per-conversation ordered text reassembly (turns → document) — the
+    segmented ``sorted_collect``: a conversation interior to a block joins
+    locally; only per-(conv, block) string partials reach the stitch."""
+    tr = transcripts_dataset(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+    return relational.sorted_collect(
+        tr, ["conv_id"], "turn_idx", [("text", "full_text")], sep=" "
+    )
+
+
 def q_events_above_p99(sf_dir: str):
     """Per-type outlier filter: rows strictly above the group's discrete
     p99 — thresholds via the hot-key-safe global-sort rank pick, broadcast
@@ -1294,6 +1304,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_doc_unigram_score(),
         ),
         "events_above_p99": (q_events_above_p99, oracle_rel.sql_events_above_p99()),
+        "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 66 queries, ordering decides which 16 ride on the
@@ -1307,6 +1318,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "event_lag_delta",
         "doc_unigram_score",
         "events_above_p99",
+        "conv_text_concat",
         "events_rollup",
         "kg_two_hop",
         "embedding_centroids",
