@@ -1307,11 +1307,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
-    # entries; with 66 queries, ordering decides which 16 ride on the
-    # committed full-sweep artifact (CORRECTNESS_full_r*.json, from
-    # `tools/check_queries.py --json`) instead of a fresh driver row. Round 3
-    # left the dedup/similarity/multimodal family driver-uncovered, so they
-    # rotate to the front here; the entries pushed past position 50 all hold
+    # entries; with 81 queries, ordering decides which ride on the committed
+    # full-sweep artifact (CORRECTNESS_full_r*.json, from
+    # `tools/check_queries.py --json`) instead of a fresh driver row. The
+    # round-4 additions and the family that was driver-uncovered in round 3
+    # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
         "user_cumulative_value",
