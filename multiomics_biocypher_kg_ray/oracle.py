@@ -401,6 +401,69 @@ FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
 GROUP BY 1"""
 
 
+def sql_kg_pagerank(
+    iters: int = 3, damping_pct: int = 85, scale: int = 1_000_000
+) -> str:
+    """Twin of ``graph.pagerank`` — the same int64 fixed-point recurrence,
+    unrolled one CTE per iteration (integer sums are order-independent, so
+    the engines match bit-for-bit). ``//`` is DuckDB integer division, the
+    exact twin of Arrow's truncating int64 ``divide``; all values positive."""
+    base = scale * (100 - damping_pct) // 100
+    parts = [
+        "e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1)",
+        "ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d ON d.src = e.src)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        f"s0 AS (SELECT node, {scale}::BIGINT AS score FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT n.node,
+         ({base}::BIGINT
+           + ({damping_pct} * COALESCE(sum(p.score // ed.outdeg), 0)) // 100
+         )::BIGINT AS score
+  FROM nodes n
+  LEFT JOIN ed ON ed.dst = n.node
+  LEFT JOIN s{i - 1} p ON p.node = ed.src
+  GROUP BY n.node)"""
+        )
+    return (
+        f"{_kg_prefix(recursive=True)},\nedges AS ({_edges_select()}),\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node, score AS pr_score FROM s{iters}"
+    )
+
+
+def sql_kg_triangles() -> str:
+    """Twin of ``graph.node_triangles`` — undirected simple graph, one
+    enumeration per triangle via the identical degree-ordered orientation,
+    credited to all three corners."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS (SELECT node, count(*)::BIGINT AS d FROM
+        (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        GROUP BY 1),
+ori AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS u,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS v
+        FROM und u
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b),
+tri AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+        FROM ori o1
+        JOIN ori o2 ON o1.u = o2.u AND o1.v < o2.v
+        JOIN und t ON t.a = o1.v AND t.b = o2.v)
+SELECT node, count(*)::BIGINT AS n_triangles FROM
+(SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+ UNION ALL SELECT z FROM tri)
+GROUP BY 1"""
+
+
 def sql_conv_text_concat() -> str:
     """Twin of the per-conversation ordered text reassembly (sorted_collect
     over (conv_id, turn_idx)) — the document-reconstruction step a transcript

@@ -582,6 +582,26 @@ def q_kg_two_hop(sf_dir: str):
     )
 
 
+def q_kg_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the built KG edge table — Pregel
+    rounds as join + fastagg, bit-identical to the unrolled-CTE oracle."""
+    from ..stages import graph
+
+    return graph.pagerank(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()), iters=3
+    )
+
+
+def q_kg_triangles(sf_dir: str):
+    """Per-node triangle counts via degree-ordered orientation — wedge
+    emission rides the segmented pair kernel, O(m^1.5) worst case."""
+    from ..stages import graph
+
+    return graph.node_triangles(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    )
+
+
 def q_embedding_centroids(sf_dir: str):
     """Per-label mean embedding (exploded to label×dim rows) with exact
     integer-quantized sums — bit-stable vs the unnest/subscripts oracle."""
@@ -1294,6 +1314,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "event_lag_delta": (q_event_lag_delta, oracle_rel.sql_event_lag_delta()),
         "events_rollup": (q_events_rollup, oracle_rel.sql_events_rollup()),
         "kg_two_hop": (q_kg_two_hop, oracle.sql_kg_two_hop()),
+        "kg_pagerank": (q_kg_pagerank, oracle.sql_kg_pagerank()),
+        "kg_triangles": (q_kg_triangles, oracle.sql_kg_triangles()),
         "embedding_centroids": (
             q_embedding_centroids,
             oracle_rel.sql_embedding_centroids(),
@@ -1321,6 +1343,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "conv_text_concat",
         "events_rollup",
         "kg_two_hop",
+        "kg_pagerank",
+        "kg_triangles",
         "embedding_centroids",
         "kmeans_embed",
         "doc_chunks",

@@ -1,0 +1,293 @@
+"""Iterative / combinatorial graph analytics over the built KG edge table —
+PageRank and per-node triangle counting.
+
+Reference analog: the reference's post-import Cypher computes neighborhood
+statistics and hub summaries over the imported graph (``post-import.cypher:
+840-911`` — per-node fan-out counts, term-ancestor rollups); these two
+operators are the standard next steps a KG consumer runs on the same table
+(node importance, local clustering) expressed as distributed Ray Data ops.
+
+Determinism contract (shared with the DuckDB oracle twins): all PageRank
+arithmetic is int64 FIXED-POINT — scores start at ``scale`` ppm, every
+per-edge contribution is ``score // outdeg`` (integer division), every
+damping step is ``base + (damping_pct * sum) // 100``. Integer sums are
+order-independent, so both engines produce bit-identical scores at any
+parallelism; no float ever enters the fixpoint (same trick as
+``similarity.label_centroids``'s integer-quantized sums).
+
+Scale shapes:
+- ``pagerank``: Pregel-style — the degree-annotated edge table is built once
+  and reused every round; each of the (fixed, small) iterations is ONE hash
+  join (edges ⋈ scores on src) + ONE data-proportional ``sorted_grouped_agg``
+  (contributions by dst). No driver state, no per-group Python; a hot dst
+  absorbs its in-degree inside the C++ partial combine.
+- ``node_triangles``: degree-ordered orientation (each undirected edge points
+  low-(deg,node) → high-(deg,node)), so every oriented out-degree is
+  O(sqrt(m)) and wedge fan-out is O(m^1.5) worst case instead of
+  sum(deg²) — the classic hub-safe triangle-enumeration bound. Wedges are
+  emitted by the segmented sorted-scan pair kernel (``dedup.bucket_pairs``,
+  cap=None — capping would change the answer), then one semi-join against the
+  undirected edge set closes each wedge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..tuning import default_join_partitions
+from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+
+
+def _distinct_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct directed (src, dst) pairs, self-loops removed."""
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("src", pa.string()), ("dst", pa.string())]
+            ).empty_table()
+        t = t.select(["src", "dst"])
+        return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+
+    return sorted_distinct(
+        edges.map_batches(clean, batch_format="pyarrow"), ["src", "dst"]
+    )
+
+
+def _node_column(e: "ray.data.Dataset", a: str, b: str) -> "ray.data.Dataset":
+    """Both endpoint columns of an edge table stacked into one ``node`` col."""
+
+    def stack(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("node", pa.string())]).empty_table()
+        return pa.concat_tables(
+            [
+                t.select([a]).rename_columns(["node"]),
+                t.select([b]).rename_columns(["node"]),
+            ]
+        )
+
+    return e.map_batches(stack, batch_format="pyarrow")
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Fixed-iteration integer PageRank → (node, pr_score).
+
+    ``pr_score`` is the unnormalized int64 fixed-point score after ``iters``
+    synchronous rounds: score₀ = ``scale`` for every node;
+    scoreᵢ(n) = base + (damping_pct · Σ_{u→n} scoreᵢ₋₁(u) // outdeg(u)) // 100
+    with base = scale·(100−damping_pct)//100. Dangling nodes (no out-edges)
+    leak their mass — the simplified variant; the oracle twin
+    (``oracle.sql_kg_pagerank``) applies the identical rule, unrolled.
+
+    int64 headroom: total mass ≤ n_nodes·scale, so scale=1e6 is safe past
+    10¹¹ nodes before the 85·sum product nears 2⁶³.
+    """
+    base = scale * (100 - damping_pct) // 100
+
+    e = drop_empty_blocks(_distinct_edges(edges))
+    deg = sorted_grouped_agg(e, ["src"], [("dst", "count")], out_names=["outdeg"])
+    # degree-annotated edge table: built once, reused every iteration
+    ed = (
+        e.join(
+            drop_empty_blocks(deg),
+            join_type="inner",
+            on=("src",),
+            num_partitions=default_join_partitions(),
+        )
+        .select_columns(["src", "dst", "outdeg"])
+        .materialize()
+    )
+    nodes = sorted_distinct(_node_column(e, "src", "dst"), ["node"]).materialize()
+
+    def init_scores(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("node", pa.string()), ("score", pa.int64())]
+            ).empty_table()
+        return t.append_column(
+            "score", pa.array(np.full(t.num_rows, scale, dtype=np.int64))
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        # every node appears with a 0 contribution so nodes without in-edges
+        # survive the aggregate (no outer join needed)
+        if t.num_columns == 0:
+            return pa.schema(
+                [("node", pa.string()), ("c", pa.int64())]
+            ).empty_table()
+        return t.select(["node"]).append_column(
+            "c", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        )
+
+    def contribs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("node", pa.string()), ("c", pa.int64())]
+            ).empty_table()
+        # score // outdeg: both positive int64, Arrow divide truncates = floor
+        c = pc.divide(t.column("score"), t.column("outdeg"))
+        return pa.table({"node": t.column("dst"), "c": c})
+
+    def damp(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("node", pa.string()), ("score", pa.int64())]
+            ).empty_table()
+        s = pc.add(
+            pa.scalar(base, pa.int64()),
+            pc.divide(pc.multiply(pa.scalar(damping_pct, pa.int64()), t.column("in_sum")), pa.scalar(100, pa.int64())),
+        )
+        return pa.table({"node": t.column("node"), "score": s})
+
+    scores = nodes.map_batches(init_scores, batch_format="pyarrow").materialize()
+    zeros = nodes.map_batches(zero_rows, batch_format="pyarrow")
+    for _ in range(iters):
+        joined = ed.join(
+            drop_empty_blocks(scores),
+            join_type="inner",
+            on=("src",),
+            right_on=("node",),
+            num_partitions=default_join_partitions(),
+        )
+        cand = joined.map_batches(contribs, batch_format="pyarrow").union(zeros)
+        sums = sorted_grouped_agg(cand, ["node"], [("c", "sum")], out_names=["in_sum"])
+        # materialize per round: bounds lineage depth across iterations
+        scores = sums.map_batches(damp, batch_format="pyarrow").materialize()
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("node", pa.string()), ("pr_score", pa.int64())]
+            ).empty_table()
+        return t.rename_columns(["node", "pr_score"])
+
+    return scores.map_batches(rename, batch_format="pyarrow")
+
+
+def node_triangles(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-node triangle participation counts → (node, n_triangles).
+
+    Treats the edge table as an UNDIRECTED simple graph (direction and
+    multiplicity dropped, self-loops removed). Every triangle is enumerated
+    exactly once via degree-ordered orientation, then credited to all three
+    corners; nodes in zero triangles are omitted (the oracle twin mirrors
+    both choices).
+    """
+    from .dedup import bucket_pairs
+
+    def und_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("a", pa.string()), ("b", pa.string())]
+            ).empty_table()
+        src, dst = t.column("src"), t.column("dst")
+        lt = pc.less(src, dst)
+        tbl = pa.table(
+            {"a": pc.if_else(lt, src, dst), "b": pc.if_else(lt, dst, src)}
+        )
+        return tbl.filter(pc.invert(pc.equal(tbl.column("a"), tbl.column("b"))))
+
+    und = drop_empty_blocks(
+        sorted_distinct(
+            edges.map_batches(und_fn, batch_format="pyarrow"), ["a", "b"]
+        )
+    )
+    deg = drop_empty_blocks(
+        sorted_grouped_agg(
+            _node_column(und, "a", "b"), ["node"], [("node", "count")],
+            out_names=["d"],
+        )
+    )
+
+    def pick_da(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("da", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {"a": t.column("a"), "b": t.column("b"), "da": t.column("d")}
+        )
+
+    def orient(t: pa.Table) -> pa.Table:
+        # low (deg, node) endpoint → u; ``uc`` duplicates u as a per-row
+        # payload so the pair kernel (which drops bucket keys) can still
+        # emit the wedge center
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("u", pa.string()), ("v", pa.string()), ("uc", pa.string())]
+            ).empty_table()
+        a, b, da, db = (t.column(c) for c in ("a", "b", "da", "db"))
+        low_a = pc.or_(
+            pc.less(da, db), pc.and_(pc.equal(da, db), pc.less(a, b))
+        )
+        u = pc.if_else(low_a, a, b)
+        return pa.table({"u": u, "v": pc.if_else(low_a, b, a), "uc": u})
+
+    with_da = und.join(
+        deg,
+        join_type="inner",
+        on=("a",),
+        right_on=("node",),
+        num_partitions=default_join_partitions(),
+    ).map_batches(pick_da, batch_format="pyarrow")
+    ori = (
+        drop_empty_blocks(with_da)
+        .join(
+            deg.rename_columns({"d": "db"}),
+            join_type="inner",
+            on=("b",),
+            right_on=("node",),
+            num_partitions=default_join_partitions(),
+        )
+        .map_batches(orient, batch_format="pyarrow")
+    )
+
+    # wedges: all (v1 < v2) pairs sharing a center u; oriented out-degree is
+    # O(sqrt(m)) so cap=None is safe (and required for exactness)
+    wedges = bucket_pairs(
+        drop_empty_blocks(ori), ["u"], id_col="v", payload_cols=("uc",), cap=None
+    )
+
+    def wedge_cols(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("va", pa.string()), ("vb", pa.string()), ("u", pa.string())]
+            ).empty_table()
+        return pa.table(
+            {"va": t.column("doc_a"), "vb": t.column("doc_b"),
+             "u": t.column("uc_a")}
+        )
+
+    closed = drop_empty_blocks(
+        wedges.map_batches(wedge_cols, batch_format="pyarrow")
+    ).join(
+        und,
+        join_type="inner",
+        on=("va", "vb"),
+        right_on=("a", "b"),
+        num_partitions=default_join_partitions(),
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([("node", pa.string())]).empty_table()
+        return pa.concat_tables(
+            [t.select([c]).rename_columns(["node"]) for c in ("u", "va", "vb")]
+        )
+
+    return sorted_grouped_agg(
+        closed.map_batches(corners, batch_format="pyarrow"),
+        ["node"],
+        [("node", "count")],
+        out_names=["n_triangles"],
+    )

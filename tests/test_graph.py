@@ -1,0 +1,107 @@
+"""PageRank and per-node triangle counting vs independent single-process
+references (pure-python fixpoint / brute-force triangle enumeration) and the
+DuckDB twin arithmetic, on a random directed multigraph with hubs and
+self-loops."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from multiomics_biocypher_kg_ray.stages.graph import node_triangles, pagerank
+
+SCALE = 1_000_000
+
+
+def _random_edges(seed: int, n_nodes: int = 60, n_edges: int = 400):
+    rng = np.random.RandomState(seed)
+    # skewed: node 0 is a hub; include self-loops + duplicate edges
+    src = np.where(
+        rng.rand(n_edges) < 0.2, 0, rng.randint(0, n_nodes, n_edges)
+    )
+    dst = np.where(
+        rng.rand(n_edges) < 0.2, 1, rng.randint(0, n_nodes, n_edges)
+    )
+    return [(f"n{a:03d}", f"n{b:03d}") for a, b in zip(src, dst)]
+
+
+def _ref_pagerank(edges, iters=3, damping_pct=85, scale=SCALE):
+    base = scale * (100 - damping_pct) // 100
+    e = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({x for ab in e for x in ab})
+    outdeg: dict[str, int] = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    score = {n: scale for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for a, b in e:
+            inc[b] += score[a] // outdeg[a]
+        score = {n: base + (damping_pct * inc[n]) // 100 for n in nodes}
+    return score
+
+
+def _ref_triangles(edges):
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    und_set = set(und)
+    nodes = sorted({x for ab in und for x in ab})
+    counts = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (
+            (x, y) in und_set and (x, z) in und_set and (y, z) in und_set
+        ):
+            counts[x] += 1
+            counts[y] += 1
+            counts[z] += 1
+    return {n: c for n, c in counts.items() if c > 0}
+
+
+def _edges_ds(edges, parts=7):
+    t = pa.table(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+    )
+    return ray.data.from_arrow(t).repartition(parts)
+
+
+def test_pagerank_matches_pure_python_fixpoint():
+    edges = _random_edges(11)
+    out = pagerank(_edges_ds(edges), iters=3).to_pandas()
+    ref = _ref_pagerank(edges, iters=3)
+    got = dict(zip(out["node"], out["pr_score"]))
+    assert got == ref
+    # the hub's in-neighbor mass should make node n001 top-ranked
+    assert max(ref, key=ref.get) == "n001"
+    # int64 fixed point: all scores ≥ base, exact integers
+    assert out["pr_score"].min() >= SCALE * 15 // 100
+
+
+def test_pagerank_independent_of_parallelism():
+    edges = _random_edges(12, n_nodes=30, n_edges=150)
+    a = pagerank(_edges_ds(edges, parts=1), iters=2).to_pandas()
+    b = pagerank(_edges_ds(edges, parts=13), iters=2).to_pandas()
+    ga = dict(zip(a["node"], a["pr_score"]))
+    gb = dict(zip(b["node"], b["pr_score"]))
+    assert ga == gb
+
+
+def test_node_triangles_matches_bruteforce():
+    edges = _random_edges(13, n_nodes=40, n_edges=300)
+    out = node_triangles(_edges_ds(edges)).to_pandas()
+    ref = _ref_triangles(edges)
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == ref
+    assert len(ref) > 5  # fixture actually contains triangles
+
+
+def test_node_triangles_clique_exact():
+    # K5 plus a pendant edge: every clique node is in C(4,2)=6 triangles
+    nodes = [f"k{i}" for i in range(5)]
+    edges = [(a, b) for a in nodes for b in nodes if a < b]
+    edges.append(("k0", "pendant"))
+    out = node_triangles(_edges_ds(edges, parts=3)).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == {n: 6 for n in nodes}
