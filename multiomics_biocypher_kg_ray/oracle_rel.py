@@ -875,6 +875,19 @@ SELECT {_split_case('l_orderkey', splits, 'split')} AS split,
 FROM lineitem GROUP BY 1"""
 
 
+def sql_doc_group_cap(cap: int = 8, salt: str = "cap") -> str:
+    """Twin of ``sampling.group_cap`` over documents grouped by
+    (source, lang): row_number() over the same md5-bucket priority."""
+    from .stages.sampling import PRECISION
+
+    b = f"(('0x' || substr(md5('{salt}:' || doc_id), 1, 8))::UBIGINT % {PRECISION})"
+    return f"""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source, lang ORDER BY {b}, doc_id) AS rn
+  FROM documents) WHERE rn <= {cap}"""
+
+
 def sql_events_stratified_sample(rates=None, default_rate: float = 0.05) -> str:
     from .stages.sampling import PRECISION
 

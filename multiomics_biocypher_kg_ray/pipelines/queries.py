@@ -677,6 +677,19 @@ def q_events_stratified_sample(sf_dir: str):
     )
 
 
+def q_doc_group_cap(sf_dir: str):
+    """At most 8 docs per (source, lang) — the per-domain corpus cap, with a
+    deterministic md5 priority so the survivors are parallelism-independent."""
+    from ..stages import sampling
+
+    return sampling.group_cap(
+        _read(sf_dir, "documents", ["doc_id", "source", "lang"]),
+        ["source", "lang"],
+        "doc_id",
+        8,
+    )
+
+
 def q_replicate_user_stats(sf_dir: str):
     ev = _read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
         lambda t: relational.to_cents(t, {"value": "c"}).drop_columns(["value"]),
@@ -1228,6 +1241,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_order_split_counts,
             oracle_rel.sql_order_split_counts(),
         ),
+        "doc_group_cap": (q_doc_group_cap, oracle_rel.sql_doc_group_cap()),
         "events_stratified_sample": (
             q_events_stratified_sample,
             oracle_rel.sql_events_stratified_sample(),

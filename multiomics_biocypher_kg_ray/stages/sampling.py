@@ -236,3 +236,46 @@ def split_counts(
         [("n_rows_key", "sum"), ("n_rows_key", "count")],
         out_names=["n_rows", "n_keys"],
     )
+
+
+def group_cap(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    key_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> "ray.data.Dataset":
+    """Per-group row cap — keep at most ``cap`` rows per group, selected by a
+    DETERMINISTIC md5 priority over ``key_col`` (ties broken by the key
+    itself). The standard training-corpus "at most K documents per domain"
+    operator: capping the head domains of a crawl so no single site dominates
+    the mixture, while the selection is reproducible at any parallelism.
+
+    Priority is the same ``md5(salt || ':' || key) % PRECISION`` bucket as
+    ``hash_split`` (exact DuckDB twin ``oracle_rel.sql_doc_group_cap``), so
+    which rows survive is a pure function of (salt, key) — re-runs, resumes
+    and re-partitions all keep the same rows. Selection rides
+    ``relational.top_k_per_group`` (global range-partitioned sort + split
+    numbering): no group is ever materialized in one task, so a hot domain
+    holding billions of rows streams through like any other — the scale
+    shape a per-group ``map_groups`` head() would not have.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from .relational import top_k_per_group
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        _check_key_col(batch.column(key_col), key_col)
+        b = _buckets(batch.column(key_col), salt)
+        return batch.append_column("_prio", pa.array(b, pa.int64()))
+
+    kept = top_k_per_group(
+        ds.map_batches(annotate, batch_format="pyarrow"),
+        group_cols,
+        [("_prio", True), (key_col, True)],
+        cap,
+        rank_col=None,
+    )
+    return kept.map_batches(
+        lambda t: t.drop_columns(["_prio"]), batch_format="pyarrow"
+    )

@@ -195,3 +195,37 @@ def test_hash_split_property_engine_matches_oracle():
         assert list(got) == ora
 
     check()
+
+
+def test_group_cap_caps_hot_group_and_is_deterministic():
+    """One hot group (800 rows) plus small groups; survivors per group <=
+    cap, small groups pass through whole, and the kept set is identical
+    across different partitionings (priority is a pure key function)."""
+    n_hot, cap = 800, 5
+    ids = np.arange(n_hot + 12, dtype="int64")
+    grp = np.where(ids < n_hot, "hot", "cold")
+    tbl = pa.table({"doc_id": ids, "grp": pa.array(grp.tolist())})
+
+    def run(parallelism):
+        ds = ray.data.from_arrow(tbl).repartition(parallelism)
+        out = sampling.group_cap(ds, ["grp"], "doc_id", cap).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    counts = a.groupby("grp").size()
+    assert counts["hot"] == cap  # hot domain capped
+    assert counts["cold"] == cap  # 12 cold rows also capped to 5
+    # survivors are the cap lowest md5-priority keys, ties by key
+    pr = sampling._buckets(tbl["doc_id"], "cap")
+    order = np.lexsort((ids, pr))
+    want_hot = sorted(ids[order][grp[order] == "hot"][:cap])
+    assert sorted(a[a.grp == "hot"].doc_id) == want_hot
+
+
+def test_group_cap_rejects_bad_cap():
+    import pytest
+
+    ds = ray.data.from_arrow(pa.table({"k": [1], "g": ["a"]}))
+    with pytest.raises(ValueError):
+        sampling.group_cap(ds, ["g"], "k", 0)
