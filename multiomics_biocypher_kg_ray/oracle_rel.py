@@ -1036,6 +1036,18 @@ SELECT event_id, user_id, ts,
 FROM e"""
 
 
+def sql_user_rolling_value(window: int = 7) -> str:
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_id, user_id, ts, {v} AS cents FROM events)
+SELECT event_id, user_id, ts,
+       sum(cents) OVER w::BIGINT AS win_sum_cents,
+       count(*) OVER w::BIGINT AS win_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)"""
+
+
 def sql_event_lag_delta() -> str:
     return """
 SELECT event_id, user_id, ts,

@@ -523,6 +523,25 @@ def q_user_cumulative_value(sf_dir: str):
     )
 
 
+def q_user_rolling_value(sf_dir: str):
+    """Trailing-7-row per-user value sum + true window count — the bounded
+    ROWS window (sum/count OVER ... ROWS BETWEEN 6 PRECEDING AND CURRENT
+    ROW) via the segmented scan with tail-carry summaries."""
+    from ..stages.window import rolling_sum_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}), batch_format="pyarrow"
+    )
+    out = rolling_sum_over(
+        ev, "user_id", ["ts", "event_id"], "cents", 7,
+        sum_col="win_sum_cents", cnt_col="win_n",
+    )
+    return _cast_ts_us(
+        out.select_columns(["event_id", "user_id", "ts", "win_sum_cents", "win_n"]),
+        ["ts"],
+    )
+
+
 def q_event_lag_delta(sf_dir: str):
     """Per-user inter-event gap in µs — lag() OVER a hot-key-safe segmented
     scan; NULL for each user's first event."""
@@ -1325,6 +1344,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_user_cumulative_value,
             oracle_rel.sql_user_cumulative_value(),
         ),
+        "user_rolling_value": (
+            q_user_rolling_value,
+            oracle_rel.sql_user_rolling_value(),
+        ),
         "event_lag_delta": (q_event_lag_delta, oracle_rel.sql_event_lag_delta()),
         "events_rollup": (q_events_rollup, oracle_rel.sql_events_rollup()),
         "kg_two_hop": (q_kg_two_hop, oracle.sql_kg_two_hop()),
@@ -1351,6 +1374,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # green round-3 driver rows under unchanged code paths.
     first = [
         "user_cumulative_value",
+        "user_rolling_value",
+        "doc_group_cap",
         "event_lag_delta",
         "doc_unigram_score",
         "events_above_p99",

@@ -225,3 +225,181 @@ def cumsum_over(
     return _segmented_window(
         ds, part_col, order_cols, val_col, out_col, "cumsum", inclusive=inclusive
     )
+
+
+def rolling_sum_over(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    window: int,
+    sum_col: str = "win_sum",
+    cnt_col: str = "win_n",
+) -> "ray.data.Dataset":
+    """``sum(val) OVER (PARTITION BY part ORDER BY order_cols ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` plus the matching ``count(*)``
+    window — the bounded-window sibling of ``cumsum_over`` (same exact-int64
+    discipline, same DuckDB-twin bit parity).
+
+    Same segmented-scan shape as ``_segmented_window``: rows whose whole
+    window lives in their own sorted block resolve locally from a padded
+    cumsum (two array reads per row, no per-row Python); only each block
+    segment's first ``window-1`` rows can need earlier values, and those
+    resolve in pass 2 against a broadcast summary where every segment
+    contributes its last ``min(window-1, seg_len)`` values plus its length.
+    The summary is therefore blocks × (window-1) values — block-count- and
+    window-bounded, never row-proportional — so the operator is safe for a
+    hot part holding any number of rows, but is intended for the bounded
+    windows real pipelines use (trailing 7 / 24 / 1000 rows), not for
+    window ≈ partition size (use ``cumsum_over`` + a lag difference there).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    W = int(window)
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    names = list(sch.names)
+    sf_cols = [f"_sf_{c}" for c in order_cols]
+    sf_fields = [(f, typ[c]) for f, c in zip(sf_cols, order_cols)]
+    OUT_SCHEMA = pa.schema(
+        [(n, typ[n]) for n in names] + [(sum_col, pa.int64()), (cnt_col, pa.int64())]
+    )
+    MID_SCHEMA = pa.schema(
+        [(n, typ[n]) for n in names]
+        + [(sum_col, pa.int64()), ("_segoff", pa.int64())]
+        + sf_fields
+    )
+    SUMM_SCHEMA = pa.schema(
+        [(part_col, typ[part_col])]
+        + sf_fields
+        + [("_tail", pa.list_(pa.int64())), ("_seg_len", pa.int64())]
+    )
+
+    def local_scan(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID_SCHEMA.empty_table()
+        parts = _np(t.column(part_col))
+        vals = _np(t.column(val_col)).astype(np.int64)
+        n = len(parts)
+        new_p = np.ones(n, dtype=bool)
+        new_p[1:] = parts[1:] != parts[:-1]
+        start = np.maximum.accumulate(np.where(new_p, np.arange(n), 0))
+        # padded cumsum: C[i+1]-C[lo] = vals[lo..i]
+        C = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vals, out=C[1:])
+        idx = np.arange(n)
+        lo = np.maximum(idx - (W - 1), start)
+        local = C[idx + 1] - C[lo]
+        segoff = idx - start  # in-segment row index, for pass-2 carry math
+        t = t.append_column(sum_col, pa.array(local, pa.int64()))
+        t = t.append_column("_segoff", pa.array(segoff, pa.int64()))
+        for f, c in zip(sf_cols, order_cols):
+            t = t.append_column(f, t.column(c).take(pa.array(start)))
+        return t
+
+    def seg_summary(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return SUMM_SCHEMA.empty_table()
+        parts = _np(t.column(part_col))
+        vals = _np(t.column(val_col)).astype(np.int64)
+        n = len(parts)
+        new_p = np.ones(n, dtype=bool)
+        new_p[1:] = parts[1:] != parts[:-1]
+        starts = np.flatnonzero(new_p)
+        ends = np.append(starts[1:], n)
+        tails = [vals[max(e - (W - 1), s) : e] for s, e in zip(starts, ends)]
+        cols = [t.column(part_col).take(pa.array(starts))]
+        cols += [t.column(c).take(pa.array(starts)) for c in order_cols]
+        cols.append(pa.array([tl.tolist() for tl in tails], pa.list_(pa.int64())))
+        cols.append(pa.array((ends - starts).astype(np.int64), pa.int64()))
+        return pa.Table.from_arrays(cols, schema=SUMM_SCHEMA)
+
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import drop_empty_blocks
+
+    sorted_ds = ds.sort([part_col] + order_cols).materialize()
+    scanned = sorted_ds.map_batches(local_scan, batch_format="pyarrow", batch_size=None)
+    summ_tbl = pa.concat_tables(
+        [
+            b
+            for b in sorted_ds.map_batches(
+                seg_summary, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns
+        ]
+        or [SUMM_SCHEMA.empty_table()]
+    ).combine_chunks()
+    summ_ref = broadcast(summ_tbl)
+
+    def _carry_index(ref):
+        """(part, *seg_first) → (suffix_sums, prev_count): suffix_sums[k] =
+        sum of the last k rows before this segment within its part (k up to
+        W-1), prev_count = total earlier rows in the part (uncapped — sets
+        the true window count for parts shorter than W)."""
+        tbl = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+        out: dict = {}
+        if tbl.num_rows == 0:
+            return out
+        tbl = tbl.sort_by(
+            [(part_col, "ascending")] + [(f, "ascending") for f in sf_cols]
+        )
+        parts = _np(tbl.column(part_col))
+        firsts = [_np(tbl.column(f)) for f in sf_cols]
+        tails = tbl.column("_tail").to_pylist()
+        lens = _np(tbl.column("_seg_len"))
+        prev_part = None
+        carry: list = []
+        prev_count = 0
+        for i in range(len(parts)):
+            p = parts[i]
+            if p != prev_part:
+                carry, prev_count, prev_part = [], 0, p
+            key = (p, *(f[i] for f in firsts))
+            if carry or prev_count:
+                rev = np.array(carry[::-1], dtype=np.int64)
+                ss = np.zeros(len(rev) + 1, dtype=np.int64)
+                np.cumsum(rev, out=ss[1:])
+                out[key] = (ss, prev_count)
+            carry = (carry + list(tails[i]))[-(W - 1) :] if W > 1 else []
+            prev_count += int(lens[i])
+        return out
+
+    def add_carry(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        index = task_state(
+            state_key("rollwin", summ_ref), lambda: _carry_index(summ_ref)
+        )
+        parts = _np(t.column(part_col))
+        firsts = [_np(t.column(f)) for f in sf_cols]
+        segoff = _np(t.column("_segoff"))
+        sums = _np(t.column(sum_col)).copy()
+        n = len(parts)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = parts[1:] != parts[:-1]
+        for f in firsts:
+            change[1:] |= f[1:] != f[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        cnt = np.minimum(segoff + 1, W)
+        for s, e in zip(starts, ends):
+            got = index.get((parts[s], *(f[s] for f in firsts)))
+            if got is None:
+                continue
+            ss, prev_count = got
+            # rows with fewer than W-1 in-segment predecessors borrow the
+            # missing head of their window from the carry suffix sums
+            j = segoff[s:e]
+            missing = np.minimum(np.maximum((W - 1) - j, 0), len(ss) - 1)
+            sums[s:e] += ss[missing]
+            cnt[s:e] = np.minimum(prev_count + j + 1, W)
+        t = t.drop_columns(sf_cols + [sum_col, "_segoff"])
+        t = t.append_column(sum_col, pa.array(sums, pa.int64()))
+        t = t.append_column(cnt_col, pa.array(cnt.astype(np.int64), pa.int64()))
+        return t.select(OUT_SCHEMA.names)
+
+    return drop_empty_blocks(
+        scanned.map_batches(add_carry, batch_format="pyarrow", batch_size=None),
+        OUT_SCHEMA,
+    )

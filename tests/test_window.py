@@ -123,3 +123,49 @@ def test_single_row_parts_and_empty_carry():
         .sort_values("part")
     )
     assert out["prev"].isna().all()
+
+
+@pytest.mark.parametrize("blocks,window", [(1, 5), (9, 5), (9, 1), (9, 64)])
+def test_rolling_sum_over_matches_pandas(blocks, window):
+    from multiomics_biocypher_kg_ray.stages.window import rolling_sum_over
+
+    df = _mk(25, [1, 2, 3, 60, 17], seed=3)
+    out = (
+        rolling_sum_over(
+            _ds(df, blocks), "part", ["o", "id"], "v", window,
+            sum_col="ws", cnt_col="wn",
+        )
+        .to_pandas()
+        .sort_values(["part", "o", "id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["part", "o", "id"]).reset_index(drop=True)
+    g = ref.groupby("part")["v"]
+    want_sum = g.rolling(window, min_periods=1).sum().reset_index(drop=True)
+    want_cnt = g.rolling(window, min_periods=1).count().reset_index(drop=True)
+    assert (out["ws"].to_numpy() == want_sum.to_numpy().astype(np.int64)).all()
+    assert (out["wn"].to_numpy() == want_cnt.to_numpy().astype(np.int64)).all()
+
+
+def test_rolling_hot_key_window_spans_block_boundaries():
+    # one hot key across 16 blocks with a window (200) far wider than the
+    # per-block segment tails — carries must chain across multiple earlier
+    # segments via the truncated tail concat
+    from multiomics_biocypher_kg_ray.stages.window import rolling_sum_over
+
+    n, W = 20_000, 200
+    df = pd.DataFrame(
+        {"part": ["hot"] * n, "o": range(n), "id": range(n), "v": [1] * n}
+    )
+    out = (
+        rolling_sum_over(
+            _ds(df.sample(frac=1.0, random_state=1), 16),
+            "part", ["o", "id"], "v", W, sum_col="ws", cnt_col="wn",
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    want = np.minimum(np.arange(1, n + 1), W)
+    assert (out["ws"].to_numpy() == want).all()
+    assert (out["wn"].to_numpy() == want).all()
