@@ -888,6 +888,25 @@ SELECT doc_id, source, lang FROM (
   FROM documents) WHERE rn <= {cap}"""
 
 
+def sql_doc_mixture_sample(shares=None, salt: str = "mix") -> str:
+    """Twin of ``sampling.mixture_sample`` over documents strata = lang.
+    The rate math mirrors the engine's float-op order exactly: T = min(n/w),
+    cut = floor(((w*T)/n) * PRECISION) — IEEE-identical doubles both sides."""
+    from .stages.sampling import PRECISION
+
+    shares = shares or {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+    vals = ", ".join(f"('{s}', {w!r}::DOUBLE)" for s, w in shares.items())
+    b = f"(('0x' || substr(md5('{salt}:' || d.doc_id), 1, 8))::UBIGINT % {PRECISION})"
+    return f"""
+WITH c AS (SELECT lang AS s, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+w(s, w) AS (VALUES {vals}),
+t AS (SELECT min(n / w) AS T FROM c JOIN w USING (s) WHERE n > 0 AND w > 0),
+r AS (SELECT s, CAST(floor(((w * T) / n) * {PRECISION}) AS BIGINT) AS cut
+      FROM c JOIN w USING (s), t WHERE n > 0 AND w > 0)
+SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.s
+WHERE {b} < r.cut"""
+
+
 def sql_events_stratified_sample(rates=None, default_rate: float = 0.05) -> str:
     from .stages.sampling import PRECISION
 

@@ -709,6 +709,19 @@ def q_doc_group_cap(sf_dir: str):
     )
 
 
+def q_doc_mixture_sample(sf_dir: str):
+    """Resample documents to a 40/20/20/10/10 lang mixture — never
+    upsampling; the binding stratum keeps 100%."""
+    from ..stages import sampling
+
+    return sampling.mixture_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        "lang",
+        "doc_id",
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
+    )
+
+
 def q_replicate_user_stats(sf_dir: str):
     ev = _read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
         lambda t: relational.to_cents(t, {"value": "c"}).drop_columns(["value"]),
@@ -1261,6 +1274,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_order_split_counts(),
         ),
         "doc_group_cap": (q_doc_group_cap, oracle_rel.sql_doc_group_cap()),
+        "doc_mixture_sample": (
+            q_doc_mixture_sample,
+            oracle_rel.sql_doc_mixture_sample(),
+        ),
         "events_stratified_sample": (
             q_events_stratified_sample,
             oracle_rel.sql_events_stratified_sample(),
@@ -1376,6 +1393,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",
+        "doc_mixture_sample",
         "event_lag_delta",
         "doc_unigram_score",
         "events_above_p99",

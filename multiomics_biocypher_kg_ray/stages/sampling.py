@@ -279,3 +279,59 @@ def group_cap(
     return kept.map_batches(
         lambda t: t.drop_columns(["_prio"]), batch_format="pyarrow"
     )
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    stratum_col: str,
+    key_col: str,
+    target_shares: dict[str, float],
+    salt: str = "mix",
+) -> "ray.data.Dataset":
+    """Domain-mixture resampling: downsample each stratum so the OUTPUT
+    mixture is proportional to ``target_shares`` — the corpus-reweighting
+    operator ("40% web, 20% code, …") of a training-data pipeline. Never
+    upsamples: the largest achievable output T = min_s(n_s / w_s) is used,
+    so the binding stratum keeps 100% of its rows and every other stratum
+    keeps rate_s = (w_s · T) / n_s. Shares are relative weights (scale-
+    invariant); strata absent from ``target_shares`` are dropped.
+
+    Phase 1 counts rows per stratum (stratum-cardinality-bounded fastagg →
+    driver — domains, not rows); phase 2 is the same streaming md5-bucket
+    filter as ``stratified_sample``. Keep-cuts are computed as
+    floor(rate · PRECISION) with the EXACT float-op order of the DuckDB twin
+    (``oracle_rel.sql_doc_mixture_sample``): (w·T)/n are IEEE-identical
+    doubles on both sides, so engine and oracle keep row-identical sets.
+    ``ds`` is consumed twice (count pass + filter pass); at scale the count
+    pass reads only ``stratum_col`` — re-reading beats materializing.
+    """
+    from .fastagg import sorted_grouped_agg
+
+    counts_rows = sorted_grouped_agg(
+        ds.select_columns([stratum_col]),
+        [stratum_col],
+        [(stratum_col, "count")],
+        out_names=["n"],
+    ).take_all()
+    n_by = {r[stratum_col]: int(r["n"]) for r in counts_rows}
+    obs = [s for s, w in target_shares.items() if w > 0 and n_by.get(s)]
+    if not obs:
+        raise ValueError("no stratum with positive target share has any rows")
+    T = min(n_by[s] / target_shares[s] for s in obs)
+    cut_list = [
+        int(np.floor(target_shares[s] * T / n_by[s] * PRECISION)) for s in obs
+    ]
+    cut_table = np.array(cut_list + [0], dtype=np.int64)  # absent strata drop
+    value_set = pa.array(obs)
+    dflt_slot = len(obs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _check_key_col(batch.column(key_col), key_col)
+        b = _buckets(batch.column(key_col), salt)
+        inv = pc.fill_null(
+            pc.index_in(batch.column(stratum_col), value_set=value_set), dflt_slot
+        )
+        row_cuts = cut_table[inv.to_numpy(zero_copy_only=False).astype(np.int64)]
+        return batch.filter(pa.array(b < row_cuts))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

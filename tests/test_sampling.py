@@ -229,3 +229,40 @@ def test_group_cap_rejects_bad_cap():
     ds = ray.data.from_arrow(pa.table({"k": [1], "g": ["a"]}))
     with pytest.raises(ValueError):
         sampling.group_cap(ds, ["g"], "k", 0)
+
+
+def test_mixture_sample_hits_target_shares_and_is_deterministic():
+    """Skewed input (70/20/10) resampled toward 1:1:2 — the binding stratum
+    keeps all rows, others downsample, output mixture ≈ target, and the kept
+    set is identical across partitionings."""
+    rng = np.random.RandomState(7)
+    langs = np.concatenate([["en"] * 7000, ["de"] * 2000, ["fr"] * 1000])
+    ids = np.arange(len(langs), dtype="int64")
+    tbl = pa.table({"doc_id": ids, "lang": pa.array(langs.tolist())})
+    shares = {"en": 1.0, "de": 1.0, "fr": 2.0}
+    # T = min(7000/1, 2000/1, 1000/2) = 500 → en keeps 500, de 500, fr 1000
+
+    def run(parallelism):
+        ds = ray.data.from_arrow(tbl).repartition(parallelism)
+        out = sampling.mixture_sample(ds, "lang", "doc_id", shares).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a, b = run(1), run(6)
+    pd.testing.assert_frame_equal(a, b)
+    got = a.groupby("lang").size()
+    assert got["fr"] == 1000  # binding stratum: kept whole
+    # md5 buckets are uniform-ish; 500-row targets land within ±12%
+    assert abs(got["en"] - 500) < 60 and abs(got["de"] - 500) < 60
+    # absent-strata drop: nothing outside the share map survives
+    assert set(got.index) == {"en", "de", "fr"}
+
+
+def test_mixture_sample_drops_unlisted_strata_and_rejects_empty():
+    import pytest
+
+    tbl = pa.table({"k": [1, 2, 3], "s": ["a", "a", "b"]})
+    ds = ray.data.from_arrow(tbl)
+    out = sampling.mixture_sample(ds, "s", "k", {"a": 1.0}).to_pandas()
+    assert set(out["s"]) <= {"a"} and len(out) == 2
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(ds, "s", "k", {"zz": 1.0}).to_pandas()
