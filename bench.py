@@ -212,8 +212,11 @@ def run_bench() -> dict:
         q_sessionize,
         q_simhash_near_dups,
         q_urgent_window_shipments,
+        q_doc_mixture_sample,
+        q_doc_shuffle_positions,
         q_user_cumulative_value,
         q_user_hour_activity,
+        q_user_rolling_value,
     )
 
     for name, fn in [
@@ -249,6 +252,11 @@ def run_bench() -> dict:
         ("events_above_p99", q_events_above_p99),
         ("doc_unigram_score", q_doc_unigram_score),
         ("kmeans_embed", q_kmeans_embed),
+        # late-round-4 additions: bounded ROWS window, deterministic
+        # mixture/shuffle sampling (global-sort position assignment)
+        ("user_rolling_value", q_user_rolling_value),
+        ("doc_mixture_sample", q_doc_mixture_sample),
+        ("doc_shuffle_positions", q_doc_shuffle_positions),
     ]:
         t = time.time()
         out = fn(SF_DIR)

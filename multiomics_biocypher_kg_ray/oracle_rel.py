@@ -888,6 +888,16 @@ SELECT doc_id, source, lang FROM (
   FROM documents) WHERE rn <= {cap}"""
 
 
+def sql_doc_shuffle_positions(salt: str = "shuffle") -> str:
+    """Twin of ``sampling.shuffle_positions`` over documents."""
+    return f"""
+SELECT doc_id,
+       (row_number() OVER (
+          ORDER BY ('0x' || substr(md5('{salt}:' || doc_id), 1, 15))::UBIGINT,
+                   doc_id) - 1)::BIGINT AS shuffle_pos
+FROM documents"""
+
+
 def sql_doc_mixture_sample(shares=None, salt: str = "mix") -> str:
     """Twin of ``sampling.mixture_sample`` over documents strata = lang.
     The rate math mirrors the engine's float-op order exactly: T = min(n/w),
@@ -920,13 +930,22 @@ def sql_events_stratified_sample(rates=None, default_rate: float = 0.05) -> str:
 SELECT event_id, event_type FROM events WHERE {b} < {cut}"""
 
 
-def _ndc_ctes(k: int = 3, min_jaccard: float = 0.5, cap: int = 1000) -> str:
+def _ndc_ctes(
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    cap: int = 1000,
+    pre: str = "",
+    scope: str = "",
+) -> str:
     """Shared CTE chain for near-dup clustering: jaccard edges (strictly >
     ``min_jaccard``, hot-shingle cap mirrored) → transitive closure
     (recursive CTE) → min-doc-id component label in ``base``; docs in no
-    pair are their own singleton cluster."""
+    pair are their own singleton cluster. ``pre`` injects leading CTEs (for
+    composed pipelines that filter the corpus first); ``scope`` is a join
+    clause appended after every ``FROM documents`` so clustering runs over
+    the filtered survivor set only (e.g. ``JOIN q USING (doc_id)``)."""
     return f"""
-WITH RECURSIVE {_shingle_cte(k=k)},
+WITH RECURSIVE {pre}{_shingle_cte(where=scope, k=k)},
 sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
 capped AS (
   SELECT doc_id, shingle,
@@ -953,7 +972,7 @@ reach AS (
 lab AS (SELECT node, least(node, min(peer))::BIGINT AS cluster_id FROM reach GROUP BY 1),
 base AS (
   SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id
-  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+  FROM documents d {scope} LEFT JOIN lab l ON d.doc_id = l.node
 )"""
 
 
@@ -980,6 +999,46 @@ def sql_near_dup_split(
     return f"""{_ndc_ctes(k, min_jaccard, cap)}
 SELECT doc_id, cluster_id, {_split_case('cluster_id', splits, 'split')} AS split
 FROM base"""
+
+
+def sql_corpus_prep(
+    min_quality: int = 2,
+    shares=None,
+    splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    cap: int = 1000,
+    mix_salt: str = "mix",
+) -> str:
+    """Twin of the composed corpus-prep flagship: quality gate → near-dup
+    cluster dedup over survivors (canonicals only) → lang-mixture resample
+    (rates computed over the POST-dedup counts, same float-op order as
+    ``sampling.mixture_sample``) → leakage-safe split keyed on the cluster
+    label."""
+    from .stages.sampling import PRECISION
+
+    shares = shares or {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+    vals = ", ".join(f"('{s}', {w!r}::DOUBLE)" for s, w in shares.items())
+    pre = (
+        f"st AS ({sql_text_stats()}), "
+        f"q AS (SELECT doc_id FROM st WHERE quality >= {min_quality}), "
+    )
+    b = f"(('0x' || substr(md5('{mix_salt}:' || cd.doc_id), 1, 8))::UBIGINT % {PRECISION})"
+    return f"""{_ndc_ctes(k, min_jaccard, cap, pre=pre, scope="JOIN q USING (doc_id)")},
+cd AS (
+  SELECT d.doc_id, d.lang, base.cluster_id
+  FROM base JOIN documents d USING (doc_id)
+  WHERE base.doc_id = base.cluster_id
+),
+c AS (SELECT lang AS s, count(*)::BIGINT AS n FROM cd GROUP BY 1),
+w(s, w) AS (VALUES {vals}),
+t AS (SELECT min(n / w) AS T FROM c JOIN w USING (s) WHERE n > 0 AND w > 0),
+r AS (SELECT s, CAST(floor(((w * T) / n) * {PRECISION}) AS BIGINT) AS cut
+      FROM c JOIN w USING (s), t WHERE n > 0 AND w > 0)
+SELECT cd.doc_id, cd.lang,
+       {_split_case('cd.cluster_id', splits, 'split')} AS split
+FROM cd JOIN r ON cd.lang = r.s
+WHERE {b} < r.cut"""
 
 
 CANARY = "EVAL CANARY ALPHA BETA GAMMA DELTA"
@@ -1073,6 +1132,15 @@ SELECT event_id, user_id, ts,
        (epoch_us(ts) - epoch_us(
           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
        ))::BIGINT AS delta_us
+FROM events"""
+
+
+def sql_event_lead_delta() -> str:
+    return """
+SELECT event_id, user_id, ts,
+       (epoch_us(
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       ) - epoch_us(ts))::BIGINT AS next_delta_us
 FROM events"""
 
 

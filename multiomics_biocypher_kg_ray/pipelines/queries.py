@@ -576,6 +576,40 @@ def q_event_lag_delta(sf_dir: str):
     return out.map_batches(delta, batch_format="pyarrow")
 
 
+def q_event_lead_delta(sf_dir: str):
+    """Time-to-NEXT-event per user in µs — lead() as lag over the negated
+    int64 order axis; NULL for each user's last event."""
+    from ..stages.window import lead_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def add_us(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ts_us",
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        )
+
+    out = lead_over(
+        ev.map_batches(add_us, batch_format="pyarrow"),
+        "user_id",
+        ["ts_us", "event_id"],
+        "ts_us",
+        out_col="next_us",
+    )
+
+    def delta(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
+                "next_delta_us": pc.subtract(t.column("next_us"), t.column("ts_us")),
+            }
+        )
+
+    return out.map_batches(delta, batch_format="pyarrow")
+
+
 def q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, hour): finest + per-type + grand total in
     one operator; coarser levels re-aggregate the finest PARTIAL."""
@@ -720,6 +754,13 @@ def q_doc_mixture_sample(sf_dir: str):
         "doc_id",
         {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
     )
+
+
+def q_doc_shuffle_positions(sf_dir: str):
+    """Reproducible epoch shuffle order for every document."""
+    from ..stages import sampling
+
+    return sampling.shuffle_positions(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
 
 
 def q_replicate_user_stats(sf_dir: str):
@@ -1124,6 +1165,54 @@ def q_near_dup_split(sf_dir: str):
     )
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composed corpus-prep flagship — the end-to-end training-data path a
+    reference user runs as ONE pipeline: quality gate (audited, no silent
+    drops) → near-dup cluster dedup over the survivors (one canonical doc
+    per component) → language-mixture resample (rates from the POST-dedup
+    counts) → leakage-safe split keyed on the near-dup cluster label.
+
+    Intermediates consumed by more than one downstream stage are
+    materialized once (object-store-resident, spillable); a 100 TB run would
+    checkpoint the same two cut points to partitioned Parquet via
+    ``pipelines/checkpoint.py`` instead."""
+    from ..stages import sampling, text
+    from ..stages.fastagg import drop_empty_blocks
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    keep = text.quality_filter(docs).map_batches(
+        lambda t: t.filter(t.column("keep")).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    survivors = hash_join(
+        drop_empty_blocks(docs), drop_empty_blocks(keep), on=("doc_id",),
+        how="left_semi",
+    ).materialize()
+
+    pairs = dedup.ngram_jaccard_pairs(
+        survivors.select_columns(["doc_id", "text"]), min_jaccard=0.5
+    )
+    clusters = dedup.near_dup_clusters(survivors.select_columns(["doc_id"]), pairs)
+    canon = clusters.map_batches(
+        lambda t: t.filter(t.column("is_canonical")).select(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+    with_lang = hash_join(
+        drop_empty_blocks(canon),
+        drop_empty_blocks(survivors.select_columns(["doc_id", "lang"])),
+        on=("doc_id",),
+        how="inner",
+    ).materialize()
+
+    mixed = sampling.mixture_sample(
+        with_lang, "lang", "doc_id",
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
+    )
+    out = sampling.hash_split(mixed, "cluster_id", _SPLITS)
+    return out.select_columns(["doc_id", "lang", "split"])
+
+
 def q_simhash_near_dups(sf_dir: str):
     return dedup.simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1278,6 +1367,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_doc_mixture_sample,
             oracle_rel.sql_doc_mixture_sample(),
         ),
+        "doc_shuffle_positions": (
+            q_doc_shuffle_positions,
+            oracle_rel.sql_doc_shuffle_positions(),
+        ),
+        "corpus_prep": (q_corpus_prep, oracle_rel.sql_corpus_prep()),
         "events_stratified_sample": (
             q_events_stratified_sample,
             oracle_rel.sql_events_stratified_sample(),
@@ -1366,6 +1460,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_user_rolling_value(),
         ),
         "event_lag_delta": (q_event_lag_delta, oracle_rel.sql_event_lag_delta()),
+        "event_lead_delta": (q_event_lead_delta, oracle_rel.sql_event_lead_delta()),
         "events_rollup": (q_events_rollup, oracle_rel.sql_events_rollup()),
         "kg_two_hop": (q_kg_two_hop, oracle.sql_kg_two_hop()),
         "kg_pagerank": (q_kg_pagerank, oracle.sql_kg_pagerank()),
@@ -1394,7 +1489,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "user_rolling_value",
         "doc_group_cap",
         "doc_mixture_sample",
+        "doc_shuffle_positions",
+        "corpus_prep",
         "event_lag_delta",
+        "event_lead_delta",
         "doc_unigram_score",
         "events_above_p99",
         "conv_text_concat",

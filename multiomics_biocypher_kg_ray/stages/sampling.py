@@ -335,3 +335,75 @@ def mixture_sample(
         return batch.filter(pa.array(b < row_cuts))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _hash60_py(keys, salt: str) -> np.ndarray:
+    """Python twin of ``_hash60`` (first 15 md5 hex nibbles = top 60 bits)."""
+    md5 = hashlib.md5
+    pre = (salt + ":").encode("utf-8")
+    return np.fromiter(
+        (
+            int.from_bytes(md5(pre + str(k).encode("utf-8")).digest()[:8], "big") >> 4
+            for k in keys
+        ),
+        dtype=np.int64,
+        count=len(keys),
+    )
+
+
+def _hash60(col: "pa.ChunkedArray | pa.Array", salt: str) -> np.ndarray:
+    """60-bit md5 key hash — the high-dispersion sibling of ``_buckets`` for
+    ORDERING (a 20-bit bucket is fine for rate cuts but would leave ~N/2²⁰
+    same-bucket runs ordered by raw key in a shuffle). Same embedded-DuckDB
+    vectorization; twin expression: ('0x' || substr(md5(salt||':'||k), 1,
+    15))::UBIGINT — 15 hex chars = 60 bits, always positive in int64."""
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover - duckdb is baked into this env
+        return _hash60_py(col.to_pylist(), salt)
+    from ..state.broadcast import state_key, task_state
+
+    con = task_state(state_key("sampling_duckdb"), duckdb.connect)
+    con.execute("SET threads=1")
+    tbl = pa.table({"k": col})
+    con.register("_h60_keys", tbl)
+    esc = salt.replace("'", "''")
+    out = con.execute(
+        f"SELECT ('0x' || substr(md5('{esc}:' || k), 1, 15))::UBIGINT::BIGINT"
+        " AS h FROM _h60_keys"
+    ).arrow()
+    con.unregister("_h60_keys")
+    return out["h"].to_numpy()
+
+
+def shuffle_positions(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    salt: str = "shuffle",
+    pos_col: str = "shuffle_pos",
+) -> "ray.data.Dataset":
+    """Deterministic global training-order shuffle: every row gets a 0-based
+    position that is a pure function of (salt, key set) — the reproducible
+    replacement for ``random_shuffle`` when an epoch's example order must be
+    re-derivable on any cluster at any parallelism (resume mid-epoch, audit
+    which examples a step saw, bisect a loss spike to its data window).
+
+    Position = rank of the row's 60-bit md5 hash (ties broken by the unique
+    key), assigned by one distributed range-partitioned sort + the
+    order-preserving split numbering of ``canonicalize.zip_with_index`` — no
+    driver state, no RNG. Epochs = different salts. The DuckDB twin is
+    ``row_number() OVER (ORDER BY hash, key) - 1``.
+    """
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        _check_key_col(batch.column(key_col), key_col)
+        h = _hash60(batch.column(key_col), salt)
+        return batch.append_column("_h60", pa.array(h, pa.int64()))
+
+    from .canonicalize import zip_with_index
+
+    out = zip_with_index(
+        ds.map_batches(annotate, batch_format="pyarrow").sort(["_h60", key_col]),
+        col=pos_col,
+    )
+    return out.map_batches(lambda t: t.drop_columns(["_h60"]), batch_format="pyarrow")

@@ -403,3 +403,53 @@ def rolling_sum_over(
         scanned.map_batches(add_carry, batch_format="pyarrow", batch_size=None),
         OUT_SCHEMA,
     )
+
+
+def lead_over(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "lead_val",
+) -> "ray.data.Dataset":
+    """``lead(val) OVER (PARTITION BY part ORDER BY order_cols)`` — int64,
+    null for each part's last row.
+
+    Runs ``lag`` over the NEGATED order axis (lead under an ordering is lag
+    under its reverse), which keeps the one battle-tested segmented-scan
+    kernel instead of a mirrored second implementation. The trade: order
+    columns must be int64 (the module's value convention already demands
+    pre-cast epoch-µs / quantized ints everywhere; enforced here), and
+    int64-min is rejected by the checked negation.
+    """
+    import pyarrow.compute as pc
+
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    for c in order_cols:
+        if not pa.types.is_integer(typ[c]):
+            raise TypeError(
+                f"lead_over order column {c!r} has type {typ[c]}; negation-"
+                "based lead needs integer order columns (pre-cast timestamps "
+                "to epoch micros)"
+            )
+    neg_cols = [f"_neg_{c}" for c in order_cols]
+
+    def add_neg(t: pa.Table) -> pa.Table:
+        for nc, c in zip(neg_cols, order_cols):
+            t = t.append_column(
+                nc, pc.negate_checked(pc.cast(t.column(c), pa.int64()))
+            )
+        return t
+
+    out = _segmented_window(
+        ds.map_batches(add_neg, batch_format="pyarrow"),
+        part_col,
+        neg_cols,
+        val_col,
+        out_col,
+        "lag",
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(neg_cols), batch_format="pyarrow"
+    )

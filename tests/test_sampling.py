@@ -266,3 +266,37 @@ def test_mixture_sample_drops_unlisted_strata_and_rejects_empty():
     assert set(out["s"]) <= {"a"} and len(out) == 2
     with pytest.raises(ValueError):
         sampling.mixture_sample(ds, "s", "k", {"zz": 1.0}).to_pandas()
+
+
+def test_shuffle_positions_is_a_permutation_and_parallelism_stable():
+    ids = np.arange(4000, dtype="int64") * 7 + 3
+    tbl = pa.table({"doc_id": ids})
+
+    def run(parallelism):
+        ds = ray.data.from_arrow(tbl).repartition(parallelism)
+        out = sampling.shuffle_positions(ds, "doc_id").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a, b = run(1), run(9)
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a["shuffle_pos"]) == list(range(len(ids)))
+    # the order is a genuine shuffle, not key order (astronomically unlikely
+    # to hold for md5 order): positions decorrelate from the sorted-key rank
+    disp = np.abs(a["shuffle_pos"].to_numpy() - np.arange(len(ids)))
+    assert np.median(disp) > len(ids) // 10
+    # different salt = different epoch order
+    c = (
+        sampling.shuffle_positions(ray.data.from_arrow(tbl), "doc_id", salt="ep2")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (c["shuffle_pos"] != a["shuffle_pos"]).mean() > 0.99
+
+
+def test_hash60_duckdb_matches_python_twin():
+    keys = pa.chunked_array([pa.array([1, 2, 3, 10**12, -5]), pa.array([7, 8])])
+    got = sampling._hash60(keys, "s")
+    want = sampling._hash60_py(keys.to_pylist(), "s")
+    assert (got == want).all()
+    assert (got >= 0).all()

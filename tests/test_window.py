@@ -169,3 +169,28 @@ def test_rolling_hot_key_window_spans_block_boundaries():
     want = np.minimum(np.arange(1, n + 1), W)
     assert (out["ws"].to_numpy() == want).all()
     assert (out["wn"].to_numpy() == want).all()
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_lead_over_matches_pandas(blocks):
+    from multiomics_biocypher_kg_ray.stages.window import lead_over
+
+    df = _mk(20, [1, 2, 40, 9], seed=5)
+    out = (
+        lead_over(_ds(df, blocks), "part", ["o", "id"], "v", out_col="nxt")
+        .to_pandas()
+        .sort_values(["part", "o", "id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["part", "o", "id"]).reset_index(drop=True)
+    want = ref.groupby("part")["v"].shift(-1)
+    got = out["nxt"].astype("float64")
+    assert ((got == want) | (got.isna() & want.isna())).all()
+
+
+def test_lead_over_rejects_non_integer_order():
+    from multiomics_biocypher_kg_ray.stages.window import lead_over
+
+    df = pd.DataFrame({"part": ["a"], "o": ["x"], "v": [1]})
+    with pytest.raises(TypeError):
+        lead_over(_ds(df, 1), "part", ["o"], "v")
