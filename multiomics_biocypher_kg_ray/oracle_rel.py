@@ -1192,6 +1192,20 @@ ds AS (
 SELECT doc_id, n_tokens, (s::DOUBLE / n_tokens) AS mean_freq_ppm FROM ds"""
 
 
+def sql_events_winsorized(q_lo: float = 0.01, q_hi: float = 0.99) -> str:
+    """Twin of ``relational.clip_to_group_quantiles`` over events/cents."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_id, event_type, {v} AS cents FROM events),
+thr AS (SELECT event_type,
+               quantile_disc(cents, {q_lo}) AS lo,
+               quantile_disc(cents, {q_hi}) AS hi
+        FROM e GROUP BY 1)
+SELECT e.event_id, e.event_type, e.cents,
+       least(greatest(e.cents, thr.lo), thr.hi)::BIGINT AS clipped
+FROM e JOIN thr USING (event_type)"""
+
+
 def sql_events_above_p99(q: float = 0.99) -> str:
     v = CENTS.format(col="value")
     return f"""

@@ -701,6 +701,22 @@ def q_events_above_p99(sf_dir: str):
     return relational.filter_above_group_quantile(ev, ["event_type"], "cents", q=0.99)
 
 
+def q_events_winsorized(sf_dir: str):
+    """Per-type winsorization: cents clipped to the type's [p01, p99]
+    discrete quantiles — outliers clamped, never dropped."""
+    ev = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(
+            lambda t: relational.to_cents(t, {"value": "cents"}),
+            batch_format="pyarrow",
+        )
+        .select_columns(["event_id", "event_type", "cents"])
+    )
+    return relational.clip_to_group_quantiles(
+        ev, ["event_type"], "cents", q_lo=0.01, q_hi=0.99, out_col="clipped"
+    )
+
+
 _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 
 
@@ -1475,6 +1491,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_doc_unigram_score(),
         ),
         "events_above_p99": (q_events_above_p99, oracle_rel.sql_events_above_p99()),
+        "events_winsorized": (
+            q_events_winsorized,
+            oracle_rel.sql_events_winsorized(),
+        ),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
@@ -1491,6 +1511,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_mixture_sample",
         "doc_shuffle_positions",
         "corpus_prep",
+        "events_winsorized",
         "event_lag_delta",
         "event_lead_delta",
         "doc_unigram_score",

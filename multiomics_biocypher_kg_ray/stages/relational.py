@@ -777,3 +777,95 @@ def filter_above_group_quantile(
         return t.filter(pa.array(v > thr))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def clip_to_group_quantiles(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+    out_col: str = "clipped",
+) -> "ray.data.Dataset":
+    """Per-group winsorization: append ``out_col`` = ``value_col`` clipped to
+    the group's [q_lo, q_hi] DISCRETE quantiles (inverted_cdf — actual group
+    elements, so the clamp is exact integer comparison; mirrors DuckDB
+    ``quantile_disc`` + ``least``/``greatest``). The standard outlier
+    treatment when dropping rows (``filter_above_group_quantile``) would
+    bias counts — sensor spikes, price glitches, token-count outliers get
+    clamped instead of removed.
+
+    Same two-pass scale shape as the filter: one ``ranked_over`` pass picks
+    the TWO boundary elements per group, the group-count-bounded (key, lo,
+    hi) table broadcasts once, the input streams through a stateless clamp.
+    No group ever occupies one task.
+    """
+    if not 0.0 <= q_lo <= q_hi <= 1.0:
+        raise ValueError("need 0 <= q_lo <= q_hi <= 1")
+    ranked = ranked_over(
+        ds.select_columns(keys + [value_col]),
+        keys,
+        [(value_col, True)],
+        rank_col="_rnk",
+        with_group_size=True,
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        empty_cols = {k: pa.array([], pa.string()) for k in keys}
+        empty_cols["_q"] = pa.array([], pa.string())
+        empty_cols["_thr"] = pa.array([], pa.int64())
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(empty_cols)
+        rnk = t.column("_rnk").to_numpy(zero_copy_only=False)
+        n = t.column("_gn").to_numpy(zero_copy_only=False)
+        parts = []
+        for tag, q in (("lo", q_lo), ("hi", q_hi)):
+            target = np.maximum(np.ceil(q * n).astype(np.int64), 1)
+            idx = pa.array(np.flatnonzero(rnk == target))
+            cols = {k: t.column(k).take(idx) for k in keys}
+            cols["_q"] = pa.array([tag] * len(idx), pa.string())
+            cols["_thr"] = pc.cast(t.column(value_col).take(idx), pa.int64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    thr_tbl = pa.concat_tables(
+        [
+            b
+            for b in ranked.map_batches(pick, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if b.num_columns
+        ]
+    ).combine_chunks()
+
+    from ..state.broadcast import broadcast, state_key, task_state
+
+    thr_ref = broadcast(thr_tbl)
+
+    def clamp(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        def build():
+            tb = ray.get(thr_ref) if not isinstance(thr_ref, pa.Table) else thr_ref
+            lo_d: dict = {}
+            hi_d: dict = {}
+            key_rows = list(zip(*[tb.column(k).to_pylist() for k in keys]))
+            for krow, tag, thr in zip(
+                key_rows, tb.column("_q").to_pylist(), tb.column("_thr").to_pylist()
+            ):
+                (lo_d if tag == "lo" else hi_d)[krow] = thr
+            return lo_d, hi_d
+
+        lo_d, hi_d = task_state(state_key("gq_clip", thr_ref), build)
+        key_df = t.select(keys).to_pandas()
+        ktup = list(key_df.itertuples(index=False, name=None))
+        lo = np.array(
+            [lo_d.get(k, np.iinfo(np.int64).min) for k in ktup], dtype=np.int64
+        )
+        hi = np.array(
+            [hi_d.get(k, np.iinfo(np.int64).max) for k in ktup], dtype=np.int64
+        )
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(out_col, pa.array(np.clip(v, lo, hi), pa.int64()))
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

@@ -200,3 +200,52 @@ def test_filter_above_group_quantile_matches_duckdb():
         .reset_index(drop=True)
     )
     assert (out["id"].to_numpy() == ref["id"].to_numpy()).all()
+
+
+def test_clip_to_group_quantiles_matches_duckdb():
+    from multiomics_biocypher_kg_ray.stages.relational import (
+        clip_to_group_quantiles,
+    )
+
+    rng = np.random.RandomState(29)
+    # Include tiny groups (n=1, n=2) to pin the rank-target edge cases.
+    gs = np.concatenate(
+        [
+            rng.choice(["a", "b", "c"], size=1500),
+            np.array(["solo"]),
+            np.array(["duo", "duo"]),
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "id": np.arange(len(gs), dtype="int64"),
+            "g": gs,
+            "v": rng.randint(-5_000, 10_000, size=len(gs)).astype("int64"),
+        }
+    )
+    out = (
+        clip_to_group_quantiles(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4),
+            ["g"],
+            "v",
+            q_lo=0.05,
+            q_hi=0.95,
+            out_col="w",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = (
+        con.sql(
+            "WITH thr AS (SELECT g, quantile_disc(v, 0.05) AS lo, "
+            "quantile_disc(v, 0.95) AS hi FROM t GROUP BY 1) "
+            "SELECT id, least(greatest(v, lo), hi) AS w FROM t JOIN thr USING (g)"
+        )
+        .df()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert (out["w"].to_numpy() == ref["w"].to_numpy()).all()
