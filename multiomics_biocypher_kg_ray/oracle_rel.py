@@ -1213,3 +1213,83 @@ WITH e AS (SELECT event_id, event_type, {v} AS cents FROM events),
 thr AS (SELECT event_type, quantile_disc(cents, {q}) AS thr FROM e GROUP BY 1)
 SELECT e.event_id, e.event_type, e.cents
 FROM e JOIN thr USING (event_type) WHERE e.cents > thr.thr"""
+
+
+def sql_bm25_docs(
+    terms: list[str], k1: float = 1.2, b: float = 0.75, k: int = 10
+) -> str:
+    """Twin of ``text.bm25_topk``: per-(doc, query-term) BM25 contribution
+    quantized to floor(score·10⁶) BIGINT, summed as integers per doc (so
+    the ranking is partition-order-free), (bm25_q DESC, doc_id) LIMIT k.
+    Float-op ORDER matches the engine's numpy expression left-to-right;
+    all bare literals are ::DOUBLE (DuckDB parses 1.2 as DECIMAL)."""
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS dl
+  FROM documents d LEFT JOIN tok2 t USING (doc_id) GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok2 WHERE term IN ({tl}) GROUP BY 1, 2
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         floor(
+           ln((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+           * ((tf * ({k1}::DOUBLE + 1.0::DOUBLE))
+              / (tf + {k1}::DOUBLE
+                 * ((1.0::DOUBLE - {b}::DOUBLE)
+                    + ({b}::DOUBLE * dl) / avgdl)))
+           * 1000000.0::DOUBLE
+         )::BIGINT AS sq
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, sum(sq)::BIGINT AS bm25_q, count(*)::BIGINT AS n_terms
+FROM scored GROUP BY 1 ORDER BY bm25_q DESC, doc_id LIMIT {k}"""
+
+
+def sql_event_user_kmv(k: int = 64, salt: str = "kmv") -> str:
+    """Twin of ``sampling.distinct_kmv`` over (events.event_type,
+    events.user_id): identical md5-derived 60-bit hash, k smallest distinct
+    hashes per group, (k−1)·2⁶⁰/h₍ₖ₎ estimate (exact count below k)."""
+    esc = salt.replace("'", "''")
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('{esc}:' || user_id), 1, 15))::UBIGINT::BIGINT AS _h
+  FROM events
+),
+r AS (
+  SELECT event_type, _h,
+         row_number() OVER (PARTITION BY event_type ORDER BY _h) AS rn
+  FROM h
+),
+kept AS (
+  SELECT event_type, count(*)::BIGINT AS n_kept, max(_h)::BIGINT AS kth
+  FROM r WHERE rn <= {k} GROUP BY 1
+)
+SELECT event_type, n_kept,
+       CASE WHEN n_kept >= {k}
+            THEN floor((({k}::DOUBLE - 1.0::DOUBLE)
+                        * 1152921504606846976.0::DOUBLE) / kth)::BIGINT
+            ELSE n_kept END AS distinct_est
+FROM kept"""
+
+
+def sql_user_event_skew(top_n: int = 20) -> str:
+    """Twin of ``relational.key_skew_report`` over events.user_id: top-N
+    keys by count with integer-ppm share (``//`` floor division)."""
+    return f"""
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+SELECT c.user_id, c.n, ((c.n * 1000000) // t.tot)::BIGINT AS share_ppm
+FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT {top_n}"""

@@ -717,6 +717,38 @@ def q_events_winsorized(sf_dir: str):
     )
 
 
+def q_user_event_skew(sf_dir: str):
+    """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
+    share — the pre-shuffle skew probe."""
+    return relational.key_skew_report(
+        _read(sf_dir, "events", ["user_id"]), "user_id", top_n=20
+    )
+
+
+def q_event_user_kmv(sf_dir: str):
+    """KMV distinct-user sketch per event_type (k=64), bit-identical to the
+    DuckDB md5-hash twin."""
+    from ..stages import sampling
+
+    return sampling.distinct_kmv(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        ["event_type"],
+        "user_id",
+        k=64,
+    )
+
+
+_BM25_TERMS = ["shuffle", "join", "hash", "window"]
+
+
+def q_bm25_docs(sf_dir: str):
+    """Top-10 documents by BM25 for a fixed query-term bag — lexical
+    retrieval over the corpus with integer-quantized scoring."""
+    return text.bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), _BM25_TERMS, k=10
+    )
+
+
 _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 
 
@@ -1495,6 +1527,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_events_winsorized,
             oracle_rel.sql_events_winsorized(),
         ),
+        "user_event_skew": (q_user_event_skew, oracle_rel.sql_user_event_skew()),
+        "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
+        "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
@@ -1512,6 +1547,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_shuffle_positions",
         "corpus_prep",
         "events_winsorized",
+        "user_event_skew",
+        "event_user_kmv",
+        "bm25_docs",
         "event_lag_delta",
         "event_lead_delta",
         "doc_unigram_score",

@@ -869,3 +869,65 @@ def clip_to_group_quantiles(
         return t.append_column(out_col, pa.array(np.clip(v, lo, hi), pa.int64()))
 
     return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def key_skew_report(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    top_n: int = 20,
+) -> "ray.data.Dataset":
+    """Heavy-hitter diagnostic: the ``top_n`` most frequent values of
+    ``key_col`` with their counts and integer-ppm share of all rows —
+    (key, n, share_ppm), ordered (n DESC, key ASC). This is the first tool
+    to reach for before any shuffle at 100 TB: it names the hot keys a
+    ``groupby``/join would funnel into one partition (the skew that the
+    salting in ``pipelines/checkpoint.py`` and the degree-oriented graph
+    kernels exist to absorb).
+
+    Scale shape: per-batch Arrow ``group_by`` combiners shrink the exchange
+    to distinct-keys-per-batch; the global merge is one fastagg pass; the
+    total is reduced from the counted table's block partials; only the
+    top-``n`` rows ever reach the driver-side share computation. share_ppm
+    uses integer floor division so the DuckDB twin (``//``) matches exactly.
+    """
+    from .fastagg import sorted_grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [(key_col, pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        g = t.group_by([key_col]).aggregate([(key_col, "count")])
+        return g.rename_columns([key_col, "n"])
+
+    counted = sorted_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col],
+        [("n", "sum")],
+        out_names=["n"],
+    ).materialize()
+
+    total = 0
+    for t in counted.map_batches(
+        lambda t: pa.table(
+            {"s": pa.array([int(pc.sum(t.column("n")).as_py() or 0)], pa.int64())}
+        )
+        if t.num_rows
+        else pa.table({"s": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if t.num_rows:
+            total += int(pc.sum(t.column("s")).as_py() or 0)
+    tot = max(total, 1)
+
+    top = counted.sort(["n", key_col], descending=[True, False]).limit(top_n)
+
+    def share(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        nv = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "share_ppm", pa.array((nv * 1_000_000) // tot, pa.int64())
+        )
+
+    return top.map_batches(share, batch_format="pyarrow")

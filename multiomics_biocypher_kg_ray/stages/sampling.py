@@ -407,3 +407,87 @@ def shuffle_positions(
         col=pos_col,
     )
     return out.map_batches(lambda t: t.drop_columns(["_h60"]), batch_format="pyarrow")
+
+
+def distinct_kmv(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> "ray.data.Dataset":
+    """Per-group approximate COUNT(DISTINCT value) via a KMV (k-minimum-
+    values) sketch — the classic mergeable distinct-count sketch: hash every
+    value uniformly into [0, 2⁶⁰), keep the ``k`` smallest distinct hashes
+    per group; if the group retains a full ``k``, the k-th smallest hash h₍ₖ₎
+    estimates density and distinct ≈ (k−1)·2⁶⁰/h₍ₖ₎ [Bar-Yossef et al. 2002];
+    groups with fewer than ``k`` distinct hashes report their EXACT count.
+    Emits (keys…, n_kept, distinct_est).
+
+    Determinism / oracle parity: the hash is the md5-derived ``_hash60``
+    (same embedded-DuckDB kernel as the split operators), so a DuckDB twin
+    computes the IDENTICAL sketch — the estimate itself is oracle-checked
+    bit-for-bit, not just "close to truth" (accuracy vs true distinct is
+    pytest-checked separately).
+
+    Scale shape: min-k is a semilattice, so per-batch pruning to k rows per
+    group bounds the exchange at k·groups·blocks rows regardless of input
+    size; the global k-smallest then rides ``sorted_distinct`` (cross-batch
+    duplicate hashes collapse) + hot-key-safe ``ranked_over`` — no group ever
+    occupies one task, no full value set is ever collected anywhere.
+    """
+    import pandas as pd
+
+    from ..arrow_util import pa_from_pandas
+    from .fastagg import sorted_distinct, sorted_grouped_agg
+    from .relational import ranked_over
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [(kk, pa.string()) for kk in keys] + [("_h", pa.int64())]
+            ).empty_table()
+        h = _hash60(t.column(value_col), salt)
+        frame = pd.DataFrame({kk: t.column(kk).to_pandas() for kk in keys})
+        frame["_h"] = h
+        frame = frame.drop_duplicates().sort_values(
+            keys + ["_h"], kind="mergesort"
+        )
+        pos = frame.groupby(keys, sort=False).cumcount().to_numpy()
+        return pa_from_pandas(frame[pos < k])
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    dist = sorted_distinct(pruned, keys + ["_h"])
+    ranked = ranked_over(dist, keys, [("_h", True)], rank_col="_rn")
+    kept = ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("_rn"), k)).drop_columns(
+            ["_rn"]
+        ),
+        batch_format="pyarrow",
+    )
+    agg = sorted_grouped_agg(
+        kept, keys, [("_h", "count"), ("_h", "max")], out_names=["n_kept", "kth"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [(kk, pa.string()) for kk in keys]
+                + [("n_kept", pa.int64()), ("distinct_est", pa.int64())]
+            ).empty_table()
+        n_kept = t.column("n_kept").to_numpy(zero_copy_only=False)
+        kth = t.column("kth").to_numpy(zero_copy_only=False).astype(np.float64)
+        # ((k-1)·2⁶⁰)/h₍ₖ₎ with the same float-op order as the SQL twin
+        est = np.where(
+            n_kept >= k,
+            np.floor(((float(k) - 1.0) * 1152921504606846976.0) / kth),
+            n_kept.astype(np.float64),
+        ).astype(np.int64)
+        return t.drop_columns(["kth"]).append_column(
+            "distinct_est", pa.array(est, pa.int64())
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -424,3 +424,174 @@ def doc_unigram_score(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_topk(
+    docs: "ray.data.Dataset",
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Top-``k`` documents by BM25 relevance for a bag of ``query_terms`` —
+    the lexical retrieval primitive of corpus curation (pull training docs
+    matching a topic, rank contamination candidates, build eval slices).
+    Emits (doc_id, bm25_q, n_terms) with bm25_q = Σ_t floor(idf·tf-sat·10⁶)
+    summed as integers, so the ranking is bit-stable at any partitioning
+    (the tfidf PRECISION trick — floats never cross engines or tasks).
+
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  [Robertson–Spärck Jones,
+    the +1 variant that never goes negative]; tf-sat = tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape: ONE pass over the corpus emits per-doc sentinel rows
+    (doc_id, dl) plus (doc_id, term, tf, dl) for query terms only — text
+    never shuffles, tf is a pure per-batch flat map like
+    ``doc_tfidf_top_terms``. Corpus stats (N, avgdl) reduce from
+    block-count-bounded partials; df is |query_terms|-bounded and collected
+    once; scoring is a stateless vectorized pass; the per-doc sum groups
+    only docs that matched ≥1 term. Reference analog: the alias-scored
+    entity search in `multiomics_kg/entity_linking.py` (best-match ranking
+    over a term dictionary), re-expressed as corpus-level retrieval.
+    """
+    import pyarrow.compute as pc
+
+    from .fastagg import sorted_grouped_agg
+
+    terms = sorted(set(query_terms))
+    if "" in query_terms or not terms:
+        raise ValueError("query_terms must be non-empty, without ''")
+
+    ROWS = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return ROWS.empty_table()
+        s = batch.column("text").to_pandas()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ex = s.str.split(" ").explode().replace("", None).dropna()
+        dl = np.zeros(len(s), dtype=np.int64)
+        if len(ex):
+            rows_idx, cnt = np.unique(ex.index.to_numpy(), return_counts=True)
+            dl[rows_idx] = cnt
+        m = ex[ex.isin(terms)]
+        if len(m):
+            frame = pd.DataFrame(
+                {"row": m.index.to_numpy(), "term": m.to_numpy()}
+            )
+            g = (
+                frame.groupby(["row", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            grow = g["row"].to_numpy()
+            doc_col = np.concatenate([ids, ids[grow]])
+            term_col = np.concatenate(
+                [np.full(len(s), "", dtype=object), g["term"].to_numpy()]
+            )
+            tf_col = np.concatenate(
+                [np.zeros(len(s), np.int64), g["tf"].to_numpy().astype(np.int64)]
+            )
+            dl_col = np.concatenate([dl, dl[grow]])
+        else:
+            doc_col, term_col, tf_col, dl_col = (
+                ids,
+                np.full(len(s), "", dtype=object),
+                np.zeros(len(s), np.int64),
+                dl,
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_col, pa.int64()),
+                "term": pa.array(term_col, pa.string()),
+                "tf": pa.array(tf_col, pa.int64()),
+                "dl": pa.array(dl_col, pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(prep, batch_format="pyarrow").materialize()
+
+    # corpus stats from the one-sentinel-per-doc rows (block-bounded partials)
+    n_docs, dl_sum = 0, 0
+    for t in rows.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array([t.filter(pc.equal(t.column("term"), "")).num_rows], pa.int64()),
+                "s": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                t.filter(pc.equal(t.column("term"), "")).column("dl")
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+        if t.num_rows
+        else pa.table({"n": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if t.num_rows:
+            n_docs += int(pc.sum(t.column("n")).as_py() or 0)
+            dl_sum += int(pc.sum(t.column("s")).as_py() or 0)
+    n = float(n_docs)
+    avgdl = float(dl_sum) / n if n_docs else 1.0
+
+    matched = rows.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("term"), ""))),
+        batch_format="pyarrow",
+    )
+    df_parts = [
+        bt
+        for bt in sorted_grouped_agg(
+            matched, ["term"], [("tf", "count")], out_names=["df"]
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if bt.num_columns and bt.num_rows
+    ]
+    df_map: dict[str, int] = {}
+    if df_parts:
+        df_tbl = pa.concat_tables(df_parts)
+        df_map = dict(
+            zip(df_tbl.column("term").to_pylist(), df_tbl.column("df").to_pylist())
+        )
+    term_arr = pa.array(terms, pa.string())
+    df_arr = np.array([df_map.get(t, 0) for t in terms], dtype=np.float64)
+    k1f, bf = float(k1), float(b)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("sq", pa.int64())]
+            ).empty_table()
+        pos = pc.index_in(t.column("term"), value_set=term_arr).to_numpy(
+            zero_copy_only=False
+        )
+        dfv = df_arr[pos.astype(np.int64)]
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        # float-op ORDER mirrors the SQL twin exactly (left-assoc * and /);
+        # ln is the only last-ulp risk, same budget doc_tfidf_top_terms takes
+        idf = np.log((n - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        denom = tf + k1f * ((1.0 - bf) + (bf * dl) / avgdl)
+        sq = np.floor(idf * ((tf * (k1f + 1.0)) / denom) * 1000000.0).astype(
+            np.int64
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "sq": pa.array(sq)})
+
+    agg = sorted_grouped_agg(
+        matched.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        [("sq", "sum"), ("sq", "count")],
+        out_names=["bm25_q", "n_terms"],
+    )
+    return agg.sort(["bm25_q", "doc_id"], descending=[True, False]).limit(k)

@@ -599,3 +599,37 @@ def test_hour_bucket_pre_epoch_floors_down():
     hours = out.column("hour").cast(pa.int64()).to_pylist()
     hour_us = 3_600_000_000
     assert hours == [-hour_us, 0, 0, -hour_us]
+
+
+def test_key_skew_report_matches_duckdb():
+    import duckdb
+
+    from multiomics_biocypher_kg_ray.stages.relational import key_skew_report
+
+    rng = np.random.RandomState(5)
+    # Zipf-ish skew: one hot key holding ~30% of rows.
+    keys = np.concatenate(
+        [np.full(3000, 7), rng.randint(0, 500, size=7000)]
+    ).astype("int64")
+    df = pd.DataFrame({"user_id": keys})
+    out = (
+        key_skew_report(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(8),
+            "user_id",
+            top_n=10,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.sql(
+        "WITH c AS (SELECT user_id, count(*)::BIGINT n FROM t GROUP BY 1), "
+        "s AS (SELECT sum(n)::BIGINT tot FROM c) "
+        "SELECT user_id, n, ((n * 1000000) // tot)::BIGINT share_ppm "
+        "FROM c CROSS JOIN s ORDER BY n DESC, user_id LIMIT 10"
+    ).df()
+    assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+    assert (out["share_ppm"].to_numpy() == ref["share_ppm"].to_numpy()).all()
+    assert out["user_id"].iloc[0] == 7 and out["share_ppm"].iloc[0] >= 290000

@@ -300,3 +300,47 @@ def test_hash60_duckdb_matches_python_twin():
     want = sampling._hash60_py(keys.to_pylist(), "s")
     assert (got == want).all()
     assert (got >= 0).all()
+
+
+def test_distinct_kmv_exact_below_k_and_accurate_above():
+    rng = np.random.RandomState(7)
+    # group "small": 40 distinct values (< k=64) -> exact count
+    # group "big": 5000 distinct values -> estimate within ~3/sqrt(k)
+    vals = np.concatenate(
+        [rng.randint(0, 40, size=300), 100 + rng.randint(0, 5000, size=20000)]
+    ).astype("int64")
+    grps = np.array(["small"] * 300 + ["big"] * 20000)
+    t = pa.table({"g": pa.array(grps), "v": pa.array(vals)})
+    out = (
+        sampling.distinct_kmv(
+            ray.data.from_arrow(t).repartition(5), ["g"], "v", k=64
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    true_small = len(np.unique(vals[:300]))
+    true_big = len(np.unique(vals[300:]))
+    assert out.loc["small", "distinct_est"] == true_small
+    assert out.loc["small", "n_kept"] == true_small
+    assert out.loc["big", "n_kept"] == 64
+    rel_err = abs(out.loc["big", "distinct_est"] - true_big) / true_big
+    assert rel_err < 3.0 / np.sqrt(64)
+
+
+def test_distinct_kmv_partition_invariant():
+    rng = np.random.RandomState(11)
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b"], size=3000)),
+            "v": pa.array(rng.randint(0, 900, size=3000).astype("int64")),
+        }
+    )
+    a = (
+        sampling.distinct_kmv(ray.data.from_arrow(t), ["g"], "v", k=32)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    b = (
+        sampling.distinct_kmv(ray.data.from_arrow(t).repartition(9), ["g"], "v", k=32)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

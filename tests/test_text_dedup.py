@@ -189,3 +189,58 @@ def test_bucket_pairs_duplicate_rows_across_blocks():
     ).to_pandas()
     got = sorted(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
     assert got == [(10, 11), (10, 12), (11, 12)]
+
+
+def test_bm25_topk_ranks_rare_term_matches_first():
+    # doc 1 matches the RARE term; doc 2 matches the common term with equal
+    # tf; docs 3..42 all contain the common term (making it low-idf).
+    rows = [
+        (1, "alpha beta rare"),
+        (2, "alpha beta common"),
+    ] + [(i, "common filler words here") for i in range(3, 43)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    out = (
+        text.bm25_topk(
+            ray.data.from_arrow(t).repartition(4), ["rare", "common"], k=5
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].iloc[0] == 1  # rare-term doc outranks all
+    assert set(out.columns) == {"doc_id", "bm25_q", "n_terms"}
+    assert (out["bm25_q"].to_numpy()[:-1] >= out["bm25_q"].to_numpy()[1:]).all()
+
+
+def test_bm25_topk_matches_duckdb_twin():
+    import duckdb
+
+    from multiomics_biocypher_kg_ray.oracle_rel import sql_bm25_docs
+
+    rng = np.random.RandomState(3)
+    words = np.array(["join", "scan", "hash", "sort", "merge", "filter", "x"])
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(1, 12))) for _ in range(400)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype="int64"), "text": texts})
+    out = (
+        text.bm25_topk(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(6),
+            ["join", "hash"],
+            k=15,
+        )
+        .to_pandas()
+        .sort_values(["bm25_q", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    ref = con.sql(sql_bm25_docs(["join", "hash"], k=15)).df()
+    assert (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+    assert (out["bm25_q"].to_numpy() == ref["bm25_q"].to_numpy()).all()
+    assert (out["n_terms"].to_numpy() == ref["n_terms"].to_numpy()).all()
