@@ -176,3 +176,96 @@ def run_kg_to_parquet(
     with open(f"{out_dir}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+NODE_SCHEMA = pa.schema(
+    [
+        ("id", pa.string()),
+        ("label", pa.string()),
+        ("name", pa.string()),
+        ("mention_count", pa.int64()),
+    ]
+)
+EDGE_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()),
+        ("pred", pa.string()),
+        ("dst", pa.string()),
+        ("weight", pa.int64()),
+        ("evidence", pa.string()),
+    ]
+)
+
+
+def read_graph(base_dir: str) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Read a ``write_graph`` output back as (nodes, edges) Datasets with the
+    canonical column order/types (hive partition columns come back last and
+    dictionary-typed — normalize before anything joins or unions them)."""
+
+    def norm(schema: pa.Schema):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return schema.empty_table()
+            return pa.table(
+                {f.name: t.column(f.name).cast(f.type) for f in schema}
+            )
+
+        return fn
+
+    nodes = ray.data.read_parquet(f"{base_dir}/nodes").map_batches(
+        norm(NODE_SCHEMA), batch_format="pyarrow"
+    )
+    edges = ray.data.read_parquet(f"{base_dir}/edges").map_batches(
+        norm(EDGE_SCHEMA), batch_format="pyarrow"
+    )
+    return nodes, edges
+
+
+def run_kg_incremental(
+    base_dir: str,
+    new_transcripts: "ray.data.Dataset",
+    out_dir: str,
+    cfg: KGConfig | None = None,
+) -> dict:
+    """Incremental ingest: extract/link/build over ONLY the new transcript
+    batch, then merge into an existing ``write_graph`` output — weight sums
+    + evidence set-union via ``merge_nodes``/``merge_edges``, whose
+    associativity makes the result EQUAL a one-shot rebuild over the full
+    input (pinned by ``tests/test_incremental.py`` and the
+    ``kg_edges_incremental`` oracle row). This is the 100 TB ingest shape:
+    a daily transcript drop costs one delta build + a distinct-edge-bounded
+    merge, never a full re-extract of the corpus.
+
+    Requires the canonical map to be dictionary-derived (the default): a
+    DATA-derived alias graph (``kg_components_data``) can merge entities
+    retroactively, which is a re-canonicalization, not a merge — callers on
+    that path must rebuild. The manifest records lineage (base dir, base
+    counts, delta counts) so a chain of increments is auditable."""
+    from ..stages.materialize import merge_edges, merge_nodes
+
+    base_nodes, base_edges = read_graph(base_dir)
+    res = build_kg(new_transcripts, cfg, materialize_linked=True)
+    # entity-bounded; pin once so the lineage counts don't re-run the build
+    delta_nodes = res.nodes.materialize()
+    delta_edges = res.edges.materialize()
+    nodes = merge_nodes(base_nodes, delta_nodes)
+    edges = merge_edges(base_edges, delta_edges)
+    manifest = write_graph(nodes, edges, out_dir)
+
+    import json
+
+    try:
+        with open(f"{base_dir}/manifest.json") as f:
+            base_manifest = json.load(f)
+    except OSError:
+        base_manifest = {}
+    manifest["lineage"] = {
+        "base_dir": base_dir,
+        "base_nodes": base_manifest.get("nodes"),
+        "base_edges": base_manifest.get("edges"),
+        "delta_nodes": delta_nodes.count(),
+        "delta_edges": delta_edges.count(),
+    }
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

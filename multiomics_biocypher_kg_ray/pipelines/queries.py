@@ -717,6 +717,32 @@ def q_events_winsorized(sf_dir: str):
     )
 
 
+def q_kg_edges_incremental(sf_dir: str):
+    """Incremental-ingest proof: half the conversations build a base edge
+    table, the other half builds a delta, and ``merge_edges`` (weight sums +
+    evidence set-union) combines them — the result must EQUAL the one-shot
+    full build, so the oracle is the SAME SQL as ``kg_edges``."""
+    from ..stages import sampling
+    from ..stages.materialize import merge_edges
+
+    split = sampling.hash_split(
+        transcripts_dataset(sf_dir), "conv_id", [("a", 0.5), ("b", 0.5)]
+    ).materialize()
+    idx_ref = ray.put(AliasIndex(default_alias_dictionary()))
+    halves = {}
+    for tag in ("a", "b"):
+        part = split.map_batches(
+            lambda t, tag=tag: t.filter(
+                pc.equal(t.column("split"), tag)
+            ).drop_columns(["split"]),
+            batch_format="pyarrow",
+        )
+        halves[tag] = materialize.build_edges(
+            link_mentions(extract_mentions(part), idx_ref), _canon_tbl()
+        )
+    return merge_edges(halves["a"], halves["b"])
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1528,6 +1554,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_events_winsorized(),
         ),
         "user_event_skew": (q_user_event_skew, oracle_rel.sql_user_event_skew()),
+        "kg_edges_incremental": (q_kg_edges_incremental, oracle.sql_kg_edges()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1547,6 +1574,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_shuffle_positions",
         "corpus_prep",
         "events_winsorized",
+        "kg_edges_incremental",
         "user_event_skew",
         "event_user_kmv",
         "bm25_docs",

@@ -562,7 +562,12 @@ def dangling_edges(
     The reference silently skips these at import and mines the report back
     (``skip_bad_relationships``); here the report is a first-class output.
     """
-    node_ids = nodes.select_columns(["id"])
+    from .fastagg import drop_empty_blocks
+
+    # a 0-row block loses its schema through upstream maps and breaks
+    # Dataset.join ("No match for key field") — guard both sides
+    edges = drop_empty_blocks(edges)
+    node_ids = drop_empty_blocks(nodes.select_columns(["id"]))
     np_ = default_join_partitions()
     miss_src = edges.join(
         node_ids, join_type="left_anti", num_partitions=np_, on=("src",), right_on=("id",)
@@ -657,3 +662,126 @@ def two_hop_counts(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     return sorted_grouped_agg(
         pairs, ["src"], [("dst2", "count")], out_names=["n_two_hop"]
     )
+
+
+# ----------------------------------------------------------- incremental merge
+
+
+def _join_weight_evidence(
+    weights: "ray.data.Dataset", evidence: "ray.data.Dataset", keys: list[str]
+) -> "ray.data.Dataset":
+    """(keys…, weight) ⟕ (keys…, evidence) with NULL evidence → '' — the
+    shared tail of the build and merge paths. Driver-side Acero join while
+    both sides are ≤ DRIVER_JOIN_MAX (the fixed-cost trim measured in
+    build_graph_tables), distributed hash join beyond."""
+    from ..tuning import default_join_partitions
+
+    w_mat = weights.materialize()
+    e_mat = evidence.materialize()
+    if w_mat.count() <= DRIVER_JOIN_MAX and e_mat.count() <= DRIVER_JOIN_MAX:
+        wt = _gather_table(w_mat)
+        et = _gather_table(e_mat)
+        joined = wt.join(et, keys=keys, join_type="left outer")
+        ev_idx = joined.schema.get_field_index("evidence")
+        joined = joined.set_column(
+            ev_idx,
+            "evidence",
+            pc.fill_null(joined.column("evidence").cast(pa.string()), ""),
+        )
+        return ray.data.from_arrow(joined.combine_chunks())
+    return (
+        w_mat.join(
+            e_mat,
+            join_type="left_outer",
+            num_partitions=default_join_partitions(),
+            on=tuple(keys),
+        )
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("evidence"),
+                "evidence",
+                pc.fill_null(t.column("evidence"), ""),
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+
+def merge_nodes(
+    base: "ray.data.Dataset", delta: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Merge two node tables (id, label, name, mention_count): counts sum
+    per id. Associative and commutative, so incremental merging of any
+    number of partial builds equals the one-shot full build — the property
+    ``tests/test_incremental.py`` pins. Pure fastagg; streams both sides."""
+    from .fastagg import sorted_grouped_agg
+
+    return sorted_grouped_agg(
+        base.union(delta),
+        ["id", "label", "name"],
+        [("mention_count", "sum")],
+        out_names=["mention_count"],
+    )
+
+
+def merge_edges(
+    base: "ray.data.Dataset", delta: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Merge two edge tables (src, pred, dst, weight, evidence): weights sum,
+    evidence strings re-union as SETS (split on EVIDENCE_SEP → distinct →
+    ordered re-collect). Because the evidence union is a sorted distinct
+    set, the merge is associative — base ∪ delta rebuilt equals the
+    one-shot build over all input (the incremental-ingest contract;
+    reference analog: BioCypher's deduplicating batch writer re-run over an
+    extended source set, `multiomics_kg/adapters/*` + CLAUDE.md:429 counts).
+
+    Scale shape: one fastagg weight pass + one distinct + one segmented
+    ordered collect over the UNION of two edge tables — distinct-edge
+    proportional, no per-group Python, no driver state beyond the join-path
+    dispatch already used by the flagship build."""
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .relational import sorted_collect
+
+    both = base.union(delta)
+    keys = ["src", "pred", "dst"]
+    weights = sorted_grouped_agg(
+        both.map_batches(
+            lambda t: t.select(keys + ["weight"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        ),
+        keys,
+        [("weight", "sum")],
+        out_names=["weight"],
+    )
+
+    EV = pa.schema([(k, pa.string()) for k in keys] + [("ev", pa.string())])
+
+    def ev_explode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return EV.empty_table()
+        sub = t.filter(pc.not_equal(t.column("evidence"), ""))
+        if sub.num_rows == 0:
+            return EV.empty_table()
+        parts = pc.split_pattern(sub.column("evidence"), EVIDENCE_SEP)
+        flat = pc.list_flatten(parts)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(sub.num_rows, dtype=np.int64), lens))
+        cols = {k: sub.column(k).take(idx) for k in keys}
+        cols["ev"] = flat
+        return pa.table(cols).cast(EV)
+
+    ev_pairs = sorted_distinct(
+        drop_empty_blocks(
+            both.map_batches(ev_explode, batch_format="pyarrow"), EV
+        ),
+        keys + ["ev"],
+    )
+    evidence = drop_empty_blocks(
+        sorted_collect(
+            ev_pairs, keys, "ev", [("ev", "evidence")], sep=EVIDENCE_SEP
+        )
+    )
+    return _join_weight_evidence(weights, evidence, keys)
