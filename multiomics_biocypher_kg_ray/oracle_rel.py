@@ -1293,3 +1293,25 @@ WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
 t AS (SELECT sum(n)::BIGINT AS tot FROM c)
 SELECT c.user_id, c.n, ((c.n * 1000000) // t.tot)::BIGINT AS share_ppm
 FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT {top_n}"""
+
+
+def sql_events_zscore() -> str:
+    """Twin of ``relational.group_zscore`` over events/cents per event_type:
+    z rearranged to integer group sums — (n·x − Σx)/√(n·Σx² − (Σx)²) — so
+    both engines derive identical doubles from identical int64 aggregates
+    (sqrt/division are IEEE-correctly-rounded: bit-exact, no ulp caveat).
+    NULL when the group variance is zero."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_id, event_type, {v} AS cents FROM events),
+st AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+         sum(cents * cents)::BIGINT AS s2
+  FROM e GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.cents,
+       CASE WHEN (n::DOUBLE * s2 - s::DOUBLE * s) > 0.0::DOUBLE
+            THEN floor(((n * e.cents - s) * 1000000.0::DOUBLE)
+                       / sqrt(n::DOUBLE * s2 - s::DOUBLE * s))::BIGINT
+            ELSE NULL END AS zscore_ppm
+FROM e JOIN st USING (event_type)"""

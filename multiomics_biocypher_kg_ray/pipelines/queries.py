@@ -743,6 +743,20 @@ def q_kg_edges_incremental(sf_dir: str):
     return merge_edges(halves["a"], halves["b"])
 
 
+def q_events_zscore(sf_dir: str):
+    """Per-type z-score feature scaling of cents, micro-quantized; NULL for
+    zero-variance groups."""
+    ev = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(
+            lambda t: relational.to_cents(t, {"value": "cents"}),
+            batch_format="pyarrow",
+        )
+        .select_columns(["event_id", "event_type", "cents"])
+    )
+    return relational.group_zscore(ev, ["event_type"], "cents")
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1554,6 +1568,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_events_winsorized(),
         ),
         "user_event_skew": (q_user_event_skew, oracle_rel.sql_user_event_skew()),
+        "events_zscore": (q_events_zscore, oracle_rel.sql_events_zscore()),
         "kg_edges_incremental": (q_kg_edges_incremental, oracle.sql_kg_edges()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
@@ -1575,6 +1590,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "corpus_prep",
         "events_winsorized",
         "kg_edges_incremental",
+        "events_zscore",
         "user_event_skew",
         "event_user_kmv",
         "bm25_docs",

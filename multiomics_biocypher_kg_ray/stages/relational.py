@@ -931,3 +931,94 @@ def key_skew_report(
         )
 
     return top.map_batches(share, batch_format="pyarrow")
+
+
+def group_zscore(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    out_col: str = "zscore_ppm",
+) -> "ray.data.Dataset":
+    """Per-group z-score normalization of an integer column, emitted as the
+    micro-quantized ``out_col`` = floor(z·10⁶) — the standard feature-scaling
+    transform before training / anomaly thresholds. NULL when the group has
+    zero variance.
+
+    Exactness: z = (x − mean)/σ_pop is algebraically rearranged to use ONLY
+    the integer group sums — z = (n·x − Σx)/√(n·Σx² − (Σx)²) — so both
+    engines derive identical doubles from identical int64 aggregates, and
+    because IEEE sqrt/division are correctly rounded (unlike ln), the
+    quantized output is bit-exact vs the DuckDB twin with NO last-ulp caveat.
+
+    Scale shape: one fastagg pass computes (n, Σx, Σx²) per group
+    (group-count-bounded table, broadcast once), then the input streams
+    through a stateless vectorized map — same two-pass shape as
+    ``clip_to_group_quantiles``; no group ever occupies one task.
+    """
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import sorted_grouped_agg
+
+    def sq(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [(k, pa.string()) for k in keys]
+                + [("_v", pa.int64()), ("_v2", pa.int64())]
+            ).empty_table()
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {k: t.column(k) for k in keys}
+        cols["_v"] = pa.array(v, pa.int64())
+        cols["_v2"] = pa.array(v * v, pa.int64())
+        return pa.table(cols)
+
+    stats = sorted_grouped_agg(
+        ds.map_batches(sq, batch_format="pyarrow"),
+        keys,
+        [("_v", "count"), ("_v", "sum"), ("_v2", "sum")],
+        out_names=["_n", "_s", "_s2"],
+    )
+    stats_tbl = pa.concat_tables(
+        [
+            b
+            for b in stats.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns and b.num_rows
+        ]
+    ).combine_chunks()
+    stats_ref = broadcast(stats_tbl)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        def build():
+            tb = ray.get(stats_ref) if not isinstance(stats_ref, pa.Table) else stats_ref
+            key_rows = list(zip(*[tb.column(k).to_pylist() for k in keys]))
+            return {
+                kr: (n, s, s2)
+                for kr, n, s, s2 in zip(
+                    key_rows,
+                    tb.column("_n").to_pylist(),
+                    tb.column("_s").to_pylist(),
+                    tb.column("_s2").to_pylist(),
+                )
+            }
+
+        d = task_state(state_key("gz", stats_ref), build)
+        key_df = t.select(keys).to_pandas()
+        ktup = list(key_df.itertuples(index=False, name=None))
+        n = np.array([d[k][0] for k in ktup], dtype=np.int64)
+        s = np.array([d[k][1] for k in ktup], dtype=np.int64)
+        s2 = np.array([d[k][2] for k in ktup], dtype=np.int64)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # identical double derivation as the SQL twin (left-assoc * and -)
+        var_n2 = n.astype(np.float64) * s2.astype(np.float64) - s.astype(
+            np.float64
+        ) * s.astype(np.float64)
+        num = (n * x - s).astype(np.float64) * 1000000.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.floor(num / np.sqrt(var_n2))
+        ok = var_n2 > 0
+        arr = pa.array(
+            np.where(ok, z, 0).astype(np.int64), pa.int64(), mask=~ok
+        )
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(score, batch_format="pyarrow")

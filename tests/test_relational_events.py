@@ -633,3 +633,50 @@ def test_key_skew_report_matches_duckdb():
     assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
     assert (out["share_ppm"].to_numpy() == ref["share_ppm"].to_numpy()).all()
     assert out["user_id"].iloc[0] == 7 and out["share_ppm"].iloc[0] >= 290000
+
+
+def test_group_zscore_matches_duckdb_and_nulls_zero_variance():
+    import duckdb
+
+    from multiomics_biocypher_kg_ray.stages.relational import group_zscore
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(1205, dtype="int64"),
+            "event_type": np.concatenate(
+                [rng.choice(["a", "b"], size=1200), np.array(["const"] * 5)]
+            ),
+            "cents": np.concatenate(
+                [
+                    rng.randint(-2000, 9000, size=1200),
+                    np.full(5, 42),  # zero-variance group
+                ]
+            ).astype("int64"),
+        }
+    )
+    out = (
+        group_zscore(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(6),
+            ["event_type"],
+            "cents",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.sql(
+        "WITH st AS (SELECT event_type, count(*)::BIGINT n, sum(cents)::BIGINT s, "
+        "sum(cents*cents)::BIGINT s2 FROM t GROUP BY 1) "
+        "SELECT event_id, CASE WHEN (n::DOUBLE * s2 - s::DOUBLE * s) > 0.0 "
+        "THEN floor(((n * cents - s) * 1000000.0::DOUBLE) "
+        "/ sqrt(n::DOUBLE * s2 - s::DOUBLE * s))::BIGINT ELSE NULL END z "
+        "FROM t JOIN st USING (event_type) ORDER BY event_id"
+    ).df()
+    a = out["zscore_ppm"].to_numpy(dtype="float64", na_value=np.nan)
+    b = ref["z"].to_numpy(dtype="float64", na_value=np.nan)
+    assert np.array_equal(a, b, equal_nan=True)
+    assert out.loc[out["event_type"] == "const", "zscore_ppm"].isna().all()
