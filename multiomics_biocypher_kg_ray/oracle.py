@@ -471,3 +471,28 @@ def sql_conv_text_concat() -> str:
     return f"""WITH {transcripts_cte()}
 SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS full_text
 FROM transcripts GROUP BY 1"""
+
+
+def sql_kg_degree_histogram() -> str:
+    """Twin of ``materialize.degree_histogram``: node-degree distribution
+    (degree, n_nodes) over the built edge table — pure integer pipeline."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+  GROUP BY 1
+)
+SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1"""
+
+
+def sql_kg_reciprocity() -> str:
+    """Twin of ``materialize.reciprocity_by_pred``: per-pred edge count and
+    how many edges have their (dst, pred, src) reverse present."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()})
+SELECT e.pred, count(*)::BIGINT AS n_edges,
+       sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_reciprocal
+FROM edges e LEFT JOIN edges r
+  ON e.src = r.dst AND e.dst = r.src AND e.pred = r.pred
+GROUP BY 1"""

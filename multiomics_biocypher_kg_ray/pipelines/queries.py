@@ -757,6 +757,21 @@ def q_events_zscore(sf_dir: str):
     return relational.group_zscore(ev, ["event_type"], "cents")
 
 
+def q_kg_degree_histogram(sf_dir: str):
+    """Degree-distribution QA rollup over the built edge table."""
+    return materialize.degree_histogram(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    )
+
+
+def q_kg_reciprocity(sf_dir: str):
+    """Per-predicate reciprocity audit (reverse-edge presence) over the
+    built edge table."""
+    return materialize.reciprocity_by_pred(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    )
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1570,6 +1585,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "user_event_skew": (q_user_event_skew, oracle_rel.sql_user_event_skew()),
         "events_zscore": (q_events_zscore, oracle_rel.sql_events_zscore()),
         "kg_edges_incremental": (q_kg_edges_incremental, oracle.sql_kg_edges()),
+        "kg_degree_histogram": (q_kg_degree_histogram, oracle.sql_kg_degree_histogram()),
+        "kg_reciprocity": (q_kg_reciprocity, oracle.sql_kg_reciprocity()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1590,6 +1607,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "corpus_prep",
         "events_winsorized",
         "kg_edges_incremental",
+        "kg_degree_histogram",
+        "kg_reciprocity",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

@@ -785,3 +785,83 @@ def merge_edges(
         )
     )
     return _join_weight_evidence(weights, evidence, keys)
+
+
+def degree_histogram(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Degree distribution (degree, n_nodes) — the first KG quality rollup a
+    grapher reads after a build (reference analog: the post-import count
+    statistics, post-import.cypher:1361-1375): a healthy extraction shows a
+    heavy-tailed curve; a parser bug shows a spike. Pure integer pipeline —
+    node_degree (fastagg) then a second fastagg count keyed on the degree
+    value itself; group count is bounded by the distinct-degree count."""
+    from .fastagg import sorted_grouped_agg
+
+    deg = node_degree(edges).select_columns(["degree"])
+    return sorted_grouped_agg(
+        deg.map_batches(
+            lambda t: t.append_column(
+                "_one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        ["degree"],
+        [("_one", "sum")],
+        out_names=["n_nodes"],
+    )
+
+
+def reciprocity_by_pred(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-predicate (pred, n_edges, n_reciprocal): how many edges have their
+    reverse (dst, pred, src) also present — the symmetry audit that catches
+    extraction rules emitting both directions of what should be one
+    undirected relation (the reference models these as paired
+    `Interacts_with` rows). One distributed self-join on the edge key —
+    edge-count proportional, no broadcast."""
+    from ..tuning import default_join_partitions
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    keyed = drop_empty_blocks(edges.select_columns(["src", "pred", "dst"]))
+    rev = drop_empty_blocks(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("dst"),
+                    "pred": t.column("pred"),
+                    "dst": t.column("src"),
+                    "_r": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+    )
+    flagged = keyed.join(
+        rev,
+        join_type="left_outer",
+        num_partitions=default_join_partitions(),
+        on=("src", "pred", "dst"),
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("pred", pa.string()), ("_n", pa.int64()), ("_rec", pa.int64())]
+            ).empty_table()
+        has = pc.fill_null(t.column("_r"), 0)
+        return pa.table(
+            {
+                "pred": t.column("pred"),
+                "_n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "_rec": pc.cast(pc.min_element_wise(has, 1), pa.int64()),
+            }
+        )
+
+    return sorted_grouped_agg(
+        flagged.map_batches(counts, batch_format="pyarrow"),
+        ["pred"],
+        [("_n", "sum"), ("_rec", "sum")],
+        out_names=["n_edges", "n_reciprocal"],
+    )

@@ -105,3 +105,31 @@ def test_node_triangles_clique_exact():
     out = node_triangles(_edges_ds(edges, parts=3)).to_pandas()
     got = dict(zip(out["node"], out["n_triangles"]))
     assert got == {n: 6 for n in nodes}
+
+
+def test_degree_histogram_and_reciprocity_small():
+    import pyarrow as pa
+    import ray.data
+
+    from multiomics_biocypher_kg_ray.stages.materialize import (
+        degree_histogram,
+        reciprocity_by_pred,
+    )
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["a", "b", "a", "c"]),
+                "pred": pa.array(["p", "p", "q", "p"]),
+                "dst": pa.array(["b", "a", "c", "d"]),
+                "weight": pa.array([1, 2, 1, 1], pa.int64()),
+                "evidence": pa.array(["r1", "r2", "", "r1"]),
+            }
+        )
+    ).repartition(3)
+    hist = degree_histogram(edges).to_pandas().set_index("degree")["n_nodes"]
+    # degrees: a=3, b=2, c=2, d=1
+    assert hist.to_dict() == {3: 1, 2: 2, 1: 1}
+    rec = reciprocity_by_pred(edges).to_pandas().set_index("pred")
+    assert rec.loc["p", "n_edges"] == 3 and rec.loc["p", "n_reciprocal"] == 2
+    assert rec.loc["q", "n_edges"] == 1 and rec.loc["q", "n_reciprocal"] == 0
