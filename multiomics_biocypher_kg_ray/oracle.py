@@ -496,3 +496,40 @@ SELECT e.pred, count(*)::BIGINT AS n_edges,
 FROM edges e LEFT JOIN edges r
   ON e.src = r.dst AND e.dst = r.src AND e.pred = r.pred
 GROUP BY 1"""
+
+
+def sql_kg_cooccurrence(cap: int = 200, min_pairs: int = 2) -> str:
+    """Twin of ``materialize.cooccurrence_pmi``: distinct (conv, entity)
+    occurrences, per-conv entity set capped at the first ``cap`` ascending,
+    intra-conv a<b pairs, PMI = ln(n_ab·N/(n_a·n_b)) quantized to
+    floor(·10⁶) over exact int64 products."""
+    return f"""{_kg_prefix()},
+occ AS (
+  SELECT DISTINCT conv_id, entity FROM (
+    SELECT conv_id, subj_id AS entity FROM linked WHERE subj_id IS NOT NULL
+    UNION ALL
+    SELECT conv_id, obj_id FROM linked WHERE obj_id IS NOT NULL
+  )
+),
+r AS (
+  SELECT conv_id, entity,
+         row_number() OVER (PARTITION BY conv_id ORDER BY entity) AS rn
+  FROM occ
+),
+capped AS (SELECT conv_id, entity FROM r WHERE rn <= {cap}),
+p AS (
+  SELECT a.entity AS ent_a, b.entity AS ent_b, count(*)::BIGINT AS n_ab
+  FROM capped a JOIN capped b
+    ON a.conv_id = b.conv_id AND a.entity < b.entity
+  GROUP BY 1, 2
+),
+cnt AS (SELECT entity, count(*)::BIGINT AS n FROM capped GROUP BY 1),
+tot AS (SELECT count(DISTINCT conv_id)::BIGINT AS nconv FROM capped)
+SELECT ent_a, ent_b, n_ab,
+       floor(ln((n_ab * nconv)::DOUBLE / (na.n * nb.n))
+             * 1000000.0::DOUBLE)::BIGINT AS pmi_q
+FROM p
+JOIN cnt na ON na.entity = p.ent_a
+JOIN cnt nb ON nb.entity = p.ent_b
+CROSS JOIN tot
+WHERE n_ab >= {min_pairs}"""

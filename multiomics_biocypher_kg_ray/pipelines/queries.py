@@ -772,6 +772,11 @@ def q_kg_reciprocity(sf_dir: str):
     )
 
 
+def q_kg_cooccurrence(sf_dir: str):
+    """Entity co-mention PMI edges over resolved mentions per conversation."""
+    return materialize.cooccurrence_pmi(_linked(sf_dir))
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1587,6 +1592,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_edges_incremental": (q_kg_edges_incremental, oracle.sql_kg_edges()),
         "kg_degree_histogram": (q_kg_degree_histogram, oracle.sql_kg_degree_histogram()),
         "kg_reciprocity": (q_kg_reciprocity, oracle.sql_kg_reciprocity()),
+        "kg_cooccurrence": (q_kg_cooccurrence, oracle.sql_kg_cooccurrence()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1609,6 +1615,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_edges_incremental",
         "kg_degree_histogram",
         "kg_reciprocity",
+        "kg_cooccurrence",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

@@ -865,3 +865,150 @@ def reciprocity_by_pred(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         [("_n", "sum"), ("_rec", "sum")],
         out_names=["n_edges", "n_reciprocal"],
     )
+
+
+def cooccurrence_pmi(
+    linked: "ray.data.Dataset",
+    cap: int = 200,
+    min_pairs: int = 2,
+) -> "ray.data.Dataset":
+    """Entity co-occurrence edges with PMI scores: for every pair of resolved
+    entities mentioned in the same conversation, (ent_a, ent_b, n_ab, pmi_q)
+    with pmi_q = floor(ln(n_ab·N / (n_a·n_b))·10⁶) — the classic
+    co-mention signal KG builders mine alongside explicit relation
+    extraction (reference analog: the co-annotation rollups of
+    post-import.cypher's shared-term statistics). All counts are integers;
+    the only float is one ln over a ratio of exact int64 products (the
+    doc_tfidf last-ulp budget).
+
+    Scale shape: occurrences dedupe to (conv, entity) via sorted_distinct;
+    each conversation's entity set is capped at the first ``cap`` ascending
+    (hot-conv guard, mirrored EXACTLY in the SQL twin via row_number) with
+    ``ranked_over`` — then pair emission rides the segmented sorted-scan
+    ``bucket_pairs`` kernel (no per-group Python, boundary buckets
+    block-bounded), pair counts through fastagg, and the entity-count table
+    broadcasts once for the PMI probe. Conversation size is turn-bounded, so
+    the intra-conv pair blow-up is bounded by construction; the cap is the
+    explicit backstop."""
+    from .dedup import bucket_pairs
+    from .fastagg import sorted_distinct, sorted_grouped_agg
+    from .relational import ranked_over
+    from ..state.broadcast import broadcast, state_key, task_state
+
+    OCC = pa.schema([("conv_id", pa.string()), ("entity", pa.string())])
+
+    def occ_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OCC.empty_table()
+        parts = []
+        for col in ("subj_id", "obj_id"):
+            sub = t.filter(pc.is_valid(t.column(col)))
+            if sub.num_rows:
+                parts.append(
+                    pa.table(
+                        {
+                            "conv_id": sub.column("conv_id"),
+                            "entity": pc.cast(sub.column(col), pa.string()),
+                        }
+                    )
+                )
+        return pa.concat_tables(parts).cast(OCC) if parts else OCC.empty_table()
+
+    occ = sorted_distinct(
+        linked.map_batches(occ_fn, batch_format="pyarrow"), ["conv_id", "entity"]
+    )
+    capped = ranked_over(
+        occ, ["conv_id"], [("entity", True)], rank_col="_rn"
+    ).map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("_rn"), cap)).drop_columns(
+            ["_rn"]
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    ).materialize()  # consumed three times: pairs, entity counts, conv count
+
+    pairs = bucket_pairs(capped, ["conv_id"], id_col="entity", cap=None)
+    pair_counts = sorted_grouped_agg(
+        pairs.map_batches(
+            lambda t: t.append_column(
+                "_one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        ["doc_a", "doc_b"],
+        [("_one", "sum")],
+        out_names=["n_ab"],
+    )
+
+    ent_counts = sorted_grouped_agg(
+        capped.map_batches(
+            lambda t: t.append_column(
+                "_one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        ["entity"],
+        [("_one", "sum")],
+        out_names=["n"],
+    )
+    ent_tbl = _gather_table(ent_counts.materialize()).combine_chunks()
+    n_conv = 0
+    for bt in sorted_distinct(
+        capped.select_columns(["conv_id"]), ["conv_id"]
+    ).map_batches(
+        lambda t: pa.table({"c": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if bt.num_rows:
+            n_conv += int(pc.sum(bt.column("c")).as_py() or 0)
+    ent_ref = broadcast(ent_tbl)
+    nconv = float(n_conv)
+
+    def score(t: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [
+                ("ent_a", pa.string()),
+                ("ent_b", pa.string()),
+                ("n_ab", pa.int64()),
+                ("pmi_q", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        t = t.filter(pc.greater_equal(t.column("n_ab"), min_pairs))
+        if t.num_rows == 0:
+            return OUT.empty_table()
+
+        def build():
+            tb = ray.get(ent_ref) if not isinstance(ent_ref, pa.Table) else ent_ref
+            return (
+                tb.column("entity").combine_chunks(),
+                tb.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+
+        ents, cnts = task_state(state_key("cooc", ent_ref), build)
+        pa_ = pc.index_in(t.column("doc_a"), value_set=ents).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pb_ = pc.index_in(t.column("doc_b"), value_set=ents).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_ab = t.column("n_ab").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = (n_ab * int(nconv)).astype(np.float64)
+        den = (cnts[pa_] * cnts[pb_]).astype(np.float64)
+        pmi = np.floor(np.log(num / den) * 1000000.0).astype(np.int64)
+        return pa.table(
+            {
+                "ent_a": t.column("doc_a"),
+                "ent_b": t.column("doc_b"),
+                "n_ab": t.column("n_ab"),
+                "pmi_q": pa.array(pmi),
+            }
+        ).cast(OUT)
+
+    return pair_counts.map_batches(score, batch_format="pyarrow")

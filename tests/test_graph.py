@@ -133,3 +133,60 @@ def test_degree_histogram_and_reciprocity_small():
     rec = reciprocity_by_pred(edges).to_pandas().set_index("pred")
     assert rec.loc["p", "n_edges"] == 3 and rec.loc["p", "n_reciprocal"] == 2
     assert rec.loc["q", "n_edges"] == 1 and rec.loc["q", "n_reciprocal"] == 0
+
+
+def test_cooccurrence_pmi_small_vs_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from multiomics_biocypher_kg_ray.stages.materialize import cooccurrence_pmi
+
+    rng = np.random.RandomState(23)
+    ents = np.array(["E1", "E2", "E3", "E4", None], dtype=object)
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 40}" for i in range(600)],
+            "subj_id": rng.choice(ents, size=600),
+            "obj_id": rng.choice(ents, size=600),
+        }
+    )
+    out = (
+        cooccurrence_pmi(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(5),
+            cap=3,
+            min_pairs=2,
+        )
+        .to_pandas()
+        .sort_values(["ent_a", "ent_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("linked", df)
+    ref = con.sql(
+        """
+WITH occ AS (
+  SELECT DISTINCT conv_id, entity FROM (
+    SELECT conv_id, subj_id AS entity FROM linked WHERE subj_id IS NOT NULL
+    UNION ALL SELECT conv_id, obj_id FROM linked WHERE obj_id IS NOT NULL)
+),
+r AS (SELECT conv_id, entity,
+             row_number() OVER (PARTITION BY conv_id ORDER BY entity) rn FROM occ),
+capped AS (SELECT conv_id, entity FROM r WHERE rn <= 3),
+p AS (SELECT a.entity ent_a, b.entity ent_b, count(*)::BIGINT n_ab
+      FROM capped a JOIN capped b
+        ON a.conv_id = b.conv_id AND a.entity < b.entity GROUP BY 1,2),
+cnt AS (SELECT entity, count(*)::BIGINT n FROM capped GROUP BY 1),
+tot AS (SELECT count(DISTINCT conv_id)::BIGINT nconv FROM capped)
+SELECT ent_a, ent_b, n_ab,
+       floor(ln((n_ab * nconv)::DOUBLE / (na.n * nb.n)) * 1000000.0::DOUBLE)::BIGINT pmi_q
+FROM p JOIN cnt na ON na.entity = ent_a JOIN cnt nb ON nb.entity = ent_b
+CROSS JOIN tot WHERE n_ab >= 2 ORDER BY ent_a, ent_b
+"""
+    ).df()
+    assert (out["ent_a"].to_numpy() == ref["ent_a"].to_numpy()).all()
+    assert (out["n_ab"].to_numpy() == ref["n_ab"].to_numpy()).all()
+    assert (out["pmi_q"].to_numpy() == ref["pmi_q"].to_numpy()).all()
