@@ -533,3 +533,36 @@ JOIN cnt na ON na.entity = p.ent_a
 JOIN cnt nb ON nb.entity = p.ent_b
 CROSS JOIN tot
 WHERE n_ab >= {min_pairs}"""
+
+
+def sql_conv_role_stats() -> str:
+    """Twin of ``convo.conv_role_stats``: per-conv role/tool/char census."""
+    return f"""{_kg_prefix()}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN coalesce(tool, '') <> '' THEN 1 ELSE 0 END)::BIGINT AS n_tool,
+       sum(length(text))::BIGINT AS n_chars
+FROM transcripts GROUP BY 1"""
+
+
+def sql_turn_templates(min_convs: int = 2, k: int = 50) -> str:
+    """Twin of ``convo.turn_templates``: texts in ≥ min_convs distinct convs,
+    top-k by total occurrences, (n_turns DESC, text)."""
+    return f"""{_kg_prefix()}
+SELECT text, count(DISTINCT conv_id)::BIGINT AS n_convs,
+       count(*)::BIGINT AS n_turns
+FROM transcripts GROUP BY 1
+HAVING count(DISTINCT conv_id) >= {min_convs}
+ORDER BY n_turns DESC, text LIMIT {k}"""
+
+
+def sql_tool_sequences(k: int = 20) -> str:
+    """Twin of ``convo.tool_sequences``: per-conv ordered non-empty tool
+    sequence, top-k sequences by conversation count."""
+    return f"""{_kg_prefix()},
+s AS (
+  SELECT conv_id, string_agg(tool, ',' ORDER BY turn_idx) AS seq
+  FROM transcripts WHERE coalesce(tool, '') <> '' GROUP BY 1
+)
+SELECT seq, count(*)::BIGINT AS n_convs FROM s GROUP BY 1
+ORDER BY n_convs DESC, seq LIMIT {k}"""

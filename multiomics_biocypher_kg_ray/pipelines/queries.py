@@ -777,6 +777,27 @@ def q_kg_cooccurrence(sf_dir: str):
     return materialize.cooccurrence_pmi(_linked(sf_dir))
 
 
+def q_conv_role_stats(sf_dir: str):
+    """Per-conversation role/tool/char composition census."""
+    from ..stages import convo
+
+    return convo.conv_role_stats(transcripts_dataset(sf_dir))
+
+
+def q_turn_templates(sf_dir: str):
+    """Repeated-turn template detection across conversations."""
+    from ..stages import convo
+
+    return convo.turn_templates(transcripts_dataset(sf_dir))
+
+
+def q_tool_sequences(sf_dir: str):
+    """Top tool-call sequences per conversation (workflow census)."""
+    from ..stages import convo
+
+    return convo.tool_sequences(transcripts_dataset(sf_dir))
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1593,6 +1614,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_degree_histogram": (q_kg_degree_histogram, oracle.sql_kg_degree_histogram()),
         "kg_reciprocity": (q_kg_reciprocity, oracle.sql_kg_reciprocity()),
         "kg_cooccurrence": (q_kg_cooccurrence, oracle.sql_kg_cooccurrence()),
+        "conv_role_stats": (q_conv_role_stats, oracle.sql_conv_role_stats()),
+        "turn_templates": (q_turn_templates, oracle.sql_turn_templates()),
+        "tool_sequences": (q_tool_sequences, oracle.sql_tool_sequences()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1616,6 +1640,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_degree_histogram",
         "kg_reciprocity",
         "kg_cooccurrence",
+        "conv_role_stats",
+        "turn_templates",
+        "tool_sequences",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

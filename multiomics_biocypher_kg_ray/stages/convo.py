@@ -1,0 +1,169 @@
+"""Conversation-level rollups over raw transcript turns — the payload-native
+QA family a transcript corpus needs BEFORE extraction: role/tool composition
+per conversation, repeated-turn template detection (agent-loop spam), and
+tool-call sequence mining.
+
+Reference analog: the per-source row-count / composition audits the reference
+runs before adapter ingestion (``multiomics_kg/gene_id_utils.py`` count
+reports, CLAUDE.md:429 table) — re-expressed over conversation turns.
+
+Scale notes: every operator here is per-batch Arrow combiners + one fastagg
+merge (conversation- or template-cardinality groups); the only string build
+is ``tool_sequences``' ordered collect, which rides the segmented
+``sorted_collect`` (no whole-group tasks, hot conversations stitch via
+block-bounded partials).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def conv_role_stats(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per conversation: (conv_id, n_turns, n_user, n_tool, n_chars) — the
+    composition audit (who talks, how often tools fire, how much text) that
+    catches malformed conversations before they reach extraction."""
+    from .fastagg import sorted_grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("_n", pa.int64()),
+                    ("_u", pa.int64()),
+                    ("_t", pa.int64()),
+                    ("_c", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "_n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "_u": pc.cast(
+                    pc.equal(t.column("role"), "user"), pa.int64()
+                ),
+                "_t": pc.cast(
+                    pc.not_equal(pc.fill_null(t.column("tool"), ""), ""),
+                    pa.int64(),
+                ),
+                "_c": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+            }
+        )
+
+    return sorted_grouped_agg(
+        transcripts.map_batches(partial, batch_format="pyarrow"),
+        ["conv_id"],
+        [("_n", "sum"), ("_u", "sum"), ("_t", "sum"), ("_c", "sum")],
+        out_names=["n_turns", "n_user", "n_tool", "n_chars"],
+    )
+
+
+def turn_templates(
+    transcripts: "ray.data.Dataset", min_convs: int = 2, k: int = 50
+) -> "ray.data.Dataset":
+    """Repeated-turn templates: turn texts appearing in ≥ ``min_convs``
+    DISTINCT conversations, top-``k`` by total occurrences — the agent-loop /
+    boilerplate detector (a stuck agent repeats the same turn across runs;
+    a system banner repeats across every conversation). Emits
+    (text, n_convs, n_turns).
+
+    Scale shape: per-batch (text, conv) count partials → ONE fastagg on
+    (text, conv) → ONE fastagg on text computing both n_convs (row count)
+    and n_turns (sum) — no count-distinct shuffle, no join."""
+    from .fastagg import sorted_grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("text", pa.string()),
+                    ("conv_id", pa.string()),
+                    ("_c", pa.int64()),
+                ]
+            ).empty_table()
+        g = t.group_by(["text", "conv_id"]).aggregate([("text", "count")])
+        return g.rename_columns(["text", "conv_id", "_c"])
+
+    pair = sorted_grouped_agg(
+        transcripts.map_batches(partial, batch_format="pyarrow"),
+        ["text", "conv_id"],
+        [("_c", "sum")],
+        out_names=["_c"],
+    )
+
+    def as_counts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("text", pa.string()), ("_one", pa.int64()), ("_c", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "text": t.column("text"),
+                "_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "_c": t.column("_c"),
+            }
+        )
+
+    agg = sorted_grouped_agg(
+        pair.map_batches(as_counts, batch_format="pyarrow"),
+        ["text"],
+        [("_one", "sum"), ("_c", "sum")],
+        out_names=["n_convs", "n_turns"],
+    )
+    flt = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_convs"), min_convs))
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+    return flt.sort(["n_turns", "text"], descending=[True, False]).limit(k)
+
+
+def tool_sequences(
+    transcripts: "ray.data.Dataset", k: int = 20
+) -> "ray.data.Dataset":
+    """Tool-call pattern mining: each conversation's ordered sequence of
+    non-empty ``tool`` values joined with ',', then the top-``k`` sequences
+    by conversation count — (seq, n_convs). The workflow-shape census of an
+    agent-transcript corpus.
+
+    Scale shape: the ordered per-conv collect rides ``sorted_collect``
+    (segmented, hot-conv safe); sequence counting is template-cardinality
+    fastagg; only top-``k`` rows leave the sort."""
+    from .fastagg import sorted_grouped_agg
+    from .relational import sorted_collect
+
+    calls = transcripts.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "tool"]).filter(
+            pc.not_equal(pc.fill_null(t.column("tool"), ""), "")
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+    seqs = sorted_collect(calls, ["conv_id"], "turn_idx", [("tool", "seq")], sep=",")
+
+    def as_one(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("seq", pa.string()), ("_one", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "seq": t.column("seq"),
+                "_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = sorted_grouped_agg(
+        seqs.map_batches(as_one, batch_format="pyarrow"),
+        ["seq"],
+        [("_one", "sum")],
+        out_names=["n_convs"],
+    )
+    return counts.sort(["n_convs", "seq"], descending=[True, False]).limit(k)
