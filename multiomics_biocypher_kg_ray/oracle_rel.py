@@ -1315,3 +1315,19 @@ SELECT e.event_id, e.event_type, e.cents,
                        / sqrt(n::DOUBLE * s2 - s::DOUBLE * s))::BIGINT
             ELSE NULL END AS zscore_ppm
 FROM e JOIN st USING (event_type)"""
+
+
+def sql_cohort_retention() -> str:
+    """Twin of ``events.cohort_retention``: integer month keys
+    (ym = year·12 + month), first-month cohort per user, distinct active
+    (user, month), users counted per (cohort, offset)."""
+    return """
+WITH m AS (
+  SELECT DISTINCT user_id::BIGINT AS u,
+         (date_part('year', ts)::BIGINT * 12 + date_part('month', ts)::BIGINT) AS ym
+  FROM events
+),
+c AS (SELECT u, min(ym) AS cohort_ym FROM m GROUP BY 1)
+SELECT c.cohort_ym, (m.ym - c.cohort_ym) AS month_offset,
+       count(*)::BIGINT AS n_users
+FROM m JOIN c USING (u) GROUP BY 1, 2"""

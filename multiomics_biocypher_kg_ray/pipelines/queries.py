@@ -798,6 +798,12 @@ def q_tool_sequences(sf_dir: str):
     return convo.tool_sequences(transcripts_dataset(sf_dir))
 
 
+def q_cohort_retention(sf_dir: str):
+    """Monthly cohort retention over events (first-month cohort, distinct
+    active months per user)."""
+    return events.cohort_retention(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1617,6 +1623,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "conv_role_stats": (q_conv_role_stats, oracle.sql_conv_role_stats()),
         "turn_templates": (q_turn_templates, oracle.sql_turn_templates()),
         "tool_sequences": (q_tool_sequences, oracle.sql_tool_sequences()),
+        "cohort_retention": (q_cohort_retention, oracle_rel.sql_cohort_retention()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1643,6 +1650,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "conv_role_stats",
         "turn_templates",
         "tool_sequences",
+        "cohort_retention",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

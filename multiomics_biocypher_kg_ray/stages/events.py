@@ -614,3 +614,71 @@ def hopping_window_agg(
     return sorted_grouped_agg(
         exploded, list(keys) + ["window_start"], aggs, out_names=out_names
     )
+
+
+def cohort_retention(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> "ray.data.Dataset":
+    """Cohort retention: (cohort_ym, month_offset, n_users) — users grouped
+    by the calendar month of their FIRST event, counted once per month they
+    were active, keyed by months-since-cohort. The standard product-
+    analytics rollup; everything is integer month arithmetic
+    (ym = year·12 + month) so the DuckDB twin matches bit-for-bit.
+
+    Scale shape: per-row month ints are a stateless map; first-month per
+    user and the distinct (user, month) activity set both run through
+    fastagg / sorted_distinct (user-cardinality groups, hot users collapse
+    in per-batch combiners); cohort attaches via one distributed hash join
+    (both sides user-cardinality — no broadcast of a data-proportional
+    side); the final count is distinct-row fastagg."""
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .joins import hash_join
+
+    YM = pa.schema([("u", pa.int64()), ("ym", pa.int64())])
+
+    def months(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return YM.empty_table()
+        ts = t.column(ts_col)
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(ts), pa.int64()), 12),
+            pc.cast(pc.month(ts), pa.int64()),
+        )
+        return pa.table({"u": pc.cast(t.column(user_col), pa.int64()), "ym": ym})
+
+    monthly = sorted_distinct(
+        events.map_batches(months, batch_format="pyarrow"), ["u", "ym"]
+    ).materialize()  # consumed twice: cohort min + activity join
+
+    cohort = sorted_grouped_agg(
+        monthly, ["u"], [("ym", "min")], out_names=["cohort_ym"]
+    )
+    joined = hash_join(
+        drop_empty_blocks(monthly), drop_empty_blocks(cohort), on=("u",)
+    )
+
+    def offs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("cohort_ym", pa.int64()),
+                    ("month_offset", pa.int64()),
+                    ("_one", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "cohort_ym": t.column("cohort_ym"),
+                "month_offset": pc.subtract(t.column("ym"), t.column("cohort_ym")),
+                "_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return sorted_grouped_agg(
+        joined.map_batches(offs, batch_format="pyarrow"),
+        ["cohort_ym", "month_offset"],
+        [("_one", "sum")],
+        out_names=["n_users"],
+    )

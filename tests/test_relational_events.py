@@ -680,3 +680,44 @@ def test_group_zscore_matches_duckdb_and_nulls_zero_variance():
     b = ref["z"].to_numpy(dtype="float64", na_value=np.nan)
     assert np.array_equal(a, b, equal_nan=True)
     assert out.loc[out["event_type"] == "const", "zscore_ppm"].isna().all()
+
+
+def test_cohort_retention_multi_month():
+    import duckdb
+
+    from multiomics_biocypher_kg_ray.stages.events import cohort_retention
+
+    rng = np.random.RandomState(31)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 300, size=n).astype("int64"),
+            "ts": pd.Timestamp("2023-06-15")
+            + pd.to_timedelta(rng.randint(0, 400, size=n), unit="D"),
+        }
+    )
+    out = (
+        cohort_retention(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(7)
+        )
+        .to_pandas()
+        .sort_values(["cohort_ym", "month_offset"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.sql(
+        "WITH m AS (SELECT DISTINCT user_id::BIGINT u, "
+        "(date_part('year', ts)::BIGINT * 12 + date_part('month', ts)::BIGINT) ym "
+        "FROM events), c AS (SELECT u, min(ym) cohort_ym FROM m GROUP BY 1) "
+        "SELECT c.cohort_ym, (m.ym - c.cohort_ym) month_offset, count(*)::BIGINT n_users "
+        "FROM m JOIN c USING (u) GROUP BY 1,2 ORDER BY 1,2"
+    ).df()
+    assert len(out) > 10
+    assert (out["cohort_ym"].to_numpy() == ref["cohort_ym"].to_numpy()).all()
+    assert (out["month_offset"].to_numpy() == ref["month_offset"].to_numpy()).all()
+    assert (out["n_users"].to_numpy() == ref["n_users"].to_numpy()).all()
+    # offset 0 row exists for every cohort (a user is active in their own cohort month)
+    z = out[out["month_offset"] == 0]
+    assert set(z["cohort_ym"]) == set(out["cohort_ym"].unique())
