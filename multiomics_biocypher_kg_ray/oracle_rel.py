@@ -1331,3 +1331,36 @@ c AS (SELECT u, min(ym) AS cohort_ym FROM m GROUP BY 1)
 SELECT c.cohort_ym, (m.ym - c.cohort_ym) AS month_offset,
        count(*)::BIGINT AS n_users
 FROM m JOIN c USING (u) GROUP BY 1, 2"""
+
+
+def sql_event_transitions() -> str:
+    """Twin of ``events.event_transitions``: lag(event_type) OVER
+    (PARTITION BY user ORDER BY ts, event_id), non-null bigram counts."""
+    return """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*)::BIGINT AS n
+FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2"""
+
+
+def sql_funnel_signup_purchase(type_a: str = "signup", type_b: str = "purchase") -> str:
+    """Twin of ``events.funnel_2step``: first-A per user, any later B."""
+    a = type_a.replace("'", "''")
+    b = type_b.replace("'", "''")
+    return f"""
+WITH fa AS (
+  SELECT user_id, min(ts) AS ta FROM events WHERE event_type = '{a}' GROUP BY 1
+),
+ab AS (
+  SELECT DISTINCT f.user_id
+  FROM fa f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = '{b}' AND e.ts > f.ta
+)
+SELECT (SELECT count(*) FROM fa)::BIGINT AS n_a,
+       (SELECT count(*) FROM ab)::BIGINT AS n_ab,
+       (((SELECT count(*) FROM ab) * 1000000)
+        // greatest((SELECT count(*) FROM fa), 1))::BIGINT AS conv_ppm"""

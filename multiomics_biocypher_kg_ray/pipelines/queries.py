@@ -804,6 +804,22 @@ def q_cohort_retention(sf_dir: str):
     return events.cohort_retention(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type bigram transition counts (Markov census)."""
+    return events.event_transitions(
+        _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    )
+
+
+def q_funnel_signup_purchase(sf_dir: str):
+    """Two-step funnel: first signup followed by a later purchase."""
+    return events.funnel_2step(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        "signup",
+        "purchase",
+    )
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1624,6 +1640,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "turn_templates": (q_turn_templates, oracle.sql_turn_templates()),
         "tool_sequences": (q_tool_sequences, oracle.sql_tool_sequences()),
         "cohort_retention": (q_cohort_retention, oracle_rel.sql_cohort_retention()),
+        "event_transitions": (q_event_transitions, oracle_rel.sql_event_transitions()),
+        "funnel_signup_purchase": (
+            q_funnel_signup_purchase,
+            oracle_rel.sql_funnel_signup_purchase(),
+        ),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1651,6 +1672,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "turn_templates",
         "tool_sequences",
         "cohort_retention",
+        "event_transitions",
+        "funnel_signup_purchase",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

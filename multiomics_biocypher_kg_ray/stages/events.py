@@ -682,3 +682,173 @@ def cohort_retention(
         [("_one", "sum")],
         out_names=["n_users"],
     )
+
+
+def event_transitions(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Event-type transition counts: (prev_type, event_type, n) over each
+    user's (ts, event_id)-ordered stream — the behavioral bigram / Markov-
+    transition census (and the same shape as corpus token-bigram counting).
+    Rides ``window.lag_over``'s hot-key-safe segmented scan: a user with a
+    billion events never lands in one task.
+
+    The low-cardinality type codebook is collected once (event-type count is
+    schema-bounded, not data-proportional) and broadcast as int codes so the
+    lag scan stays on int64 columns end to end."""
+    from .fastagg import sorted_grouped_agg
+    from .window import lag_over
+
+    types: set[str] = set()
+    for bt in (
+        events.select_columns(["event_type"])
+        .map_batches(
+            lambda t: pa.table({"event_type": pc.unique(t.column("event_type"))})
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        if bt.num_rows:
+            types.update(bt.column("event_type").to_pylist())
+    codebook = pa.array(sorted(types), pa.string())
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("event_id", pa.int64()),
+                    ("ts_us", pa.int64()),
+                    ("code", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+                "code": pc.cast(
+                    pc.index_in(t.column("event_type"), value_set=codebook),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    lagged = lag_over(
+        events.map_batches(encode, batch_format="pyarrow"),
+        "user_id",
+        ["ts_us", "event_id"],
+        "code",
+        out_col="prev_code",
+    )
+    pairs = lagged.map_batches(
+        lambda t: pa.table(
+            {
+                "prev_code": t.column("prev_code"),
+                "code": t.column("code"),
+                "_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ).filter(pc.is_valid(t.column("prev_code")))
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+    counts = sorted_grouped_agg(
+        pairs, ["prev_code", "code"], [("_one", "sum")], out_names=["n"]
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        OUT = pa.schema(
+            [
+                ("prev_type", pa.string()),
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+            ]
+        )
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        return pa.table(
+            {
+                "prev_type": codebook.take(t.column("prev_code")),
+                "event_type": codebook.take(t.column("code")),
+                "n": t.column("n"),
+            }
+        ).cast(OUT)
+
+    return counts.map_batches(decode, batch_format="pyarrow")
+
+
+def funnel_2step(
+    events: "ray.data.Dataset", type_a: str, type_b: str
+) -> "ray.data.Dataset":
+    """Two-step funnel: users whose FIRST ``type_a`` event is later followed
+    by any ``type_b`` event. One summary row (n_a, n_ab, conv_ppm) with
+    integer-ppm conversion — the product-analytics counterpart of the
+    decontamination overlap report.
+
+    Scale shape: first-A per user via fastagg min; the B stream joins on
+    user_id (distributed hash join, both sides user/event-proportional — no
+    broadcast of a data-proportional side); post-join filter + distinct +
+    two tiny count reductions. No driver state beyond two scalars."""
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .joins import hash_join
+
+    def pick(t: pa.Table, typ: str) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("u", pa.int64()), ("ts_us", pa.int64())]
+            ).empty_table()
+        sub = t.filter(pc.equal(t.column("event_type"), typ))
+        return pa.table(
+            {
+                "u": pc.cast(sub.column("user_id"), pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(sub.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    ev = events.materialize()  # consumed twice (A and B streams)
+    first_a = sorted_grouped_agg(
+        ev.map_batches(lambda t: pick(t, type_a), batch_format="pyarrow"),
+        ["u"],
+        [("ts_us", "min")],
+        out_names=["ta"],
+    ).materialize()  # consumed twice: count + join
+
+    def _count(ds) -> int:
+        tot = 0
+        for bt in ds.map_batches(
+            lambda t: pa.table({"c": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            if bt.num_rows:
+                tot += int(pc.sum(bt.column("c")).as_py() or 0)
+        return tot
+
+    n_a = _count(first_a)
+    b_rows = ev.map_batches(lambda t: pick(t, type_b), batch_format="pyarrow")
+    joined = hash_join(drop_empty_blocks(b_rows), drop_empty_blocks(first_a), on=("u",))
+    converted = sorted_distinct(
+        joined.map_batches(
+            lambda t: t.filter(
+                pc.greater(t.column("ts_us"), t.column("ta"))
+            ).select(["u"])
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        ["u"],
+    )
+    n_ab = _count(converted)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_ab": pa.array([n_ab], pa.int64()),
+                "conv_ppm": pa.array([(n_ab * 1_000_000) // max(n_a, 1)], pa.int64()),
+            }
+        )
+    )

@@ -721,3 +721,44 @@ def test_cohort_retention_multi_month():
     # offset 0 row exists for every cohort (a user is active in their own cohort month)
     z = out[out["month_offset"] == 0]
     assert set(z["cohort_ym"]) == set(out["cohort_ym"].unique())
+
+
+def test_event_transitions_and_funnel_small():
+    from multiomics_biocypher_kg_ray.stages.events import (
+        event_transitions,
+        funnel_2step,
+    )
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_id": [10, 11, 12, 20, 21, 30],
+            "event_type": ["signup", "view", "purchase", "signup", "signup", "purchase"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:05",
+                    "2024-01-01 00:10",
+                    "2024-02-01 00:00",
+                    "2024-02-01 00:01",
+                    "2024-03-01 00:00",
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+    tr = (
+        event_transitions(ds)
+        .to_pandas()
+        .set_index(["prev_type", "event_type"])["n"]
+        .to_dict()
+    )
+    assert tr == {
+        ("signup", "view"): 1,
+        ("view", "purchase"): 1,
+        ("signup", "signup"): 1,
+    }
+    fun = funnel_2step(ds, "signup", "purchase").to_pandas().iloc[0]
+    # users 1 and 2 signed up; only user 1 purchased after; user 3 purchased
+    # without signup (not counted)
+    assert fun["n_a"] == 2 and fun["n_ab"] == 1 and fun["conv_ppm"] == 500000
