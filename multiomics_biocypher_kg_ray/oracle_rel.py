@@ -1364,3 +1364,26 @@ SELECT (SELECT count(*) FROM fa)::BIGINT AS n_a,
        (SELECT count(*) FROM ab)::BIGINT AS n_ab,
        (((SELECT count(*) FROM ab) * 1000000)
         // greatest((SELECT count(*) FROM fa), 1))::BIGINT AS conv_ppm"""
+
+
+def sql_cross_corpus_lsh(cap: int = 1000) -> str:
+    """Twin of ``dedup.cross_corpus_lsh_pairs`` with the query's even/odd
+    doc_id corpus split: same banding as lsh_candidate_pairs, union-wide
+    row_number cap, only cross-side pairs."""
+    inner = sql_minhash_bands().strip()
+    return f"""
+WITH band AS ({inner}),
+sided AS (
+  SELECT doc_id, band_idx, band_hash, (doc_id % 2)::BIGINT AS side FROM band
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+                               ORDER BY doc_id) AS rn
+  FROM sided
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_bands
+FROM capped a
+JOIN capped b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id AND a.side <> b.side
+WHERE a.rn <= {cap} AND b.rn <= {cap}
+GROUP BY 1, 2"""

@@ -820,6 +820,22 @@ def q_funnel_signup_purchase(sf_dir: str):
     )
 
 
+def q_cross_corpus_lsh(sf_dir: str):
+    """Cross-corpus near-dup candidates: even-doc_id docs as the base
+    corpus, odd as the new drop; only cross-side pairs emit."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    return dedup.cross_corpus_lsh_pairs(half(0), half(1))
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1645,6 +1661,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_funnel_signup_purchase,
             oracle_rel.sql_funnel_signup_purchase(),
         ),
+        "cross_corpus_lsh": (q_cross_corpus_lsh, oracle_rel.sql_cross_corpus_lsh()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1674,6 +1691,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "cohort_retention",
         "event_transitions",
         "funnel_signup_purchase",
+        "cross_corpus_lsh",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

@@ -723,3 +723,65 @@ def near_dup_clusters(
         pa.schema([(id_col, typ)]),
     ).map_batches(to_single, batch_format="pyarrow")
     return paired.union(singles)
+
+
+def cross_corpus_lsh_pairs(
+    docs_a: "ray.data.Dataset",
+    docs_b: "ray.data.Dataset",
+    cap: int = LSH_BUCKET_CAP,
+) -> "ray.data.Dataset":
+    """Near-duplicate CANDIDATES BETWEEN two corpora (doc_a from A, doc_b
+    from B, n_shared_bands) — the incremental-ingest dedup contract for
+    documents: band a new crawl against the existing corpus and only
+    cross-side pairs survive, so A's internal duplicates (already handled)
+    never re-emit. Both sides stream through the same MinHash→band→
+    segmented ``bucket_pairs`` path as ``lsh_candidate_pairs``; the
+    cross-side constraint is a vectorized ``pair_fn`` filter INSIDE the
+    emission task, so same-side pair blow-up never leaves it. The per-bucket
+    cap applies to the UNION ordered by doc_id — mirrored exactly by the
+    SQL twin's row_number.
+
+    Both inputs must share one doc_id key space (disjoint ids — the caller's
+    contract, same as the reference's cross-source id discipline)."""
+    import pyarrow.compute as pc
+
+    from .fastagg import sorted_grouped_agg
+
+    def side(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("band_idx", pa.int64()),
+                        ("band_hash", pa.string()),
+                        ("side", pa.int64()),
+                    ]
+                ).empty_table()
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, v, dtype=np.int64))
+            )
+
+        return f
+
+    bands = minhash_bands(docs_a).map_batches(
+        side(0), batch_format="pyarrow"
+    ).union(minhash_bands(docs_b).map_batches(side(1), batch_format="pyarrow"))
+
+    cand = bucket_pairs(
+        bands,
+        ["band_idx", "band_hash"],
+        "doc_id",
+        payload_cols=("side",),
+        cap=cap,
+        pair_fn=lambda t: t.filter(
+            pc.not_equal(t.column("side_a"), t.column("side_b"))
+        ),
+    )
+    slim = cand.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+    return sorted_grouped_agg(
+        slim, ["doc_a", "doc_b"], [("doc_a", "count")], out_names=["n_shared_bands"]
+    )

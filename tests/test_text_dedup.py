@@ -244,3 +244,29 @@ def test_bm25_topk_matches_duckdb_twin():
     assert (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
     assert (out["bm25_q"].to_numpy() == ref["bm25_q"].to_numpy()).all()
     assert (out["n_terms"].to_numpy() == ref["n_terms"].to_numpy()).all()
+
+
+def test_cross_corpus_lsh_only_cross_side_pairs():
+    # corpus A: docs 0,2 identical text; corpus B: doc 1 identical to them,
+    # doc 3 unrelated. Expect (0,1) and (1,2) — never the intra-A (0,2).
+    same = "the quick brown fox jumps over the lazy dog " * 4
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 2, 1, 3], pa.int64()),
+            "text": pa.array([same, same, same, "completely different words here"]),
+        }
+    )
+    docs = ray.data.from_arrow(t)
+    a = docs.map_batches(
+        lambda t: t.filter(pa.compute.equal(pa.compute.bit_wise_and(t.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    b = docs.map_batches(
+        lambda t: t.filter(pa.compute.equal(pa.compute.bit_wise_and(t.column("doc_id"), 1), 1)),
+        batch_format="pyarrow",
+    )
+    out = dedup.cross_corpus_lsh_pairs(a, b).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got and (1, 2) in got
+    assert (0, 2) not in got  # intra-corpus pair must not emit
+    assert all(x % 2 != y % 2 for x, y in got)
