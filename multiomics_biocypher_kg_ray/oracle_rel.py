@@ -1387,3 +1387,17 @@ JOIN capped b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id AND a.side <> b.side
 WHERE a.rn <= {cap} AND b.rn <= {cap}
 GROUP BY 1, 2"""
+
+
+def sql_doc_importance_sample(salt: str = "imp") -> str:
+    """Twin of the ``doc_importance_sample`` query: acceptance threshold is
+    pure integer math — ppm = least(n_chars, 2000)·500 — compared against
+    the identical md5 bucket used by every split/sample operator."""
+    from .stages.sampling import PRECISION
+
+    esc = salt.replace("'", "''")
+    b = f"(('0x' || substr(md5('{esc}:' || doc_id), 1, 8))::UBIGINT % {PRECISION})"
+    return f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE {b} < least(n_chars, 2000) * 500"""

@@ -836,6 +836,26 @@ def q_cross_corpus_lsh(sf_dir: str):
     return dedup.cross_corpus_lsh_pairs(half(0), half(1))
 
 
+def q_doc_importance_sample(sf_dir: str):
+    """Length-weighted deterministic document sample: acceptance ppm =
+    least(n_chars, 2000)·500, zero RNG."""
+    from ..stages import sampling
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        lambda t: t.append_column(
+            "w_ppm",
+            pc.cast(
+                pc.multiply(pc.min_element_wise(t.column("n_chars"), 2000), 500),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return sampling.importance_sample(docs, "doc_id", "w_ppm").select_columns(
+        ["doc_id", "n_chars"]
+    )
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1662,6 +1682,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_funnel_signup_purchase(),
         ),
         "cross_corpus_lsh": (q_cross_corpus_lsh, oracle_rel.sql_cross_corpus_lsh()),
+        "doc_importance_sample": (
+            q_doc_importance_sample,
+            oracle_rel.sql_doc_importance_sample(),
+        ),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1692,6 +1716,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "event_transitions",
         "funnel_signup_purchase",
         "cross_corpus_lsh",
+        "doc_importance_sample",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

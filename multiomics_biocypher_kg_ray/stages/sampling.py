@@ -491,3 +491,34 @@ def distinct_kmv(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def importance_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    weight_ppm_col: str,
+    salt: str = "imp",
+) -> "ray.data.Dataset":
+    """Deterministic importance-weighted sampling: keep a row iff its md5
+    bucket < the row's OWN acceptance threshold ``weight_ppm_col`` (integer
+    parts-per-PRECISION in [0, 1e6]) — quality-weighted corpus subsampling
+    where high-scoring documents survive at a higher rate, with zero RNG and
+    the usual key-stability guarantee (same key + same weight ⇒ same
+    verdict at any parallelism). The caller computes the weight column with
+    INTEGER math so the DuckDB twin is exact; a float weight would need the
+    PRECISION-quantize-first treatment.
+
+    Pure streaming filter — no shuffle, no driver state; the md5 bucket is
+    the same embedded-DuckDB vectorized kernel as the split operators."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return batch
+        _check_key_col(batch.column(key_col), key_col)
+        b = _buckets(batch.column(key_col), salt)
+        w = batch.column(weight_ppm_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return batch.filter(pa.array(b < w))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -344,3 +344,25 @@ def test_distinct_kmv_partition_invariant():
         .to_pandas().sort_values("g").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_importance_sample_rate_tracks_weight_and_is_partition_invariant():
+    n = 20000
+    keys = np.arange(n, dtype="int64")
+    # half the rows get 10% acceptance, half get 90%
+    w = np.where(keys % 2 == 0, 100_000, 900_000).astype("int64")
+    t = pa.table({"k": pa.array(keys), "w_ppm": pa.array(w)})
+    a = (
+        sampling.importance_sample(ray.data.from_arrow(t), "k", "w_ppm")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    b = (
+        sampling.importance_sample(
+            ray.data.from_arrow(t).repartition(9), "k", "w_ppm"
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    lo = (a["w_ppm"] == 100_000).sum() / (n / 2)
+    hi = (a["w_ppm"] == 900_000).sum() / (n / 2)
+    assert 0.08 < lo < 0.12 and 0.87 < hi < 0.93
