@@ -1401,3 +1401,18 @@ def sql_doc_importance_sample(salt: str = "imp") -> str:
 SELECT doc_id, n_chars
 FROM documents
 WHERE {b} < least(n_chars, 2000) * 500"""
+
+
+def sql_events_debounce(gap_us: int = 3_600_000_000) -> str:
+    """Twin of ``events.debounce_events``: lag(ts) per (user, type) ordered
+    (ts, event_id); keep when no predecessor or the µs gap exceeds the
+    window."""
+    return f"""
+WITH s AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts FROM s
+WHERE pts IS NULL OR date_diff('microsecond', pts, ts) > {gap_us}"""

@@ -856,6 +856,15 @@ def q_doc_importance_sample(sf_dir: str):
     )
 
 
+def q_events_debounce(sf_dir: str):
+    """Repeat-suppression: drop events repeating the same (user, type)
+    within a trailing 1-hour window."""
+    return events.debounce_events(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        gap_us=3_600_000_000,
+    )
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1686,6 +1695,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_doc_importance_sample,
             oracle_rel.sql_doc_importance_sample(),
         ),
+        "events_debounce": (q_events_debounce, oracle_rel.sql_events_debounce()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1717,6 +1727,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "funnel_signup_purchase",
         "cross_corpus_lsh",
         "doc_importance_sample",
+        "events_debounce",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

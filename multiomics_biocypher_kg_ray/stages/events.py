@@ -852,3 +852,80 @@ def funnel_2step(
             }
         )
     )
+
+
+def debounce_events(
+    events: "ray.data.Dataset", gap_us: int
+) -> "ray.data.Dataset":
+    """Windowed dedup ("debounce"): drop an event when the SAME
+    (user, event_type) fired within the trailing ``gap_us`` microseconds —
+    the streaming-ingest repeat-suppression every event pipeline needs
+    (double-clicks, retry storms, duplicated webhooks). Emits the surviving
+    (event_id, user_id, event_type, ts) rows.
+
+    Rides ``window.lag_over``'s segmented scan on a composite
+    (user|type) partition key — hot users never land one task; the
+    comparison is pure int64 µs arithmetic, so the DuckDB lag() twin
+    matches row-for-row. Note the window is RELATIVE TO THE PREVIOUS KEPT-
+    OR-DROPPED event (standard lag semantics, what DuckDB expresses), not a
+    chain-collapsing session merge — ``sessionize`` is the chain variant."""
+    from .window import lag_over
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("ts", pa.timestamp("us")),
+                    ("_part", pa.string()),
+                    ("ts_us", pa.int64()),
+                ]
+            ).empty_table()
+        part = pc.binary_join_element_wise(
+            pc.cast(t.column("user_id"), pa.string()),
+            t.column("event_type"),
+            "|",
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_type": t.column("event_type"),
+                "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
+                "_part": part,
+                "ts_us": pc.cast(
+                    pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    lagged = lag_over(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "_part",
+        ["ts_us", "event_id"],
+        "ts_us",
+        out_col="_prev",
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("ts", pa.timestamp("us")),
+                ]
+            ).empty_table()
+        prev = t.column("_prev")
+        gap_ok = pc.greater(
+            pc.subtract(t.column("ts_us"), pc.fill_null(prev, 0)), gap_us
+        )
+        mask = pc.or_(pc.is_null(prev), gap_ok)
+        return t.filter(mask).select(
+            ["event_id", "user_id", "event_type", "ts"]
+        )
+
+    return lagged.map_batches(keep, batch_format="pyarrow")

@@ -762,3 +762,34 @@ def test_event_transitions_and_funnel_small():
     # users 1 and 2 signed up; only user 1 purchased after; user 3 purchased
     # without signup (not counted)
     assert fun["n_a"] == 2 and fun["n_ab"] == 1 and fun["conv_ppm"] == 500000
+
+
+def test_debounce_events_small():
+    from multiomics_biocypher_kg_ray.stages.events import debounce_events
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 7, 7, 8],
+            "event_type": ["click", "click", "click", "view", "click"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:30",  # within 60s of #1 -> dropped
+                    "2024-01-01 00:02:00",  # 90s after #2 -> kept (lag vs #2)
+                    "2024-01-01 00:00:10",  # different type -> kept
+                    "2024-01-01 00:00:20",  # different user -> kept
+                ]
+            ),
+        }
+    )
+    out = (
+        debounce_events(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(3),
+            gap_us=60_000_000,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert list(out["event_id"]) == [1, 3, 4, 5]
