@@ -1416,3 +1416,11 @@ WITH s AS (
 )
 SELECT event_id, user_id, event_type, ts FROM s
 WHERE pts IS NULL OR date_diff('microsecond', pts, ts) > {gap_us}"""
+
+
+def sql_orders_skew_join() -> str:
+    """Twin of the ``orders_skew_join`` query: a plain inner join — the
+    engine's hot/cold ROUTING must not change the row set."""
+    return """
+SELECT o_orderkey, o_custkey, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey"""

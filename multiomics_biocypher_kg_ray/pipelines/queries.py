@@ -865,6 +865,22 @@ def q_events_debounce(sf_dir: str):
     )
 
 
+def q_orders_skew_join(sf_dir: str):
+    """Skew-safe join: hot customers route through a broadcast probe, cold
+    keys through the hash join — same rows as a plain inner join."""
+    from ..stages import joins
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    out = joins.skew_join(
+        orders, cust, on="o_custkey", hot_top_n=8, hot_min_share_ppm=1000
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1696,6 +1712,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_doc_importance_sample(),
         ),
         "events_debounce": (q_events_debounce, oracle_rel.sql_events_debounce()),
+        "orders_skew_join": (q_orders_skew_join, oracle_rel.sql_orders_skew_join()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1728,6 +1745,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "cross_corpus_lsh",
         "doc_importance_sample",
         "events_debounce",
+        "orders_skew_join",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

@@ -521,3 +521,106 @@ def range_join_agg(
         [(name, _FINAL_COMBINE[fn]) for (_, fn), name in zip(aggs, names)],
         out_names=names,
     )
+
+
+def skew_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    hot_top_n: int = 16,
+    hot_min_share_ppm: int = 10_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Skew-safe inner join on one key: the handful of HOT keys (detected
+    from the left side's combined per-batch counts — top ``hot_top_n`` keys
+    holding ≥ ``hot_min_share_ppm`` of rows each) route through a
+    broadcast probe, so a key owning 30% of the table never funnels 30% of
+    the data into one hash partition; all remaining keys take the normal
+    hash-partitioned join. Results union. Output rows are identical to a
+    plain inner join (pinned by the SQL twin) — only the ROUTING differs.
+
+    Documented assumption: the RIGHT side's rows for hot keys fit in one
+    broadcast table (hot keys are few by definition; a dimension side has
+    one row per key). If right-side hot rows were themselves huge, the pair
+    volume IS the answer and no routing can shrink it.
+
+    This is the named, reusable form of the salting/broadcast skew handling
+    the checkpoint sharding and graph kernels apply internally (ray_guide
+    "skew" pattern; reference analog: the hot-conversation salting called
+    out in its partition plan)."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    # hot-key detection: per-batch combiners → key-cardinality merge →
+    # driver reads only the top rows (bounded by hot_top_n)
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("k", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        g = t.select([on]).group_by([on]).aggregate([(on, "count")])
+        return pa.table(
+            {"k": pc.cast(g.column(on), pa.string()), "n": g.column(f"{on}_count")}
+        )
+
+    left = left.materialize()  # consumed twice: detection + join
+    counted = sorted_grouped_agg(
+        left.map_batches(partial, batch_format="pyarrow"),
+        ["k"],
+        [("n", "sum")],
+        out_names=["n"],
+    )
+    total = 0
+    rows: list[tuple[str, int]] = []
+    for bt in counted.iter_batches(batch_format="pyarrow", batch_size=None):
+        if bt.num_rows:
+            total += int(pc.sum(bt.column("n")).as_py() or 0)
+            for k, n in zip(bt.column("k").to_pylist(), bt.column("n").to_pylist()):
+                rows.append((k, int(n)))
+    rows.sort(key=lambda kv: (-kv[1], kv[0]))
+    cut = max(total, 1) * hot_min_share_ppm // 1_000_000
+    hot = {k for k, n in rows[:hot_top_n] if n >= max(cut, 1)}
+
+    if not hot:
+        return hash_join(
+            drop_empty_blocks(left),
+            drop_empty_blocks(right),
+            on=(on,),
+            num_partitions=num_partitions,
+        )
+
+    hot_arr = pa.array(sorted(hot), pa.string())
+
+    def split(t: pa.Table, want_hot: bool) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        m = pc.is_in(pc.cast(t.column(on), pa.string()), value_set=hot_arr)
+        return t.filter(m if want_hot else pc.invert(m))
+
+    right = right.materialize()  # consumed twice: hot collect + cold join
+    hot_right_parts = [
+        bt
+        for bt in right.map_batches(
+            lambda t: split(t, True), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if bt.num_columns and bt.num_rows
+    ]
+    cold = hash_join(
+        drop_empty_blocks(
+            left.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+        ),
+        drop_empty_blocks(
+            right.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+        ),
+        on=(on,),
+        num_partitions=num_partitions,
+    )
+    if not hot_right_parts:
+        return cold
+    hot_tbl = pa.concat_tables(hot_right_parts).combine_chunks()
+    hot_joined = broadcast_join(
+        left.map_batches(lambda t: split(t, True), batch_format="pyarrow"),
+        hot_tbl,
+        on=(on,),
+        how="inner",
+    )
+    return cold.union(hot_joined)

@@ -190,3 +190,46 @@ CROSS JOIN tot WHERE n_ab >= 2 ORDER BY ent_a, ent_b
     assert (out["ent_a"].to_numpy() == ref["ent_a"].to_numpy()).all()
     assert (out["n_ab"].to_numpy() == ref["n_ab"].to_numpy()).all()
     assert (out["pmi_q"].to_numpy() == ref["pmi_q"].to_numpy()).all()
+
+
+def test_skew_join_routes_hot_keys_and_matches_plain_join():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from multiomics_biocypher_kg_ray.stages.joins import skew_join
+
+    rng = np.random.RandomState(41)
+    # one key holds 40% of the left side — the classic funnel case
+    keys = np.concatenate([np.full(4000, 7), rng.randint(0, 200, size=6000)])
+    left = pd.DataFrame(
+        {"k": keys.astype("int64"), "lv": np.arange(10000, dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"k": np.arange(200, dtype="int64"), "rv": np.arange(200, dtype="int64") * 10}
+    )
+    out = (
+        skew_join(
+            ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False)).repartition(6),
+            ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False)).repartition(3),
+            on="k",
+            hot_top_n=4,
+            hot_min_share_ppm=100_000,  # 10% → only key 7 qualifies
+        )
+        .to_pandas()
+        .sort_values(["lv"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    ref = (
+        con.sql("SELECT l.k, l.lv, r.rv FROM l JOIN r USING (k) ORDER BY lv")
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref) == 10000
+    assert (out["lv"].to_numpy() == ref["lv"].to_numpy()).all()
+    assert (out["rv"].to_numpy() == ref["rv"].to_numpy()).all()
