@@ -1424,3 +1424,26 @@ def sql_orders_skew_join() -> str:
     return """
 SELECT o_orderkey, o_custkey, c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey"""
+
+
+def sql_orders_snapshot_diff() -> str:
+    """Twin of the ``orders_snapshot_diff`` query: old = even-key orders'
+    priority, new = all orders with F-status priorities rewritten — the
+    full-outer diff classifies added/removed/changed."""
+    return """
+WITH old AS (
+  SELECT o_orderkey::VARCHAR AS k, o_orderpriority AS v
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+new AS (
+  SELECT o_orderkey::VARCHAR AS k,
+         CASE WHEN o_orderstatus = 'F' THEN 'DONE' ELSE o_orderpriority END AS v
+  FROM orders
+)
+SELECT coalesce(old.k, new.k) AS o_orderkey,
+       CASE WHEN old.k IS NULL THEN 'added'
+            WHEN new.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       old.v AS old_val, new.v AS new_val
+FROM old FULL OUTER JOIN new ON old.k = new.k
+WHERE old.k IS NULL OR new.k IS NULL OR old.v <> new.v"""

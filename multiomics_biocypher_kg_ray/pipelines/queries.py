@@ -881,6 +881,32 @@ def q_orders_skew_join(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
 
 
+def q_orders_snapshot_diff(sf_dir: str):
+    """Snapshot diff demo: yesterday = even-key orders, today = all orders
+    with F-status priorities rewritten — added/removed/changed rows out."""
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    old = base.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("o_orderkey"), 1), 0)
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    new = base.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": pc.if_else(
+                    pc.equal(t.column("o_orderstatus"), "F"),
+                    pa.scalar("DONE"),
+                    t.column("o_orderpriority"),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.snapshot_diff(old, new, "o_orderkey", "o_orderpriority")
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1713,6 +1739,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         ),
         "events_debounce": (q_events_debounce, oracle_rel.sql_events_debounce()),
         "orders_skew_join": (q_orders_skew_join, oracle_rel.sql_orders_skew_join()),
+        "orders_snapshot_diff": (
+            q_orders_snapshot_diff,
+            oracle_rel.sql_orders_snapshot_diff(),
+        ),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1746,6 +1776,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_importance_sample",
         "events_debounce",
         "orders_skew_join",
+        "orders_snapshot_diff",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

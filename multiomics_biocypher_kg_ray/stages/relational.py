@@ -1022,3 +1022,74 @@ def group_zscore(
         return t.append_column(out_col, arr)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def snapshot_diff(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key: str,
+    val_col: str,
+) -> "ray.data.Dataset":
+    """Snapshot diff: (key, status, old_val, new_val) for every key whose
+    value ADDED / REMOVED / CHANGED between two table snapshots (unchanged
+    keys are dropped) — the nightly-build regression triage for a KG
+    pipeline: diff today's edge table against yesterday's and read WHAT
+    moved, not just counts. Both inputs must be unique on ``key``.
+
+    One distributed full-outer hash join (both sides key-proportional, no
+    broadcast), then a stateless vectorized classify — no driver state."""
+    from .fastagg import drop_empty_blocks
+    from ..tuning import default_join_partitions
+
+    def prep(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.schema(
+                    [(key, pa.string()), (name, pa.string())]
+                ).empty_table()
+            return pa.table(
+                {
+                    key: pc.cast(t.column(key), pa.string()),
+                    name: pc.cast(t.column(val_col), pa.string()),
+                }
+            )
+
+        return f
+
+    o = drop_empty_blocks(old.map_batches(prep("old_val"), batch_format="pyarrow"))
+    n = drop_empty_blocks(new.map_batches(prep("new_val"), batch_format="pyarrow"))
+    joined = o.join(
+        n,
+        join_type="full_outer",
+        num_partitions=default_join_partitions(),
+        on=(key,),
+    )
+
+    OUT = pa.schema(
+        [
+            (key, pa.string()),
+            ("status", pa.string()),
+            ("old_val", pa.string()),
+            ("new_val", pa.string()),
+        ]
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        ov, nv = t.column("old_val"), t.column("new_val")
+        status = pc.if_else(
+            pc.is_null(ov),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.is_null(nv),
+                pa.scalar("removed"),
+                pc.if_else(pc.equal(ov, nv), pa.scalar("same"), pa.scalar("changed")),
+            ),
+        )
+        out = pa.table(
+            {key: t.column(key), "status": status, "old_val": ov, "new_val": nv}
+        )
+        return out.filter(pc.not_equal(out.column("status"), "same")).cast(OUT)
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -793,3 +793,29 @@ def test_debounce_events_small():
         .sort_values("event_id")
     )
     assert list(out["event_id"]) == [1, 3, 4, 5]
+
+
+def test_snapshot_diff_statuses():
+    from multiomics_biocypher_kg_ray.stages.relational import snapshot_diff
+
+    old = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array(["a", "b", "c"])}
+    )
+    new = pa.table(
+        {"k": pa.array([2, 3, 4], pa.int64()), "v": pa.array(["b", "X", "d"])}
+    )
+    out = (
+        snapshot_diff(
+            ray.data.from_arrow(old).repartition(2),
+            ray.data.from_arrow(new).repartition(2),
+            "k",
+            "v",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got = {(r.k, r.status) for r in out.itertuples()}
+    assert got == {("1", "removed"), ("3", "changed"), ("4", "added")}
+    chg = out[out["status"] == "changed"].iloc[0]
+    assert chg["old_val"] == "c" and chg["new_val"] == "X"
