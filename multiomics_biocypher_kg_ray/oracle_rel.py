@@ -1447,3 +1447,42 @@ SELECT coalesce(old.k, new.k) AS o_orderkey,
        old.v AS old_val, new.v AS new_val
 FROM old FULL OUTER JOIN new ON old.k = new.k
 WHERE old.k IS NULL OR new.k IS NULL OR old.v <> new.v"""
+
+
+def sql_events_psi_drift(edges: list[int] | None = None) -> str:
+    """Twin of the ``events_psi_drift`` query: even-event_id events as the
+    base snapshot, odd as current; fixed CASE buckets; Laplace-smoothed
+    proportions; psi_q = floor((p − q)·ln(p/q)·10⁶)."""
+    edges = edges or [0, 1000, 5000, 20000]
+    B = len(edges) + 1
+    v = CENTS.format(col="value")
+    whens = " ".join(
+        f"WHEN cents < {e} THEN {i}" for i, e in enumerate(edges)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, {v} AS cents,
+         CASE {whens} ELSE {len(edges)} END AS bucket
+  FROM events
+),
+b AS (SELECT bucket, count(*)::BIGINT AS n FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+c AS (SELECT bucket, count(*)::BIGINT AS n FROM e WHERE event_id % 2 = 1 GROUP BY 1),
+tot AS (
+  SELECT (SELECT coalesce(sum(n), 0) FROM b)::BIGINT AS tb,
+         (SELECT coalesce(sum(n), 0) FROM c)::BIGINT AS tc
+),
+buckets AS (SELECT unnest(range({B})) AS bucket)
+SELECT k.bucket,
+       coalesce(b.n, 0)::BIGINT AS n_base,
+       coalesce(c.n, 0)::BIGINT AS n_curr,
+       floor(
+         (((coalesce(b.n, 0) + 1.0::DOUBLE) / (tb + {B}))
+          - ((coalesce(c.n, 0) + 1.0::DOUBLE) / (tc + {B})))
+         * ln(((coalesce(b.n, 0) + 1.0::DOUBLE) / (tb + {B}))
+              / ((coalesce(c.n, 0) + 1.0::DOUBLE) / (tc + {B})))
+         * 1000000.0::DOUBLE
+       )::BIGINT AS psi_q
+FROM buckets k
+LEFT JOIN b ON b.bucket = k.bucket
+LEFT JOIN c ON c.bucket = k.bucket
+CROSS JOIN tot"""

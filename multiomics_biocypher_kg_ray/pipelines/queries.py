@@ -907,6 +907,33 @@ def q_orders_snapshot_diff(sf_dir: str):
     return relational.snapshot_diff(old, new, "o_orderkey", "o_orderpriority")
 
 
+_PSI_EDGES = [0, 1000, 5000, 20000]
+
+
+def q_events_psi_drift(sf_dir: str):
+    """PSI drift between the even- and odd-event_id halves of the events
+    cents distribution (expected ≈ 0 on the synthetic data)."""
+    ev = (
+        _read(sf_dir, "events", ["event_id", "value"])
+        .map_batches(
+            lambda t: relational.to_cents(t, {"value": "cents"}),
+            batch_format="pyarrow",
+        )
+        .select_columns(["event_id", "cents"])
+        .materialize()
+    )
+
+    def half(p):
+        return ev.map_batches(
+            lambda t, p=p: t.filter(
+                pc.equal(pc.bit_wise_and(t.column("event_id"), 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    return relational.psi_drift(half(0), half(1), "cents", _PSI_EDGES)
+
+
 def q_user_event_skew(sf_dir: str):
     """Heavy-hitter diagnostic over events.user_id: top-20 hot keys + ppm
     share — the pre-shuffle skew probe."""
@@ -1743,6 +1770,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_orders_snapshot_diff,
             oracle_rel.sql_orders_snapshot_diff(),
         ),
+        "events_psi_drift": (q_events_psi_drift, oracle_rel.sql_events_psi_drift()),
         "event_user_kmv": (q_event_user_kmv, oracle_rel.sql_event_user_kmv()),
         "bm25_docs": (q_bm25_docs, oracle_rel.sql_bm25_docs(_BM25_TERMS)),
         "conv_text_concat": (q_conv_text_concat, oracle.sql_conv_text_concat()),
@@ -1777,6 +1805,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "events_debounce",
         "orders_skew_join",
         "orders_snapshot_diff",
+        "events_psi_drift",
         "events_zscore",
         "user_event_skew",
         "event_user_kmv",

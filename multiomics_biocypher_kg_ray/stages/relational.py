@@ -1093,3 +1093,76 @@ def snapshot_diff(
         return out.filter(pc.not_equal(out.column("status"), "same")).cast(OUT)
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def psi_drift(
+    base: "ray.data.Dataset",
+    curr: "ray.data.Dataset",
+    value_col: str,
+    edges: list[int],
+) -> "ray.data.Dataset":
+    """Population Stability Index between two snapshots of an integer
+    column, per fixed bucket: (bucket, n_base, n_curr, psi_q) with
+    psi_q = floor((p − q)·ln(p/q)·10⁶) and Laplace-smoothed proportions
+    p = (n+1)/(tot+B) — the standard train/serve drift monitor, applied
+    here as corpus-snapshot drift (did today's document/value distribution
+    move?). Callers sum psi_q for the headline PSI (>0.2·10⁶ ≈ major
+    shift).
+
+    Bucket ``edges`` are fixed integers (np.digitize == the SQL CASE chain
+    — classification is exact); proportions derive from exact int64 counts
+    with one division each, so ln is the only last-ulp term (the tfidf
+    budget). Scale shape: each side streams through per-batch bucket
+    combiners into an edges-bounded fastagg; the PSI math runs on ≤ B rows."""
+    from .fastagg import sorted_grouped_agg
+
+    B = len(edges) + 1
+
+    def counts(ds: "ray.data.Dataset") -> dict[int, int]:
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.schema(
+                    [("bucket", pa.int64()), ("n", pa.int64())]
+                ).empty_table()
+            v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = np.digitize(v, np.asarray(edges, dtype=np.int64))
+            u, c = np.unique(b, return_counts=True)
+            return pa.table(
+                {"bucket": pa.array(u.astype(np.int64)), "n": pa.array(c.astype(np.int64))}
+            )
+
+        agg = sorted_grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["bucket"],
+            [("n", "sum")],
+            out_names=["n"],
+        )
+        out: dict[int, int] = {}
+        for bt in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+            if bt.num_rows:
+                for k, n in zip(bt.column("bucket").to_pylist(), bt.column("n").to_pylist()):
+                    out[int(k)] = int(n)
+        return out
+
+    nb, nc = counts(base), counts(curr)
+    tot_b, tot_c = sum(nb.values()), sum(nc.values())
+    rows_b, rows_c, rows_bk, rows_psi = [], [], [], []
+    for bk in range(B):
+        b_n, c_n = nb.get(bk, 0), nc.get(bk, 0)
+        p = (b_n + 1.0) / (tot_b + B)
+        q = (c_n + 1.0) / (tot_c + B)
+        psi = float(np.floor((p - q) * np.log(p / q) * 1000000.0))
+        rows_bk.append(bk)
+        rows_b.append(b_n)
+        rows_c.append(c_n)
+        rows_psi.append(int(psi))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array(rows_bk, pa.int64()),
+                "n_base": pa.array(rows_b, pa.int64()),
+                "n_curr": pa.array(rows_c, pa.int64()),
+                "psi_q": pa.array(rows_psi, pa.int64()),
+            }
+        )
+    )

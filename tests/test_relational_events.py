@@ -819,3 +819,32 @@ def test_snapshot_diff_statuses():
     assert got == {("1", "removed"), ("3", "changed"), ("4", "added")}
     chg = out[out["status"] == "changed"].iloc[0]
     assert chg["old_val"] == "c" and chg["new_val"] == "X"
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shifted():
+    from multiomics_biocypher_kg_ray.stages.relational import psi_drift
+
+    rng = np.random.RandomState(43)
+    a = pa.table({"v": pa.array(rng.randint(0, 10000, 5000).astype("int64"))})
+    edges = [1000, 3000, 7000]
+    same = (
+        psi_drift(
+            ray.data.from_arrow(a).repartition(4),
+            ray.data.from_arrow(a).repartition(2),
+            "v",
+            edges,
+        )
+        .to_pandas()
+    )
+    assert same["psi_q"].sum() == 0  # identical snapshots -> PSI exactly 0
+    shifted = pa.table(
+        {"v": pa.array((rng.randint(0, 10000, 5000) + 5000).astype("int64"))}
+    )
+    drift = (
+        psi_drift(
+            ray.data.from_arrow(a), ray.data.from_arrow(shifted), "v", edges
+        )
+        .to_pandas()
+    )
+    assert drift["psi_q"].sum() > 200_000  # major-shift threshold 0.2
+    assert len(drift) == len(edges) + 1
