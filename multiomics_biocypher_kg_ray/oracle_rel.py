@@ -1486,3 +1486,29 @@ FROM buckets k
 LEFT JOIN b ON b.bucket = k.bucket
 LEFT JOIN c ON c.bucket = k.bucket
 CROSS JOIN tot"""
+
+
+def sql_user_interval_coverage() -> str:
+    """Twin of ``events.coalesce_intervals`` over synthetic event activity
+    windows [ts, ts + (60 + event_id % 3540) s): the exclusive running max
+    of earlier ends (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``)
+    decides island starts and each interval's novel coverage — pure int64
+    µs arithmetic, bit-exact vs the segmented cummax scan."""
+    return """
+WITH iv AS (
+  SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + (60 + event_id % 3540) * 1000000 AS e
+  FROM events
+),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+)
+SELECT user_id,
+       sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)::BIGINT AS n_islands,
+       sum(greatest(0, e - greatest(s, coalesce(pmax, s))))::BIGINT AS covered_us,
+       count(*)::BIGINT AS n_intervals
+FROM w GROUP BY user_id"""

@@ -929,3 +929,73 @@ def debounce_events(
         )
 
     return lagged.map_batches(keep, batch_format="pyarrow")
+
+
+def coalesce_intervals(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    out_islands: str = "n_islands",
+    out_covered: str = "covered_us",
+    out_count: str = "n_intervals",
+) -> "ray.data.Dataset":
+    """Interval union per key (gaps-and-islands coalescing): merge every
+    overlapping-or-touching ``[start, end)`` interval of a key into islands
+    and emit one row per key with the island count, the total covered
+    microseconds (the union length, overlaps counted ONCE), and the raw
+    interval count — the availability/coverage rollup behind session
+    merging, SLA windows, and GFF feature-span consolidation (reference
+    computes feature overlap spans in single-process pandas,
+    ``omics_adapter.py`` interval handling).
+
+    Algorithm: with intervals sorted by (start, end, id) within a key, an
+    interval opens a NEW island iff its start exceeds the EXCLUSIVE running
+    max of all earlier ends, and its novel coverage is
+    ``max(0, end - max(start, running_max))`` — so the whole problem
+    reduces to ``window.cummax_over``'s segmented scan (hot keys bounded by
+    their sorted-block share) plus per-row vectorized arithmetic and one
+    fastagg rollup. Pure int64 throughout: bit-exact vs the DuckDB
+    ``max(e) OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``
+    twin at any parallelism.
+
+    Precondition: ``(start, end, id)`` tuples unique within a key (``id_col``
+    is the tiebreaker — equal-start ties merge identically under any tie
+    order, because start <= previous start implies start <= running max).
+    """
+    from .fastagg import sorted_grouped_agg
+    from .window import cummax_over
+
+    part_type = dict(zip(ds.schema().names, ds.schema().types))[part_col]
+    w = cummax_over(ds, part_col, [start_col, end_col, id_col], end_col, out_col="_pmax")
+    MID = pa.schema(
+        [(part_col, part_type), ("_flag", pa.int64()), ("_cov", pa.int64())]
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        s = t.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pmax = t.column("_pmax")
+        isnull = np.asarray(pc.is_null(pmax).combine_chunks())
+        pm = (
+            pc.fill_null(pmax, np.iinfo(np.int64).min)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flag = (isnull | (s > pm)).astype(np.int64)
+        base = np.maximum(s, pm)  # null carry -> int64 min -> base = s
+        cov = np.maximum(e - base, 0)
+        return pa.Table.from_arrays(
+            [t.column(part_col), pa.array(flag, pa.int64()), pa.array(cov, pa.int64())],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        w.map_batches(contrib, batch_format="pyarrow"),
+        [part_col],
+        [("_flag", "sum"), ("_cov", "sum"), ("_flag", "count")],
+        out_names=[out_islands, out_covered, out_count],
+    )

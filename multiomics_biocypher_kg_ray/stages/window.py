@@ -44,7 +44,7 @@ def _segmented_window(
     order_cols: list[str],
     val_col: str,
     out_col: str,
-    kind: str,  # 'lag' | 'cumsum'
+    kind: str,  # 'lag' | 'cumsum' | 'cummax'
     inclusive: bool = True,
 ) -> "ray.data.Dataset":
     sch = ds.schema()
@@ -81,6 +81,18 @@ def _segmented_window(
             prev[1:] = vals[:-1]
             prev[0] = 0
             local = pa.array(prev, pa.int64(), mask=is_first)
+        elif kind == "cummax":
+            # EXCLUSIVE per-segment running max: one compiled pandas groupby
+            # cummax pass (segment labels = start indices, already sorted —
+            # a single C scan, never per-group Python), shifted by one;
+            # segment-first rows stay null and merge the part carry in pass 2
+            import pandas as pd
+
+            incl = pd.Series(vals).groupby(start).cummax().to_numpy()
+            prev = np.empty(n, dtype=np.int64)
+            prev[1:] = incl[:-1]
+            prev[0] = 0
+            local = pa.array(prev, pa.int64(), mask=is_first)
         else:
             cum = np.cumsum(vals)
             excl = (cum - vals) - (cum - vals)[start]
@@ -105,6 +117,8 @@ def _segmented_window(
         ends = np.append(starts[1:], n)
         if kind == "lag":
             seg_val = vals[ends - 1]
+        elif kind == "cummax":
+            seg_val = np.maximum.reduceat(vals, starts).astype(np.int64)
         else:
             seg_val = np.add.reduceat(vals, starts).astype(np.int64)
         cols = [t.column(part_col).take(pa.array(starts))]
@@ -144,16 +158,25 @@ def _segmented_window(
         prev_part = None
         run = np.int64(0)
         prev_val = None
+        run_max = None
         for i in range(len(parts)):
             p = parts[i]
             if p != prev_part:
                 run = np.int64(0)
                 prev_val = None
+                run_max = None
                 prev_part = p
             key = (p, *(f[i] for f in firsts))
-            out[key] = prev_val if kind == "lag" else run
+            if kind == "lag":
+                out[key] = prev_val
+            elif kind == "cummax":
+                out[key] = run_max
+            else:
+                out[key] = run
             run += vals[i]
             prev_val = vals[i]
+            v = vals[i]
+            run_max = v if run_max is None else max(run_max, v)
         return out
 
     def add_carry(t: pa.Table) -> pa.Table:
@@ -185,6 +208,17 @@ def _segmented_window(
                         continue  # first row of its part: stays null
                     out[s] = carry
                     mask[s] = False
+            arr = pa.array(out, pa.int64(), mask=mask)
+        elif kind == "cummax":
+            out = loc.copy()
+            mask = np.asarray(local.is_null().combine_chunks())
+            for s, e in zip(starts, ends):
+                carry = index.get((parts[s], *(f[s] for f in firsts)))
+                if carry is None:
+                    continue  # part-first segment: local excl max is final
+                seg = slice(s, e)
+                out[seg] = np.where(mask[seg], carry, np.maximum(out[seg], carry))
+                mask[seg] = False
             arr = pa.array(out, pa.int64(), mask=mask)
         else:
             off = np.zeros(n, dtype=np.int64)
@@ -225,6 +259,31 @@ def cumsum_over(
     return _segmented_window(
         ds, part_col, order_cols, val_col, out_col, "cumsum", inclusive=inclusive
     )
+
+
+def cummax_over(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "max_val",
+) -> "ray.data.Dataset":
+    """``max(val) OVER (PARTITION BY part ORDER BY order_cols ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — the EXCLUSIVE running max,
+    int64, null for each part's first row.
+
+    This is the scan underneath interval-union/gaps-and-islands problems:
+    with intervals sorted by start, an interval opens a new island iff its
+    start exceeds the exclusive running max of all earlier ends, and its
+    novel coverage is ``max(0, end - max(start, running_max))`` — both pure
+    per-row functions of this column (``events.coalesce_intervals``).
+
+    Same two-pass segmented-scan shape as ``lag_over``/``cumsum_over``; the
+    in-block scan is one compiled pandas groupby-cummax pass, the cross-block
+    carry is the running max of earlier segment maxima per part (broadcast,
+    block-count-bounded).
+    """
+    return _segmented_window(ds, part_col, order_cols, val_col, out_col, "cummax")
 
 
 def rolling_sum_over(

@@ -194,3 +194,84 @@ def test_lead_over_rejects_non_integer_order():
     df = pd.DataFrame({"part": ["a"], "o": ["x"], "v": [1]})
     with pytest.raises(TypeError):
         lead_over(_ds(df, 1), "part", ["o"], "v")
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_cummax_over_matches_pandas(blocks):
+    from multiomics_biocypher_kg_ray.stages.window import cummax_over
+
+    df = _mk(12, [1, 5, 40], seed=7)
+    out = (
+        cummax_over(_ds(df, blocks), "part", ["o", "id"], "v", out_col="m")
+        .to_pandas()
+        .sort_values(["part", "o", "id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["part", "o", "id"]).reset_index(drop=True)
+    # exclusive running max: shift the inclusive cummax down one within part
+    ref["m"] = ref.groupby("part")["v"].cummax().groupby(ref["part"]).shift(1)
+    assert out["m"].isna().equals(ref["m"].isna())
+    got = out["m"].dropna().astype("int64").reset_index(drop=True)
+    exp = ref["m"].dropna().astype("int64").reset_index(drop=True)
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_cummax_hot_key_many_blocks():
+    """One key spanning every block: the carry must chain across segments."""
+    from multiomics_biocypher_kg_ray.stages.window import cummax_over
+
+    n = 5000
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame(
+        {"part": ["hot"] * n, "o": np.arange(n), "id": np.arange(n),
+         "v": rng.randint(-(10**6), 10**6, size=n)}
+    )
+    out = (
+        cummax_over(_ds(df, 16), "part", ["o", "id"], "v", out_col="m")
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    exp = pd.Series(df["v"]).cummax().shift(1)
+    assert pd.isna(out["m"].iloc[0]) and pd.isna(exp.iloc[0])
+    assert (out["m"].iloc[1:].astype("int64").to_numpy()
+            == exp.iloc[1:].astype("int64").to_numpy()).all()
+
+
+def test_coalesce_intervals_matches_bruteforce():
+    from multiomics_biocypher_kg_ray.stages.events import coalesce_intervals
+
+    rng = np.random.RandomState(42)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 40, size=n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    df["s"] = rng.randint(0, 10**6, size=n).astype(np.int64)
+    df["e"] = df["s"] + rng.randint(1, 5000, size=n).astype(np.int64)
+    out = (
+        coalesce_intervals(_ds(df, 9), "k", "s", "e", "id")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    def brute(g: pd.DataFrame):
+        ivs = sorted(zip(g["s"], g["e"]))
+        islands, cov, cur_s, cur_e = 0, 0, None, None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    cov += cur_e - cur_s
+                islands, cur_s, cur_e = islands + 1, s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            cov += cur_e - cur_s
+        return pd.Series({"n_islands": islands, "covered_us": cov, "n_intervals": len(g)})
+
+    ref = df.groupby("k").apply(brute, include_groups=False).reset_index().sort_values("k")
+    for c in ("n_islands", "covered_us", "n_intervals"):
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
