@@ -1512,3 +1512,32 @@ SELECT user_id,
        sum(greatest(0, e - greatest(s, coalesce(pmax, s))))::BIGINT AS covered_us,
        count(*)::BIGINT AS n_intervals
 FROM w GROUP BY user_id"""
+
+
+def sql_part_price_corr() -> str:
+    """Twin of ``relational.group_corr`` over lineitem per part: Pearson r
+    between quantity and extended price (both in cents), rearranged to the
+    five exact int64 cross-moment sums, finalized in doubles with the exact
+    promote-then-multiply op order the engine mirrors — bit-exact floor(r·10⁶),
+    NULL on zero variance."""
+    x = CENTS.format(col="l_quantity")
+    y = CENTS.format(col="l_extendedprice")
+    return f"""
+WITH e AS (
+  SELECT l_partkey::BIGINT AS l_partkey, {x} AS x, {y} AS y FROM lineitem
+),
+st AS (
+  SELECT l_partkey, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+         sum(x*y)::BIGINT AS sxy
+  FROM e GROUP BY 1
+)
+SELECT l_partkey, n,
+       CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0.0::DOUBLE
+             AND (n::DOUBLE * syy - sy::DOUBLE * sy) > 0.0::DOUBLE
+            THEN floor(((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1000000.0::DOUBLE)
+                       / (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)
+                          * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)))::BIGINT
+            ELSE NULL END AS corr_ppm
+FROM st"""

@@ -865,6 +865,21 @@ def q_events_debounce(sf_dir: str):
     )
 
 
+def q_part_price_corr(sf_dir: str):
+    """Pearson correlation between quantity and extended price per part —
+    the feature-pair screening rollup, bit-exact via integer cross-moments."""
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    prepped = li.map_batches(
+        lambda t: relational.to_cents(
+            t, {"l_quantity": "x", "l_extendedprice": "y"}
+        ).select(["l_partkey", "x", "y"]),
+        batch_format="pyarrow",
+    )
+    return relational.group_corr(prepped, ["l_partkey"], "x", "y")
+
+
 def q_user_interval_coverage(sf_dir: str):
     """Interval-union coverage per user: every event opens an activity
     window of (60 + event_id % 3540) seconds; islands = maximal merged
@@ -1808,6 +1823,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_user_interval_coverage,
             oracle_rel.sql_user_interval_coverage(),
         ),
+        "part_price_corr": (q_part_price_corr, oracle_rel.sql_part_price_corr()),
         "orders_skew_join": (q_orders_skew_join, oracle_rel.sql_orders_skew_join()),
         "orders_snapshot_diff": (
             q_orders_snapshot_diff,
@@ -1827,6 +1843,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # green round-3 driver rows under unchanged code paths.
     first = [
         "user_interval_coverage",
+        "part_price_corr",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

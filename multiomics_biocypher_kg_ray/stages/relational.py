@@ -1024,6 +1024,107 @@ def group_zscore(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def group_corr(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr_ppm",
+) -> "ray.data.Dataset":
+    """Per-group Pearson correlation between two integer columns, one row
+    per group: ``keys + n + out_col`` where out_col = floor(r·10⁶) and
+    r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) — the
+    feature-pair screening rollup (which signals co-move per entity) before
+    model training. NULL when either variance is zero.
+
+    Exactness: the five cross-moments are EXACT int64 sums from one fastagg
+    pass; the final r is derived from them in doubles with the SAME op
+    order as the DuckDB twin (each int sum promoted ::DOUBLE before its
+    product, products subtracted, ·10⁶, divided by the product of the two
+    sqrts) — multiplication/subtraction/division/sqrt are all IEEE
+    correctly-rounded, so the quantized output is bit-exact, same
+    discipline as ``group_zscore``.
+
+    Inputs must be pre-quantized int64 (cents/ppm); per-row products x·x,
+    y·y, x·y and their group sums must stay within int64 — quantize
+    magnitudes accordingly (the same contract ``group_zscore`` documents).
+
+    Scale shape: per-batch squares/products (stateless), one fastagg
+    shuffle of 6 int partials per group, then a stateless vectorized
+    finalize over the group-count-proportional agg stream — no broadcast,
+    no driver state, no per-group Python."""
+    from .fastagg import sorted_grouped_agg
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    MID = pa.schema(
+        [(k, typ[k]) for k in keys]
+        + [
+            ("_x", pa.int64()),
+            ("_y", pa.int64()),
+            ("_xx", pa.int64()),
+            ("_yy", pa.int64()),
+            ("_xy", pa.int64()),
+        ]
+    )
+    OUT = pa.schema(
+        [(k, typ[k]) for k in keys] + [("n", pa.int64()), (out_col, pa.int64())]
+    )
+
+    def sq(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        arrs = [t.column(k) for k in keys] + [
+            pa.array(x, pa.int64()),
+            pa.array(y, pa.int64()),
+            pa.array(x * x, pa.int64()),
+            pa.array(y * y, pa.int64()),
+            pa.array(x * y, pa.int64()),
+        ]
+        return pa.Table.from_arrays(arrs, schema=MID)
+
+    stats = sorted_grouped_agg(
+        ds.map_batches(sq, batch_format="pyarrow"),
+        keys,
+        [
+            ("_x", "count"),
+            ("_x", "sum"),
+            ("_y", "sum"),
+            ("_xx", "sum"),
+            ("_yy", "sum"),
+            ("_xy", "sum"),
+        ],
+        out_names=["n", "_sx", "_sy", "_sxx", "_syy", "_sxy"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        f = np.float64
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(f)
+        sx = t.column("_sx").to_numpy(zero_copy_only=False).astype(f)
+        sy = t.column("_sy").to_numpy(zero_copy_only=False).astype(f)
+        sxx = t.column("_sxx").to_numpy(zero_copy_only=False).astype(f)
+        syy = t.column("_syy").to_numpy(zero_copy_only=False).astype(f)
+        sxy = t.column("_sxy").to_numpy(zero_copy_only=False).astype(f)
+        # identical double derivation as the SQL twin (promote-then-multiply)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        ok = (vx > 0.0) & (vy > 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.floor((cov * 1000000.0) / (np.sqrt(vx) * np.sqrt(vy)))
+        arr = pa.array(np.where(ok, r, 0).astype(np.int64), pa.int64(), mask=~ok)
+        arrs = [t.column(k) for k in keys] + [
+            pc.cast(t.column("n"), pa.int64()),
+            arr,
+        ]
+        return pa.Table.from_arrays(arrs, schema=OUT)
+
+    return stats.map_batches(finalize, batch_format="pyarrow")
+
+
 def snapshot_diff(
     old: "ray.data.Dataset",
     new: "ray.data.Dataset",

@@ -848,3 +848,48 @@ def test_psi_drift_zero_for_identical_and_positive_for_shifted():
     )
     assert drift["psi_q"].sum() > 200_000  # major-shift threshold 0.2
     assert len(drift) == len(edges) + 1
+
+
+def test_group_corr_matches_numpy_and_nulls_degenerate_groups():
+    from multiomics_biocypher_kg_ray.stages.relational import group_corr
+
+    rng = np.random.RandomState(23)
+    n = 900
+    k = rng.randint(0, 30, size=n).astype("int64")
+    x = rng.randint(-500, 500, size=n).astype("int64")
+    y = (2 * x + rng.randint(-300, 300, size=n)).astype("int64")
+    df = pd.DataFrame({"k": k, "x": x, "y": y})
+    # degenerate groups: zero x-variance, and a singleton
+    df = pd.concat(
+        [
+            df,
+            pd.DataFrame({"k": [90] * 6, "x": [7] * 6, "y": [1, 2, 3, 4, 5, 6]}),
+            pd.DataFrame({"k": [91], "x": [3], "y": [4]}),
+        ],
+        ignore_index=True,
+    )
+    out = (
+        group_corr(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(7),
+            ["k"],
+            "x",
+            "y",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        g = df[df["k"] == row["k"]]
+        assert row["n"] == len(g)
+        if g["x"].nunique() < 2 or g["y"].nunique() < 2:
+            assert pd.isna(row["corr_ppm"])
+        else:
+            r = np.corrcoef(g["x"], g["y"])[0, 1]
+            assert abs(row["corr_ppm"] - np.floor(r * 1e6)) <= 1, (row["k"], r)
+    assert pd.isna(out.loc[out["k"] == 90, "corr_ppm"]).all()
+    assert pd.isna(out.loc[out["k"] == 91, "corr_ppm"]).all()
+    # strongly positive overall relationship: most groups near +1
+    real = out[out["k"] < 30]["corr_ppm"].dropna()
+    assert (real > 800000).mean() > 0.9
