@@ -566,3 +566,26 @@ s AS (
 )
 SELECT seq, count(*)::BIGINT AS n_convs FROM s GROUP BY 1
 ORDER BY n_convs DESC, seq LIMIT {k}"""
+
+
+def sql_kg_common_neighbors(cap: int = 200, min_common: int = 2) -> str:
+    """Twin of ``graph.common_neighbors``: undirected distinct incidence,
+    true distinct degrees for the Adamic–Adar weight floor(10⁶/ln(d)),
+    row_number-capped neighbor sets for pair enumeration, integer sums."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+ue AS (SELECT src AS m, dst AS nb FROM edges WHERE src <> dst
+       UNION ALL SELECT dst, src FROM edges WHERE src <> dst),
+und AS (SELECT DISTINCT m, nb FROM ue),
+deg AS (SELECT m, count(*)::BIGINT AS d FROM und GROUP BY 1),
+w AS (SELECT m, floor(1000000.0::DOUBLE / ln(d::DOUBLE))::BIGINT AS w
+      FROM deg WHERE d >= 2),
+cp AS (SELECT m, nb FROM (
+         SELECT m, nb, row_number() OVER (PARTITION BY m ORDER BY nb) AS rn
+         FROM und) WHERE rn <= {cap}),
+j AS (SELECT cp.m, cp.nb, w.w FROM cp JOIN w ON w.m = cp.m),
+p AS (SELECT a.nb AS node_a, b.nb AS node_b, a.w AS w
+      FROM j a JOIN j b ON a.m = b.m AND a.nb < b.nb)
+SELECT node_a, node_b, count(*)::BIGINT AS n_common, sum(w)::BIGINT AS aa_q
+FROM p GROUP BY 1, 2
+HAVING count(*) >= {min_common}"""

@@ -635,6 +635,16 @@ def q_kg_two_hop(sf_dir: str):
     )
 
 
+def q_kg_common_neighbors(sf_dir: str):
+    """Adamic–Adar link-prediction candidates over the built KG: node pairs
+    sharing ≥2 neighbors, with quantized AA scores."""
+    from ..stages import graph
+
+    return graph.common_neighbors(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    )
+
+
 def q_kg_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the built KG edge table — Pregel
     rounds as join + fastagg, bit-identical to the unrolled-CTE oracle."""
@@ -1783,6 +1793,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "events_rollup": (q_events_rollup, oracle_rel.sql_events_rollup()),
         "kg_two_hop": (q_kg_two_hop, oracle.sql_kg_two_hop()),
         "kg_pagerank": (q_kg_pagerank, oracle.sql_kg_pagerank()),
+        "kg_common_neighbors": (
+            q_kg_common_neighbors,
+            oracle.sql_kg_common_neighbors(),
+        ),
         "kg_triangles": (q_kg_triangles, oracle.sql_kg_triangles()),
         "embedding_centroids": (
             q_embedding_centroids,
@@ -1844,6 +1858,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     first = [
         "user_interval_coverage",
         "part_price_corr",
+        "kg_common_neighbors",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

@@ -291,3 +291,104 @@ def node_triangles(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         [("node", "count")],
         out_names=["n_triangles"],
     )
+
+
+def common_neighbors(
+    edges: "ray.data.Dataset",
+    cap: int = 200,
+    min_common: int = 2,
+) -> "ray.data.Dataset":
+    """Link-prediction features over the KG: for every unlinked-or-linked
+    node pair sharing at least ``min_common`` neighbors, emit
+    ``(node_a, node_b, n_common, aa_q)`` where ``aa_q`` is the quantized
+    Adamic–Adar score Σ_m floor(10⁶ / ln(deg(m))) over the shared neighbors
+    m — the standard "which edges are missing" candidate generator a KG
+    curator runs after construction (reference analog: the shared-term /
+    co-annotation statistics of ``post-import.cypher``'s neighborhood
+    rollups).
+
+    Direction and multiplicity are dropped (undirected simple graph,
+    self-loops removed). Degrees for the AA weight are TRUE distinct
+    degrees; pair enumeration caps each center at its first ``cap``
+    ascending neighbors (hub backstop, mirrored exactly in the SQL twin via
+    row_number) — a capped hub contributes pairs from a deterministic
+    neighbor subset but keeps its true ln(deg) weight.
+
+    Scale shape: incidence dedupes via ``sorted_distinct``; degree is one
+    fastagg; the per-center weight joins back via a distributed hash join
+    (node-proportional, no broadcast); pair emission rides the segmented
+    ``bucket_pairs`` kernel with the weight as a per-id payload; final
+    counts/sums are one fastagg over pair rows. Wedge volume is bounded by
+    Σ min(deg, cap)² per center — the cap is the explicit knob.
+
+    Float discipline: the ONLY float is 10⁶/ln(deg) over an exact int64
+    degree, floored before the (exact, order-free) integer sum — the same
+    last-ulp budget as ``materialize.cooccurrence_pmi``.
+    """
+    from .dedup import bucket_pairs
+    from .joins import hash_join
+    from .relational import ranked_over
+
+    UND = pa.schema([("m", pa.string()), ("nb", pa.string())])
+
+    def und_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return UND.empty_table()
+        src, dst = t.column("src"), t.column("dst")
+        keep = pc.invert(pc.equal(src, dst))
+        src, dst = src.filter(keep), dst.filter(keep)
+        fwd = pa.Table.from_arrays([src, dst], schema=UND)
+        rev = pa.Table.from_arrays([dst, src], schema=UND)
+        return pa.concat_tables([fwd, rev])
+
+    und = sorted_distinct(
+        edges.map_batches(und_fn, batch_format="pyarrow"), ["m", "nb"]
+    ).materialize()  # consumed twice: degrees and capped incidence
+
+    deg = sorted_grouped_agg(und, ["m"], [("nb", "count")], out_names=["d"])
+
+    W = pa.schema([("m", pa.string()), ("w", pa.int64())])
+
+    def weight_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return W.empty_table()
+        t = t.filter(pc.greater_equal(t.column("d"), 2))
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.floor(1000000.0 / np.log(d)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column("m"), pa.array(w, pa.int64())], schema=W
+        )
+
+    wds = drop_empty_blocks(deg.map_batches(weight_fn, batch_format="pyarrow"), W)
+
+    capped = ranked_over(und, ["m"], [("nb", True)], rank_col="_rn").map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("_rn"), cap)).drop_columns(["_rn"])
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+    j = hash_join(drop_empty_blocks(capped, UND), wds, on=("m",))
+
+    pairs = bucket_pairs(j, ["m"], id_col="nb", payload_cols=("w",), cap=None)
+    agg = sorted_grouped_agg(
+        pairs,
+        ["doc_a", "doc_b"],
+        [("w_a", "count"), ("w_a", "sum")],
+        out_names=["n_common", "aa_q"],
+    )
+    OUT = pa.schema(
+        [
+            ("node_a", pa.string()),
+            ("node_b", pa.string()),
+            ("n_common", pa.int64()),
+            ("aa_q", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        t = t.filter(pc.greater_equal(t.column("n_common"), min_common))
+        return t.rename_columns(["node_a", "node_b", "n_common", "aa_q"])
+
+    return drop_empty_blocks(agg.map_batches(final, batch_format="pyarrow"), OUT)

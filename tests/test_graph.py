@@ -233,3 +233,63 @@ def test_skew_join_routes_hot_keys_and_matches_plain_join():
     assert len(out) == len(ref) == 10000
     assert (out["lv"].to_numpy() == ref["lv"].to_numpy()).all()
     assert (out["rv"].to_numpy() == ref["rv"].to_numpy()).all()
+
+
+def test_common_neighbors_matches_bruteforce():
+    from collections import defaultdict
+
+    from multiomics_biocypher_kg_ray.stages.graph import common_neighbors
+
+    edges = _random_edges(5)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+        )
+    ).repartition(5)
+    out = (
+        common_neighbors(ds, cap=200, min_common=2)
+        .to_pandas()
+        .sort_values(["node_a", "node_b"])
+        .reset_index(drop=True)
+    )
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    ref = {}
+    nodes = sorted(adj)
+    for m in nodes:
+        nbs = sorted(adj[m])
+        if len(nbs) < 2:
+            continue
+        w = int(np.floor(1_000_000.0 / np.log(float(len(nbs)))))
+        for a, b in itertools.combinations(nbs, 2):
+            n, s = ref.get((a, b), (0, 0))
+            ref[(a, b)] = (n + 1, s + w)
+    ref = {k: v for k, v in ref.items() if v[0] >= 2}
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.aa_q) for r in out.itertuples()
+    }
+    assert got == ref
+
+
+def test_common_neighbors_cap_bounds_hub():
+    """A hub over the cap enumerates pairs from its first `cap` ascending
+    neighbors but keeps its TRUE-degree AA weight."""
+    from multiomics_biocypher_kg_ray.stages.graph import common_neighbors
+
+    hub_edges = [("hub", f"x{i:03d}") for i in range(10)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": [a for a, _ in hub_edges], "dst": [b for _, b in hub_edges]}
+        )
+    )
+    out = common_neighbors(ds, cap=4, min_common=1).to_pandas()
+    # pairs only among the 4 ascending neighbors: C(4,2) = 6
+    assert len(out) == 6
+    members = set(out["node_a"]) | set(out["node_b"])
+    assert members == {f"x{i:03d}" for i in range(4)}
+    w_true = int(np.floor(1_000_000.0 / np.log(10.0)))
+    assert (out["aa_q"] == w_true).all()
