@@ -1541,3 +1541,27 @@ SELECT l_partkey, n,
                           * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)))::BIGINT
             ELSE NULL END AS corr_ppm
 FROM st"""
+
+
+def sql_orders_profile() -> str:
+    """Twin of ``relational.profile_table`` over orders: per-column counts,
+    null counts, exact distincts, min/max (ints compared numerically then
+    stringified; money in cents, timestamps in epoch µs)."""
+    c = CENTS.format(col="o_totalprice")
+
+    def block(label: str, expr: str) -> str:
+        return f"""SELECT '{label}' AS col_name, count(*)::BIGINT AS n,
+       (count(*) - count({expr}))::BIGINT AS n_null,
+       count(DISTINCT {expr})::BIGINT AS n_distinct,
+       min({expr})::VARCHAR AS min_val, max({expr})::VARCHAR AS max_val
+FROM orders"""
+
+    parts = [
+        block("o_orderkey", "o_orderkey"),
+        block("o_custkey", "o_custkey"),
+        block("o_totalprice_cents", c),
+        block("o_orderdate_us", "epoch_us(o_orderdate)"),
+        block("o_orderstatus", "o_orderstatus"),
+        block("o_orderpriority", "o_orderpriority"),
+    ]
+    return "\nUNION ALL\n".join(parts)

@@ -875,6 +875,46 @@ def q_events_debounce(sf_dir: str):
     )
 
 
+def q_orders_profile(sf_dir: str):
+    """Column-level profile of the orders snapshot — counts, nulls, exact
+    distincts, min/max — the trust-but-verify audit before a corpus refresh."""
+    orders = _read(sf_dir, "orders")
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_totalprice_cents", pa.int64()),
+                    ("o_orderdate_us", pa.int64()),
+                    ("o_orderstatus", pa.string()),
+                    ("o_orderpriority", pa.string()),
+                ]
+            ).empty_table()
+        t = relational.to_cents(t, {"o_totalprice": "o_totalprice_cents"})
+        t = t.append_column(
+            "o_orderdate_us",
+            pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+        )
+        return t.select(
+            [
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice_cents",
+                "o_orderdate_us",
+                "o_orderstatus",
+                "o_orderpriority",
+            ]
+        )
+
+    return relational.profile_table(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderkey", "o_custkey", "o_totalprice_cents", "o_orderdate_us"],
+        ["o_orderstatus", "o_orderpriority"],
+    )
+
+
 def q_part_price_corr(sf_dir: str):
     """Pearson correlation between quantity and extended price per part —
     the feature-pair screening rollup, bit-exact via integer cross-moments."""
@@ -1838,6 +1878,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_user_interval_coverage(),
         ),
         "part_price_corr": (q_part_price_corr, oracle_rel.sql_part_price_corr()),
+        "orders_profile": (q_orders_profile, oracle_rel.sql_orders_profile()),
         "orders_skew_join": (q_orders_skew_join, oracle_rel.sql_orders_skew_join()),
         "orders_snapshot_diff": (
             q_orders_snapshot_diff,
@@ -1859,6 +1900,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",
+        "orders_profile",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

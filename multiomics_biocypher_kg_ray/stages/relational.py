@@ -1267,3 +1267,167 @@ def psi_drift(
             }
         )
     )
+
+
+def profile_table(
+    ds: "ray.data.Dataset",
+    int_cols: list[str],
+    str_cols: list[str],
+    col_field: str = "col_name",
+) -> "ray.data.Dataset":
+    """Data-profiling rollup: one row per profiled column with
+    ``(col_name, n, n_null, n_distinct, min_val, max_val)`` — the schema
+    audit a pipeline runs on every new snapshot before trusting it
+    (reference analog: ``schema_info`` counts, SURVEY A16, widened to
+    column-level stats). ``min_val``/``max_val`` are emitted as strings;
+    int columns compare numerically and stringify at the end, so "9" < "10"
+    stays correct. Callers pre-cast timestamps to epoch-µs and money to
+    cents int64 (the module's quantization convention).
+
+    Scale shape: n/null/min/max ride per-batch O(#cols) partial rows into
+    one fastagg (never row-proportional past the first map); exact distinct
+    counts melt each column to (col, value-string) rows — column-count ×
+    data-proportional, the inherent price of EXACT distincts (use
+    ``sampling.distinct_kmv`` for the sketched variant) — through
+    ``sorted_distinct`` + one fastagg. The final stitch joins two
+    #cols-bounded tables driver-side (constant work).
+    """
+    from .fastagg import sorted_distinct, sorted_grouped_agg
+
+    cols = list(int_cols) + list(str_cols)
+    int_set = set(int_cols)
+    PART = pa.schema(
+        [
+            (col_field, pa.string()),
+            ("_n", pa.int64()),
+            ("_nn", pa.int64()),
+            ("_mini", pa.int64()),
+            ("_maxi", pa.int64()),
+            ("_mins", pa.string()),
+            ("_maxs", pa.string()),
+        ]
+    )
+    MELT = pa.schema([(col_field, pa.string()), ("_val", pa.string())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PART.empty_table()
+        names, ns, nns, minis, maxis, minss, maxss = [], [], [], [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            names.append(c)
+            ns.append(len(col))
+            nns.append(col.null_count)
+            mn = pc.min(col).as_py() if len(col) > col.null_count else None
+            mx = pc.max(col).as_py() if len(col) > col.null_count else None
+            if c in int_set:
+                minis.append(mn), maxis.append(mx)
+                minss.append(None), maxss.append(None)
+            else:
+                minis.append(None), maxis.append(None)
+                minss.append(mn), maxss.append(mx)
+        return pa.Table.from_arrays(
+            [
+                pa.array(names, pa.string()),
+                pa.array(ns, pa.int64()),
+                pa.array(nns, pa.int64()),
+                pa.array(minis, pa.int64()),
+                pa.array(maxis, pa.int64()),
+                pa.array(minss, pa.string()),
+                pa.array(maxss, pa.string()),
+            ],
+            schema=PART,
+        )
+
+    stats = sorted_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [col_field],
+        [
+            ("_n", "sum"),
+            ("_nn", "sum"),
+            ("_mini", "min"),
+            ("_maxi", "max"),
+            ("_mins", "min"),
+            ("_maxs", "max"),
+        ],
+        out_names=["n", "n_null", "_mini", "_maxi", "_mins", "_maxs"],
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MELT.empty_table()
+        parts = []
+        for c in cols:
+            col = t.column(c).drop_null()
+            if len(col) == 0:
+                continue
+            sv = pc.cast(col, pa.string())
+            parts.append(
+                pa.Table.from_arrays(
+                    [pa.array([c] * len(sv), pa.string()), sv], schema=MELT
+                )
+            )
+        return pa.concat_tables(parts) if parts else MELT.empty_table()
+
+    dcounts = sorted_grouped_agg(
+        sorted_distinct(ds.map_batches(melt, batch_format="pyarrow"), [col_field, "_val"]),
+        [col_field],
+        [("_val", "count")],
+        out_names=["n_distinct"],
+    )
+
+    def gather(d):
+        blocks = [
+            b
+            for b in d.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns and b.num_rows
+        ]
+        return pa.concat_tables(blocks).combine_chunks() if blocks else None
+
+    st, dc = gather(stats), gather(dcounts)
+    OUT = pa.schema(
+        [
+            (col_field, pa.string()),
+            ("n", pa.int64()),
+            ("n_null", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("min_val", pa.string()),
+            ("max_val", pa.string()),
+        ]
+    )
+    if st is None:
+        return ray.data.from_arrow(OUT.empty_table())
+    dmap = (
+        dict(zip(dc.column(col_field).to_pylist(), dc.column("n_distinct").to_pylist()))
+        if dc is not None
+        else {}
+    )
+    names = st.column(col_field).to_pylist()
+    mini = st.column("_mini").to_pylist()
+    maxi = st.column("_maxi").to_pylist()
+    mins = st.column("_mins").to_pylist()
+    maxs = st.column("_maxs").to_pylist()
+    min_val = [
+        (str(mini[i]) if mini[i] is not None else None)
+        if names[i] in int_set
+        else mins[i]
+        for i in range(len(names))
+    ]
+    max_val = [
+        (str(maxi[i]) if maxi[i] is not None else None)
+        if names[i] in int_set
+        else maxs[i]
+        for i in range(len(names))
+    ]
+    out = pa.Table.from_arrays(
+        [
+            st.column(col_field),
+            pc.cast(st.column("n"), pa.int64()),
+            pc.cast(st.column("n_null"), pa.int64()),
+            pa.array([dmap.get(c, 0) for c in names], pa.int64()),
+            pa.array(min_val, pa.string()),
+            pa.array(max_val, pa.string()),
+        ],
+        schema=OUT,
+    )
+    return ray.data.from_arrow(out)

@@ -893,3 +893,48 @@ def test_group_corr_matches_numpy_and_nulls_degenerate_groups():
     # strongly positive overall relationship: most groups near +1
     real = out[out["k"] < 30]["corr_ppm"].dropna()
     assert (real > 800000).mean() > 0.9
+
+
+def test_profile_table_counts_nulls_distincts_minmax():
+    from multiomics_biocypher_kg_ray.stages.relational import profile_table
+
+    df = pd.DataFrame(
+        {
+            "i": pd.array([5, None, -3, 10, 10, 2], dtype="Int64"),
+            "s": ["b", "a", None, "a", "zz", None],
+        }
+    )
+    out = (
+        profile_table(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(3),
+            ["i"],
+            ["s"],
+        )
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert out.loc["i", "n"] == 6 and out.loc["i", "n_null"] == 1
+    assert out.loc["i", "n_distinct"] == 4
+    # numeric compare, not lexicographic: min is -3, not "10"
+    assert out.loc["i", "min_val"] == "-3" and out.loc["i", "max_val"] == "10"
+    assert out.loc["s", "n_null"] == 2 and out.loc["s", "n_distinct"] == 3
+    assert out.loc["s", "min_val"] == "a" and out.loc["s", "max_val"] == "zz"
+
+
+def test_profile_table_all_null_column():
+    from multiomics_biocypher_kg_ray.stages.relational import profile_table
+
+    df = pd.DataFrame({"i": pd.array([None, None], dtype="Int64")})
+    out = (
+        profile_table(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            ["i"],
+            [],
+        )
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert out.loc["i", "n"] == 2 and out.loc["i", "n_null"] == 2
+    assert out.loc["i", "n_distinct"] == 0
+    assert pd.isna(out.loc["i", "min_val"]) and pd.isna(out.loc["i", "max_val"])
