@@ -1565,3 +1565,24 @@ FROM orders"""
         block("o_orderpriority", "o_orderpriority"),
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def sql_substring_dup_pairs(window: int = 48, stride: int = 16, cap: int = 1000) -> str:
+    """Twin of ``dedup.substring_dup_pairs``: strided raw-text substr
+    windows, distinct per doc, self-joined on window equality under the
+    same ascending row_number cap."""
+    return f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, substr(text, (i * {stride} + 1)::BIGINT, {window}) AS win
+  FROM (SELECT doc_id, text,
+               unnest(range(((len(text) - {window}) // {stride} + 1)::BIGINT)) AS i
+        FROM documents WHERE len(text) >= {window})
+),
+capped AS (
+  SELECT doc_id, win, row_number() OVER (PARTITION BY win ORDER BY doc_id) AS rn
+  FROM w
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_windows
+FROM capped a JOIN capped b ON a.win = b.win AND a.doc_id < b.doc_id
+WHERE a.rn <= {cap} AND b.rn <= {cap}
+GROUP BY 1, 2"""

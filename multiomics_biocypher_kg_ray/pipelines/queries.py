@@ -1476,6 +1476,12 @@ def q_inverted_index(sf_dir: str):
     )
 
 
+def q_substring_dup_pairs(sf_dir: str):
+    """Verbatim boilerplate detection: docs sharing an exact 48-char
+    strided substring window, with shared-window counts."""
+    return dedup.substring_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1790,6 +1796,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         ),
         # dedup family
         "dedup_exact": (q_dedup_exact, oracle_rel.sql_dedup_exact()),
+        "substring_dup_pairs": (
+            q_substring_dup_pairs,
+            oracle_rel.sql_substring_dup_pairs(),
+        ),
         "minhash_bands": (q_minhash_bands, oracle_rel.sql_minhash_bands()),
         "lsh_candidate_pairs": (
             q_lsh_candidate_pairs,
@@ -1901,6 +1911,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "part_price_corr",
         "kg_common_neighbors",
         "orders_profile",
+        "substring_dup_pairs",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

@@ -785,3 +785,61 @@ def cross_corpus_lsh_pairs(
     return sorted_grouped_agg(
         slim, ["doc_a", "doc_b"], [("doc_a", "count")], out_names=["n_shared_bands"]
     )
+
+
+def substring_dup_pairs(
+    docs: "ray.data.Dataset",
+    window: int = 48,
+    stride: int = 16,
+    cap: int = LSH_BUCKET_CAP,
+) -> "ray.data.Dataset":
+    """EXACT substring-window dedup (the Lee et al. 2021 "Deduplicating
+    Training Data" signal, window-sampled): two documents pair when they
+    share at least one identical ``window``-char substring sampled every
+    ``stride`` chars — the detector for verbatim boilerplate / quoted spans
+    that shingle-Jaccard smooths over. Emits (doc_a, doc_b,
+    n_shared_windows).
+
+    Raw text, not normalized: verbatim means verbatim. Windows are taken at
+    offsets 0, stride, 2·stride … while offset + window ≤ len(text), then
+    deduped per doc, so a doc contributes each distinct window once. A
+    STRIDED sample (not every offset) keeps the exploded volume at
+    len/stride rows per doc; the guarantee is over shared spans ≥
+    window + stride − 1 chars (any such span fully contains a sampled
+    window of both docs only when ≥ 2·window − gcd alignment holds — the
+    standard sampled-suffix trade documented here explicitly: stride 1
+    recovers the exact every-offset contract at stride× the volume).
+
+    Scale shape: explode is a stateless flat map; pair emission rides the
+    segmented ``bucket_pairs`` kernel keyed on the window STRING (bit-exact
+    twin of the SQL substr join — no hash, no collisions) with the standard
+    ascending-doc_id cap; shared-window counts through one fastagg. A hot
+    boilerplate window is capped + reported, never quadratic."""
+    from .fastagg import sorted_distinct, sorted_grouped_agg
+
+    WIN = pa.schema([("doc_id", pa.int64()), ("win", pa.string())])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return WIN.empty_table()
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_doc, o_win = [], []
+        for d, t in zip(doc_ids, texts):
+            t = t or ""
+            if len(t) < window:
+                continue
+            ws = {t[o : o + window] for o in range(0, len(t) - window + 1, stride)}
+            o_doc.extend([d] * len(ws))
+            o_win.extend(ws)
+        return pa.Table.from_arrays(
+            [pa.array(o_doc, pa.int64()), pa.array(o_win, pa.string())], schema=WIN
+        )
+
+    wins = sorted_distinct(
+        docs.map_batches(explode, batch_format="pyarrow"), ["win", "doc_id"]
+    )
+    pairs = bucket_pairs(wins, ["win"], id_col="doc_id", cap=cap)
+    return sorted_grouped_agg(
+        pairs, ["doc_a", "doc_b"], [("doc_a", "count")], out_names=["n_shared_windows"]
+    )

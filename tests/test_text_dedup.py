@@ -270,3 +270,46 @@ def test_cross_corpus_lsh_only_cross_side_pairs():
     assert (0, 1) in got and (1, 2) in got
     assert (0, 2) not in got  # intra-corpus pair must not emit
     assert all(x % 2 != y % 2 for x, y in got)
+
+
+def test_substring_dup_pairs_finds_verbatim_spans():
+    from multiomics_biocypher_kg_ray.stages.dedup import substring_dup_pairs
+
+    boiler = "QUOTED-SPAN " * 10  # 120 chars of shared verbatim text
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                # prefixes are stride-aligned (both ≡ 0 mod 8): the strided
+                # sample guarantees shared windows only under alignment
+                "intro-1 " * 5 + boiler + " tail A",
+                "another-opening-sentence " * 8 + boiler + " tail B",
+                "completely unrelated content with no overlap at all " * 3,
+                "short",
+            ],
+        }
+    )
+    out = (
+        substring_dup_pairs(ray.data.from_arrow(docs).repartition(2),
+                            window=24, stride=8)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+    # only (1, 2) share verbatim windows; doc 4 is below the window size
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(1, 2)]
+    assert int(out["n_shared_windows"].iloc[0]) >= 1
+
+
+def test_substring_dup_pairs_stride1_no_false_pairs():
+    from multiomics_biocypher_kg_ray.stages.dedup import substring_dup_pairs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": ["abcdefghij" * 5, "JIHGFEDCBA" * 5],
+        }
+    )
+    out = substring_dup_pairs(
+        ray.data.from_arrow(docs), window=10, stride=1
+    ).to_pandas()
+    assert len(out) == 0
