@@ -1586,3 +1586,32 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_window
 FROM capped a JOIN capped b ON a.win = b.win AND a.doc_id < b.doc_id
 WHERE a.rn <= {cap} AND b.rn <= {cap}
 GROUP BY 1, 2"""
+
+
+def sql_bigram_pmi(min_count: int = 5) -> str:
+    """Twin of ``text.bigram_pmi``: adjacent bigrams over the empty-filtered
+    space-split token stream, PMI over exact int64 products, floor(·10⁶)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+cnt AS (
+  SELECT term, count(*)::BIGINT AS n
+  FROM (SELECT unnest(tk) AS term FROM d) GROUP BY 1
+),
+bi AS (
+  SELECT tk[(i + 1)::BIGINT] AS term_a, tk[(i + 2)::BIGINT] AS term_b
+  FROM (SELECT tk, unnest(range((len(tk) - 1)::BIGINT)) AS i
+        FROM d WHERE len(tk) >= 2)
+),
+bc AS (SELECT term_a, term_b, count(*)::BIGINT AS n_ab FROM bi GROUP BY 1, 2),
+tot AS (SELECT count(*)::BIGINT AS t FROM bi)
+SELECT term_a, term_b, n_ab,
+       floor(ln((n_ab * t)::DOUBLE / (ca.n * cb.n)::DOUBLE)
+             * 1000000.0::DOUBLE)::BIGINT AS pmi_q
+FROM bc
+JOIN cnt ca ON bc.term_a = ca.term
+JOIN cnt cb ON bc.term_b = cb.term
+CROSS JOIN tot
+WHERE n_ab >= {min_count}"""

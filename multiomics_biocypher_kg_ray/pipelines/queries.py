@@ -1368,6 +1368,12 @@ def q_doc_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint_md5"])
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: adjacent-token bigrams with PMI scores over the
+    document corpus (n_ab >= 5)."""
+    return text.bigram_pmi(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_vocab_top_terms(sf_dir: str):
     return text.vocab_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1773,6 +1779,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "lang_id": (q_lang_id, oracle_rel.sql_lang_id()),
         "doc_fingerprint": (q_doc_fingerprint, oracle_rel.sql_doc_fingerprint()),
         "vocab_top_terms": (q_vocab_top_terms, oracle_rel.sql_vocab_top_terms()),
+        "bigram_pmi": (q_bigram_pmi, oracle_rel.sql_bigram_pmi()),
         "doc_tfidf_top_terms": (
             q_doc_tfidf_top_terms,
             oracle_rel.sql_doc_tfidf_top_terms(),
@@ -1912,6 +1919,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_common_neighbors",
         "orders_profile",
         "substring_dup_pairs",
+        "bigram_pmi",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

@@ -15,6 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -595,3 +596,168 @@ def bm25_topk(
         out_names=["bm25_q", "n_terms"],
     )
     return agg.sort(["bm25_q", "doc_id"], descending=[True, False]).limit(k)
+
+
+def bigram_pmi(
+    docs: "ray.data.Dataset", min_count: int = 5
+) -> "ray.data.Dataset":
+    """Corpus collocation mining: adjacent-token bigrams scored by PMI —
+    (term_a, term_b, n_ab, pmi_q) with pmi_q = floor(ln(n_ab·T/(n_a·n_b))·10⁶),
+    T = total bigram occurrences — the phrase detector (new-york,
+    machine-learning) run before vocabulary freezing. Tokens are the same
+    raw space-split stream as ``vocab_top_terms`` (empties dropped, so
+    bigrams bridge runs of whitespace exactly like the SQL list_filter
+    twin); only bigrams with ``n_ab >= min_count`` are emitted.
+
+    Scale shape: per-batch bigram/unigram counts are compiled pandas
+    groupbys (one row per distinct gram per batch — the combiner), both
+    aggregate through fastagg at vocab cardinality; unigram counts join
+    back onto the (min_count-filtered, much smaller) bigram table via two
+    distributed hash joins; T gathers as one scalar per block. The only
+    float is one ln over exact int64 products (the ``cooccurrence_pmi``
+    last-ulp budget; n_ab·T must fit int64 — quantize/min_count
+    accordingly at extreme corpus sizes)."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+
+    BI = pa.schema(
+        [("term_a", pa.string()), ("term_b", pa.string()), ("n_ab", pa.int64())]
+    )
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return BI.empty_table()
+        texts = batch.column("text").to_pylist()
+        a_out, b_out = [], []
+        for t in texts:
+            toks = [w for w in (t or "").split(" ") if w]
+            a_out.extend(toks[:-1])
+            b_out.extend(toks[1:])
+        if not a_out:
+            return BI.empty_table()
+        g = (
+            pd.DataFrame({"term_a": a_out, "term_b": b_out})
+            .groupby(["term_a", "term_b"], sort=False)
+            .size()
+            .reset_index(name="n_ab")
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["term_a"].to_numpy(), pa.string()),
+                pa.array(g["term_b"].to_numpy(), pa.string()),
+                pa.array(g["n_ab"].to_numpy(), pa.int64()),
+            ],
+            schema=BI,
+        )
+
+    bi = sorted_grouped_agg(
+        docs.map_batches(bi_partial, batch_format="pyarrow"),
+        ["term_a", "term_b"],
+        [("n_ab", "sum")],
+        out_names=["n_ab"],
+    ).materialize()  # consumed twice: T scalar + candidate filter
+
+    t_total = 0
+    for b in bi.map_batches(
+        lambda t: pa.table({"s": pa.array([int(pc.sum(t.column("n_ab")).as_py() or 0)], pa.int64())})
+        if t.num_columns and t.num_rows
+        else pa.table({"s": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_columns and b.num_rows:
+            t_total += int(pc.sum(b.column("s")).as_py() or 0)
+
+    cand = drop_empty_blocks(
+        bi.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n_ab"), min_count))
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        BI,
+    )
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        UNI = pa.schema([("term", pa.string()), ("n", pa.int64())])
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return UNI.empty_table()
+        s = batch.column("text").to_pandas()
+        counts = s.str.split(" ").explode().replace("", None).dropna().value_counts()
+        return pa.Table.from_arrays(
+            [
+                pa.array(counts.index.astype(str), pa.string()),
+                pa.array(counts.to_numpy(), pa.int64()),
+            ],
+            schema=UNI,
+        )
+
+    uni = sorted_grouped_agg(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        ["term"],
+        [("n", "sum")],
+        out_names=["n"],
+    )
+
+    def as_side(col_out: str, n_out: str):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.schema(
+                    [(col_out, pa.string()), (n_out, pa.int64())]
+                ).empty_table()
+            return t.rename_columns([col_out, n_out])
+
+        return f
+
+    side_a = drop_empty_blocks(
+        uni.map_batches(as_side("term_a", "n_a"), batch_format="pyarrow")
+    )
+    side_b = drop_empty_blocks(
+        uni.map_batches(as_side("term_b", "n_b"), batch_format="pyarrow")
+    )
+    J1 = pa.schema(
+        [
+            ("term_a", pa.string()),
+            ("term_b", pa.string()),
+            ("n_ab", pa.int64()),
+            ("n_a", pa.int64()),
+        ]
+    )
+    # a 0-row block out of join #1 loses its schema and breaks join #2
+    j1 = drop_empty_blocks(hash_join(cand, side_a, on=("term_a",)), J1)
+    j = hash_join(j1, side_b, on=("term_b",))
+
+    OUT = pa.schema(
+        [
+            ("term_a", pa.string()),
+            ("term_b", pa.string()),
+            ("n_ab", pa.int64()),
+            ("pmi_q", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n_ab = t.column("n_ab").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_a = t.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_b = t.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # int products first, THEN one cast — the oracle's exact op order
+        pmi = np.floor(
+            np.log((n_ab * t_total).astype(np.float64) / (n_a * n_b).astype(np.float64))
+            * 1000000.0
+        ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("term_a"),
+                t.column("term_b"),
+                pa.array(n_ab, pa.int64()),
+                pa.array(pmi, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(j.map_batches(finalize, batch_format="pyarrow"), OUT)

@@ -313,3 +313,43 @@ def test_substring_dup_pairs_stride1_no_false_pairs():
         ray.data.from_arrow(docs), window=10, stride=1
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_bigram_pmi_matches_bruteforce():
+    import math
+    from collections import Counter
+
+    from multiomics_biocypher_kg_ray.stages.text import bigram_pmi
+
+    texts = [
+        "new york is a big city",
+        "new york new york",
+        "a big    apple in new york",  # empties bridged by the filter
+        "machine learning and machine learning",
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = (
+        bigram_pmi(ray.data.from_arrow(docs).repartition(3), min_count=2)
+        .to_pandas()
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    T = sum(bi.values())
+    ref = {
+        k: (n, math.floor(math.log((n * T) / (uni[k[0]] * uni[k[1]])) * 1e6))
+        for k, n in bi.items()
+        if n >= 2
+    }
+    got = {
+        (r.term_a, r.term_b): (r.n_ab, r.pmi_q) for r in out.itertuples()
+    }
+    assert got == ref
+    assert ("new", "york") in got and got[("new", "york")][0] == 4
