@@ -589,3 +589,33 @@ p AS (SELECT a.nb AS node_a, b.nb AS node_b, a.w AS w
 SELECT node_a, node_b, count(*)::BIGINT AS n_common, sum(w)::BIGINT AS aa_q
 FROM p GROUP BY 1, 2
 HAVING count(*) >= {min_common}"""
+
+
+def sql_kg_kcore(k: int = 2, rounds: int = 4) -> str:
+    """Twin of ``graph.kcore_peel``: the same fixed number of peel rounds
+    unrolled one CTE triple per round (degree → survivors → filtered
+    edges); pure integer degrees."""
+    # AS MATERIALIZED: each eN is referenced three times per round — the
+    # default inlining re-expands the whole upstream KG pipeline 3^rounds
+    # times and never finishes
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, count(*)::BIGINT AS c FROM "
+            f"(SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}) GROUP BY 1)"
+        )
+        parts.append(f"s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {k})")
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT a, b FROM e{r} "
+            f"JOIN s{r} sa ON a = sa.node JOIN s{r} sb ON b = sb.node)"
+        )
+    body = ",\n".join(parts)
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+{body}
+SELECT node, count(*)::BIGINT AS deg
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY 1 HAVING count(*) >= {k}"""

@@ -645,6 +645,16 @@ def q_kg_common_neighbors(sf_dir: str):
     )
 
 
+def q_kg_kcore(sf_dir: str):
+    """Bounded 2-core peel of the KG (4 rounds): the dense backbone after
+    stripping leaf chains."""
+    from ..stages import graph
+
+    return graph.kcore_peel(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()), k=2, rounds=4
+    )
+
+
 def q_kg_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the built KG edge table — Pregel
     rounds as join + fastagg, bit-identical to the unrolled-CTE oracle."""
@@ -1854,6 +1864,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_kg_common_neighbors,
             oracle.sql_kg_common_neighbors(),
         ),
+        "kg_kcore": (q_kg_kcore, oracle.sql_kg_kcore()),
         "kg_triangles": (q_kg_triangles, oracle.sql_kg_triangles()),
         "embedding_centroids": (
             q_embedding_centroids,
@@ -1920,6 +1931,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "orders_profile",
         "substring_dup_pairs",
         "bigram_pmi",
+        "kg_kcore",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

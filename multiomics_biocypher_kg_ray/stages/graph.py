@@ -392,3 +392,104 @@ def common_neighbors(
         return t.rename_columns(["node_a", "node_b", "n_common", "aa_q"])
 
     return drop_empty_blocks(agg.map_batches(final, batch_format="pyarrow"), OUT)
+
+
+def kcore_peel(
+    edges: "ray.data.Dataset", k: int = 2, rounds: int = 4
+) -> "ray.data.Dataset":
+    """Bounded k-core peel → (node, deg): repeatedly drop nodes of degree
+    < ``k`` (and their incident edges) for a FIXED number of rounds, then
+    emit the surviving nodes with their residual degree — the dense-core
+    extraction a KG curator runs to separate the connected backbone from
+    peripheral leaf chatter (reference analog: the hub/fan-out summaries of
+    ``post-import.cypher:840-911``).
+
+    Fixed-round contract (same discipline as ``pagerank``'s iters): the
+    result equals the EXACT k-core whenever the peel converges within
+    ``rounds`` — every round strictly removes nodes, so convergence is
+    detectable as an unchanged edge count — and both engines run the same
+    ``rounds`` regardless, so the DuckDB unrolled-CTE twin matches
+    bit-for-bit even when not yet converged. Pure integer degrees; no
+    floats anywhere.
+
+    Scale shape per round: one fastagg degree count (per-batch C++ combine
+    absorbs hub skew) + two distributed left_semi joins against the
+    survivor set (node-proportional — never broadcast). The edge set
+    shrinks monotonically, so later rounds cost less; peeling is inherently
+    iterative and each round is one shuffle wave.
+    """
+    from ..tuning import default_join_partitions
+
+    UND = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def und_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return UND.empty_table()
+        src, dst = t.column("src"), t.column("dst")
+        lt = pc.less(src, dst)
+        tbl = pa.table(
+            {"a": pc.if_else(lt, src, dst), "b": pc.if_else(lt, dst, src)}
+        )
+        return tbl.filter(pc.invert(pc.equal(tbl.column("a"), tbl.column("b"))))
+
+    e = drop_empty_blocks(
+        sorted_distinct(
+            edges.map_batches(und_fn, batch_format="pyarrow"), ["a", "b"]
+        ),
+        UND,
+    ).materialize()
+
+    SURV = pa.schema([("node", pa.string())])
+    for _ in range(rounds):
+        deg = sorted_grouped_agg(
+            _node_column(e, "a", "b"), ["node"], [("node", "count")], out_names=["c"]
+        )
+        surv = drop_empty_blocks(
+            deg.map_batches(
+                lambda t: t.filter(pc.greater_equal(t.column("c"), k)).select(
+                    ["node"]
+                )
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            ),
+            SURV,
+        )
+        e = e.join(
+            surv,
+            join_type="left_semi",
+            num_partitions=default_join_partitions(),
+            on=("a",),
+            right_on=("node",),
+        )
+        e = drop_empty_blocks(e, UND).join(
+            surv,
+            join_type="left_semi",
+            num_partitions=default_join_partitions(),
+            on=("b",),
+            right_on=("node",),
+        )
+        e = drop_empty_blocks(e, UND).materialize()
+
+    deg = sorted_grouped_agg(
+        _node_column(e, "a", "b"), ["node"], [("node", "count")], out_names=["deg"]
+    )
+    OUT = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+    return drop_empty_blocks(
+        deg.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.filter(pc.greater_equal(t.column("deg"), k)).column("node"),
+                    pc.cast(
+                        t.filter(pc.greater_equal(t.column("deg"), k)).column("deg"),
+                        pa.int64(),
+                    ),
+                ],
+                schema=OUT,
+            )
+            if t.num_columns
+            else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )

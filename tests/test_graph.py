@@ -293,3 +293,59 @@ def test_common_neighbors_cap_bounds_hub():
     assert members == {f"x{i:03d}" for i in range(4)}
     w_true = int(np.floor(1_000_000.0 / np.log(10.0)))
     assert (out["aa_q"] == w_true).all()
+
+
+def test_kcore_peel_clique_survives_chain_peels():
+    from multiomics_biocypher_kg_ray.stages.graph import kcore_peel
+
+    # 4-clique (2-core) + a chain of 4 hanging off it + an isolated edge
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f"), ("f", "g"), ("g", "h")]
+    extra = [("x", "y")]
+    edges = clique + chain + extra
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+        )
+    ).repartition(3)
+    out = (
+        kcore_peel(ds, k=2, rounds=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # the chain peels one node per round from the free end; 4 rounds fully
+    # strip e..h and x,y; the clique keeps degree 3
+    assert out["node"].tolist() == ["a", "b", "c", "d"]
+    assert (out["deg"] == 3).all()
+
+
+def test_kcore_peel_matches_networkx_free_reference():
+    from collections import defaultdict
+
+    from multiomics_biocypher_kg_ray.stages.graph import kcore_peel
+
+    edges = _random_edges(9, n_nodes=40, n_edges=150)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+        )
+    )
+    k, rounds = 3, 4
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    # bounded peel reference
+    for _ in range(rounds):
+        doomed = {n for n, nb in adj.items() if len(nb) < k}
+        if not doomed:
+            break
+        for n in doomed:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    ref = {n: len(nb) for n, nb in adj.items() if len(nb) >= k}
+    out = kcore_peel(ds, k=k, rounds=rounds).to_pandas()
+    assert dict(zip(out["node"], out["deg"])) == ref
