@@ -1615,3 +1615,26 @@ JOIN cnt ca ON bc.term_a = ca.term
 JOIN cnt cb ON bc.term_b = cb.term
 CROSS JOIN tot
 WHERE n_ab >= {min_count}"""
+
+
+def sql_user_type_history() -> str:
+    """Twin of ``events.scd2_intervals`` over events (attr = event_type):
+    change points via lag of the SAME 60-bit md5 projection the engine
+    computes (parity by construction), then lead(ts) over the change-point
+    subset for half-open validity intervals."""
+    return """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         ('0x' || substr(md5('scd2:' || event_type), 1, 15))::UBIGINT::BIGINT AS h
+  FROM events
+),
+l AS (
+  SELECT *, lag(h) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS ph
+  FROM e
+),
+c AS (SELECT user_id, event_type, ts, event_id FROM l WHERE ph IS NULL OR ph <> h)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id) AS valid_to
+FROM c"""

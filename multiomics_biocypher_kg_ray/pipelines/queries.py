@@ -979,6 +979,18 @@ def q_user_interval_coverage(sf_dir: str):
     )
 
 
+def q_user_type_history(sf_dir: str):
+    """SCD2 history of each user's event_type: change points only, with
+    half-open validity intervals (NULL valid_to = current)."""
+    return events.scd2_intervals(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+    )
+
+
 def q_orders_skew_join(sf_dir: str):
     """Skew-safe join: hot customers route through a broadcast probe, cold
     keys through the hash join — same rows as a plain inner join."""
@@ -1905,6 +1917,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_user_interval_coverage,
             oracle_rel.sql_user_interval_coverage(),
         ),
+        "user_type_history": (
+            q_user_type_history,
+            oracle_rel.sql_user_type_history(),
+        ),
         "part_price_corr": (q_part_price_corr, oracle_rel.sql_part_price_corr()),
         "orders_profile": (q_orders_profile, oracle_rel.sql_orders_profile()),
         "orders_skew_join": (q_orders_skew_join, oracle_rel.sql_orders_skew_join()),
@@ -1932,6 +1948,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "substring_dup_pairs",
         "bigram_pmi",
         "kg_kcore",
+        "user_type_history",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

@@ -197,10 +197,21 @@ def _segmented_window(
             change[1:] |= f[1:] != f[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
-        loc = _np(local)
+        # exact int64 extraction: to_numpy on a NULLABLE int column degrades
+        # to float64 (lossy past 2^53 — bites 60-bit hash values); fill
+        # nulls first and track the mask separately
+        import pyarrow.compute as pc
+
+        null_mask = np.asarray(local.is_null().combine_chunks())
+        loc = (
+            pc.fill_null(local, 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         if kind == "lag":
             out = loc.copy()
-            mask = np.asarray(local.is_null().combine_chunks())
+            mask = null_mask.copy()
             for s, e in zip(starts, ends):
                 carry = index.get((parts[s], *(f[s] for f in firsts)))
                 if mask[s]:
@@ -211,7 +222,7 @@ def _segmented_window(
             arr = pa.array(out, pa.int64(), mask=mask)
         elif kind == "cummax":
             out = loc.copy()
-            mask = np.asarray(local.is_null().combine_chunks())
+            mask = null_mask.copy()
             for s, e in zip(starts, ends):
                 carry = index.get((parts[s], *(f[s] for f in firsts)))
                 if carry is None:

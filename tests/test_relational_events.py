@@ -938,3 +938,37 @@ def test_profile_table_all_null_column():
     assert out.loc["i", "n"] == 2 and out.loc["i", "n_null"] == 2
     assert out.loc["i", "n_distinct"] == 0
     assert pd.isna(out.loc["i", "min_val"]) and pd.isna(out.loc["i", "max_val"])
+
+
+def test_scd2_intervals_collapses_runs():
+    from multiomics_biocypher_kg_ray.stages.events import scd2_intervals
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype="int64"),
+            "user_id": np.array([1, 1, 1, 1, 2, 2, 2, 2], dtype="int64"),
+            "event_type": ["a", "a", "b", "a", "x", "x", "x", "y"],
+            "ts": pd.to_datetime([1, 2, 3, 4, 1, 2, 3, 4], unit="s"),
+        }
+    )
+    out = (
+        scd2_intervals(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(3),
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    assert out["event_type"].tolist() == ["a", "b", "a", "x", "y"]
+    # half-open chaining: each valid_to is the next change's valid_from
+    u1 = out[out["user_id"] == 1]
+    assert u1["valid_to"].iloc[0] == u1["valid_from"].iloc[1]
+    assert u1["valid_to"].iloc[1] == u1["valid_from"].iloc[2]
+    assert pd.isna(u1["valid_to"].iloc[2])  # current value open-ended
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 2 and pd.isna(u2["valid_to"].iloc[1])

@@ -275,3 +275,25 @@ def test_coalesce_intervals_matches_bruteforce():
     ref = df.groupby("k").apply(brute, include_groups=False).reset_index().sort_values("k")
     for c in ("n_islands", "covered_us", "n_intervals"):
         assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+def test_lag_over_exact_above_2_53():
+    """Nullable-int extraction must stay exact past float64's 2^53 (the
+    60-bit hash regression behind scd2_intervals)."""
+    big = np.array(
+        [(1 << 59) + 1, (1 << 59) + 1, (1 << 60) - 7], dtype=np.int64
+    )
+    df = pd.DataFrame(
+        {"part": ["p", "p", "p"], "o": [1, 2, 3], "id": [1, 2, 3], "v": big}
+    )
+    # compare in Arrow: a pandas round-trip would itself degrade the
+    # nullable column to float64 and mask the regression
+    tbl = pa.concat_tables(
+        lag_over(_ds(df, 2), "part", ["o", "id"], "v", out_col="pv")
+        .sort("o")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    pv = tbl.column("pv").to_pylist()
+    assert pv[0] is None
+    assert pv[1] == int(big[0])
+    assert pv[2] == int(big[1])
