@@ -1638,3 +1638,22 @@ SELECT user_id, event_type, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id
                       ORDER BY epoch_us(ts), event_id) AS valid_to
 FROM c"""
+
+
+def sql_embedding_inertia(scale: float = 1000.0) -> str:
+    """Twin of ``similarity.label_inertia``: milli-quantized elements, pure
+    int64 n·Σq² − (Σq)² per dim, integer dim sum — no double aggregation
+    anywhere (see the operator docstring for the headroom argument)."""
+    return f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM embeddings
+),
+st AS (
+  SELECT label, dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS s,
+         sum(q * q)::BIGINT AS s2
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, min(n)::BIGINT AS n_vecs, sum(n * s2 - s * s)::BIGINT AS inertia_q
+FROM st GROUP BY label"""

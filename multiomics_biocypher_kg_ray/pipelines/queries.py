@@ -682,6 +682,14 @@ def q_embedding_centroids(sf_dir: str):
     return similarity.label_centroids(emb)
 
 
+def q_embedding_inertia(sf_dir: str):
+    """Within-label dispersion of the embedding table (n x scaled SSE as an
+    exact integer) — the cluster-quality audit."""
+    return similarity.label_inertia(
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+    )
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed deterministic Lloyd's k-means assignments (rows-only:
     iterative scoring is not SQL-expressible; exactness is pytest-verified
@@ -1883,6 +1891,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_embedding_centroids(),
         ),
         "kmeans_embed": (q_kmeans_embed, None),
+        "embedding_inertia": (
+            q_embedding_inertia,
+            oracle_rel.sql_embedding_inertia(),
+        ),
         "doc_unigram_score": (
             q_doc_unigram_score,
             oracle_rel.sql_doc_unigram_score(),
@@ -1949,6 +1961,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "bigram_pmi",
         "kg_kcore",
         "user_type_history",
+        "embedding_inertia",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

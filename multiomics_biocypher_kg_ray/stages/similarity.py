@@ -744,3 +744,102 @@ def kmeans_assign(
         )
 
     return ds.map_batches(assign_fn, batch_format="pyarrow")
+
+
+def label_inertia(
+    ds: "ray.data.Dataset",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: float = 1_000.0,
+) -> "ray.data.Dataset":
+    """Per-label cluster dispersion → (label, n_vecs, inertia_q): the
+    within-cluster sum of squares rearranged to PURE integer arithmetic —
+    inertia_q = Σ_dims (n·Σq² − (Σq)²) over elements quantized to
+    ``floor(x·scale)`` int64 — i.e. n × the scaled within-label SSE. The
+    cluster-quality audit run after ``kmeans_assign`` / on any labeled
+    embedding table (elbow curves, label-noise triage).
+
+    Exactness: with Σ(x−μ)² = Σx² − (Σx)²/n multiplied through by n, every
+    term is an exact int64 (no double sum over dims whose order could
+    differ between engines) — bit-identical to the DuckDB unnest twin at
+    any parallelism. int64 headroom is why ``scale`` defaults to 10³, not
+    the 10⁶ ppm convention: per dim, n·Σq² ≤ n²·(scale·|x|max)², so
+    milli-quantization keeps 10⁸ unit-norm vectors per label inside 2⁶³
+    where ppm would overflow past ~10² vectors.
+
+    Scale shape: the same ≤ labels×dims per-batch combiner as
+    ``label_centroids`` (vectors never shuffle), one fastagg at
+    (label, dim), a stateless per-row variance term, one fastagg at label.
+    """
+    from .fastagg import sorted_grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                (label_col, t.schema.field(label_col).type if t.num_columns else pa.int32()),
+                ("dim", pa.int64()),
+                ("_s", pa.int64()),
+                ("_s2", pa.int64()),
+                ("_n", pa.int64()),
+            ]
+        ).empty_table()
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        labels_arr = t.column(label_col)
+        labels = labels_arr.to_numpy(zero_copy_only=False)
+        lists = t.column(vec_col).combine_chunks()
+        flat = lists.chunk(0).flatten() if isinstance(lists, pa.ChunkedArray) else lists.flatten()
+        d = len(flat) // t.num_rows
+        q = np.floor(
+            flat.to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64).reshape(t.num_rows, d)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        sq = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        np.add.at(sq, inv, q * q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k = len(uniq)
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(uniq, d), labels_arr.type),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "_s": pa.array(sums.reshape(-1)),
+                "_s2": pa.array(sq.reshape(-1)),
+                "_n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    per_dim = sorted_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [label_col, "dim"],
+        [("_s", "sum"), ("_s2", "sum"), ("_n", "sum")],
+        out_names=["_s", "_s2", "_n"],
+    )
+
+    def var_term(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    (label_col, pa.int32()),
+                    ("_n", pa.int64()),
+                    ("_v", pa.int64()),
+                ]
+            ).empty_table()
+        s = t.column("_s").to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = t.column("_s2").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                label_col: t.column(label_col),
+                "_n": pa.array(n, pa.int64()),
+                "_v": pa.array(n * s2 - s * s, pa.int64()),
+            }
+        )
+
+    return sorted_grouped_agg(
+        per_dim.map_batches(var_term, batch_format="pyarrow"),
+        [label_col],
+        [("_n", "min"), ("_v", "sum")],
+        out_names=["n_vecs", "inertia_q"],
+    )

@@ -249,3 +249,40 @@ def test_clip_to_group_quantiles_matches_duckdb():
         .reset_index(drop=True)
     )
     assert (out["w"].to_numpy() == ref["w"].to_numpy()).all()
+
+
+def test_label_inertia_matches_numpy_reference():
+    from multiomics_biocypher_kg_ray.stages.similarity import label_inertia
+
+    rng = np.random.RandomState(31)
+    n, d = 120, 8
+    labels = rng.randint(0, 4, size=n).astype(np.int32)
+    vecs = rng.randn(n, d).astype(np.float32)
+    t = pa.table(
+        {
+            "label": pa.array(labels, pa.int32()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        label_inertia(ray.data.from_arrow(t).repartition(5))
+        .to_pandas()
+        .set_index("label")
+        .sort_index()
+    )
+    q = np.floor(vecs.astype(np.float64) * 1000.0).astype(np.int64)
+    for lab in np.unique(labels):
+        m = labels == lab
+        s = q[m].sum(axis=0)
+        s2 = (q[m] * q[m]).sum(axis=0)
+        cnt = int(m.sum())
+        ref = int((cnt * s2 - s * s).sum())
+        assert out.loc[lab, "n_vecs"] == cnt
+        assert out.loc[lab, "inertia_q"] == ref
+    # n * scaled SSE identity: inertia_q / n^2 approximates the true per-
+    # label mean squared deviation at the quantization scale
+    lab0 = int(np.unique(labels)[0])
+    m = labels == lab0
+    sse = ((vecs[m] - vecs[m].mean(axis=0)) ** 2).sum()
+    approx = out.loc[lab0, "inertia_q"] / (out.loc[lab0, "n_vecs"] ** 2) / 1e6 * out.loc[lab0, "n_vecs"]
+    assert abs(approx - sse) / sse < 0.01
