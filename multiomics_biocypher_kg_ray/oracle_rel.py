@@ -1657,3 +1657,77 @@ st AS (
 )
 SELECT label, min(n)::BIGINT AS n_vecs, sum(n * s2 - s * s)::BIGINT AS inertia_q
 FROM st GROUP BY label"""
+
+
+def sql_containment_pairs(
+    k: int = 3, min_ppm: int = 300_000, cap: int = 1000
+) -> str:
+    """Twin of ``dedup.containment_pairs``: same shingle CTE and row_number
+    cap as the jaccard twin; score is positive-int floor division
+    n_shared·10⁶ // min(|A|,|B|)."""
+    return f"""
+WITH {_shingle_cte(k=k)},
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+capped AS (
+  SELECT doc_id, shingle,
+         row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+  FROM sh
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       ((n_shared * 1000000) // greatest(least(sa.sz, sb.sz), 1))::BIGINT
+         AS containment_ppm
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE (n_shared * 1000000) // greatest(least(sa.sz, sb.sz), 1) >= {min_ppm}"""
+
+
+def sql_term_fuzzy_pairs(
+    min_count: int = 3,
+    min_len: int = 4,
+    cap: int = 1000,
+    table: str = "documents",
+    term_col: str | None = None,
+) -> str:
+    """Twin of ``text.term_fuzzy_pairs``: SymSpell 1-deletion blocking via
+    generate-series substr concat, the same ascending row_number cap, and
+    DuckDB ``levenshtein() <= 1`` as the verify (identical semantics to the
+    engine's specialized distance-≤1 check). ``term_col=None`` tokenizes
+    ``text`` on spaces; otherwise each row of ``table.term_col`` is one
+    term (entity-name mode)."""
+    toks = (
+        f"SELECT unnest(string_split(text, ' ')) AS term FROM {table}"
+        if term_col is None
+        else f"SELECT {term_col} AS term FROM {table} WHERE {term_col} IS NOT NULL"
+    )
+    return f"""
+WITH toks AS (
+  {toks}
+),
+cnt AS (
+  SELECT term, count(*)::BIGINT AS n FROM toks WHERE term <> '' GROUP BY 1
+),
+t AS (SELECT term FROM cnt WHERE n >= {min_count} AND len(term) >= {min_len}),
+del AS (
+  SELECT term, substr(term, 1, i) || substr(term, i + 2) AS key
+  FROM (SELECT term, unnest(range(len(term)::BIGINT)) AS i FROM t)
+  UNION
+  SELECT term, term FROM t
+),
+dd AS (
+  SELECT key, term,
+         row_number() OVER (PARTITION BY key ORDER BY term) AS rn
+  FROM (SELECT DISTINCT key, term FROM del)
+),
+p AS (
+  SELECT DISTINCT a.term AS term_a, b.term AS term_b
+  FROM dd a JOIN dd b ON a.key = b.key AND a.term < b.term
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+)
+SELECT term_a, term_b FROM p WHERE levenshtein(term_a, term_b) <= 1"""

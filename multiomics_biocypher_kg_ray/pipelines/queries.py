@@ -1518,6 +1518,25 @@ def q_substring_dup_pairs(sf_dir: str):
     return dedup.substring_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_containment_pairs(sf_dir: str):
+    """Partial-duplication detection: shingle-set containment >= 0.3 over
+    the full corpus (a short doc quoted inside a long one)."""
+    return dedup.containment_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_containment_ppm=300_000,
+    )
+
+
+def q_term_fuzzy_pairs(sf_dir: str):
+    """Entity-alias discovery: customer names within edit distance 1
+    (single-character ID variants) via SymSpell 1-deletion blocking + exact
+    verify. The synthetic document vocabulary has no distance-1 term pairs,
+    so the entity-name mode is the non-vacuous registry surface."""
+    return text.term_fuzzy_pairs(
+        _read(sf_dir, "customer", ["c_name"]), min_count=1, term_col="c_name"
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1837,6 +1856,16 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_substring_dup_pairs,
             oracle_rel.sql_substring_dup_pairs(),
         ),
+        "containment_pairs": (
+            q_containment_pairs,
+            oracle_rel.sql_containment_pairs(),
+        ),
+        "term_fuzzy_pairs": (
+            q_term_fuzzy_pairs,
+            oracle_rel.sql_term_fuzzy_pairs(
+                min_count=1, table="customer", term_col="c_name"
+            ),
+        ),
         "minhash_bands": (q_minhash_bands, oracle_rel.sql_minhash_bands()),
         "lsh_candidate_pairs": (
             q_lsh_candidate_pairs,
@@ -1962,6 +1991,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_kcore",
         "user_type_history",
         "embedding_inertia",
+        "containment_pairs",
+        "term_fuzzy_pairs",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

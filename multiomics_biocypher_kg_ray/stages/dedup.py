@@ -843,3 +843,70 @@ def substring_dup_pairs(
     return sorted_grouped_agg(
         pairs, ["doc_a", "doc_b"], [("doc_a", "count")], out_names=["n_shared_windows"]
     )
+
+
+def containment_pairs(
+    docs: "ray.data.Dataset",
+    k_shingle: int = 3,
+    min_containment_ppm: int = 800_000,
+    max_doc_id: int | None = None,
+    cap: int = LSH_BUCKET_CAP,
+) -> "ray.data.Dataset":
+    """Shingle-set CONTAINMENT pairs: |A∩B| / min(|A|, |B|) as exact integer
+    ppm — the partial-duplication detector Jaccard smooths over (a short doc
+    quoted whole inside a long one scores containment ≈ 1 but Jaccard ≈
+    |A|/|B| ≈ 0). Emits (doc_a, doc_b, n_shared, containment_ppm) for pairs
+    at or above ``min_containment_ppm``.
+
+    Identical scale contract to ``ngram_jaccard_pairs`` (same explode, same
+    size-as-payload trick, same capped pair kernel — one sorted pair
+    emission + one grouped aggregation); the score is
+    ``n_shared·10⁶ // min(size_a, size_b)`` — pure positive int64 floor
+    division, bit-exact vs the DuckDB ``//`` twin."""
+    from .fastagg import sorted_grouped_agg
+
+    exploded = _shingle_explode(docs, k_shingle, max_doc_id, with_size=True)
+    with_b = sorted_grouped_agg(
+        bucket_pairs(
+            exploded, ["shingle"], "doc_id", payload_cols=("set_size",), cap=cap
+        ),
+        ["doc_a", "doc_b"],
+        [("doc_a", "count"), ("set_size_a", "min"), ("set_size_b", "min")],
+        out_names=["n_shared", "size_a", "size_b"],
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("n_shared", pa.int64()),
+                    ("containment_ppm", pa.int64()),
+                ]
+            ).empty_table()
+        inter_n = batch.column("n_shared").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        mn = np.minimum(
+            batch.column("size_a").to_numpy(zero_copy_only=False).astype(np.int64),
+            batch.column("size_b").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        ppm = (inter_n * 1_000_000) // np.maximum(mn, 1)
+        out = pa.Table.from_arrays(
+            [
+                batch.column("doc_a"),
+                batch.column("doc_b"),
+                pa.array(inter_n, pa.int64()),
+                pa.array(ppm, pa.int64()),
+            ],
+            names=["doc_a", "doc_b", "n_shared", "containment_ppm"],
+        )
+        return out.filter(
+            pc.greater_equal(out.column("containment_ppm"), min_containment_ppm)
+        )
+
+    return with_b.map_batches(score, batch_format="pyarrow")

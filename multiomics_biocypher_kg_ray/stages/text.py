@@ -761,3 +761,140 @@ def bigram_pmi(
         )
 
     return drop_empty_blocks(j.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
+def _edit_distance_le1(a: str, b: str) -> bool:
+    """Exact test for levenshtein(a, b) <= 1 on distinct strings — O(len)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter by one: b must equal a with one insertion
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def term_fuzzy_pairs(
+    docs: "ray.data.Dataset",
+    min_count: int = 3,
+    min_len: int = 4,
+    cap: int = 1000,
+    term_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Fuzzy vocabulary self-join: pairs of corpus terms within edit
+    distance 1 → (term_a, term_b) — the typo/variant detector behind entity
+    alias discovery and spell-normalization of extracted mentions
+    (reference analog: the alias/synonym reconciliation of the entity
+    linker, ``SURVEY §2.3`` ST1, discovered from data instead of a shipped
+    dictionary). SymSpell blocking: two strings within edit distance 1
+    ALWAYS share a 1-deletion variant (or one IS the other's variant), so
+    candidates come from an equality join on deletion keys — never an
+    all-pairs scan — then an exact O(len) distance-≤1 verify drops the
+    (distance-2) false candidates. The SQL twin verifies with DuckDB's
+    ``levenshtein() <= 1`` — identical semantics to the specialized check.
+
+    Terms below ``min_count`` occurrences or shorter than ``min_len`` chars
+    are excluded (noise guard, mirrored in the twin). Scale shape: vocab
+    via one fastagg; deletion explode is vocab-proportional (len+1 variants
+    per term); candidate pairs ride the segmented ``bucket_pairs`` kernel
+    with the standard ascending cap; the verify runs on the candidate set,
+    which the blocking keeps near-linear in vocab size.
+
+    ``term_col=None`` tokenizes the ``text`` column on spaces (corpus
+    vocabulary mode); ``term_col="c_name"`` treats each row's value as one
+    pre-tokenized term (entity-name mode — single-character ID/name variants
+    are exactly the alias-discovery signal)."""
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+
+    UNI = pa.schema([("term", pa.string()), ("n", pa.int64())])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return UNI.empty_table()
+        if term_col is not None:
+            s = batch.column(term_col).to_pandas().dropna()
+        else:
+            s = (
+                batch.column("text")
+                .to_pandas()
+                .str.split(" ")
+                .explode()
+                .replace("", None)
+                .dropna()
+            )
+        counts = s.value_counts()
+        return pa.Table.from_arrays(
+            [
+                pa.array(counts.index.astype(str), pa.string()),
+                pa.array(counts.to_numpy(), pa.int64()),
+            ],
+            schema=UNI,
+        )
+
+    vocab = sorted_grouped_agg(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        ["term"],
+        [("n", "sum")],
+        out_names=["n"],
+    )
+
+    KEYED = pa.schema([("key", pa.string()), ("term", pa.string())])
+
+    def variants(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return KEYED.empty_table()
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("n"), min_count),
+                pc.greater_equal(pc.utf8_length(t.column("term")), min_len),
+            )
+        )
+        keys, terms = [], []
+        for term in t.column("term").to_pylist():
+            keys.append(term)
+            terms.append(term)
+            for i in range(len(term)):
+                keys.append(term[:i] + term[i + 1 :])
+                terms.append(term)
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.string()), pa.array(terms, pa.string())],
+            schema=KEYED,
+        )
+
+    keyed = sorted_distinct(
+        drop_empty_blocks(
+            vocab.map_batches(variants, batch_format="pyarrow"), KEYED
+        ),
+        ["key", "term"],
+    )
+    from .dedup import bucket_pairs
+
+    OUT = pa.schema([("term_a", pa.string()), ("term_b", pa.string())])
+    cand = sorted_distinct(
+        bucket_pairs(keyed, ["key"], id_col="term", cap=cap).map_batches(
+            lambda t: t.rename_columns(["term_a", "term_b"])
+            if t.num_columns
+            else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["term_a", "term_b"],
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        a = t.column("term_a").to_pylist()
+        b = t.column("term_b").to_pylist()
+        keep = pa.array([_edit_distance_le1(x, y) for x, y in zip(a, b)])
+        return t.filter(keep)
+
+    return drop_empty_blocks(
+        cand.map_batches(verify, batch_format="pyarrow"), OUT
+    )

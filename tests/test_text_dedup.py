@@ -353,3 +353,65 @@ def test_bigram_pmi_matches_bruteforce():
     }
     assert got == ref
     assert ("new", "york") in got and got[("new", "york")][0] == 4
+
+
+def test_containment_pairs_catches_quoted_subset():
+    # doc 2 is a strict subset of doc 1's shingles: containment = 1.0
+    # while jaccard is low
+    long = "w" + " w".join(str(i) for i in range(40))  # w 0 w 1 ... tokens
+    long = " ".join(f"tok{i}" for i in range(40))
+    short = " ".join(f"tok{i}" for i in range(10, 16))
+    ds = _docs([(1, long), (2, short), (3, "unrelated words only here now")])
+    out = dedup.containment_pairs(ds, min_containment_ppm=900_000).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(1, 2)}
+    assert int(out["containment_ppm"].iloc[0]) == 1_000_000
+    jac = dedup.ngram_jaccard_pairs(ds, k_shingle=3).to_pandas()
+    row = jac[(jac["doc_a"] == 1) & (jac["doc_b"] == 2)]
+    assert float(row["jaccard"].iloc[0]) < 0.2
+
+
+def test_term_fuzzy_pairs_blocking_and_verify():
+    from multiomics_biocypher_kg_ray.stages.text import (
+        _edit_distance_le1,
+        term_fuzzy_pairs,
+    )
+
+    # exact distance-<=1 check vs a tiny DP reference
+    def lev(a, b):
+        import numpy as np
+
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[len(b)])
+
+    import itertools
+    words = ["color", "colour", "colom", "farbe", "farb", "fariba", "abcd", "abce"]
+    for a, b in itertools.combinations(words, 2):
+        assert _edit_distance_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    corp = " ".join(
+        ["color"] * 5 + ["colour"] * 4 + ["colors"] * 3 + ["totally"] * 3
+        + ["different"] * 3 + ["abc"] * 9
+    )
+    ds = _docs([(1, corp), (2, corp)])
+    out = term_fuzzy_pairs(ds, min_count=3, min_len=4).to_pandas()
+    got = set(zip(out["term_a"], out["term_b"]))
+    # color~colors (insert s) and color~colour (insert u) are distance 1;
+    # colour~colors is distance 2 -> excluded; abc below min_len
+    assert ("color", "colors") in got
+    assert ("color", "colour") in got
+    assert ("colors", "colour") not in got and ("colour", "colors") not in got
+    assert not any("abc" in p for pair in got for p in pair)
+
+    # entity-name mode: each row is one pre-tokenized term
+    import ray
+
+    names = ray.data.from_items(
+        [{"c_name": n} for n in ["Cust#001", "Cust#002", "Cust#100", "Other#9"]]
+    )
+    out2 = term_fuzzy_pairs(names, min_count=1, term_col="c_name").to_pandas()
+    got2 = set(zip(out2["term_a"], out2["term_b"]))
+    assert got2 == {("Cust#001", "Cust#002")}
