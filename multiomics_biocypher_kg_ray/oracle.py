@@ -545,6 +545,28 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
 FROM transcripts GROUP BY 1"""
 
 
+def sql_conv_response_latency() -> str:
+    """Twin of ``convo.response_latency``: lag(ts)/lag(role) per conversation
+    ordered by turn_idx, assistant-after-user rows only, per-conv integer
+    latency rollup (identical semantics to the engine's lossless
+    ts*4+role_code pack)."""
+    return f"""{_kg_prefix()}
+, lagged AS (
+  SELECT conv_id, role,
+         lag(role) OVER w AS prev_role,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS latency_us
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, count(*)::BIGINT AS n_responses,
+       sum(latency_us)::BIGINT AS total_latency_us,
+       min(latency_us)::BIGINT AS min_latency_us,
+       max(latency_us)::BIGINT AS max_latency_us
+FROM lagged
+WHERE role = 'assistant' AND prev_role = 'user'
+GROUP BY 1"""
+
+
 def sql_turn_templates(min_convs: int = 2, k: int = 50) -> str:
     """Twin of ``convo.turn_templates``: texts in ≥ min_convs distinct convs,
     top-k by total occurrences, (n_turns DESC, text)."""
@@ -589,6 +611,35 @@ p AS (SELECT a.nb AS node_a, b.nb AS node_b, a.w AS w
 SELECT node_a, node_b, count(*)::BIGINT AS n_common, sum(w)::BIGINT AS aa_q
 FROM p GROUP BY 1, 2
 HAVING count(*) >= {min_common}"""
+
+
+def sql_kg_neighbor_jaccard(
+    cap: int = 200, min_common: int = 2, min_jaccard_ppm: int = 0
+) -> str:
+    """Twin of ``graph.neighbor_jaccard``: same incidence/degree/cap CTEs as
+    the Adamic-Adar twin; score is pure positive-int floor division
+    n_common*10^6 // (d_a + d_b - n_common) with TRUE degrees."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+ue AS (SELECT src AS m, dst AS nb FROM edges WHERE src <> dst
+       UNION ALL SELECT dst, src FROM edges WHERE src <> dst),
+und AS (SELECT DISTINCT m, nb FROM ue),
+deg AS (SELECT m, count(*)::BIGINT AS d FROM und GROUP BY 1),
+cp AS (SELECT m, nb FROM (
+         SELECT m, nb, row_number() OVER (PARTITION BY m ORDER BY nb) AS rn
+         FROM und) WHERE rn <= {cap}),
+p AS (SELECT a.nb AS node_a, b.nb AS node_b
+      FROM cp a JOIN cp b ON a.m = b.m AND a.nb < b.nb),
+cnt AS (SELECT node_a, node_b, count(*)::BIGINT AS n_common
+        FROM p GROUP BY 1, 2 HAVING count(*) >= {min_common})
+SELECT node_a, node_b, n_common, da.d AS d_a, db.d AS d_b,
+       ((n_common * 1000000) // greatest(da.d + db.d - n_common, 1))::BIGINT
+         AS jaccard_ppm
+FROM cnt
+JOIN deg da ON node_a = da.m
+JOIN deg db ON node_b = db.m
+WHERE (n_common * 1000000) // greatest(da.d + db.d - n_common, 1)
+        >= {min_jaccard_ppm}"""
 
 
 def sql_kg_kcore(k: int = 2, rounds: int = 4) -> str:

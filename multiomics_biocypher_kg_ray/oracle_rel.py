@@ -1731,3 +1731,30 @@ p AS (
   WHERE a.rn <= {cap} AND b.rn <= {cap}
 )
 SELECT term_a, term_b FROM p WHERE levenshtein(term_a, term_b) <= 1"""
+
+
+def sql_doc_token_entropy() -> str:
+    """Twin of ``text.doc_token_entropy``: same space tokenization as the
+    vocab twins; the only floats are the two ln quantizations (identical
+    left-associated op order: (n*ln(n))*1e6, ln(N)*1e6), everything after
+    is exact int64."""
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS n
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id,
+         sum(n)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_terms,
+         sum(floor(n::DOUBLE * ln(n::DOUBLE) * 1000000.0)::BIGINT)::BIGINT
+           AS nlogn_q
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_terms, nlogn_q,
+       ((n_tokens * floor(ln(n_tokens::DOUBLE) * 1000000.0)::BIGINT - nlogn_q)
+          // n_tokens)::BIGINT AS entropy_uq
+FROM per"""

@@ -645,6 +645,17 @@ def q_kg_common_neighbors(sf_dir: str):
     )
 
 
+def q_kg_neighbor_jaccard(sf_dir: str):
+    """Structural entity-merge candidates: KG node pairs whose neighbor
+    sets overlap (exact integer-ppm Jaccard, true degrees) — the alias
+    signal string-level linking misses."""
+    from ..stages import graph
+
+    return graph.neighbor_jaccard(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    )
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded 2-core peel of the KG (4 rounds): the dense backbone after
     stripping leaf chains."""
@@ -810,6 +821,15 @@ def q_conv_role_stats(sf_dir: str):
     from ..stages import convo
 
     return convo.conv_role_stats(transcripts_dataset(sf_dir))
+
+
+def q_conv_response_latency(sf_dir: str):
+    """Assistant response cadence per conversation: latency of every
+    assistant turn that directly follows a user turn, via ONE packed
+    segmented lag scan."""
+    from ..stages import convo
+
+    return convo.response_latency(transcripts_dataset(sf_dir))
 
 
 def q_turn_templates(sf_dir: str):
@@ -1537,6 +1557,12 @@ def q_term_fuzzy_pairs(sf_dir: str):
     )
 
 
+def q_doc_token_entropy(sf_dir: str):
+    """Per-doc unigram token entropy (micro-nats, integer-quantized) — the
+    Gopher-family quality signal; one streaming map, no shuffle."""
+    return text.doc_token_entropy(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1913,6 +1939,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_kg_common_neighbors,
             oracle.sql_kg_common_neighbors(),
         ),
+        "kg_neighbor_jaccard": (
+            q_kg_neighbor_jaccard,
+            oracle.sql_kg_neighbor_jaccard(),
+        ),
         "kg_kcore": (q_kg_kcore, oracle.sql_kg_kcore()),
         "kg_triangles": (q_kg_triangles, oracle.sql_kg_triangles()),
         "embedding_centroids": (
@@ -1940,6 +1970,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_reciprocity": (q_kg_reciprocity, oracle.sql_kg_reciprocity()),
         "kg_cooccurrence": (q_kg_cooccurrence, oracle.sql_kg_cooccurrence()),
         "conv_role_stats": (q_conv_role_stats, oracle.sql_conv_role_stats()),
+        "doc_token_entropy": (
+            q_doc_token_entropy,
+            oracle_rel.sql_doc_token_entropy(),
+        ),
+        "conv_response_latency": (
+            q_conv_response_latency,
+            oracle.sql_conv_response_latency(),
+        ),
         "turn_templates": (q_turn_templates, oracle.sql_turn_templates()),
         "tool_sequences": (q_tool_sequences, oracle.sql_tool_sequences()),
         "cohort_retention": (q_cohort_retention, oracle_rel.sql_cohort_retention()),
@@ -1993,6 +2031,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "embedding_inertia",
         "containment_pairs",
         "term_fuzzy_pairs",
+        "kg_neighbor_jaccard",
+        "conv_response_latency",
+        "doc_token_entropy",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

@@ -167,3 +167,106 @@ def tool_sequences(
         out_names=["n_convs"],
     )
     return counts.sort(["n_convs", "seq"], descending=[True, False]).limit(k)
+
+
+def response_latency(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-conversation assistant response latency: for every assistant turn
+    that directly follows a user turn, latency = ts − previous turn's ts;
+    emits ``(conv_id, n_responses, total_latency_us, min_latency_us,
+    max_latency_us)`` — the turn-cadence audit an agent-transcript corpus
+    needs before latency-sensitive curation (stalled tools, replayed logs,
+    clock skew all surface here). Conversations with no user→assistant
+    adjacency drop out (GROUP BY after filter, mirrored in the twin).
+
+    Scale shape: ONE segmented lag scan (``window.lag_over``) over a packed
+    int64 — ``ts_us·4 + role_code`` (role ∈ {user=0, assistant=1, other=2};
+    ts_us < 2⁵¹ so the pack is lossless in int64) — recovers both the
+    previous timestamp (``// 4``) and the previous role (``% 4``) from a
+    single lag column, halving the scan cost vs two windows; then one
+    conversation-cardinality fastagg. The twin lags ts and role separately —
+    identical semantics because the pack is bijective."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .window import lag_over
+
+    PACKED = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("role", pa.string()),
+            ("packed", pa.int64()),
+        ]
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PACKED.empty_table()
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        role = t.column("role")
+        code = pc.if_else(
+            pc.equal(role, "user"),
+            pa.scalar(0, pa.int64()),
+            pc.if_else(
+                pc.equal(role, "assistant"),
+                pa.scalar(1, pa.int64()),
+                pa.scalar(2, pa.int64()),
+            ),
+        )
+        packed = pc.add(pc.multiply(ts_us, pa.scalar(4, pa.int64())), code)
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                pc.cast(t.column("turn_idx"), pa.int64()),
+                role,
+                packed,
+            ],
+            schema=PACKED,
+        )
+
+    lagged = lag_over(
+        transcripts.map_batches(pack, batch_format="pyarrow"),
+        "conv_id",
+        ["turn_idx"],
+        "packed",
+        out_col="prev_packed",
+    )
+
+    LAT = pa.schema([("conv_id", pa.string()), ("latency_us", pa.int64())])
+
+    def latency(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return LAT.empty_table()
+        prev = t.column("prev_packed")
+        keep = pc.and_kleene(
+            pc.equal(t.column("role"), "assistant"),
+            pc.equal(pc.subtract(prev, pc.multiply(
+                pc.divide(prev, pa.scalar(4, pa.int64())), pa.scalar(4, pa.int64())
+            )), pa.scalar(0, pa.int64())),
+        )
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return LAT.empty_table()
+        prev_ts = pc.divide(t2.column("prev_packed"), pa.scalar(4, pa.int64()))
+        cur_ts = pc.divide(t2.column("packed"), pa.scalar(4, pa.int64()))
+        return pa.Table.from_arrays(
+            [t2.column("conv_id"), pc.subtract(cur_ts, prev_ts)], schema=LAT
+        )
+
+    lat = drop_empty_blocks(
+        lagged.map_batches(latency, batch_format="pyarrow"), LAT
+    )
+    return sorted_grouped_agg(
+        lat,
+        ["conv_id"],
+        [
+            ("latency_us", "count"),
+            ("latency_us", "sum"),
+            ("latency_us", "min"),
+            ("latency_us", "max"),
+        ],
+        out_names=[
+            "n_responses",
+            "total_latency_us",
+            "min_latency_us",
+            "max_latency_us",
+        ],
+    )

@@ -493,3 +493,149 @@ def kcore_peel(
         ),
         OUT,
     )
+
+
+def neighbor_jaccard(
+    edges: "ray.data.Dataset",
+    cap: int = 200,
+    min_common: int = 2,
+    min_jaccard_ppm: int = 0,
+) -> "ray.data.Dataset":
+    """Structural entity-merge candidates over the KG: for node pairs
+    sharing at least ``min_common`` neighbors, emit ``(node_a, node_b,
+    n_common, d_a, d_b, jaccard_ppm)`` where ``jaccard_ppm`` is the
+    neighbor-set Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| as exact integer ppm
+    (``n_common·10⁶ // (d_a + d_b − n_common)``). Two entities whose
+    neighborhoods nearly coincide are alias candidates the string-level
+    linker missed — the structural complement of ``text.term_fuzzy_pairs``
+    (reference analog: the alias/synonym reconciliation of SURVEY §2.3 ST1
+    and ``post-import.cypher``'s shared-neighborhood rollups).
+
+    Same undirected-distinct-incidence + true-degree + row_number-capped
+    enumeration contract as ``common_neighbors`` (capped pairs, exact
+    degrees — mirrored in the SQL twin); the union size uses TRUE degrees,
+    so a capped hub's jaccard is computed against its full neighborhood.
+    Scale shape: one incidence dedup, one degree fastagg, the segmented
+    ``bucket_pairs`` kernel, one pair fastagg, then two node-proportional
+    hash joins to attach d_a/d_b. Pure int64 after the degree count — no
+    float anywhere."""
+    from .dedup import bucket_pairs
+    from .joins import hash_join
+    from .relational import ranked_over
+
+    UND = pa.schema([("m", pa.string()), ("nb", pa.string())])
+
+    def und_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return UND.empty_table()
+        src, dst = t.column("src"), t.column("dst")
+        keep = pc.invert(pc.equal(src, dst))
+        src, dst = src.filter(keep), dst.filter(keep)
+        fwd = pa.Table.from_arrays([src, dst], schema=UND)
+        rev = pa.Table.from_arrays([dst, src], schema=UND)
+        return pa.concat_tables([fwd, rev])
+
+    und = sorted_distinct(
+        edges.map_batches(und_fn, batch_format="pyarrow"), ["m", "nb"]
+    ).materialize()  # consumed twice: degrees and capped incidence
+
+    DEG = pa.schema([("m", pa.string()), ("d", pa.int64())])
+    deg = drop_empty_blocks(
+        sorted_grouped_agg(und, ["m"], [("nb", "count")], out_names=["d"]).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("m"), pc.cast(t.column("d"), pa.int64())], schema=DEG
+            )
+            if t.num_columns
+            else DEG.empty_table(),
+            batch_format="pyarrow",
+        ),
+        DEG,
+    ).materialize()  # consumed twice: d_a and d_b probes
+
+    capped = ranked_over(und, ["m"], [("nb", True)], rank_col="_rn").map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("_rn"), cap)).drop_columns(["_rn"])
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+
+    pairs = bucket_pairs(drop_empty_blocks(capped, UND), ["m"], id_col="nb", cap=None)
+    agg = sorted_grouped_agg(
+        pairs, ["doc_a", "doc_b"], [("doc_a", "count")], out_names=["n_common"]
+    )
+
+    CNT = pa.schema(
+        [("node_a", pa.string()), ("node_b", pa.string()), ("n_common", pa.int64())]
+    )
+
+    def thresh(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CNT.empty_table()
+        t = t.rename_columns(["node_a", "node_b", "n_common"])
+        t = t.set_column(2, "n_common", pc.cast(t.column("n_common"), pa.int64()))
+        return t.filter(pc.greater_equal(t.column("n_common"), min_common))
+
+    cnt = drop_empty_blocks(agg.map_batches(thresh, batch_format="pyarrow"), CNT)
+
+    def ren(name_m: str, name_d: str):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.schema(
+                    [(name_m, pa.string()), (name_d, pa.int64())]
+                ).empty_table()
+            return t.rename_columns([name_m, name_d])
+
+        return f
+
+    da = deg.map_batches(ren("node_a", "d_a"), batch_format="pyarrow")
+    db = deg.map_batches(ren("node_b", "d_b"), batch_format="pyarrow")
+    J1 = pa.schema(
+        [
+            ("node_a", pa.string()),
+            ("node_b", pa.string()),
+            ("n_common", pa.int64()),
+            ("d_a", pa.int64()),
+        ]
+    )
+    # a join's own output can carry schema-less empty blocks that break the
+    # NEXT join (fastagg.drop_empty_blocks contract) — scrub between joins
+    j = hash_join(
+        drop_empty_blocks(hash_join(cnt, da, on=("node_a",)), J1),
+        db,
+        on=("node_b",),
+    )
+
+    OUT = pa.schema(
+        [
+            ("node_a", pa.string()),
+            ("node_b", pa.string()),
+            ("n_common", pa.int64()),
+            ("d_a", pa.int64()),
+            ("d_b", pa.int64()),
+            ("jaccard_ppm", pa.int64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n_common").to_numpy(zero_copy_only=False).astype(np.int64)
+        da_ = t.column("d_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db_ = t.column("d_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = (n * 1_000_000) // np.maximum(da_ + db_ - n, 1)
+        out = pa.Table.from_arrays(
+            [
+                t.column("node_a"),
+                t.column("node_b"),
+                pa.array(n, pa.int64()),
+                pa.array(da_, pa.int64()),
+                pa.array(db_, pa.int64()),
+                pa.array(ppm, pa.int64()),
+            ],
+            schema=OUT,
+        )
+        return out.filter(
+            pc.greater_equal(out.column("jaccard_ppm"), min_jaccard_ppm)
+        )
+
+    return drop_empty_blocks(j.map_batches(score, batch_format="pyarrow"), OUT)

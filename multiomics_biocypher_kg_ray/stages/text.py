@@ -898,3 +898,84 @@ def term_fuzzy_pairs(
     return drop_empty_blocks(
         cand.map_batches(verify, batch_format="pyarrow"), OUT
     )
+
+
+def doc_token_entropy(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-doc unigram token entropy — the Gopher-family quality signal the
+    repetition stats don't cover (a doc of one token repeated has entropy 0;
+    rich prose scores near ln(vocab)): emits ``(doc_id, n_tokens, n_terms,
+    nlogn_q, entropy_uq)`` with entropy in micro-nats.
+
+    H = ln N − (Σ n·ln n)/N is computed through the repo's standard
+    quantize-then-integer discipline (``relational.psi_drift`` precedent):
+    the only floats are the two ln quantizations — per-(doc,term)
+    ``floor(n·ln(n)·10⁶)`` and per-doc ``floor(ln(N)·10⁶)`` — everything
+    after is exact int64 (order-free sums), so both engines agree at any
+    parallelism: ``entropy_uq = (N·lnN_q − nlogn_q) // N``.
+
+    Scale shape: ONE streaming ``map_batches`` — a document never spans
+    blocks, so per-doc term counts, N, and the quantized sums all complete
+    in-batch (vectorized pandas split/explode/groupby); no shuffle, no
+    aggregation stage at all. Docs with zero tokens drop out (mirrored
+    WHERE in the twin)."""
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_terms", pa.int64()),
+            ("nlogn_q", pa.int64()),
+            ("entropy_uq", pa.int64()),
+        ]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return OUT.empty_table()
+        doc_id = batch.column("doc_id").to_pandas()
+        toks = (
+            batch.column("text")
+            .to_pandas()
+            .str.split(" ")
+            .explode()
+            .replace("", None)
+            .dropna()
+        )
+        if toks.empty:
+            return OUT.empty_table()
+        did = doc_id.reindex(toks.index)
+        per_term = (
+            pd.DataFrame({"doc_id": did, "term": toks})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+        )
+        n = per_term.to_numpy(dtype=np.int64)
+        contrib = np.floor(
+            n.astype(np.float64) * np.log(n.astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "doc_id": per_term.index.get_level_values(0),
+                "n": n,
+                "c": contrib,
+            }
+        ).groupby("doc_id", sort=False)
+        agg = g.agg(n_tokens=("n", "sum"), n_terms=("n", "size"), nlogn_q=("c", "sum"))
+        N = agg["n_tokens"].to_numpy(dtype=np.int64)
+        lnN_q = np.floor(np.log(N.astype(np.float64)) * 1e6).astype(np.int64)
+        ent = (N * lnN_q - agg["nlogn_q"].to_numpy(dtype=np.int64)) // N
+        return pa.Table.from_arrays(
+            [
+                pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                pa.array(N, pa.int64()),
+                pa.array(agg["n_terms"].to_numpy(dtype=np.int64), pa.int64()),
+                pa.array(agg["nlogn_q"].to_numpy(dtype=np.int64), pa.int64()),
+                pa.array(ent, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    from .fastagg import drop_empty_blocks
+
+    return drop_empty_blocks(docs.map_batches(fn, batch_format="pyarrow"), OUT)

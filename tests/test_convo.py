@@ -48,3 +48,42 @@ def test_tool_sequences():
     out = convo.tool_sequences(_ts(), k=5).to_pandas()
     assert list(out["seq"]) == ["a,b", "b"]
     assert list(out["n_convs"]) == [2, 1]
+
+
+def test_response_latency_user_assistant_adjacency_only():
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # c1: user -> assistant (5s), assistant -> assistant (ignored),
+        #     user -> user (ignored), user -> assistant (7s)
+        ("c1", 0, "user", base),
+        ("c1", 1, "assistant", base + pd.Timedelta(seconds=5)),
+        ("c1", 2, "assistant", base + pd.Timedelta(seconds=9)),
+        ("c1", 3, "user", base + pd.Timedelta(seconds=20)),
+        ("c1", 4, "user", base + pd.Timedelta(seconds=30)),
+        ("c1", 5, "assistant", base + pd.Timedelta(seconds=37)),
+        # c2: assistant first (no prev), then user -> tool-ish role ignored
+        ("c2", 0, "assistant", base),
+        ("c2", 1, "user", base + pd.Timedelta(seconds=1)),
+    ]
+    t = pa.table(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": [r[1] for r in rows],
+            "role": [r[2] for r in rows],
+            "text": ["x"] * len(rows),
+            "tool": [""] * len(rows),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = (
+        convo.response_latency(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    assert list(out.index) == ["c1"]
+    assert out.loc["c1", "n_responses"] == 2
+    assert out.loc["c1", "total_latency_us"] == 12_000_000
+    assert out.loc["c1", "min_latency_us"] == 5_000_000
+    assert out.loc["c1", "max_latency_us"] == 7_000_000

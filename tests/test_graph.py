@@ -349,3 +349,27 @@ def test_kcore_peel_matches_networkx_free_reference():
     ref = {n: len(nb) for n, nb in adj.items() if len(nb) >= k}
     out = kcore_peel(ds, k=k, rounds=rounds).to_pandas()
     assert dict(zip(out["node"], out["deg"])) == ref
+
+
+def test_neighbor_jaccard_exact_small():
+    from multiomics_biocypher_kg_ray.stages.graph import neighbor_jaccard
+
+    # N(x)={a,b,c}, N(y)={a,b,c,d}: common=3, union=4 -> 750000 ppm
+    edges = [("x", "a"), ("x", "b"), ("x", "c"),
+             ("y", "a"), ("y", "b"), ("y", "c"), ("y", "d")]
+    ds = ray.data.from_arrow(
+        pa.table({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})
+    )
+    out = neighbor_jaccard(ds, min_common=2).to_pandas()
+    rows = {(r.node_a, r.node_b): r for r in out.itertuples()}
+    xy = rows[("x", "y")]
+    assert xy.n_common == 3 and xy.d_a == 3 and xy.d_b == 4
+    assert xy.jaccard_ppm == 750_000
+    # a,b,c pairwise share neighbors {x,y}: degree 2 each -> jaccard 1.0
+    ab = rows[("a", "b")]
+    assert ab.n_common == 2 and ab.jaccard_ppm == 1_000_000
+    # threshold filter keeps only perfect overlaps
+    strict = neighbor_jaccard(ds, min_common=2, min_jaccard_ppm=1_000_000).to_pandas()
+    assert set(zip(strict["node_a"], strict["node_b"])) == {
+        ("a", "b"), ("a", "c"), ("b", "c")
+    }

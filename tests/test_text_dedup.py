@@ -415,3 +415,22 @@ def test_term_fuzzy_pairs_blocking_and_verify():
     out2 = term_fuzzy_pairs(names, min_count=1, term_col="c_name").to_pandas()
     got2 = set(zip(out2["term_a"], out2["term_b"]))
     assert got2 == {("Cust#001", "Cust#002")}
+
+
+def test_doc_token_entropy_exact_integers():
+    import math
+
+    from multiomics_biocypher_kg_ray.stages.text import doc_token_entropy
+
+    ds = _docs([(1, "a a b"), (2, "w w w w"), (3, "p q r s")])
+    out = doc_token_entropy(ds).to_pandas().set_index("doc_id")
+    # doc 1: counts {a:2, b:1}, N=3
+    s_q = math.floor(2 * math.log(2) * 1e6)
+    ln3_q = math.floor(math.log(3) * 1e6)
+    assert out.loc[1, "n_tokens"] == 3 and out.loc[1, "n_terms"] == 2
+    assert out.loc[1, "nlogn_q"] == s_q
+    assert out.loc[1, "entropy_uq"] == (3 * ln3_q - s_q) // 3
+    # doc 2: one repeated token -> entropy 0 (up to quantization floor)
+    assert out.loc[2, "entropy_uq"] <= 1 and out.loc[2, "n_terms"] == 1
+    # doc 3: uniform over 4 terms -> ~ln(4) micro-nats
+    assert abs(out.loc[3, "entropy_uq"] - math.floor(math.log(4) * 1e6)) <= 2

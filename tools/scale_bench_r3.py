@@ -84,7 +84,9 @@ def _shift_tables(sf: str, out_dir: str, reps: int) -> None:
             yield pa.table(
                 {
                     "l_orderkey": pc.add(t.column("l_orderkey"), r * 1_000_000_000),
+                    "l_partkey": pc.add(t.column("l_partkey"), r * 10_000_000),
                     "l_quantity": t.column("l_quantity"),
+                    "l_extendedprice": t.column("l_extendedprice"),
                     "l_shipdate": pc.add(d, r * t_span).cast(pa.timestamp("us")),
                 }
             )
