@@ -297,6 +297,22 @@ def sql_kg_edges() -> str:
     return f"{_kg_prefix(recursive=True)} {_edges_select()}"
 
 
+def sql_kg_edge_lifespan() -> str:
+    """Twin of ``materialize.edge_lifespan``: per canonical edge, mention
+    count + first/last asserting-turn timestamp (join back to transcripts
+    on (conv_id, turn_idx))."""
+    return f"""{_kg_prefix(recursive=True)}
+SELECT cs.canonical_id AS src, l.pred, co.canonical_id AS dst,
+       count(*)::BIGINT AS n_mentions,
+       min(t.ts) AS first_seen,
+       max(t.ts) AS last_seen
+FROM linked l
+JOIN canon cs ON l.subj_id = cs.member
+JOIN canon co ON l.obj_id = co.member
+JOIN transcripts t ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
+GROUP BY 1, 2, 3"""
+
+
 def sql_kg_node_degree() -> str:
     return f"""{_kg_prefix(recursive=True)},
 edges AS ({_edges_select()})

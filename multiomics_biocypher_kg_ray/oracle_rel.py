@@ -1758,3 +1758,50 @@ SELECT doc_id, n_tokens, n_terms, nlogn_q,
        ((n_tokens * floor(ln(n_tokens::DOUBLE) * 1000000.0)::BIGINT - nlogn_q)
           // n_tokens)::BIGINT AS entropy_uq
 FROM per"""
+
+
+def sql_events_mad_outliers(k: int = 3) -> str:
+    """Twin of ``relational.mad_outliers`` over events/cents: both the
+    median and the MAD are ``quantile_disc`` group elements (inverted_cdf ==
+    the engine's ceil(0.5·n) rank pick), every comparison exact int64."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_id, event_type, {v} AS cents FROM events),
+med AS (SELECT event_type, quantile_disc(cents, 0.5)::BIGINT AS med
+        FROM e GROUP BY 1),
+d AS (SELECT e.event_id, e.event_type, e.cents, med.med,
+             abs(e.cents - med.med)::BIGINT AS abs_dev
+      FROM e JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_disc(abs_dev, 0.5)::BIGINT AS mad
+        FROM d GROUP BY 1)
+SELECT d.event_id, d.event_type, d.cents, d.med, mad.mad, d.abs_dev
+FROM d JOIN mad USING (event_type)
+WHERE d.abs_dev > {k} * mad.mad"""
+
+
+def sql_split_balance_audit(
+    splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    strata=("lang",),
+    salt: str = "split",
+) -> str:
+    """Twin of ``sampling.split_balance_audit`` over documents: same md5
+    CASE buckets, targets inlined as the SAME Python-quantized ppm literals
+    (``split_target_ppm``), pure integer floor-div shares."""
+    from .stages.sampling import split_target_ppm
+
+    targets = split_target_ppm(list(splits))
+    tp = ", ".join(f"('{k}', {v})" for k, v in targets.items())
+    sc = ", ".join(strata)
+    return f"""
+WITH a AS (
+  SELECT {sc}, {_split_case('doc_id', splits, salt)} AS split FROM documents
+),
+c AS (SELECT {sc}, split, count(*)::BIGINT AS n FROM a GROUP BY ALL),
+t AS (SELECT {sc}, sum(n)::BIGINT AS stratum_total FROM c GROUP BY ALL),
+tp(split, target_ppm) AS (VALUES {tp})
+SELECT c.{sc}, c.split, c.n, t.stratum_total,
+       ((c.n * 1000000) // greatest(t.stratum_total, 1))::BIGINT AS share_ppm,
+       tp.target_ppm::BIGINT AS target_ppm,
+       ((c.n * 1000000) // greatest(t.stratum_total, 1) - tp.target_ppm)::BIGINT
+         AS dev_ppm
+FROM c JOIN t USING ({sc}) JOIN tp USING (split)"""

@@ -656,6 +656,15 @@ def q_kg_neighbor_jaccard(sf_dir: str):
     )
 
 
+def q_kg_edge_lifespan(sf_dir: str):
+    """Temporal KG: per-edge assertion interval (n_mentions, first/last
+    asserting-turn timestamp) — broadcast canon probe + distributed
+    (conv, turn) -> ts join + one edge-cardinality fastagg."""
+    return materialize.edge_lifespan(
+        _linked(sf_dir), _canon_tbl(), transcripts_dataset(sf_dir)
+    )
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded 2-core peel of the KG (4 rounds): the dense backbone after
     stripping leaf chains."""
@@ -738,6 +747,33 @@ def q_events_above_p99(sf_dir: str):
         .select_columns(["event_id", "event_type", "cents"])
     )
     return relational.filter_above_group_quantile(ev, ["event_type"], "cents", q=0.99)
+
+
+def q_split_balance_audit(sf_dir: str):
+    """Per-language split balance audit: share of each lang in each split vs
+    its normalized target, signed deviation in ppm."""
+    from ..stages import sampling
+
+    return sampling.split_balance_audit(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        "doc_id",
+        ["lang"],
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+
+
+def q_events_mad_outliers(sf_dir: str):
+    """Robust per-type outliers: |cents - median| > 3*MAD with discrete
+    quantiles — the glitch detector mean/stddev gates miss."""
+    ev = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(
+            lambda t: relational.to_cents(t, {"value": "cents"}),
+            batch_format="pyarrow",
+        )
+        .select_columns(["event_id", "event_type", "cents"])
+    )
+    return relational.mad_outliers(ev, ["event_type"], "cents", k=3)
 
 
 def q_events_winsorized(sf_dir: str):
@@ -1939,6 +1975,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_kg_common_neighbors,
             oracle.sql_kg_common_neighbors(),
         ),
+        "kg_edge_lifespan": (
+            q_kg_edge_lifespan,
+            oracle.sql_kg_edge_lifespan(),
+        ),
         "kg_neighbor_jaccard": (
             q_kg_neighbor_jaccard,
             oracle.sql_kg_neighbor_jaccard(),
@@ -1959,6 +1999,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_doc_unigram_score(),
         ),
         "events_above_p99": (q_events_above_p99, oracle_rel.sql_events_above_p99()),
+        "split_balance_audit": (
+            q_split_balance_audit,
+            oracle_rel.sql_split_balance_audit(),
+        ),
+        "events_mad_outliers": (
+            q_events_mad_outliers,
+            oracle_rel.sql_events_mad_outliers(),
+        ),
         "events_winsorized": (
             q_events_winsorized,
             oracle_rel.sql_events_winsorized(),
@@ -2034,6 +2082,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_neighbor_jaccard",
         "conv_response_latency",
         "doc_token_entropy",
+        "events_mad_outliers",
+        "kg_edge_lifespan",
+        "split_balance_audit",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

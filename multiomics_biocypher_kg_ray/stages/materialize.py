@@ -1012,3 +1012,129 @@ def cooccurrence_pmi(
         ).cast(OUT)
 
     return pair_counts.map_batches(score, batch_format="pyarrow")
+
+
+def edge_lifespan(
+    linked: "ray.data.Dataset",
+    canon: "pa.Table | pd.DataFrame",
+    transcripts: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Temporal KG: per deduplicated edge (src, pred, dst), the evidence
+    validity interval — ``n_mentions``, ``first_seen``, ``last_seen`` from
+    the TIMESTAMPS of the turns that asserted it. The freshness/staleness
+    audit a continuously-ingested KG needs (is this edge still being
+    asserted, or last seen months ago?) and the input to SCD2-style edge
+    expiry; complements ``scd2_intervals`` (attribute history) with
+    assertion history.
+
+    Scale shape: mention rows resolve src/dst through ONE broadcast canon
+    probe (Arrow ``index_in``/``take``, node-bounded map — same contract as
+    ``build_graph_tables``'s broadcast path); the (conv_id, turn_idx) →
+    ts attachment is a distributed hash join against the transcript key
+    table (both sides row-proportional, minimum column set rides the
+    shuffle); the rollup is one edge-cardinality fastagg of count/min/max
+    over int64 µs. No driver state beyond the canon map."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+
+    if isinstance(canon, pa.Table):
+        canon = canon.to_pandas()
+    members = pa.array(canon["member"], pa.string())
+    cids = pa.array(canon["canonical_id"], pa.string())
+
+    EM = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("src", pa.string()),
+            ("pred", pa.string()),
+            ("dst", pa.string()),
+        ]
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return EM.empty_table()
+        si = pc.index_in(t.column("subj_id"), value_set=members)
+        oi = pc.index_in(t.column("obj_id"), value_set=members)
+        keep = pc.and_kleene(pc.is_valid(si), pc.is_valid(oi))
+        keep = pc.fill_null(keep, False)
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return EM.empty_table()
+        si = pc.index_in(t2.column("subj_id"), value_set=members)
+        oi = pc.index_in(t2.column("obj_id"), value_set=members)
+        return pa.Table.from_arrays(
+            [
+                t2.column("conv_id"),
+                pc.cast(t2.column("turn_idx"), pa.int64()),
+                cids.take(si),
+                t2.column("pred"),
+                cids.take(oi),
+            ],
+            schema=EM,
+        )
+
+    em = drop_empty_blocks(linked.map_batches(resolve, batch_format="pyarrow"), EM)
+
+    TS = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("ts_us", pa.int64()),
+        ]
+    )
+
+    def ts_key(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TS.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                pc.cast(t.column("turn_idx"), pa.int64()),
+                pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+            ],
+            schema=TS,
+        )
+
+    tk = drop_empty_blocks(
+        transcripts.map_batches(ts_key, batch_format="pyarrow"), TS
+    )
+    j = hash_join(em, tk, on=("conv_id", "turn_idx"))
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            j, pa.schema(list(EM) + [pa.field("ts_us", pa.int64())])
+        ),
+        ["src", "pred", "dst"],
+        [("ts_us", "count"), ("ts_us", "min"), ("ts_us", "max")],
+        out_names=["n_mentions", "first_us", "last_us"],
+    )
+
+    OUT = pa.schema(
+        [
+            ("src", pa.string()),
+            ("pred", pa.string()),
+            ("dst", pa.string()),
+            ("n_mentions", pa.int64()),
+            ("first_seen", pa.timestamp("us")),
+            ("last_seen", pa.timestamp("us")),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("src"),
+                t.column("pred"),
+                t.column("dst"),
+                pc.cast(t.column("n_mentions"), pa.int64()),
+                pc.cast(t.column("first_us"), pa.timestamp("us")),
+                pc.cast(t.column("last_us"), pa.timestamp("us")),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(final, batch_format="pyarrow"), OUT)

@@ -522,3 +522,114 @@ def importance_sample(
         return batch.filter(pa.array(b < w))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def split_target_ppm(splits: list[tuple[str, float]]) -> dict[str, int]:
+    """Normalized split weights as integer ppm (floor) — computed ONCE in
+    Python and inlined as literals into the SQL twin, so engine and oracle
+    share the identical quantization with zero in-database float ops."""
+    total = float(sum(w for _, w in splits))
+    return {name: int((w / total) * 1_000_000) for name, w in splits}
+
+
+def split_balance_audit(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    strata_cols: list[str],
+    splits: list[tuple[str, float]],
+    salt: str = "split",
+) -> "ray.data.Dataset":
+    """Training-data QA: does every stratum (e.g. language, source) hit its
+    target share in every split? Emits one row per (stratum, split):
+    ``strata + (split, n, stratum_total, share_ppm, target_ppm, dev_ppm)``
+    where ``share_ppm = n·10⁶ // stratum_total`` and ``dev_ppm`` is the
+    signed deviation from the split's normalized target — the audit that
+    catches a rare language landing 100% in train by hash accident, which
+    the aggregate split counts (``order_split_counts``) cannot see.
+
+    Scale shape: one streaming ``hash_split`` annotate over the minimum
+    column set, ONE (strata × split)-cardinality fastagg, a second fastagg
+    over that tiny result for stratum totals, one tiny hash join — the raw
+    corpus flows exactly once. Deterministic: md5 buckets, integer
+    arithmetic throughout (targets pre-quantized by ``split_target_ppm``)."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+
+    ann = hash_split(
+        ds.select_columns([key_col] + strata_cols), key_col, splits, salt=salt
+    )
+
+    ONE = pa.schema(
+        [(c, pa.string()) for c in strata_cols]
+        + [("split", pa.string()), ("_one", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return ONE.empty_table()
+        return pa.Table.from_arrays(
+            [t.column(c) for c in strata_cols]
+            + [
+                t.column("split"),
+                pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            ],
+            schema=ONE,
+        )
+
+    counts = sorted_grouped_agg(
+        ann.map_batches(prep, batch_format="pyarrow"),
+        strata_cols + ["split"],
+        [("_one", "sum")],
+        out_names=["n"],
+    )
+    CNT = pa.schema(
+        [(c, pa.string()) for c in strata_cols]
+        + [("split", pa.string()), ("n", pa.int64())]
+    )
+    counts = drop_empty_blocks(counts, CNT).materialize()
+    totals = sorted_grouped_agg(
+        counts, strata_cols, [("n", "sum")], out_names=["stratum_total"]
+    )
+    TOT = pa.schema(
+        [(c, pa.string()) for c in strata_cols] + [("stratum_total", pa.int64())]
+    )
+    j = hash_join(counts, drop_empty_blocks(totals, TOT), on=tuple(strata_cols))
+
+    targets = split_target_ppm(splits)
+    OUT = pa.schema(
+        [(c, pa.string()) for c in strata_cols]
+        + [
+            ("split", pa.string()),
+            ("n", pa.int64()),
+            ("stratum_total", pa.int64()),
+            ("share_ppm", pa.int64()),
+            ("target_ppm", pa.int64()),
+            ("dev_ppm", pa.int64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t.column("stratum_total").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        share = (n * 1_000_000) // np.maximum(tot, 1)
+        tgt = np.array(
+            [targets[s] for s in t.column("split").to_pylist()], dtype=np.int64
+        )
+        return pa.Table.from_arrays(
+            [t.column(c) for c in strata_cols]
+            + [
+                t.column("split"),
+                pa.array(n, pa.int64()),
+                pa.array(tot, pa.int64()),
+                pa.array(share, pa.int64()),
+                pa.array(tgt, pa.int64()),
+                pa.array(share - tgt, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(j.map_batches(score, batch_format="pyarrow"), OUT)

@@ -213,3 +213,50 @@ def test_kg_multisource_cross_source_union():
     for ev in edges["evidence"].head(50):
         parts = ev.split("|")
         assert parts == sorted(set(parts))
+
+
+def test_edge_lifespan_intervals():
+    import pandas as pd
+
+    from multiomics_biocypher_kg_ray.stages.materialize import edge_lifespan
+
+    canon = pa.table(
+        {
+            "member": ["x", "y", "z"],
+            "canonical_id": ["ent_1", "ent_2", "ent_2"],
+            "component_key": ["x", "y", "y"],
+        }
+    )
+    base = pd.Timestamp("2024-03-01")
+    linked = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2", "c2"],
+            "turn_idx": pa.array([0, 1, 0, 1], pa.int64()),
+            "pred": ["rel", "rel", "rel", "other"],
+            "subj_id": ["x", "x", "x", None],
+            "obj_id": ["y", "z", "y", "y"],
+        }
+    )
+    ts = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2", "c2"],
+            "turn_idx": pa.array([0, 1, 0, 1], pa.int64()),
+            "role": ["user"] * 4,
+            "text": ["t"] * 4,
+            "tool": [""] * 4,
+            "ts": pa.array(
+                [base, base + pd.Timedelta(hours=2), base + pd.Timedelta(days=1),
+                 base + pd.Timedelta(days=2)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = edge_lifespan(
+        ray.data.from_arrow(linked), canon, ray.data.from_arrow(ts)
+    ).to_pandas()
+    # x->y and x->z collapse onto (ent_1, rel, ent_2); null subj drops
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["src"] == "ent_1" and r["dst"] == "ent_2" and r["n_mentions"] == 3
+    assert r["first_seen"] == base
+    assert r["last_seen"] == base + pd.Timedelta(days=1)

@@ -972,3 +972,28 @@ def test_scd2_intervals_collapses_runs():
     assert pd.isna(u1["valid_to"].iloc[2])  # current value open-ended
     u2 = out[out["user_id"] == 2]
     assert len(u2) == 2 and pd.isna(u2["valid_to"].iloc[1])
+
+
+def test_mad_outliers_exact_small():
+    import numpy as np
+
+    from multiomics_biocypher_kg_ray.stages.relational import mad_outliers
+
+    # group g: values 0..8 plus one glitch 1000.
+    # sorted: 0..8,1000 (n=10) -> disc median = ceil(0.5*10)=rank5 -> 4
+    # abs devs: 4,3,2,1,0,1,2,3,4,996 sorted 0,1,1,2,2,3,3,4,4,996
+    # MAD = rank5 -> 2; k=3 -> flag |v-4| > 6 -> only 1000
+    vals = list(range(9)) + [1000]
+    t = pa.table(
+        {
+            "rid": pa.array(range(10), pa.int64()),
+            "g": pa.array(["g"] * 10, pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    out = mad_outliers(
+        ray.data.from_arrow(t).repartition(3), ["g"], "v", k=3
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["v"] == 1000 and r["med"] == 4 and r["mad"] == 2 and r["abs_dev"] == 996

@@ -366,3 +366,30 @@ def test_importance_sample_rate_tracks_weight_and_is_partition_invariant():
     lo = (a["w_ppm"] == 100_000).sum() / (n / 2)
     hi = (a["w_ppm"] == 900_000).sum() / (n / 2)
     assert 0.08 < lo < 0.12 and 0.87 < hi < 0.93
+
+
+def test_split_balance_audit_shares_sum_and_targets():
+    from multiomics_biocypher_kg_ray.stages.sampling import (
+        split_balance_audit,
+        split_target_ppm,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(400), pa.int64()),
+            "lang": pa.array(["en" if i % 4 else "fr" for i in range(400)]),
+        }
+    )
+    splits = [("train", 0.8), ("val", 0.2)]
+    out = split_balance_audit(
+        ray.data.from_arrow(t).repartition(4), "doc_id", ["lang"], splits
+    ).to_pandas()
+    tgt = split_target_ppm(splits)
+    assert tgt == {"train": 800_000, "val": 200_000}
+    # every (lang, split) row is consistent: share = n*1e6 // total
+    for _, r in out.iterrows():
+        assert r["share_ppm"] == r["n"] * 1_000_000 // r["stratum_total"]
+        assert r["dev_ppm"] == r["share_ppm"] - tgt[r["split"]]
+    # per-lang totals match the lang cardinalities
+    per = out.groupby("lang")["n"].sum()
+    assert per["en"] == 300 and per["fr"] == 100

@@ -118,7 +118,11 @@ def _shift_tables(sf: str, out_dir: str, reps: int) -> None:
             ],
             rep_orders,
         ),
-        ("lineitem", ["l_orderkey", "l_quantity", "l_shipdate"], rep_lineitem),
+        (
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"],
+            rep_lineitem,
+        ),
         ("documents", ["doc_id", "text"], rep_docs),
     ]
     for name, cols, fn in jobs:
