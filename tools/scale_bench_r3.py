@@ -104,7 +104,23 @@ def _shift_tables(sf: str, out_dir: str, reps: int) -> None:
                 }
             )
 
+    def rep_embeddings(t: pa.Table):
+        for r in range(reps):
+            yield pa.table(
+                {
+                    "vec_id": pc.add(t.column("vec_id"), r * 100_000_000),
+                    "embedding": t.column("embedding"),
+                    # labels offset per replica: 16x data = 16x label groups,
+                    # constant group size (density-preserving)
+                    "label": pc.add(
+                        pc.cast(t.column("label"), pa.int32()),
+                        pa.scalar(r * 1000, pa.int32()),
+                    ),
+                }
+            )
+
     jobs = [
+        ("embeddings", ["vec_id", "embedding", "label"], rep_embeddings),
         ("events", ["event_id", "ts", "user_id", "event_type", "value"], rep_events),
         (
             "orders",
