@@ -629,6 +629,41 @@ FROM p GROUP BY 1, 2
 HAVING count(*) >= {min_common}"""
 
 
+def sql_kg_hub_domains(min_hub_deg: int = 8, rounds: int = 3) -> str:
+    """Twin of ``graph.hub_domains``: multi-source BFS unrolled one CTE
+    triple per round (frontier fan-out + min-hub pick + anti-join against
+    assigned), AS MATERIALIZED for the same inlining-explosion reason as
+    the k-core twin."""
+    parts = [
+        "ue AS (SELECT src AS m, dst AS nb FROM edges WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM edges WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT m, nb FROM ue)",
+        "deg AS (SELECT m, count(*)::BIGINT AS d FROM und GROUP BY 1)",
+        f"a0 AS MATERIALIZED (SELECT m AS node, m AS hub, 0::BIGINT AS hops "
+        f"FROM deg WHERE d >= {min_hub_deg})",
+        "f0 AS MATERIALIZED (SELECT node, hub FROM a0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT und.nb AS node, min(f.hub) AS hub "
+            f"FROM f{r - 1} f JOIN und ON f.node = und.m GROUP BY 1)"
+        )
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT c.node, c.hub, {r}::BIGINT AS hops "
+            f"FROM c{r} c WHERE c.node NOT IN (SELECT node FROM a{r - 1}))"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT * FROM a{r - 1} "
+            f"UNION ALL SELECT * FROM n{r})"
+        )
+        parts.append(f"f{r} AS MATERIALIZED (SELECT node, hub FROM n{r})")
+    body = ",\n".join(parts)
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+{body}
+SELECT node, hub, hops FROM a{rounds}"""
+
+
 def sql_kg_neighbor_jaccard(
     cap: int = 200, min_common: int = 2, min_jaccard_ppm: int = 0
 ) -> str:

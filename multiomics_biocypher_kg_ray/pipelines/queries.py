@@ -645,6 +645,19 @@ def q_kg_common_neighbors(sf_dir: str):
     )
 
 
+def q_kg_hub_domains(sf_dir: str):
+    """Nearest-hub Voronoi assignment over the KG (3-hop multi-source BFS
+    from degree>=8 hubs) — head-entity neighborhoods / locality-aware
+    partition keys."""
+    from ..stages import graph
+
+    return graph.hub_domains(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()),
+        min_hub_deg=8,
+        rounds=3,
+    )
+
+
 def q_kg_neighbor_jaccard(sf_dir: str):
     """Structural entity-merge candidates: KG node pairs whose neighbor
     sets overlap (exact integer-ppm Jaccard, true degrees) — the alias
@@ -1979,6 +1992,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_kg_edge_lifespan,
             oracle.sql_kg_edge_lifespan(),
         ),
+        "kg_hub_domains": (
+            q_kg_hub_domains,
+            oracle.sql_kg_hub_domains(),
+        ),
         "kg_neighbor_jaccard": (
             q_kg_neighbor_jaccard,
             oracle.sql_kg_neighbor_jaccard(),
@@ -2085,6 +2102,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "events_mad_outliers",
         "kg_edge_lifespan",
         "split_balance_audit",
+        "kg_hub_domains",
         "user_cumulative_value",
         "user_rolling_value",
         "doc_group_cap",

@@ -639,3 +639,142 @@ def neighbor_jaccard(
         )
 
     return drop_empty_blocks(j.map_batches(score, batch_format="pyarrow"), OUT)
+
+
+def hub_domains(
+    edges: "ray.data.Dataset",
+    min_hub_deg: int = 8,
+    rounds: int = 3,
+) -> "ray.data.Dataset":
+    """Nearest-hub assignment (multi-source BFS Voronoi over the KG): every
+    node within ``rounds`` hops of a hub (degree ≥ ``min_hub_deg``) gets
+    ``(node, hub, hops)`` — its closest hub, ties at equal distance broken
+    by min hub id. The head-entity neighborhood map a KG curator reads, and
+    a principled locality-aware partition key: co-locating each hub's
+    domain keeps most edges intra-partition (reference analog: the
+    hub/fan-out summaries of ``post-import.cypher:840-911``).
+
+    Determinism: synchronous BFS — a node is labeled in the first round
+    that reaches it, min hub id within that round; unreachable-in-``rounds``
+    nodes are omitted. Mirrored by the unrolled AS MATERIALIZED CTE twin.
+
+    Scale shape: undirected incidence deduped ONCE and reused per round;
+    each round is one frontier⋈incidence hash join + one node-cardinality
+    fastagg (min hub) + one left-anti join against the assigned set — all
+    distributed, no driver state; hot hubs' fan-outs combine inside the
+    fastagg partials. Frontier volume is the natural BFS wave."""
+    from .joins import hash_join
+
+    UND = pa.schema([("m", pa.string()), ("nb", pa.string())])
+
+    def und_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return UND.empty_table()
+        src, dst = t.column("src"), t.column("dst")
+        keep = pc.invert(pc.equal(src, dst))
+        src, dst = src.filter(keep), dst.filter(keep)
+        return pa.concat_tables(
+            [
+                pa.Table.from_arrays([src, dst], schema=UND),
+                pa.Table.from_arrays([dst, src], schema=UND),
+            ]
+        )
+
+    und = drop_empty_blocks(
+        sorted_distinct(edges.map_batches(und_fn, batch_format="pyarrow"), ["m", "nb"]),
+        UND,
+    ).materialize()
+
+    deg = sorted_grouped_agg(und, ["m"], [("nb", "count")], out_names=["d"])
+    ASG = pa.schema(
+        [("node", pa.string()), ("hub", pa.string()), ("hops", pa.int64())]
+    )
+
+    def seed_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return ASG.empty_table()
+        t = t.filter(pc.greater_equal(t.column("d"), min_hub_deg))
+        return pa.Table.from_arrays(
+            [
+                t.column("m"),
+                t.column("m"),
+                pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            ],
+            schema=ASG,
+        )
+
+    assigned = drop_empty_blocks(
+        deg.map_batches(seed_fn, batch_format="pyarrow"), ASG
+    ).materialize()
+    frontier = assigned
+
+    FR = pa.schema([("node", pa.string()), ("hub", pa.string())])
+    for r in range(1, rounds + 1):
+        # a dead wave (no hubs, or BFS exhausted before the round budget)
+        # would feed an all-empty dataset into the shuffle join, whose
+        # partition finalizer chokes on schema-less empty partitions —
+        # and there is genuinely nothing left to do
+        if frontier.count() == 0:
+            break
+        fr = drop_empty_blocks(
+            frontier.map_batches(
+                lambda t: t.select(["node", "hub"]) if t.num_columns else FR.empty_table(),
+                batch_format="pyarrow",
+            ),
+            FR,
+        )
+        cand = hash_join(
+            fr,
+            und.map_batches(
+                lambda t: t.rename_columns(["node", "nb"])
+                if t.num_columns
+                else pa.schema(
+                    [("node", pa.string()), ("nb", pa.string())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            on=("node",),
+        )
+        CAND = pa.schema(
+            [("node", pa.string()), ("hub", pa.string()), ("nb", pa.string())]
+        )
+        reach = drop_empty_blocks(cand, CAND).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("nb"), t.column("hub")], schema=FR
+            )
+            if t.num_columns
+            else FR.empty_table(),
+            batch_format="pyarrow",
+        )
+        best = sorted_grouped_agg(
+            drop_empty_blocks(reach, FR), ["node"], [("hub", "min")], out_names=["hub"]
+        )
+        new = drop_empty_blocks(best, FR).join(
+            drop_empty_blocks(
+                assigned.select_columns(["node"]),
+                pa.schema([("node", pa.string())]),
+            ),
+            join_type="left_anti",
+            num_partitions=default_join_partitions(),
+            on=("node",),
+        )
+
+        def stamp(t: pa.Table, hops: int = r) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return ASG.empty_table()
+            return pa.Table.from_arrays(
+                [
+                    t.column("node"),
+                    t.column("hub"),
+                    pa.array(np.full(t.num_rows, hops, dtype=np.int64)),
+                ],
+                schema=ASG,
+            )
+
+        new = drop_empty_blocks(
+            new.map_batches(stamp, batch_format="pyarrow"), ASG
+        ).materialize()
+        assigned = assigned.union(new).materialize()
+        frontier = new
+
+    return assigned

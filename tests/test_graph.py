@@ -373,3 +373,32 @@ def test_neighbor_jaccard_exact_small():
     assert set(zip(strict["node_a"], strict["node_b"])) == {
         ("a", "b"), ("a", "c"), ("b", "c")
     }
+
+
+def test_hub_domains_bfs_and_ties():
+    from multiomics_biocypher_kg_ray.stages.graph import hub_domains
+
+    edges = [
+        ("h1", "a"), ("h1", "b"), ("h1", "c"),      # hub h1, deg 3
+        ("h2", "b"), ("h2", "c"), ("h2", "d"),      # hub h2, deg 3
+        ("a", "x"), ("x", "w"), ("w", "v"),         # chain off a
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})
+    )
+    out = hub_domains(ds, min_hub_deg=3, rounds=3).to_pandas()
+    got = {r.node: (r.hub, r.hops) for r in out.itertuples()}
+    assert got["h1"] == ("h1", 0) and got["h2"] == ("h2", 0)
+    # tie at distance 1 -> min hub id
+    assert got["b"] == ("h1", 1) and got["c"] == ("h1", 1)
+    assert got["a"] == ("h1", 1) and got["d"] == ("h2", 1)
+    assert got["x"] == ("h1", 2) and got["w"] == ("h1", 3)
+    assert "v" not in got  # beyond the round budget
+
+
+def test_hub_domains_no_hubs_returns_empty():
+    from multiomics_biocypher_kg_ray.stages.graph import hub_domains
+
+    ds = ray.data.from_arrow(pa.table({"src": ["a"], "dst": ["b"]}))
+    out = hub_domains(ds, min_hub_deg=5, rounds=2).to_pandas()
+    assert len(out) == 0
