@@ -721,3 +721,31 @@ edges AS ({_edges_select()}),
 SELECT node, count(*)::BIGINT AS deg
 FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
 GROUP BY 1 HAVING count(*) >= {k}"""
+
+
+def sql_kg_labelprop(rounds: int = 3) -> str:
+    """Twin of ``graph.label_propagation``: the same fixed number of
+    synchronous rounds unrolled one CTE pair per round (messages →
+    deterministic (count desc, label asc) argmax via QUALIFY)."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "dir AS MATERIALIZED (SELECT a AS u, b AS v FROM e0 "
+        "UNION ALL SELECT b, a FROM e0)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM dir)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT dir.v AS node, l.label, "
+            f"count(*)::BIGINT AS c FROM dir JOIN l{r - 1} l ON dir.u = l.node "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT node, label, c FROM m{r} QUALIFY "
+            f"row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1)"
+        )
+    body = ",\n".join(parts)
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+{body}
+SELECT node, label, c AS n_votes FROM l{rounds}"""

@@ -1805,3 +1805,67 @@ SELECT c.{sc}, c.split, c.n, t.stratum_total,
        ((c.n * 1000000) // greatest(t.stratum_total, 1) - tp.target_ppm)::BIGINT
          AS dev_ppm
 FROM c JOIN t USING ({sc}) JOIN tp USING (split)"""
+
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def sql_user_type_pivot(categories=PIVOT_EVENT_TYPES) -> str:
+    """Twin of ``relational.pivot_counts`` over events: conditional
+    aggregation — one SUM(CASE) per listed category plus COUNT(*); the
+    category list is part of the spec (it fixes the schema)."""
+    cases = ",\n  ".join(
+        f"sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END)::BIGINT AS n_{c}"
+        for c in categories
+    )
+    return f"""
+SELECT user_id,
+  {cases},
+  count(*)::BIGINT AS n_total
+FROM events GROUP BY user_id"""
+
+
+def sql_term_heavy_hitters(k: int = 2000) -> str:
+    """Twin of ``text.term_heavy_hitters``: same space-split token stream as
+    ``sql_vocab_top_terms``, strict n·k > total gate, pure integers."""
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, count(*)::BIGINT AS n FROM toks WHERE term <> '' GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+SELECT term, n FROM c, t WHERE n * {k} > tot"""
+
+
+def sql_purchase_type_at_ts() -> str:
+    """Twin of ``events.point_in_time_join`` composed with
+    ``events.scd2_intervals`` over a (user, ts)-deduplicated mutation log:
+    the textbook half-open interval join ``ts >= valid_from AND (valid_to IS
+    NULL OR ts < valid_to)``. The min-event_id dedup guarantees unique
+    (user_id, valid_from) so the interval join is unambiguous — the same
+    precondition the engine operator documents."""
+    return """
+WITH m AS (SELECT user_id, ts, min(event_id) AS event_id FROM events GROUP BY 1, 2),
+log AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN m USING (user_id, ts, event_id)
+),
+e AS (
+  SELECT user_id, event_type, ts, event_id,
+         ('0x' || substr(md5('scd2:' || event_type), 1, 15))::UBIGINT::BIGINT AS h
+  FROM log
+),
+l AS (
+  SELECT *, lag(h) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS ph
+  FROM e
+),
+c AS (SELECT user_id, event_type, ts, event_id FROM l WHERE ph IS NULL OR ph <> h),
+h AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS valid_to
+  FROM c
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, h.event_type AS type_at_ts
+FROM p LEFT JOIN h ON p.user_id = h.user_id AND p.ts >= h.valid_from
+  AND (h.valid_to IS NULL OR p.ts < h.valid_to)"""

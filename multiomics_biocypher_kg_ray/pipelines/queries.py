@@ -1803,6 +1803,84 @@ def q_frame_sample(sf_dir: str):
     return frame_sample(_media(sf_dir), k=4)
 
 
+def q_user_type_pivot(sf_dir: str):
+    """Wide-format census: per user one count column per event type plus a
+    total — pivot via per-batch Arrow indicators + one fastagg."""
+    from ..oracle_rel import PIVOT_EVENT_TYPES
+
+    return relational.pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"],
+        "event_type",
+        list(PIVOT_EVENT_TYPES),
+    )
+
+
+def q_term_heavy_hitters(sf_dir: str):
+    """Exact φ-heavy-hitter terms (count·k > total tokens) via the two-pass
+    local-HH candidate superset — vocabulary cardinality never shuffles."""
+    return text.term_heavy_hitters(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=2000
+    )
+
+
+def q_kg_labelprop(sf_dir: str):
+    """Deterministic 3-round label propagation communities over the built KG
+    edge table — join + majority_vote rounds, tie-break (count desc, label
+    asc), bit-identical to the unrolled-CTE oracle."""
+    from ..stages import graph
+
+    return graph.label_propagation(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()), rounds=3
+    )
+
+
+def q_purchase_type_at_ts(sf_dir: str):
+    """Point-in-time join: each purchase event gets the user's SCD2
+    event_type version valid at its timestamp. The mutation log is deduped
+    to one row per (user, ts) (min event_id) so (user, valid_from) is
+    unique — the operator's documented precondition — then
+    ``scd2_intervals`` builds the history and ``point_in_time_join`` runs
+    the hot-key-safe as-of lookup."""
+    from ..stages.fastagg import sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    min_ids = sorted_grouped_agg(
+        ev.select_columns(["user_id", "ts", "event_id"]),
+        ["user_id", "ts"],
+        [("event_id", "min")],
+        out_names=["event_id"],
+    )
+    log = hash_join(ev, min_ids, on=("user_id", "ts", "event_id"))
+    versions = events.scd2_intervals(
+        log, "user_id", "ts", "event_id", "event_type"
+    ).map_batches(
+        lambda t: t.select(["user_id", "valid_from", "event_type"]).rename_columns(
+            ["user_id", "ts", "event_type"]
+        )
+        if t.num_columns
+        else pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_type", pa.string()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    points = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    return events.point_in_time_join(
+        points, versions, "user_id", "ts", "event_id", "event_type",
+        out_col="type_at_ts",
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -2001,7 +2079,17 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle.sql_kg_neighbor_jaccard(),
         ),
         "kg_kcore": (q_kg_kcore, oracle.sql_kg_kcore()),
+        "kg_labelprop": (q_kg_labelprop, oracle.sql_kg_labelprop()),
         "kg_triangles": (q_kg_triangles, oracle.sql_kg_triangles()),
+        "user_type_pivot": (q_user_type_pivot, oracle_rel.sql_user_type_pivot()),
+        "term_heavy_hitters": (
+            q_term_heavy_hitters,
+            oracle_rel.sql_term_heavy_hitters(),
+        ),
+        "purchase_type_at_ts": (
+            q_purchase_type_at_ts,
+            oracle_rel.sql_purchase_type_at_ts(),
+        ),
         "embedding_centroids": (
             q_embedding_centroids,
             oracle_rel.sql_embedding_centroids(),

@@ -1096,3 +1096,271 @@ def scd2_intervals(
         )
 
     return ended.map_batches(finish, batch_format="pyarrow")
+
+
+def point_in_time_join(
+    points: "ray.data.Dataset",
+    versions: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    out_col: str = "val_at_ts",
+) -> "ray.data.Dataset":
+    """Point-in-time join of an event stream against an SCD2 change-point
+    table: every point row gets the version value whose half-open
+    ``[valid_from, next valid_from)`` interval contains its ts — the
+    dimension-as-of-fact-time lookup every warehouse query layer runs
+    against a type-2 history (compose with ``scd2_intervals``; the SQL twin
+    is the textbook ``ts >= valid_from AND (valid_to IS NULL OR ts <
+    valid_to)`` interval join).
+
+    ``versions`` columns: (key_col, ts_col = valid_from, val_col).
+    PRECONDITION: (key, valid_from) is unique in ``versions`` —
+    ``scd2_intervals`` over a (key, ts)-deduplicated mutation log guarantees
+    it; duplicates would make the interval join itself ambiguous. Tie rule
+    is ts-only (a version starting exactly AT the point's ts applies),
+    matching the half-open SQL semantics. Points before their key's first
+    version emit a NULL ``out_col``.
+
+    HOT-KEY-SAFE segmented scan (the ``asof_last_marker`` shape): union the
+    two streams, one global sort on (key, ts, kind) with versions ordered
+    before points at equal ts, per-block vectorized carry-forward of the
+    last version VALUE. Interior keys resolve entirely in-block (including
+    the legitimate-NULL case); a block-edge point preceding its block's
+    first version is PENDING and resolves DISTRIBUTED against a broadcast
+    summary table carrying each block's positionally-last version per edge
+    key (≤ 2 rows/block — block-count-bounded, never data-bounded), found
+    by one searchsorted on the summary ts run. No single-task funnel at any
+    key skew."""
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import drop_empty_blocks
+
+    def _pa_type(t):
+        # pandas-backed datasets report numpy dtypes; normalize to Arrow
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()  # object dtype → string
+
+    psch = points.schema()
+    vsch = versions.schema()
+    key_type = _pa_type(dict(zip(psch.names, psch.types))[key_col])
+    id_type = _pa_type(dict(zip(psch.names, psch.types))[id_col])
+    val_type = _pa_type(dict(zip(vsch.names, vsch.types))[val_col])
+
+    MID = pa.schema(
+        [
+            (key_col, key_type),
+            ("_ts_us", pa.int64()),
+            ("_kind", pa.int8()),  # 0 = version, 1 = point
+            (id_col, id_type),
+            (val_col, val_type),
+        ]
+    )
+
+    def prep_points(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t.column(key_col),
+                pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()),
+                pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                t.column(id_col),
+                pa.nulls(n, val_type),
+            ],
+            schema=MID,
+        )
+
+    def prep_versions(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t.column(key_col),
+                pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()),
+                pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                pa.nulls(n, id_type),
+                t.column(val_col),
+            ],
+            schema=MID,
+        )
+
+    stream = points.map_batches(prep_points, batch_format="pyarrow").union(
+        versions.map_batches(prep_versions, batch_format="pyarrow")
+    )
+
+    OUT = pa.schema(
+        [
+            (id_col, id_type),
+            (key_col, key_type),
+            (ts_col, pa.timestamp("us")),
+            (out_col, val_type),
+        ]
+    )
+    SCAN = pa.schema(
+        [
+            ("_tag", pa.int8()),  # 0 final | 1 pending | 2 summary
+            (id_col, id_type),
+            (key_col, key_type),
+            ("_ts_us", pa.int64()),
+            (val_col, val_type),
+        ]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return SCAN.empty_table()
+        t = t.combine_chunks()
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        ts = t.column("_ts_us").to_numpy(zero_copy_only=False)
+        kind = t.column("_kind").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        is_ver = kind == 0
+        pos = np.where(is_ver, np.arange(n), -1)
+        last_ver = np.maximum.accumulate(pos)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        valid = last_ver >= key_start
+        is_edge = (keys == keys[0]) | (keys == keys[-1])
+        is_point = ~is_ver
+
+        vals = t.column(val_col)
+
+        def emit(mask: np.ndarray, tag: int, carry: bool) -> pa.Table:
+            idx = np.flatnonzero(mask)
+            src = last_ver[idx]
+            v_idx = pa.array(
+                src,
+                pa.int64(),
+                mask=(~valid[idx]) if carry else np.ones(len(idx), bool),
+            )
+            return pa.Table.from_arrays(
+                [
+                    pa.array(np.full(len(idx), tag, dtype=np.int8), pa.int8()),
+                    t.column(id_col).take(pa.array(idx)),
+                    t.column(key_col).take(pa.array(idx)),
+                    pa.array(ts[idx], pa.int64()),
+                    vals.take(v_idx),
+                ],
+                schema=SCAN,
+            )
+
+        parts = [
+            emit(is_point & (valid | ~is_edge), 0, True),
+            emit(is_point & ~valid & is_edge, 1, False),
+        ]
+        # one summary per edge key: the block's positionally-last version
+        s_idx = []
+        for k in {keys[0], keys[-1]}:
+            m = (keys == k) & is_ver
+            if m.any():
+                s_idx.append(int(np.flatnonzero(m)[-1]))
+        if s_idx:
+            si = np.asarray(s_idx, dtype=np.int64)
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.array(np.full(len(si), 2, dtype=np.int8), pa.int8()),
+                        pa.nulls(len(si), id_type),
+                        t.column(key_col).take(pa.array(si)),
+                        pa.array(ts[si], pa.int64()),
+                        vals.take(pa.array(si)),
+                    ],
+                    schema=SCAN,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    mid = (
+        stream.sort([key_col, "_ts_us", "_kind"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+
+    summ_tbl = pa.concat_tables(
+        [
+            b
+            for b in mid.map_batches(
+                lambda t: t.filter(pc.equal(t.column("_tag"), 2))
+                if t.num_columns
+                else SCAN.empty_table(),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        or [SCAN.empty_table()]
+    )
+    summ_ref = broadcast(
+        summ_tbl.select([key_col, "_ts_us", val_col]).sort_by(
+            [(key_col, "ascending"), ("_ts_us", "ascending")]
+        )
+    )
+
+    def _summ_index(ref):
+        tbl = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        sts = tbl.column("_ts_us").to_numpy(zero_copy_only=False)
+        idx: dict = {}
+        if len(keys):
+            bounds = np.flatnonzero(
+                np.concatenate(([True], keys[1:] != keys[:-1], [True]))
+            )
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                idx[keys[a]] = (sts[a:b], int(a))
+        return idx, tbl.column(val_col)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+
+        def fin(sub: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    sub.column(id_col),
+                    sub.column(key_col),
+                    pc.cast(sub.column("_ts_us"), pa.timestamp("us")),
+                    sub.column(val_col),
+                ],
+                schema=OUT,
+            )
+
+        finals = fin(t.filter(pc.equal(t.column("_tag"), 0)))
+        pend = t.filter(pc.equal(t.column("_tag"), 1))
+        if pend.num_rows == 0:
+            return finals
+        index, all_vals = task_state(
+            state_key("pit_summ", summ_ref), lambda: _summ_index(summ_ref)
+        )
+        keys = pend.column(key_col).to_numpy(zero_copy_only=False)
+        ts = pend.column("_ts_us").to_numpy(zero_copy_only=False)
+        take_idx = np.full(len(keys), -1, dtype=np.int64)
+        for k in np.unique(keys):
+            entry = index.get(k)
+            if entry is None:
+                continue
+            sts, base = entry
+            m = keys == k
+            # latest version with ts <= point ts (version ts unique per key)
+            j = np.searchsorted(sts, ts[m], side="right") - 1
+            take_idx[m] = np.where(j >= 0, base + j, -1)
+        v = all_vals.take(pa.array(take_idx, pa.int64(), mask=(take_idx < 0)))
+        resolved = pa.Table.from_arrays(
+            [
+                pend.column(id_col),
+                pend.column(key_col),
+                pc.cast(pend.column("_ts_us"), pa.timestamp("us")),
+                v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v,
+            ],
+            schema=OUT,
+        )
+        return pa.concat_tables([finals, resolved])
+
+    return drop_empty_blocks(
+        mid.map_batches(resolve, batch_format="pyarrow", batch_size=None), OUT
+    )

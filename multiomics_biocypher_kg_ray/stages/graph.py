@@ -778,3 +778,102 @@ def hub_domains(
         frontier = new
 
     return assigned
+
+
+def label_propagation(
+    edges: "ray.data.Dataset", rounds: int = 3
+) -> "ray.data.Dataset":
+    """Deterministic synchronous label propagation → (node, label, n_votes):
+    labels start as each node's own id; every round each node adopts the most
+    frequent label among its NEIGHBORS, ties broken by smallest label — the
+    cheap community detector a KG curator runs before eyeballing clusters
+    (reference analog: the neighborhood/cluster summaries of
+    ``post-import.cypher:840-911``; classic LPA per Raghavan et al. 2007,
+    made deterministic by the (count desc, label asc) argmax).
+
+    Fixed-round contract (same discipline as ``pagerank`` / ``kcore_peel``):
+    both engines run exactly ``rounds`` synchronous updates, so the DuckDB
+    unrolled-CTE twin matches row-for-row even before convergence — no RNG,
+    no asynchronous visit order.
+
+    Scale shape per round: ONE hash join shipping (node, label) against the
+    directed message table (2·|E| rows, label payload only) + ONE
+    ``majority_vote`` (per-batch combiner shrinks messages to distinct
+    (node, label) pairs before the fastagg argmax) — node- and
+    edge-proportional throughout, zero per-group Python, no driver state.
+    Isolated nodes cannot occur (every node comes from an edge endpoint)."""
+    from .relational import majority_vote
+
+    UND = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def und_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return UND.empty_table()
+        src, dst = t.column("src"), t.column("dst")
+        lt = pc.less(src, dst)
+        tbl = pa.table(
+            {"a": pc.if_else(lt, src, dst), "b": pc.if_else(lt, dst, src)}
+        )
+        return tbl.filter(pc.invert(pc.equal(tbl.column("a"), tbl.column("b"))))
+
+    e = drop_empty_blocks(
+        sorted_distinct(
+            edges.map_batches(und_fn, batch_format="pyarrow"), ["a", "b"]
+        ),
+        UND,
+    ).materialize()
+
+    DIR = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return DIR.empty_table()
+        return pa.concat_tables(
+            [
+                t.select(["a", "b"]).rename_columns(["u", "v"]),
+                t.select(["b", "a"]).rename_columns(["u", "v"]),
+            ]
+        )
+
+    d = drop_empty_blocks(
+        e.map_batches(both_ways, batch_format="pyarrow"), DIR
+    ).materialize()
+
+    LBL = pa.schema([("u", pa.string()), ("label", pa.string())])
+    labels = drop_empty_blocks(
+        sorted_distinct(d.select_columns(["u"]), ["u"]).map_batches(
+            lambda t: pa.Table.from_arrays([t.column("u"), t.column("u")], schema=LBL)
+            if t.num_columns
+            else LBL.empty_table(),
+            batch_format="pyarrow",
+        ),
+        LBL,
+    )
+
+    out = None
+    for _ in range(rounds):
+        msgs = d.join(
+            labels,
+            join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("u",),
+        ).select_columns(["v", "label"])
+        msgs = msgs.map_batches(
+            lambda t: t.rename_columns(["node", "label"])
+            if t.num_columns
+            else pa.schema([("node", pa.string()), ("label", pa.string())]).empty_table(),
+            batch_format="pyarrow",
+        )
+        out = majority_vote(msgs, ["node"], "label", out_col="label").materialize()
+        labels = drop_empty_blocks(
+            out.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("node"), t.column("label")], schema=LBL
+                )
+                if t.num_columns
+                else LBL.empty_table(),
+                batch_format="pyarrow",
+            ),
+            LBL,
+        )
+    return out

@@ -1538,3 +1538,55 @@ def mad_outliers(
 
     sch = None  # derived from data; keys may be non-string
     return drop_empty_blocks(ds.map_batches(flag, batch_format="pyarrow"), sch)
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    cat_col: str,
+    categories: list[str],
+    prefix: str = "n_",
+    total_col: str = "n_total",
+) -> "ray.data.Dataset":
+    """Pivot / crosstab: per key group, one int64 count column per listed
+    category plus a total — the wide-format census a feature store derives
+    from a categorical event log (reference analog: the per-organism ×
+    per-datasource count matrices of ``post-import.cypher:287-309``, laid
+    out as columns instead of rows).
+
+    The category list is part of the operator SPEC (it fixes the output
+    schema, exactly like SQL's conditional-aggregation twin); values outside
+    it count toward ``total_col`` only. Scale shape: indicators are pure
+    Arrow casts per batch, the shuffle carries per-batch PARTIAL sums
+    (distinct keys per batch × a fixed column set), and the final reduce is
+    one fastagg sum — key cardinality may be data-proportional."""
+    from .fastagg import sorted_grouped_agg
+
+    cols = [f"{prefix}{c}" for c in categories]
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    OUT = pa.schema(
+        [(k, typ[k]) for k in keys] + [(c, pa.int64()) for c in cols + [total_col]]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        cat = t.column(cat_col)
+        arrs = [t.column(k) for k in keys]
+        for c in categories:
+            arrs.append(pc.cast(pc.fill_null(pc.equal(cat, c), False), pa.int64()))
+        arrs.append(pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64()))
+        wide = pa.Table.from_arrays(arrs, schema=OUT)
+        agg = wide.group_by(keys).aggregate(
+            [(c, "sum") for c in cols + [total_col]]
+        )
+        # pyarrow emits [keys..., <col>_sum...]; restore the spec names
+        return agg.rename_columns(keys + cols + [total_col]).cast(OUT)
+
+    return sorted_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        [(c, "sum") for c in cols + [total_col]],
+        out_names=cols + [total_col],
+    )

@@ -979,3 +979,125 @@ def doc_token_entropy(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     from .fastagg import drop_empty_blocks
 
     return drop_empty_blocks(docs.map_batches(fn, batch_format="pyarrow"), OUT)
+
+
+def term_heavy_hitters(
+    docs: "ray.data.Dataset", k: int = 2000, broadcast_cap: int = 5_000_000
+) -> "ray.data.Dataset":
+    """Exact φ-heavy-hitters over the corpus token stream: every term whose
+    global count STRICTLY exceeds total_tokens / ``k`` — the frequency gate
+    behind stopword discovery, boilerplate detection and vocabulary pruning.
+
+    Two-pass exact algorithm (NOT a sketch): if cnt_b(x)·k ≤ n_b in every
+    batch b, then Σ cnt_b(x)·k ≤ Σ n_b = n — so the union of per-batch local
+    heavy hitters is a guaranteed SUPERSET of the global heavy hitters, and
+    each batch contributes fewer than ``k`` candidates. Pass A therefore
+    emits a (blocks × k)-bounded candidate table plus one token-total row
+    per batch; the full vocabulary (10⁷⁺ terms at corpus scale) never enters
+    a shuffle. Pass B counts ONLY candidate terms exactly: a broadcast
+    membership filter when the distinct candidate set fits
+    (``broadcast_cap``), a distributed left_semi join against the candidate
+    table otherwise — then one term-cardinality-bounded fastagg and the
+    final strict n·k > total gate. Tokenization is the same space-split /
+    drop-empties stream as ``vocab_top_terms`` so the SQL twin shares it."""
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .joins import hash_join
+
+    CAND = pa.schema([("term", pa.string()), ("n", pa.int64())])
+
+    def _counts(batch: pa.Table):
+        s = batch.column("text").to_pandas()
+        return s.str.split(" ").explode().replace("", None).dropna().value_counts()
+
+    def pass_a(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return CAND.empty_table()
+        counts = _counts(batch)
+        n_b = int(counts.sum())
+        keep = counts[counts * k > n_b]
+        return pa.table(
+            {
+                "term": pa.array(
+                    list(keep.index.astype(str)) + [None], pa.string()
+                ),
+                "n": pa.array(list(keep.to_numpy()) + [n_b], pa.int64()),
+            }
+        )
+
+    a = docs.map_batches(pass_a, batch_format="pyarrow").materialize()
+    total = a.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("term"))).select(["n"])
+        if t.num_columns
+        else CAND.empty_table().select(["n"]),
+        batch_format="pyarrow",
+    ).sum("n")
+    OUT = pa.schema([("term", pa.string()), ("n", pa.int64())])
+    if not total:
+        return ray.data.from_arrow(OUT.empty_table())
+
+    cand_ds = sorted_distinct(
+        drop_empty_blocks(
+            a.map_batches(
+                lambda t: t.filter(pc.is_valid(t.column("term"))).select(["term"])
+                if t.num_columns
+                else CAND.empty_table().select(["term"]),
+                batch_format="pyarrow",
+            ),
+            pa.schema([("term", pa.string())]),
+        ),
+        ["term"],
+    ).materialize()
+
+    if cand_ds.count() <= broadcast_cap:
+        cand_ref = broadcast(
+            frozenset(
+                t
+                for b in cand_ds.iter_batches(batch_format="pyarrow")
+                for t in b.column("term").to_pylist()
+            )
+        )
+
+        def pass_b(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return OUT.empty_table()
+            cands = task_state(state_key("hh_cands", cand_ref), lambda: ray.get(cand_ref))
+            counts = _counts(batch)
+            keep = counts[counts.index.isin(cands)]
+            return pa.table(
+                {
+                    "term": pa.array(keep.index.astype(str), pa.string()),
+                    "n": pa.array(keep.to_numpy(), pa.int64()),
+                }
+            )
+
+        partials = docs.map_batches(pass_b, batch_format="pyarrow")
+    else:
+        def full_counts(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return OUT.empty_table()
+            counts = _counts(batch)
+            return pa.table(
+                {
+                    "term": pa.array(counts.index.astype(str), pa.string()),
+                    "n": pa.array(counts.to_numpy(), pa.int64()),
+                }
+            )
+
+        partials = hash_join(
+            drop_empty_blocks(
+                docs.map_batches(full_counts, batch_format="pyarrow"), OUT
+            ),
+            cand_ds,
+            on=("term",),
+            how="left_semi",
+        )
+
+    counted = sorted_grouped_agg(partials, ["term"], [("n", "sum")], out_names=["n"])
+    hh = counted.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t.column("n"), pa.scalar(k, pa.int64())), pa.scalar(int(total), pa.int64())))
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+    return drop_empty_blocks(hh, OUT).sort(["n", "term"], descending=[True, False])

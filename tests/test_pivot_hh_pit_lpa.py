@@ -1,0 +1,205 @@
+"""Unit tests for the r4 late wave: pivot_counts, term_heavy_hitters,
+point_in_time_join, label_propagation — each checked against an independent
+in-memory brute force (pandas / pure python), not the DuckDB twin (the
+registry sweep covers that)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from multiomics_biocypher_kg_ray.stages import events, relational, text
+
+
+def test_pivot_counts_matches_crosstab_with_unknown_and_null():
+    rng = np.random.RandomState(7)
+    cats = ["click", "view", "purchase"]
+    # include an out-of-spec category and nulls: both count to total only
+    raw = rng.choice(cats + ["other"], 997).astype(object)
+    raw[rng.choice(997, 31, replace=False)] = None
+    df = pd.DataFrame({"u": rng.randint(0, 37, 997), "c": raw})
+    ds = ray.data.from_pandas(df).repartition(9)
+    out = (
+        relational.pivot_counts(ds, ["u"], "c", cats)
+        .to_pandas()
+        .set_index("u")
+        .sort_index()
+    )
+    assert list(out.columns) == ["n_click", "n_view", "n_purchase", "n_total"]
+    for u, grp in df.groupby("u"):
+        for c in cats:
+            assert out.loc[u, f"n_{c}"] == int((grp["c"] == c).sum())
+        assert out.loc[u, "n_total"] == len(grp)
+    assert out["n_total"].sum() == 997
+
+
+def _brute_hh(texts: list[str], k: int) -> pd.Series:
+    toks = pd.Series(texts).str.split(" ").explode()
+    toks = toks[toks != ""].dropna()
+    counts = toks.value_counts()
+    return counts[counts * k > counts.sum()].sort_index()
+
+
+def test_term_heavy_hitters_both_paths_match_brute_force():
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(50)]
+    # Zipf-ish: w0/w1 dominate, long tail of rares
+    weights = np.array([1.0 / (i + 1) ** 1.5 for i in range(50)])
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(5, 40), p=weights))
+        for _ in range(400)
+    ]
+    docs = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(11)
+    expected = _brute_hh(texts, k=20)
+    got_bc = (
+        text.term_heavy_hitters(docs, k=20)
+        .to_pandas()
+        .set_index("term")["n"]
+        .sort_index()
+    )
+    assert got_bc.to_dict() == expected.to_dict()
+    # semi-join tier (broadcast_cap=0 forces it) must be row-identical
+    got_sj = (
+        text.term_heavy_hitters(docs, k=20, broadcast_cap=0)
+        .to_pandas()
+        .set_index("term")["n"]
+        .sort_index()
+    )
+    assert got_sj.to_dict() == expected.to_dict()
+    assert len(expected) > 0  # the test must actually exercise the gate
+
+
+def _brute_pit(points: pd.DataFrame, versions: pd.DataFrame) -> pd.Series:
+    out = {}
+    for _, p in points.iterrows():
+        vs = versions[
+            (versions["k"] == p["k"]) & (versions["ts"] <= p["ts"])
+        ].sort_values("ts")
+        out[p["id"]] = vs.iloc[-1]["val"] if len(vs) else None
+    return pd.Series(out)
+
+
+def test_point_in_time_join_exact_semantics_and_null_before_first():
+    versions = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "ts": pd.to_datetime(["2024-01-10", "2024-01-20", "2024-01-15"]),
+            "val": ["a1", "a2", "b1"],
+        }
+    )
+    points = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b", "b"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-05",  # before first version -> NULL
+                    "2024-01-10",  # exactly AT valid_from -> a1
+                    "2024-01-19",  # inside [a1, a2) -> a1
+                    "2024-01-20",  # exactly at the change -> a2
+                    "2024-01-14",  # before b's first -> NULL
+                    "2024-02-01",  # open interval -> b1
+                ]
+            ),
+            "id": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    out = (
+        events.point_in_time_join(
+            ray.data.from_pandas(points),
+            ray.data.from_pandas(versions),
+            "k",
+            "ts",
+            "id",
+            "val",
+        )
+        .to_pandas()
+        .set_index("id")["val_at_ts"]
+    )
+    assert out.to_dict() == {
+        1: None, 2: "a1", 3: "a1", 4: "a2", 5: None, 6: "b1"
+    }
+
+
+def test_point_in_time_join_hot_key_many_blocks():
+    """One key holds ~90% of points across many sorted blocks; versions are
+    sparse, so most blocks have NO in-block version and every such block's
+    edge rows resolve via broadcast summaries — no single-task funnel."""
+    rng = np.random.RandomState(11)
+    n = 6000
+    pts = pd.DataFrame(
+        {
+            "k": np.where(rng.rand(n) < 0.9, "hot", "cold"),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+            "id": np.arange(n),
+        }
+    )
+    vers = pd.DataFrame(
+        {
+            "k": ["hot", "hot", "hot", "cold"],
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([10_000, 400_000, 800_000, 500_000], unit="s"),
+            "val": ["h1", "h2", "h3", "c1"],
+        }
+    )
+    out = (
+        events.point_in_time_join(
+            ray.data.from_pandas(pts).repartition(16),
+            ray.data.from_pandas(vers),
+            "k",
+            "ts",
+            "id",
+            "val",
+        )
+        .to_pandas()
+        .set_index("id")["val_at_ts"]
+        .sort_index()
+    )
+    expected = _brute_pit(pts, vers).sort_index()
+    assert out.to_dict() == expected.to_dict()
+
+
+def _brute_lpa(edges: list[tuple[str, str]], rounds: int) -> dict[str, str]:
+    from collections import Counter, defaultdict
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v in nbrs:
+            c = Counter(labels[u] for u in nbrs[v])
+            new[v] = min(
+                c, key=lambda lbl: (-c[lbl], lbl)
+            )  # count desc, label asc
+        labels = new
+    return labels
+
+
+def test_label_propagation_two_communities():
+    # two triangles joined by one bridge edge: LPA should settle each
+    # triangle on its own min label
+    e = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+        ("a3", "b1"),
+    ]
+    from multiomics_biocypher_kg_ray.stages import graph
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": [x for x, _ in e], "dst": [y for _, y in e]})
+    ).repartition(3)
+    out = (
+        graph.label_propagation(ds, rounds=3)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert out == _brute_lpa(e, rounds=3)
+    # and it actually split the graph into the two triangles
+    assert len({v for k, v in out.items() if k.startswith("a")}) == 1
+    assert len({v for k, v in out.items() if k.startswith("b")}) == 1
