@@ -1869,3 +1869,51 @@ p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
 SELECT p.event_id, p.user_id, p.ts, h.event_type AS type_at_ts
 FROM p LEFT JOIN h ON p.user_id = h.user_id AND p.ts >= h.valid_from
   AND (h.valid_to IS NULL OR p.ts < h.valid_to)"""
+
+
+def sql_orders_cube() -> str:
+    """Twin of ``relational.cube_agg`` over orders: GROUP BY CUBE of
+    (status, priority), cents-quantized sums."""
+    t = CENTS.format(col="o_totalprice")
+    return f"""
+WITH o AS (
+  SELECT o_orderstatus, o_orderpriority, {t} AS total_cents FROM orders
+)
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+       sum(total_cents)::BIGINT AS total_cents
+FROM o GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
+
+def sql_hopping_unique_users(window_s: int = 3600, hop_s: int = 900) -> str:
+    """Twin of ``events.hopping_distinct_count``: same hop-aligned window
+    explode as ``sql_hopping_event_counts``, COUNT(DISTINCT user_id)."""
+    k = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+    return f"""
+SELECT event_type,
+       make_timestamp(((epoch_us(ts) // {hop_us}) - j) * {hop_us}) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events CROSS JOIN (SELECT unnest(range({k})) AS j) r
+GROUP BY 1, 2"""
+
+
+def sql_shipping_priority(cutoff: str = "1998-06-01", k: int = 10) -> str:
+    """Twin of the TPC-H-Q3-analog ``q_shipping_priority``: exact integer e4
+    revenue (cents(price) · (100 − cents(discount))), deterministic
+    (revenue desc, orderkey asc) top-k."""
+    p = CENTS.format(col="l_extendedprice")
+    d = CENTS.format(col="l_discount")
+    return f"""
+WITH l AS (
+  SELECT l_orderkey, {p} * (100 - {d}) AS rev_e4
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff}'
+),
+o AS (
+  SELECT o_orderkey, o_orderdate
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '{cutoff}'
+)
+SELECT l.l_orderkey, o.o_orderdate, sum(l.rev_e4)::BIGINT AS revenue_e4
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY revenue_e4 DESC, l_orderkey LIMIT {k}"""

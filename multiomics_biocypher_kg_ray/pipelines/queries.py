@@ -1881,6 +1881,109 @@ def q_purchase_type_at_ts(sf_dir: str):
     )
 
 
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority): all four grouping sets from ONE
+    data-proportional pass; margins re-aggregate the finest partial."""
+    o = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda t: relational.to_cents(t, {"o_totalprice": "total_cents"}),
+        batch_format="pyarrow",
+    )
+    return relational.cube_agg(
+        o.select_columns(["o_orderstatus", "o_orderpriority", "total_cents"]),
+        keys=["o_orderstatus", "o_orderpriority"],
+        sums=["total_cents"],
+    )
+
+
+def q_hopping_unique_users(sf_dir: str):
+    """Rolling unique users: COUNT(DISTINCT user_id) per event_type per 1h
+    window hopping every 15 min — constant fan-out explode + exact distinct
+    + fastagg count."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+    out = events.hopping_distinct_count(
+        ev, ["event_type"], "user_id", window_s=3600, hop_s=900, out_col="n_users"
+    )
+    return _cast_ts_us(out, ["window_start"])
+
+
+SHIP_CUTOFF = "1998-06-01"
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 analog: top-10 unshipped BUILDING-segment orders by
+    discounted revenue — a prune-at-read big-big join (lineitem ⋈ orders)
+    with the small filtered side semi-joined first, exact integer e4
+    revenue, combiner pre-agg, and a sampled-range-sort top-k."""
+    import pandas as pd
+
+    from ..stages.joins import hash_join
+
+    cutoff = pa.scalar(pd.Timestamp(SHIP_CUTOFF), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+        .select(["c_custkey"])
+        .rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow",
+    )
+    from ..stages.fastagg import drop_empty_blocks
+
+    o2 = hash_join(
+        drop_empty_blocks(orders, None),
+        drop_empty_blocks(cust, None),
+        on=("o_custkey",),
+        how="left_semi",
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]).rename_columns(
+            ["l_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
+        t = relational.to_cents(t, {"l_extendedprice": "p", "l_discount": "d"})
+        rev = pc.multiply(
+            t.column("p"),
+            pc.subtract(pa.scalar(100, pa.int64()), t.column("d")),
+        )
+        return t.select(["l_orderkey"]).append_column("rev_e4", rev)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = hash_join(
+        drop_empty_blocks(li, None), drop_empty_blocks(o2, None), on=("l_orderkey",)
+    )
+    agg = relational.preaggregate(
+        joined.select_columns(["l_orderkey", "o_orderdate", "rev_e4"]),
+        ["l_orderkey", "o_orderdate"],
+        ["rev_e4"],
+    ).map_batches(
+        lambda t: t.select(["l_orderkey", "o_orderdate", "rev_e4"]).rename_columns(
+            ["l_orderkey", "o_orderdate", "revenue_e4"]
+        ),
+        batch_format="pyarrow",
+    )
+    return _cast_ts_us(
+        relational.global_top_k(
+            agg, [("revenue_e4", False), ("l_orderkey", True)], 10
+        ),
+        ["o_orderdate"],
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -2089,6 +2192,15 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "purchase_type_at_ts": (
             q_purchase_type_at_ts,
             oracle_rel.sql_purchase_type_at_ts(),
+        ),
+        "orders_cube": (q_orders_cube, oracle_rel.sql_orders_cube()),
+        "hopping_unique_users": (
+            q_hopping_unique_users,
+            oracle_rel.sql_hopping_unique_users(),
+        ),
+        "shipping_priority": (
+            q_shipping_priority,
+            oracle_rel.sql_shipping_priority(),
         ),
         "embedding_centroids": (
             q_embedding_centroids,

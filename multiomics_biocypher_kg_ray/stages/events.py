@@ -27,7 +27,8 @@ US_PER_HOUR = 3_600_000_000
 
 def add_hour_bucket(batch: pa.Table, ts_col: str = "ts", out_col: str = "hour") -> pa.Table:
     """Tumbling 1h window key: ts truncated to the hour (timestamp[us])."""
-    us = pc.cast(batch.column(ts_col), pa.int64())
+    # normalize to µs FIRST (pandas-backed inputs arrive as timestamp[ns])
+    us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
     # floor (not trunc) division: pre-epoch timestamps round down, matching
     # the oracle's DuckDB time_bucket/floor semantics
     floored = pc.multiply(floor_div_i64(us, US_PER_HOUR), US_PER_HOUR)
@@ -561,7 +562,8 @@ def _hop_explode_fn(
     small (e.g. 4 for 1h/15min), so the loop is over k shifted COPIES —
     each iteration fully vectorized — never over rows."""
     k = window_us // hop_us
-    us = pc.cast(batch.column(ts_col), pa.int64())
+    # normalize to µs FIRST (pandas-backed inputs arrive as timestamp[ns])
+    us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
     # floor division so pre-epoch events align to the same hop grid as the
     # oracle's floor-based window math
     base = pc.multiply(floor_div_i64(us, hop_us), pa.scalar(hop_us, pa.int64()))
@@ -1363,4 +1365,46 @@ def point_in_time_join(
 
     return drop_empty_blocks(
         mid.map_batches(resolve, batch_format="pyarrow", batch_size=None), OUT
+    )
+
+
+def hopping_distinct_count(
+    events: "ray.data.Dataset",
+    keys: list[str],
+    distinct_col: str,
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    hop_s: int = 900,
+    out_col: str = "n_distinct",
+) -> "ray.data.Dataset":
+    """COUNT(DISTINCT x) per (keys…, hopping window) — the rolling-unique
+    metric (e.g. hourly active users every 15 min) a monitoring pipeline
+    reads next to ``hopping_window_agg``'s plain counts.
+
+    Scale shape: the same constant k = window/hop fan-out as
+    ``hopping_window_agg``, then exact distinct via ``sorted_distinct``
+    (per-batch C++ group_by collapses each batch's repeats BEFORE the
+    shuffle — a hot (key, window) costs bandwidth proportional to its
+    distinct members per batch, not its events) and one fastagg count over
+    the deduplicated rows. Two sample-sort waves total; no per-group
+    Python, no driver state."""
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    from .fastagg import sorted_distinct, sorted_grouped_agg
+
+    exploded = events.map_batches(
+        _hop_explode_fn,
+        fn_kwargs={
+            "ts_col": ts_col,
+            "window_us": window_s * 1_000_000,
+            "hop_us": hop_s * 1_000_000,
+        },
+        batch_format="pyarrow",
+    ).select_columns(list(keys) + ["window_start", distinct_col])
+    uniq = sorted_distinct(exploded, list(keys) + ["window_start", distinct_col])
+    return sorted_grouped_agg(
+        uniq,
+        list(keys) + ["window_start"],
+        [(distinct_col, "count")],
+        out_names=[out_col],
     )

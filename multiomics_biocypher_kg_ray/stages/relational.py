@@ -1590,3 +1590,91 @@ def pivot_counts(
         [(c, "sum") for c in cols + [total_col]],
         out_names=cols + [total_col],
     )
+
+
+def cube_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    sums: list[str],
+    count_alias: str = "n",
+) -> "ray.data.Dataset":
+    """``GROUP BY CUBE(keys...)`` — ALL 2^n grouping sets, with NULLs in the
+    grouped-out key columns (``rollup_agg``'s prefix-levels generalized to
+    every subset; the cross-tab margins report every BI layer asks of a
+    status × priority matrix).
+
+    Scale shape (same argument as ``rollup_agg``): the data-proportional
+    aggregation happens exactly once — the finest-level combiner pre-agg +
+    one fastagg shuffle; every other subset re-aggregates the finest-level
+    PARTIAL (group-count-proportional input, never the raw table), so a
+    2-key cube costs one full pass plus three passes over shrinking
+    aggregate tables. ``n`` keys means 2^n − 1 re-aggregations — keep the
+    key list short (the SQL twin has the identical blow-up). Sums must be
+    pre-quantized ints (the cents discipline) so re-aggregation is exact."""
+    from itertools import combinations
+
+    from .fastagg import sorted_grouped_agg
+
+    def _pa_type(t):
+        # pandas-backed datasets report numpy dtypes; normalize to Arrow
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()  # object dtype → string
+
+    sch = ds.schema()
+    typ = {n: _pa_type(t) for n, t in zip(sch.names, sch.types)}
+    out_names = keys + [count_alias] + list(sums)
+
+    finest = preaggregate(ds, keys, sums, count_alias).materialize()
+    agg_specs = [(count_alias, "sum")] + [(c, "sum") for c in sums]
+    agg_out = [count_alias] + list(sums)
+    OUT_SCHEMA = pa.schema(
+        [(k, typ[k]) for k in keys] + [(c, pa.int64()) for c in agg_out]
+    )
+
+    def padded(lvl: "ray.data.Dataset", dropped: tuple) -> "ray.data.Dataset":
+        def pad(t: pa.Table, _dropped=dropped) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return OUT_SCHEMA.empty_table()
+            for c in _dropped:
+                t = t.append_column(c, pa.nulls(t.num_rows, typ[c]))
+            return t.select(out_names)
+
+        return lvl.map_batches(pad, batch_format="pyarrow")
+
+    levels = [
+        finest.map_batches(
+            lambda t: t.select(out_names)
+            if t.num_columns
+            else OUT_SCHEMA.empty_table(),
+            batch_format="pyarrow",
+        )
+    ]
+    subsets = [
+        list(c)
+        for r in range(len(keys) - 1, 0, -1)
+        for c in combinations(keys, r)
+    ]
+    for kept in subsets:
+        dropped = tuple(k for k in keys if k not in kept)
+        lvl = sorted_grouped_agg(finest, kept, agg_specs, out_names=agg_out)
+        levels.append(padded(lvl, dropped))
+    # grand total: one global combine of the finest partials
+    import pandas as pd
+
+    tot = finest.select_columns(agg_out).to_pandas().sum()
+    levels.append(
+        padded(
+            ray.data.from_arrow(
+                pa.table({c: pa.array([int(tot[c])], pa.int64()) for c in agg_out})
+            ),
+            tuple(keys),
+        )
+    )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -203,3 +203,68 @@ def test_label_propagation_two_communities():
     # and it actually split the graph into the two triangles
     assert len({v for k, v in out.items() if k.startswith("a")}) == 1
     assert len({v for k, v in out.items() if k.startswith("b")}) == 1
+
+
+def test_cube_agg_matches_pandas_margins():
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], 500),
+            "b": rng.choice(["p", "q", "r"], 500),
+            "v": rng.randint(0, 1000, 500).astype("int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = relational.cube_agg(ds, ["a", "b"], ["v"]).to_pandas()
+    assert len(out) == (
+        df.groupby(["a", "b"]).ngroups
+        + df["a"].nunique()
+        + df["b"].nunique()
+        + 1
+    )
+    # finest
+    fin = out.dropna(subset=["a", "b"]).set_index(["a", "b"])
+    exp = df.groupby(["a", "b"])["v"].agg(["size", "sum"])
+    for idx, row in exp.iterrows():
+        assert fin.loc[idx, "n"] == row["size"]
+        assert fin.loc[idx, "v"] == row["sum"]
+    # margin over b (a kept), margin over a (b kept), grand total
+    ma = out[out["b"].isna() & out["a"].notna()].set_index("a")
+    for a, grp in df.groupby("a"):
+        assert ma.loc[a, "v"] == grp["v"].sum() and ma.loc[a, "n"] == len(grp)
+    mb = out[out["a"].isna() & out["b"].notna()].set_index("b")
+    for b, grp in df.groupby("b"):
+        assert mb.loc[b, "v"] == grp["v"].sum() and mb.loc[b, "n"] == len(grp)
+    gt = out[out["a"].isna() & out["b"].isna()]
+    assert len(gt) == 1
+    assert gt["n"].iloc[0] == 500 and gt["v"].iloc[0] == df["v"].sum()
+
+
+def test_hopping_distinct_count_brute_force():
+    rng = np.random.RandomState(9)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "t": rng.choice(["a", "b"], n),
+            "u": rng.randint(0, 40, n).astype("int64"),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(rng.randint(0, 86_400, n), unit="s"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = (
+        events.hopping_distinct_count(
+            ds, ["t"], "u", ts_col="ts", window_s=3600, hop_s=900, out_col="nu"
+        )
+        .to_pandas()
+        .set_index(["t", "window_start"])["nu"]
+        .sort_index()
+    )
+    hop = pd.Timedelta(seconds=900)
+    rows = {}
+    for j in range(4):
+        w = df["ts"].dt.floor("900s") - j * hop
+        for (t, ws), grp in df.groupby([df["t"], w]):
+            rows[(t, ws)] = rows.get((t, ws), set()) | set(grp["u"])
+    expected = pd.Series({k: len(v) for k, v in rows.items()}).sort_index()
+    assert out.to_dict() == expected.to_dict()
