@@ -1917,3 +1917,20 @@ SELECT l.l_orderkey, o.o_orderdate, sum(l.rev_e4)::BIGINT AS revenue_e4
 FROM l JOIN o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
 ORDER BY revenue_e4 DESC, l_orderkey LIMIT {k}"""
+
+
+def sql_order_quartiles(k: int = 4) -> str:
+    """Twin of ``relational.ntile_over`` over orders: SQL NTILE + the same
+    integer-ppm percent_rank (floor((rn−1)·10⁶/(n−1)), 0 for n=1)."""
+    t = CENTS.format(col="o_totalprice")
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority, {t} AS total_cents FROM orders
+)
+SELECT o_orderkey, o_orderpriority, total_cents,
+       CAST(ntile({k}) OVER w AS BIGINT) AS ntile,
+       CAST((row_number() OVER w - 1) * 1000000
+            // greatest(count(*) OVER (PARTITION BY o_orderpriority) - 1, 1)
+            AS BIGINT) AS pct_rank_ppm
+FROM o
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY total_cents, o_orderkey)"""

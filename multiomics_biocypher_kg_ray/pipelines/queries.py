@@ -1984,6 +1984,23 @@ def q_shipping_priority(sf_dir: str):
     )
 
 
+def q_order_quartiles(sf_dir: str):
+    """NTILE(4) + integer-ppm percent_rank per priority class, ordered by
+    (total_cents, orderkey) — hot-key-safe global-sort ranking."""
+    o = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda t: relational.to_cents(t, {"o_totalprice": "total_cents"}),
+        batch_format="pyarrow",
+    )
+    return relational.ntile_over(
+        o.select_columns(["o_orderkey", "o_orderpriority", "total_cents"]),
+        ["o_orderpriority"],
+        [("total_cents", True), ("o_orderkey", True)],
+        k=4,
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -2202,6 +2219,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_shipping_priority,
             oracle_rel.sql_shipping_priority(),
         ),
+        "order_quartiles": (q_order_quartiles, oracle_rel.sql_order_quartiles()),
         "embedding_centroids": (
             q_embedding_centroids,
             oracle_rel.sql_embedding_centroids(),

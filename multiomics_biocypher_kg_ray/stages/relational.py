@@ -1678,3 +1678,46 @@ def cube_agg(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def ntile_over(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    order_by: list[tuple[str, bool]],
+    k: int,
+    ntile_col: str = "ntile",
+    pct_rank_col: str = "pct_rank_ppm",
+) -> "ray.data.Dataset":
+    """Per-group ``NTILE(k)`` + integer-ppm ``percent_rank()`` — the
+    quantile-bucket assignment behind per-segment tiering (gold/silver/…)
+    and calibration curves, with SQL's exact tile-size rule: the first
+    ``n mod k`` tiles hold ``ceil(n/k)`` rows, the rest ``floor(n/k)``.
+
+    percent_rank rides as ``floor((rank−1)·10⁶ / (n−1))`` ppm (0 for
+    single-row groups, matching SQL's 0/0→0 convention) so no float ever
+    enters the compared output. Built on ``ranked_over`` (one global
+    range-partitioned sort + group-stats join — hot-key safe, no whole-group
+    task); the tile arithmetic is one vectorized numpy pass per batch.
+    Include unique tie-break columns in ``order_by`` — determinism must come
+    from the sort."""
+    ranked = ranked_over(
+        ds, keys, order_by, rank_col="_rank", with_group_size=True
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t.column("_rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("_gn").to_numpy(zero_copy_only=False).astype(np.int64)
+        q, rem = n // k, n % k
+        big = rem * (q + 1)  # rows covered by the (q+1)-sized tiles
+        in_big = (r - 1) < big
+        tile = np.where(
+            in_big,
+            (r - 1) // np.maximum(q + 1, 1) + 1,
+            rem + (r - 1 - big) // np.maximum(q, 1) + 1,
+        )
+        ppm = np.where(n > 1, (r - 1) * 1_000_000 // np.maximum(n - 1, 1), 0)
+        out = t.drop_columns(["_rank", "_gn"])
+        out = out.append_column(ntile_col, pa.array(tile, pa.int64()))
+        return out.append_column(pct_rank_col, pa.array(ppm, pa.int64()))
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

@@ -268,3 +268,31 @@ def test_hopping_distinct_count_brute_force():
             rows[(t, ws)] = rows.get((t, ws), set()) | set(grp["u"])
     expected = pd.Series({k: len(v) for k, v in rows.items()}).sort_index()
     assert out.to_dict() == expected.to_dict()
+
+
+def test_ntile_over_matches_sql_rule_including_remainders():
+    # group sizes 7 and 4 with k=3: tiles of (3,2,2) and (2,1,1)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 7 + ["b"] * 4,
+            "v": list(range(7)) + list(range(4)),
+            "id": list(range(11)),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (
+        relational.ntile_over(ds, ["g"], [("v", True), ("id", True)], k=3)
+        .to_pandas()
+        .sort_values(["g", "v"])
+    )
+    assert out[out["g"] == "a"]["ntile"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+    assert out[out["g"] == "b"]["ntile"].tolist() == [1, 1, 2, 3]
+    # percent_rank ppm: (rank-1)*1e6 // (n-1)
+    a = out[out["g"] == "a"]["pct_rank_ppm"].tolist()
+    assert a == [(r * 1_000_000) // 6 for r in range(7)]
+    # single-row group -> ppm 0
+    one = ray.data.from_pandas(
+        pd.DataFrame({"g": ["z"], "v": [5], "id": [0]})
+    )
+    o1 = relational.ntile_over(one, ["g"], [("v", True)], k=4).to_pandas()
+    assert o1["ntile"].tolist() == [1] and o1["pct_rank_ppm"].tolist() == [0]

@@ -87,7 +87,19 @@ def _shift_tables(sf: str, out_dir: str, reps: int) -> None:
                     "l_partkey": pc.add(t.column("l_partkey"), r * 10_000_000),
                     "l_quantity": t.column("l_quantity"),
                     "l_extendedprice": t.column("l_extendedprice"),
+                    "l_discount": t.column("l_discount"),
                     "l_shipdate": pc.add(d, r * t_span).cast(pa.timestamp("us")),
+                }
+            )
+
+    def rep_customer(t: pa.Table):
+        # custkey offsets mirror rep_orders so the FK survives replication
+        for r in range(reps):
+            yield pa.table(
+                {
+                    "c_custkey": pc.add(t.column("c_custkey"), r * 10_000_000),
+                    "c_nationkey": t.column("c_nationkey"),
+                    "c_mktsegment": t.column("c_mktsegment"),
                 }
             )
 
@@ -136,9 +148,17 @@ def _shift_tables(sf: str, out_dir: str, reps: int) -> None:
         ),
         (
             "lineitem",
-            ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"],
+            [
+                "l_orderkey",
+                "l_partkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
             rep_lineitem,
         ),
+        ("customer", ["c_custkey", "c_nationkey", "c_mktsegment"], rep_customer),
         ("documents", ["doc_id", "text"], rep_docs),
     ]
     for name, cols, fn in jobs:
