@@ -1934,3 +1934,61 @@ SELECT o_orderkey, o_orderpriority, total_cents,
             AS BIGINT) AS pct_rank_ppm
 FROM o
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY total_cents, o_orderkey)"""
+
+
+def sql_session_type_overlap(gap_minutes: int = 30) -> str:
+    """Twin of ``joins.interval_overlap_join`` composed over ``sessionize``
+    (half-open session = [start_ts, end_ts + 1µs)) and ``scd2_intervals``
+    (NULL valid_to clamped to 2100-01-01): strict-< overlap join, exact µs
+    overlap length."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM f
+),
+sess AS (
+  SELECT user_id, session_idx::BIGINT AS session_idx,
+         epoch_us(min(ts)) AS s_start, epoch_us(max(ts)) + 1 AS s_end
+  FROM s GROUP BY 1, 2
+),
+e AS (
+  SELECT user_id, event_type, ts, event_id,
+         ('0x' || substr(md5('scd2:' || event_type), 1, 15))::UBIGINT::BIGINT AS h
+  FROM events
+),
+l AS (
+  SELECT *, lag(h) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS ph
+  FROM e
+),
+c AS (SELECT user_id, event_type, ts, event_id FROM l WHERE ph IS NULL OR ph <> h),
+hist AS (
+  SELECT user_id, event_type, epoch_us(ts) AS v_start,
+         coalesce(
+           epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)),
+           epoch_us(TIMESTAMP '2100-01-01')
+         ) AS v_end
+  FROM c
+)
+SELECT sess.user_id, sess.session_idx, hist.event_type,
+       make_timestamp(hist.v_start) AS valid_from,
+       (least(sess.s_end, hist.v_end)
+          - greatest(sess.s_start, hist.v_start))::BIGINT AS overlap_us
+FROM sess JOIN hist ON sess.user_id = hist.user_id
+  AND sess.s_start < hist.v_end AND hist.v_start < sess.s_end"""

@@ -2001,6 +2001,101 @@ def q_order_quartiles(sf_dir: str):
     )
 
 
+def q_session_type_overlap(sf_dir: str):
+    """Interval × interval overlap join: each 30-min-gap session paired with
+    every SCD2 event_type version it temporally overlaps (exact µs overlap)
+    — ownership-bucket dedup, no post-join distinct."""
+    from ..stages.joins import interval_overlap_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    sess = events.sessionize(
+        ev.select_columns(["event_id", "user_id", "ts"]),
+        "user_id",
+        "ts",
+        "event_id",
+        gap_minutes=30,
+    )
+
+    def sess_prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("session_idx", pa.int64()),
+                    ("s_start", pa.int64()),
+                    ("s_end", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "session_idx": t.column("session_idx"),
+                "s_start": pc.cast(t.column("start_ts"), pa.int64()),
+                "s_end": pc.add(pc.cast(t.column("end_ts"), pa.int64()), 1),
+            }
+        )
+
+    import pandas as pd
+
+    clamp = pa.scalar(
+        int(pd.Timestamp("2100-01-01").value // 1000), pa.int64()
+    )
+    hist = events.scd2_intervals(ev, "user_id", "ts", "event_id", "event_type")
+
+    def hist_prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("v_start", pa.int64()),
+                    ("v_end", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "v_start": pc.cast(t.column("valid_from"), pa.int64()),
+                "v_end": pc.fill_null(pc.cast(t.column("valid_to"), pa.int64()), clamp),
+            }
+        )
+
+    pairs = interval_overlap_join(
+        sess.map_batches(sess_prep, batch_format="pyarrow"),
+        hist.map_batches(hist_prep, batch_format="pyarrow"),
+        ["user_id"],
+        "s_start",
+        "s_end",
+        "v_start",
+        "v_end",
+        bucket_s=7 * 86400,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("session_idx", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("valid_from", pa.timestamp("us")),
+                    ("overlap_us", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "session_idx": t.column("session_idx"),
+                "event_type": t.column("event_type"),
+                "valid_from": pc.cast(t.column("v_start"), pa.timestamp("us")),
+                "overlap_us": t.column("overlap_us"),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -2220,6 +2315,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_shipping_priority(),
         ),
         "order_quartiles": (q_order_quartiles, oracle_rel.sql_order_quartiles()),
+        "session_type_overlap": (
+            q_session_type_overlap,
+            oracle_rel.sql_session_type_overlap(),
+        ),
         "embedding_centroids": (
             q_embedding_centroids,
             oracle_rel.sql_embedding_centroids(),

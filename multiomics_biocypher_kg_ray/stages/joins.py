@@ -624,3 +624,103 @@ def skew_join(
         how="inner",
     )
     return cold.union(hot_joined)
+
+
+def interval_overlap_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_cols: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_s: int,
+    overlap_col: str = "overlap_us",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Interval × interval overlap join within equality keys: every (left,
+    right) pair sharing all ``key_cols`` whose HALF-OPEN intervals
+    [start, end) overlap (``l_start < r_end AND r_start < l_end``), plus the
+    exact ``overlap_col`` = min(ends) − max(starts) in µs. The temporal-
+    overlap shape ``range_join`` (point ∈ interval) cannot express —
+    sessions × validity windows, shifts × incidents, ad flights × browsing
+    windows.
+
+    Scale shape: both sides explode to every ``bucket_s``-second time bucket
+    they overlap (the vectorized np.repeat explode shared with
+    ``range_join``), meet in ONE hash-partitioned equi-join on
+    (keys…, bucket), and duplicates are impossible by construction via the
+    OWNERSHIP rule: a pair is emitted only in the bucket containing
+    max(l_start, r_start) — a timestamp that lies inside BOTH intervals iff
+    they overlap, so exactly one shared bucket owns each qualifying pair
+    and no dedup shuffle ever runs. Zero-length [t, t) intervals are kept
+    (they pair with intervals strictly containing t, at overlap 0 — the
+    same rows the strict-< SQL twin emits).
+
+    Partitioning assumption (same trade as ``range_join``): per-bucket join
+    cost is left_rows_in_bucket × right_rows_in_bucket per key; pick
+    ``bucket_s`` near the SHORTER side's typical span so that side stays in
+    ≤ 2 buckets, and accept fan-out = span/bucket on the longer side. This
+    materializes every qualifying PAIR — aggregate consumers should reduce
+    the pairs immediately downstream. Both ts columns on each side must be
+    timestamp[us] or int64 µs; the two sides' column names must be disjoint
+    apart from ``key_cols``."""
+    overlap_names = (
+        set(left.schema().names) & set(right.schema().names)
+    ) - set(key_cols)
+    if overlap_names:
+        raise ValueError(
+            f"interval_overlap_join sides share column names: {sorted(overlap_names)}"
+        )
+    bucket_us = bucket_s * 1_000_000
+    from ..arrow_util import strip_meta
+    from .fastagg import drop_empty_blocks
+
+    def _explode(side, start_col, end_col):
+        # strip pandas schema metadata BEFORE the hash join — mismatched
+        # metadata breaks the shuffle's schema dedup (arrow_util.strip_meta)
+        def fn(batch: pa.Table) -> pa.Table:
+            return _explode_intervals_fn(
+                strip_meta(batch),
+                start_col=start_col,
+                end_col=end_col,
+                bucket_us=bucket_us,
+                closed="left",
+            )
+
+        return drop_empty_blocks(
+            side.map_batches(fn, batch_format="pyarrow"), None
+        )
+
+    le = _explode(left, l_start, l_end)
+    re_ = _explode(right, r_start, r_end)
+    from ..tuning import default_join_partitions
+
+    joined = le.join(
+        re_,
+        join_type="inner",
+        num_partitions=num_partitions or default_join_partitions(),
+        on=tuple(key_cols) + (_RJ_BUCKET,),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        import numpy as np
+
+        ls = pc.cast(t.column(l_start), pa.int64()).to_numpy(zero_copy_only=False)
+        le_ = pc.cast(t.column(l_end), pa.int64()).to_numpy(zero_copy_only=False)
+        rs = pc.cast(t.column(r_start), pa.int64()).to_numpy(zero_copy_only=False)
+        re2 = pc.cast(t.column(r_end), pa.int64()).to_numpy(zero_copy_only=False)
+        bkt = t.column(_RJ_BUCKET).to_numpy(zero_copy_only=False)
+        mx = np.maximum(ls, rs)
+        keep = (ls < re2) & (rs < le_) & (mx // bucket_us == bkt)
+        out = t.drop_columns([_RJ_BUCKET]).take(pa.array(np.flatnonzero(keep)))
+        ov = np.minimum(le_, re2)[keep] - mx[keep]
+        return out.append_column(overlap_col, pa.array(ov, pa.int64()))
+
+    # 0-column empty blocks (Ray forwards them schemaless) are scrubbed so
+    # downstream consumers see one consistent schema
+    return drop_empty_blocks(
+        joined.map_batches(finish, batch_format="pyarrow"), None
+    )

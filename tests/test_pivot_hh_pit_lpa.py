@@ -296,3 +296,55 @@ def test_ntile_over_matches_sql_rule_including_remainders():
     )
     o1 = relational.ntile_over(one, ["g"], [("v", True)], k=4).to_pandas()
     assert o1["ntile"].tolist() == [1] and o1["pct_rank_ppm"].tolist() == [0]
+
+
+def test_interval_overlap_join_brute_force_with_ownership_dedup():
+    from multiomics_biocypher_kg_ray.stages.joins import interval_overlap_join
+
+    rng = np.random.RandomState(13)
+    nl, nr = 300, 80
+    # long left intervals spanning many buckets; short right intervals
+    ls = rng.randint(0, 50_000, nl).astype("int64")
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], nl),
+            "lid": np.arange(nl),
+            "ls": ls * 1_000_000,
+            "le": (ls + rng.randint(1, 5000, nl)) * 1_000_000,
+        }
+    )
+    rs = rng.randint(0, 50_000, nr).astype("int64")
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], nr),
+            "rid": np.arange(nr),
+            "rs": rs * 1_000_000,
+            "re": (rs + rng.randint(0, 300, nr)) * 1_000_000,  # incl. empty
+        }
+    )
+    out = (
+        interval_overlap_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(3),
+            ["k"],
+            "ls",
+            "le",
+            "rs",
+            "re",
+            bucket_s=600,  # left spans many buckets
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    m = left.merge(right, on="k")
+    m = m[(m["ls"] < m["re"]) & (m["rs"] < m["le"])]
+    exp = m.assign(
+        overlap_us=np.minimum(m["le"], m["re"]) - np.maximum(m["ls"], m["rs"])
+    ).sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert len(out) == len(exp), (len(out), len(exp))
+    # exactly once per pair (ownership dedup) and exact overlap lengths
+    assert out[["lid", "rid", "overlap_us"]].values.tolist() == exp[
+        ["lid", "rid", "overlap_us"]
+    ].values.tolist()
+    assert len(exp) > 50  # non-trivial
