@@ -1992,3 +1992,24 @@ SELECT sess.user_id, sess.session_idx, hist.event_type,
           - greatest(sess.s_start, hist.v_start))::BIGINT AS overlap_us
 FROM sess JOIN hist ON sess.user_id = hist.user_id
   AND sess.s_start < hist.v_end AND hist.v_start < sess.s_end"""
+
+
+def sql_sorted_neighborhood(w: int = 5) -> str:
+    """Twin of ``dedup.sorted_neighborhood_pairs`` over documents ordered by
+    (lang, n_tokens, doc_id): the self-join on row_number distance < w."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN text = '' THEN 0
+              ELSE len(string_split(text, ' ')) END::BIGINT AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY lang, n_tokens, doc_id) - 1 AS idx
+  FROM d
+)
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       (b.idx - a.idx)::BIGINT AS idx_dist
+FROM r a JOIN r b ON b.idx > a.idx AND b.idx - a.idx < {w}"""

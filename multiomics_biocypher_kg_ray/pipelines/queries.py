@@ -2096,6 +2096,40 @@ def q_session_type_overlap(sf_dir: str):
     return pairs.map_batches(finish, batch_format="pyarrow")
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking: docs sorted by (lang, n_tokens, id),
+    candidate pairs within a w=5 window of the global order — the classic
+    record-linkage complement to LSH banding."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("lang", pa.string()),
+                    ("n_tokens", pa.int64()),
+                ]
+            ).empty_table()
+        s_ = t.column("text").to_pandas()
+        # mirror the oracle: '' -> 0 tokens, else count of ' '-split parts
+        n = np.where(s_ == "", 0, s_.str.split(" ").str.len().fillna(0))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_tokens": pa.array(n.astype("int64"), pa.int64()),
+            }
+        )
+
+    return dedup.sorted_neighborhood_pairs(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        ["lang", "n_tokens"],
+        id_col="doc_id",
+        w=5,
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -2318,6 +2352,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "session_type_overlap": (
             q_session_type_overlap,
             oracle_rel.sql_session_type_overlap(),
+        ),
+        "sorted_neighborhood": (
+            q_sorted_neighborhood,
+            oracle_rel.sql_sorted_neighborhood(),
         ),
         "embedding_centroids": (
             q_embedding_centroids,

@@ -222,7 +222,9 @@ def bucket_pairs(
             col = t.column(c)
             cols[f"{c}_a"] = col.take(pa_a)
             cols[f"{c}_b"] = col.take(pa_b)
-        out = pa.table(cols).cast(PAIR_SCHEMA_BASE)
+        # select first: the dict interleaves <c>_a/<c>_b per payload col while
+        # the schema groups all _a then all _b — cast alone fails at >1 payload
+        out = pa.table(cols).select(PAIR_SCHEMA_BASE.names).cast(PAIR_SCHEMA_BASE)
         return pair_fn(out) if pair_fn is not None else out
 
     def _dedupe_sorted(t: pa.Table) -> pa.Table:
@@ -910,3 +912,88 @@ def containment_pairs(
         )
 
     return with_b.map_batches(score, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    order_cols: list[str],
+    id_col: str = "doc_id",
+    w: int = 5,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood blocking (Hernández & Stolfo's classic record-
+    linkage method): sort the corpus by a SEMANTIC key (e.g. lang, length,
+    normalized title) and candidate-pair every two rows within ``w``
+    positions of each other in that global order — the locality-based
+    complement to LSH banding (which hashes; this sorts).
+
+    Scale shape: one global range-partitioned sort + ``zip_with_index``
+    (order-preserving, fully distributed), then each row is emitted to TWO
+    ``w``-sized index buckets — its OWN bucket idx//w and idx//w + 1 — so
+    any pair at index distance < w shares the larger index's own bucket.
+    Pairs come out of the segmented ``bucket_pairs`` kernel (bounded O(2w)
+    rows per bucket, never a whole-group task) through a vectorized pair_fn
+    that keeps a pair iff (a) its index distance is < w and (b) the
+    LARGER-index side is the bucket's own copy — the ownership rule that
+    makes every candidate pair appear exactly once with no dedup shuffle
+    (same trick as ``joins.interval_overlap_join``). Output:
+    (doc_a, doc_b, idx_dist) with doc_a < doc_b by id."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .canonicalize import zip_with_index
+    from .fastagg import drop_empty_blocks
+
+    idxed = zip_with_index(ds.sort(list(order_cols) + [id_col]), col="_sn_idx")
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        t = t.select([id_col, "_sn_idx"])
+        idx = pc.cast(t.column("_sn_idx"), pa.int64())
+        b = pc.divide(idx, pa.scalar(w, pa.int64()))  # idx >= 0: trunc == floor
+        n = t.num_rows
+        own = t.append_column("_sn_b", b).append_column(
+            "_sn_own", pa.array(np.ones(n, dtype=np.int8), pa.int8())
+        )
+        shifted = t.append_column(
+            "_sn_b", pc.add(b, pa.scalar(1, pa.int64()))
+        ).append_column("_sn_own", pa.array(np.zeros(n, dtype=np.int8), pa.int8()))
+        return pa.concat_tables([own, shifted])
+
+    exploded = drop_empty_blocks(
+        idxed.map_batches(explode, batch_format="pyarrow"), None
+    )
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    OUT = pa.schema(
+        [("doc_a", id_type), ("doc_b", id_type), ("idx_dist", pa.int64())]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return OUT.empty_table()
+        ia = t.column("_sn_idx_a").to_numpy(zero_copy_only=False)
+        ib = t.column("_sn_idx_b").to_numpy(zero_copy_only=False)
+        oa = t.column("_sn_own_a").to_numpy(zero_copy_only=False)
+        ob = t.column("_sn_own_b").to_numpy(zero_copy_only=False)
+        dist = np.abs(ib - ia)
+        own_larger = np.where(ia > ib, oa, ob)
+        m = (dist < w) & (own_larger == 1)
+        sel = pa.array(np.flatnonzero(m))
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_a").take(sel),
+                t.column("doc_b").take(sel),
+                pa.array(dist[m], pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return bucket_pairs(
+        exploded,
+        ["_sn_b"],
+        id_col=id_col,
+        payload_cols=("_sn_idx", "_sn_own"),
+        cap=None,
+        pair_fn=keep,
+    )

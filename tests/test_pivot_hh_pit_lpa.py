@@ -348,3 +348,35 @@ def test_interval_overlap_join_brute_force_with_ownership_dedup():
         ["lid", "rid", "overlap_us"]
     ].values.tolist()
     assert len(exp) > 50  # non-trivial
+
+
+def test_sorted_neighborhood_pairs_brute_force():
+    from multiomics_biocypher_kg_ray.stages import dedup
+
+    rng = np.random.RandomState(17)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "g": rng.choice(["en", "fr"], n),
+            "sz": rng.randint(0, 30, n).astype("int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    w = 5
+    out = (
+        dedup.sorted_neighborhood_pairs(ds, ["g", "sz"], id_col="doc_id", w=w)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    r = df.sort_values(["g", "sz", "doc_id"]).reset_index(drop=True)
+    exp = []
+    for i in range(n):
+        for j in range(i + 1, min(i + w, n)):
+            a, b = int(r.loc[i, "doc_id"]), int(r.loc[j, "doc_id"])
+            exp.append((min(a, b), max(a, b), j - i))
+    exp = pd.DataFrame(exp, columns=["doc_a", "doc_b", "idx_dist"]).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+    assert out.values.tolist() == exp.values.tolist()
