@@ -217,6 +217,11 @@ def run_bench() -> dict:
         q_user_cumulative_value,
         q_user_hour_activity,
         q_user_rolling_value,
+        q_term_heavy_hitters,
+        q_purchase_type_at_ts,
+        q_shipping_priority,
+        q_session_type_overlap,
+        q_sorted_neighborhood,
     )
 
     for name, fn in [
@@ -257,6 +262,14 @@ def run_bench() -> dict:
         ("user_rolling_value", q_user_rolling_value),
         ("doc_mixture_sample", q_doc_mixture_sample),
         ("doc_shuffle_positions", q_doc_shuffle_positions),
+        # session-4 round-4 additions: two-pass heavy hitters, SCD2
+        # point-in-time join, Q3-style big-big join, interval-overlap join,
+        # sorted-neighborhood blocking
+        ("term_heavy_hitters", q_term_heavy_hitters),
+        ("purchase_type_at_ts", q_purchase_type_at_ts),
+        ("shipping_priority", q_shipping_priority),
+        ("session_type_overlap", q_session_type_overlap),
+        ("sorted_neighborhood", q_sorted_neighborhood),
     ]:
         t = time.time()
         out = fn(SF_DIR)

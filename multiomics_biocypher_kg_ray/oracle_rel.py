@@ -2013,3 +2013,13 @@ SELECT least(a.doc_id, b.doc_id) AS doc_a,
        greatest(a.doc_id, b.doc_id) AS doc_b,
        (b.idx - a.idx)::BIGINT AS idx_dist
 FROM r a JOIN r b ON b.idx > a.idx AND b.idx - a.idx < {w}"""
+
+
+def sql_orders_bloom_join() -> str:
+    """Twin of ``joins.bloom_prefilter_join`` (the skew_join contract: the
+    bloom prefilter admits false positives and the exact join removes them,
+    so the oracle is the PLAIN inner join)."""
+    return """
+SELECT o_orderkey, o_custkey, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'"""

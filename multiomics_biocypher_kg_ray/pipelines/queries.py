@@ -2130,6 +2130,23 @@ def q_sorted_neighborhood(sf_dir: str):
     )
 
 
+def q_orders_bloom_join(sf_dir: str):
+    """Bloom-prefiltered big-big join: ~80% of orders are dropped by a fixed
+    m/8-byte broadcast bitmap BEFORE the shuffle; the exact hash join on the
+    survivors removes the bloom's false positives — rows identical to the
+    plain inner join (the oracle)."""
+    from ..stages.joins import bloom_prefilter_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+        .rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = bloom_prefilter_join(orders, cust, on="o_custkey")
+    return out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -2356,6 +2373,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "sorted_neighborhood": (
             q_sorted_neighborhood,
             oracle_rel.sql_sorted_neighborhood(),
+        ),
+        "orders_bloom_join": (
+            q_orders_bloom_join,
+            oracle_rel.sql_orders_bloom_join(),
         ),
         "embedding_centroids": (
             q_embedding_centroids,

@@ -724,3 +724,84 @@ def interval_overlap_join(
     return drop_empty_blocks(
         joined.map_batches(finish, batch_format="pyarrow"), None
     )
+
+
+def bloom_prefilter_join(
+    large: "ray.data.Dataset",
+    small: "ray.data.Dataset",
+    on: str,
+    how: str = "inner",
+    bits_per_key: int = 16,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Hash join with a BLOOM PREFILTER on the large side: build a compact
+    bitmap of the small side's join keys, drop large-side rows whose key
+    can't possibly match BEFORE the all-to-all shuffle, then run the exact
+    hash join on the survivors. The row set is provably identical to the
+    plain join (the bitmap admits false positives, never false negatives —
+    the exact join removes them), so the oracle is the plain join's SQL —
+    the ``skew_join`` contract.
+
+    Why not ``semi_join_filter``'s exact key set? The bloom broadcast is a
+    FIXED m/8-byte payload (``bits_per_key`` × distinct keys, rounded to a
+    power of two) independent of key count and string length, and the
+    per-batch probe is three vectorized int ops (hash, mask, bit-test)
+    instead of an ``is_in`` against a giant value set — the right tier when
+    the small side's distinct keys are millions of long strings. One-hash
+    bloom: false-positive rate ≈ n/m = 1/bits_per_key (6% at 16) — tune
+    ``bits_per_key`` to the shuffle volume saved per surviving row.
+
+    Build shape: per-batch distinct bit positions (int64 rows, ≤ small-side
+    rows total) stream to the driver which ORs them into the bitmap once —
+    the only driver state is the fixed-size bitmap itself, then ``ray.put``
+    broadcast. Probes memoize the fetched bitmap per worker."""
+    import numpy as np
+
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import drop_empty_blocks
+    from ..stages.sampling import _hash60
+
+    # size the bitmap to the small side's row count (upper bound on
+    # distinct keys) rounded up to a power of two for mask math
+    n_small = small.count()
+    m = 1 << max(10, int(np.ceil(np.log2(max(n_small, 1) * bits_per_key))))
+    mask = m - 1
+
+    POS = pa.schema([("pos", pa.int64())])
+
+    def positions(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return POS.empty_table()
+        h = _hash60(t.column(on), "bloom") & mask
+        return pa.table({"pos": pa.array(np.unique(h), pa.int64())})
+
+    bitmap = np.zeros(m // 64, dtype=np.uint64)
+    for b in (
+        drop_empty_blocks(
+            small.map_batches(positions, batch_format="pyarrow"), POS
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        p = b.column("pos").to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(
+            bitmap, p >> 6, np.uint64(1) << (p.astype(np.uint64) & np.uint64(63))
+        )
+    bm_ref = broadcast(bitmap)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        bm = task_state(state_key("bloom_bm", bm_ref), lambda: ray.get(bm_ref))
+        h = _hash60(t.column(on), "bloom") & mask
+        hit = (bm[h >> 6] >> (h.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+        return t.take(pa.array(np.flatnonzero(hit != 0)))
+
+    survivors = drop_empty_blocks(
+        large.map_batches(prefilter, batch_format="pyarrow"), None
+    )
+    return hash_join(
+        survivors,
+        drop_empty_blocks(small, None),
+        on=(on,),
+        how=how,
+        num_partitions=num_partitions,
+    )

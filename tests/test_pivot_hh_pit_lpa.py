@@ -380,3 +380,31 @@ def test_sorted_neighborhood_pairs_brute_force():
         ["doc_a", "doc_b"]
     ).reset_index(drop=True)
     assert out.values.tolist() == exp.values.tolist()
+
+
+def test_bloom_prefilter_join_identical_to_plain_join():
+    from multiomics_biocypher_kg_ray.stages.joins import bloom_prefilter_join
+
+    rng = np.random.RandomState(23)
+    big = pd.DataFrame(
+        {"k": rng.randint(0, 10_000, 5000).astype("int64"), "x": np.arange(5000)}
+    )
+    small = pd.DataFrame(
+        {"k": rng.choice(10_000, 200, replace=False).astype("int64"),
+         "tag": [f"t{i}" for i in range(200)]}
+    )
+    out = (
+        bloom_prefilter_join(
+            ray.data.from_pandas(big).repartition(8),
+            ray.data.from_pandas(small).repartition(2),
+            on="k",
+        )
+        .to_pandas()
+        .sort_values(["x"])
+        .reset_index(drop=True)
+    )
+    exp = big.merge(small, on="k").sort_values(["x"]).reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert out[["k", "x", "tag"]].values.tolist() == exp[
+        ["k", "x", "tag"]
+    ].values.tolist()
