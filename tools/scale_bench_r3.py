@@ -113,6 +113,7 @@ def _shift_tables(sf: str, out_dir: str, reps: int) -> None:
                 {
                     "doc_id": pc.add(t.column("doc_id"), r * 1_000_000),
                     "text": txt,
+                    "lang": t.column("lang"),
                 }
             )
 
@@ -159,7 +160,7 @@ def _shift_tables(sf: str, out_dir: str, reps: int) -> None:
             rep_lineitem,
         ),
         ("customer", ["c_custkey", "c_nationkey", "c_mktsegment"], rep_customer),
-        ("documents", ["doc_id", "text"], rep_docs),
+        ("documents", ["doc_id", "text", "lang"], rep_docs),
     ]
     for name, cols, fn in jobs:
         ds = ray.data.read_parquet(f"{sf}/{name}.parquet", columns=cols)
