@@ -749,3 +749,33 @@ def sql_kg_labelprop(rounds: int = 3) -> str:
 edges AS ({_edges_select()}),
 {body}
 SELECT node, label, c AS n_votes FROM l{rounds}"""
+
+
+def sql_kg_assortativity() -> str:
+    """Twin of ``graph.degree_assortativity`` — undirected simple graph,
+    each edge counted in both orientations, Pearson r between endpoint
+    degrees via exact int64 cross-moments, finalized with the same
+    promote-then-multiply double op order as ``sql_part_price_corr``."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+dir AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+deg AS (SELECT node, count(*)::BIGINT AS d FROM
+        (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        GROUP BY 1),
+j AS (SELECT du.d AS x, dv.d AS y FROM dir
+      JOIN deg du ON du.node = dir.u
+      JOIN deg dv ON dv.node = dir.v),
+st AS (SELECT count(*)::BIGINT AS n,
+              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+              sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+              sum(x*y)::BIGINT AS sxy FROM j)
+SELECT n,
+       CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0.0::DOUBLE
+             AND (n::DOUBLE * syy - sy::DOUBLE * sy) > 0.0::DOUBLE
+            THEN floor(((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1000000.0::DOUBLE)
+                       / (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)
+                          * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)))::BIGINT
+            ELSE NULL END AS assort_ppm
+FROM st WHERE n > 0"""

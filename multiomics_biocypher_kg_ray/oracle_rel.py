@@ -2023,3 +2023,51 @@ def sql_orders_bloom_join() -> str:
 SELECT o_orderkey, o_custkey, c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'"""
+
+
+def sql_orders_loo_priority() -> str:
+    """Twin of ``relational.loo_group_mean`` over orders keyed by
+    o_orderpriority: leave-one-out mean of the OTHER orders' totalprice in
+    the row's priority class — exact BIGINT sums, one integer floor
+    division (all-positive, so DuckDB's truncating ``//`` == numpy floor),
+    NULL for singleton groups."""
+    c = CENTS.format(col="o_totalprice")
+    return f"""
+WITH o AS (SELECT o_orderkey, o_orderpriority, {c} AS cents FROM orders),
+g AS (SELECT o_orderpriority, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+      FROM o GROUP BY 1)
+SELECT o.o_orderkey, o.o_orderpriority, o.cents,
+       (g.n - 1)::BIGINT AS loo_n,
+       CASE WHEN g.n > 1 THEN ((g.s - o.cents) // (g.n - 1))::BIGINT
+            ELSE NULL END AS loo_mean_cents
+FROM o JOIN g USING (o_orderpriority)"""
+
+
+def sql_doc_bigram_score() -> str:
+    """Twin of ``text.doc_bigram_score``: per-bigram add-one-smoothed
+    conditional probability quantized to int ppm BEFORE any aggregation
+    (identical double op order both sides — promote, ·10⁶, divide, floor),
+    context counts derived from the bigram table, V = corpus distinct-token
+    vocabulary; the per-doc mean is exact-int division. Docs with < 2
+    tokens emit nothing."""
+    return """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+uni AS (SELECT count(DISTINCT term)::BIGINT AS v
+        FROM (SELECT unnest(tk) AS term FROM d)),
+bi AS (
+  SELECT doc_id, tk[(i + 1)::BIGINT] AS a, tk[(i + 2)::BIGINT] AS b
+  FROM (SELECT doc_id, tk, unnest(range((len(tk) - 1)::BIGINT)) AS i
+        FROM d WHERE len(tk) >= 2)
+),
+bc AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM bi GROUP BY 1, 2),
+ctx AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM bc GROUP BY 1),
+q AS (SELECT bc.a, bc.b,
+             floor((bc.n_ab + 1)::DOUBLE * 1000000
+                   / (ctx.n_a + uni.v)::DOUBLE)::BIGINT AS ppm
+      FROM bc JOIN ctx USING (a) CROSS JOIN uni),
+ds AS (SELECT bi.doc_id, sum(q.ppm)::BIGINT AS s, count(*)::BIGINT AS n_bigrams
+       FROM bi JOIN q ON bi.a = q.a AND bi.b = q.b GROUP BY 1)
+SELECT doc_id, n_bigrams, (s::DOUBLE / n_bigrams) AS mean_cond_ppm FROM ds"""

@@ -877,3 +877,103 @@ def label_propagation(
             LBL,
         )
     return out
+
+
+def degree_assortativity(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Degree assortativity coefficient of the undirected simple graph —
+    ONE row ``(n, assort_ppm)``: the Pearson correlation between the degrees
+    at the two ends of every edge, each undirected edge counted in both
+    orientations (Newman 2002's standard r). Hub-attracts-hub graphs score
+    positive; hub-and-spoke KGs (every leaf hangs off a high-degree entity)
+    score negative — the one-number topology summary a KG builder checks
+    after a schema change (reference analog: the hub/fan-out audit rollups
+    of ``post-import.cypher:840-911``).
+
+    Exactness: degrees are exact int64 counts; the correlation reduces to
+    the five int64 cross-moments of ``relational.group_corr`` under a single
+    constant group and finalizes in doubles with the oracle's exact op
+    order — bit-exact floor(r·10⁶), NULL when degree variance is zero
+    (regular graphs).
+
+    Scale shape: one symmetric-incidence dedup (``sorted_distinct``), one
+    degree fastagg, two node-proportional distributed hash joins to attach
+    the degree at each endpoint, then 1-row-per-block corr partials — no
+    broadcast of node-proportional state, no driver loops, hot hubs cost
+    their incidence share only."""
+    from .joins import hash_join
+    from .relational import group_corr
+
+    UND = pa.schema([("m", pa.string()), ("nb", pa.string())])
+
+    def und_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return UND.empty_table()
+        src, dst = t.column("src"), t.column("dst")
+        keep = pc.invert(pc.equal(src, dst))
+        src, dst = src.filter(keep), dst.filter(keep)
+        fwd = pa.Table.from_arrays([src, dst], schema=UND)
+        rev = pa.Table.from_arrays([dst, src], schema=UND)
+        return pa.concat_tables([fwd, rev])
+
+    und = sorted_distinct(
+        edges.map_batches(und_fn, batch_format="pyarrow"), ["m", "nb"]
+    ).materialize()  # consumed twice: degrees + the oriented endpoint list
+
+    DEG = pa.schema([("m", pa.string()), ("d", pa.int64())])
+    deg = drop_empty_blocks(
+        sorted_grouped_agg(und, ["m"], [("nb", "count")], out_names=["d"]).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("m"), pc.cast(t.column("d"), pa.int64())], schema=DEG
+            )
+            if t.num_columns
+            else DEG.empty_table(),
+            batch_format="pyarrow",
+        ),
+        DEG,
+    ).materialize()  # probed twice: the u side and the v side
+
+    DV = pa.schema([("nb", pa.string()), ("d_v", pa.int64())])
+    dv = drop_empty_blocks(
+        deg.map_batches(
+            lambda t: t.rename_columns(["nb", "d_v"])
+            if t.num_columns
+            else DV.empty_table(),
+            batch_format="pyarrow",
+        ),
+        DV,
+    )
+    J1 = pa.schema([("m", pa.string()), ("nb", pa.string()), ("d", pa.int64())])
+    # scrub schema-less empty blocks between the two joins (same contract
+    # note as neighbor_jaccard)
+    j = hash_join(drop_empty_blocks(hash_join(und, deg, on=("m",)), J1), dv, on=("nb",))
+
+    MID = pa.schema([("_g", pa.int64()), ("d_u", pa.int64()), ("d_v", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                pc.cast(t.column("d"), pa.int64()),
+                pc.cast(t.column("d_v"), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    corr = group_corr(
+        drop_empty_blocks(j.map_batches(prep, batch_format="pyarrow"), MID),
+        ["_g"],
+        "d_u",
+        "d_v",
+        out_col="assort_ppm",
+    )
+    OUT = pa.schema([("n", pa.int64()), ("assort_ppm", pa.int64())])
+    return drop_empty_blocks(
+        corr.map_batches(
+            lambda t: t.drop_columns(["_g"]) if t.num_columns else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )

@@ -1721,3 +1721,85 @@ def ntile_over(
         return out.append_column(pct_rank_col, pa.array(ppm, pa.int64()))
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def loo_group_mean(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    n_col: str = "loo_n",
+    out_col: str = "loo_mean",
+) -> "ray.data.Dataset":
+    """Leave-one-out target encoding: append ``n_col`` = (group size − 1)
+    and ``out_col`` = floor((Σ_group value − own value) / (group size − 1))
+    — the mean of the OTHER rows in the row's group, the leakage-safe
+    categorical encoder (a row never sees its own target; reference analog:
+    the per-condition baseline normalization of SURVEY §2.5 A1, which
+    likewise excludes the measured replicate from its reference mean).
+    NULL when the row is its group's only member.
+
+    Exactness: group sums are exact int64 (``value_col`` pre-quantized to
+    cents/ppm); the encoding is one integer floor division — bit-identical
+    to the DuckDB twin's BIGINT ``//`` at any parallelism (all-positive
+    numerators make floor == trunc; callers with signed values get floor
+    semantics from numpy, documented here as the contract).
+
+    Scale shape: one fastagg pass to (key → n, sum) — group-count bounded,
+    broadcast once like ``filter_above_group_quantile``'s thresholds — then
+    a single stateless streaming probe pass. Intended for the bounded-
+    cardinality categorical keys target encoding is used on (priorities,
+    segments, languages); a key-proportional encoder should join instead."""
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import sorted_grouped_agg
+
+    agg = sorted_grouped_agg(
+        ds.select_columns(keys + [value_col]),
+        keys,
+        [(value_col, "count"), (value_col, "sum")],
+        out_names=["_n", "_s"],
+    )
+    grp_tbl = pa.concat_tables(
+        [
+            b
+            for b in agg.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns
+        ]
+    ).combine_chunks()
+    grp_ref = broadcast(grp_tbl)
+
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    OUT = pa.schema(
+        [(n, typ[n]) for n in sch.names]
+        + [(n_col, pa.int64()), (out_col, pa.int64())]
+    )
+
+    def enc(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+
+        def build():
+            tb = ray.get(grp_ref) if not isinstance(grp_ref, pa.Table) else grp_ref
+            key_rows = list(zip(*[tb.column(k).to_pylist() for k in keys]))
+            n = tb.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+            s = tb.column("_s").to_numpy(zero_copy_only=False).astype(np.int64)
+            return {k: (int(a), int(b)) for k, a, b in zip(key_rows, n, s)}
+
+        index = task_state(state_key("loo", grp_ref), build)
+        key_df = t.select(keys).to_pandas()
+        pairs = [
+            index[k] for k in key_df.itertuples(index=False, name=None)
+        ]  # every key was aggregated from this same dataset — present by construction
+        gn = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+        gs = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        loo_n = gn - 1
+        ok = loo_n > 0
+        mean = np.floor_divide(gs - v, np.maximum(loo_n, 1))
+        t = t.append_column(n_col, pa.array(loo_n, pa.int64()))
+        t = t.append_column(out_col, pa.array(mean, pa.int64(), mask=~ok))
+        return t.select(OUT.names)
+
+    from .fastagg import drop_empty_blocks
+
+    return drop_empty_blocks(ds.map_batches(enc, batch_format="pyarrow"), OUT)

@@ -1101,3 +1101,177 @@ def term_heavy_hitters(
         batch_format="pyarrow",
     )
     return drop_empty_blocks(hh, OUT).sort(["n", "term"], descending=[True, False])
+
+
+def doc_bigram_score(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document bigram-LM quality signal — the CCNet-style conditional
+    sibling of ``doc_unigram_score``: each adjacent token pair scores the
+    add-one-smoothed conditional probability p(b|a) of its own corpus,
+    quantized to int ppm, and a document's score is the exact-int mean over
+    its bigram occurrences. Emits ``(doc_id, n_bigrams, mean_cond_ppm)``;
+    documents with fewer than two tokens emit nothing (no bigrams). Damaged
+    text (shuffled words, tag soup, boilerplate splices) pairs globally
+    common tokens in globally rare ORDERS, so it scores far below fluent
+    text even when its unigram score is clean.
+
+    Exactness: cond_ppm(a,b) = floor((n_ab + 1)·10⁶ / (n_a· + V)) computed
+    ONCE per distinct bigram in doubles with the oracle's exact op order —
+    n_ab = corpus count of (a,b), n_a· = Σ_b n_ab (occurrences of ``a`` as a
+    bigram left side), V = corpus distinct-token vocabulary (the add-one
+    denominator) — then per-doc sums are int64 and the mean is one exact
+    int/int division. No log/float accumulates anywhere.
+
+    Scale shape: bigram counts ride the per-batch-combiner + fastagg path
+    (bigram-vocab-cardinality groups); the model table is vocab-bounded and
+    broadcasts once, context counts derived FROM it by one group_by (no
+    second corpus pass; the only extra pass is the unigram fastagg that
+    sizes V). Scoring is a single stateless pass with one composed-key
+    Arrow ``index_in`` probe per batch. Documented assumption (same budget
+    as the unigram table and the alias dictionary): bigram vocabularies are
+    ≤ a few 10⁸ entries ≈ GBs; beyond that, shuffle-join the per-doc
+    (bigram, count) partials against the model instead of broadcasting."""
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import sorted_grouped_agg
+
+    BI = pa.schema(
+        [("term_a", pa.string()), ("term_b", pa.string()), ("n_ab", pa.int64())]
+    )
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return BI.empty_table()
+        texts = batch.column("text").to_pylist()
+        a_out, b_out = [], []
+        for t in texts:
+            toks = [w for w in (t or "").split(" ") if w]
+            a_out.extend(toks[:-1])
+            b_out.extend(toks[1:])
+        if not a_out:
+            return BI.empty_table()
+        g = (
+            pd.DataFrame({"term_a": a_out, "term_b": b_out})
+            .groupby(["term_a", "term_b"], sort=False)
+            .size()
+            .reset_index(name="n_ab")
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["term_a"].to_numpy(), pa.string()),
+                pa.array(g["term_b"].to_numpy(), pa.string()),
+                pa.array(g["n_ab"].to_numpy(), pa.int64()),
+            ],
+            schema=BI,
+        )
+
+    bi_tbl = pa.concat_tables(
+        [
+            b
+            for b in sorted_grouped_agg(
+                docs.map_batches(bi_partial, batch_format="pyarrow"),
+                ["term_a", "term_b"],
+                [("n_ab", "sum")],
+                out_names=["n_ab"],
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns
+        ]
+        or [BI.empty_table()]
+    ).combine_chunks()
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        UNI = pa.schema([("term", pa.string()), ("n", pa.int64())])
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return UNI.empty_table()
+        s = batch.column("text").to_pandas()
+        counts = s.str.split(" ").explode().replace("", None).dropna().value_counts()
+        return pa.Table.from_arrays(
+            [
+                pa.array(counts.index.astype(str), pa.string()),
+                pa.array(counts.to_numpy(), pa.int64()),
+            ],
+            schema=UNI,
+        )
+
+    vocab_v = sorted_grouped_agg(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        ["term"],
+        [("n", "sum")],
+        out_names=["n"],
+    ).count()
+
+    # context counts n_a· derived from the bigram table itself (one C++
+    # group_by over the vocab-bounded model — never a corpus pass), then the
+    # quantized conditional prob per DISTINCT bigram, broadcast as
+    # (composed key -> ppm)
+    ctx = bi_tbl.group_by(["term_a"]).aggregate([("n_ab", "sum")])
+    ctx_map_keys = ctx.column("term_a")
+    pos = pc.index_in(bi_tbl.column("term_a"), value_set=ctx_map_keys)
+    n_a = (
+        ctx.column("n_ab_sum")
+        .take(pos)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_ab = bi_tbl.column("n_ab").to_numpy(zero_copy_only=False).astype(np.int64)
+    ppm = np.floor(
+        (n_ab + 1).astype(np.float64) * 1_000_000.0 / (n_a + int(vocab_v)).astype(np.float64)
+    ).astype(np.int64)
+    composed = pc.binary_join_element_wise(
+        bi_tbl.column("term_a"), bi_tbl.column("term_b"), "\x1f"
+    )
+    model_ref = broadcast(
+        pa.table({"big": composed, "ppm": pa.array(ppm, pa.int64())})
+    )
+
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("mean_cond_ppm", pa.float64()),
+        ]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return OUT.empty_table()
+
+        def build():
+            tb = ray.get(model_ref) if not isinstance(model_ref, pa.Table) else model_ref
+            return (
+                tb.column("big").combine_chunks(),
+                tb.column("ppm").to_numpy(zero_copy_only=False),
+            )
+
+        bigs_arr, ppm_arr = task_state(state_key("bigram_lm", model_ref), build)
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keys, row_of = [], []
+        for i, t in enumerate(texts):
+            toks = [w for w in (t or "").split(" ") if w]
+            for a, b in zip(toks[:-1], toks[1:]):
+                keys.append(a + "\x1f" + b)
+                row_of.append(i)
+        if not keys:
+            return OUT.empty_table()
+        flat = pa.array(keys, pa.string())
+        row_of = np.asarray(row_of, dtype=np.int64)
+        pos2 = pc.index_in(flat, value_set=bigs_arr).to_numpy(zero_copy_only=False)
+        # every doc bigram exists in its own corpus model by construction
+        tok_ppm = ppm_arr[pos2.astype(np.int64)]
+        change = np.ones(len(row_of), dtype=bool)
+        change[1:] = row_of[1:] != row_of[:-1]
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(tok_ppm.astype(np.int64), starts)
+        lens = np.diff(np.append(starts, len(row_of)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[row_of[starts]], pa.int64()),
+                "n_bigrams": pa.array(lens.astype(np.int64)),
+                "mean_cond_ppm": pa.array(sums.astype(np.float64) / lens),
+            }
+        )
+
+    from .fastagg import drop_empty_blocks
+
+    return drop_empty_blocks(
+        docs.map_batches(score, batch_format="pyarrow"), OUT
+    )
