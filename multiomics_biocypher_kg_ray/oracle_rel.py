@@ -2071,3 +2071,18 @@ q AS (SELECT bc.a, bc.b,
 ds AS (SELECT bi.doc_id, sum(q.ppm)::BIGINT AS s, count(*)::BIGINT AS n_bigrams
        FROM bi JOIN q ON bi.a = q.a AND bi.b = q.b GROUP BY 1)
 SELECT doc_id, n_bigrams, (s::DOUBLE / n_bigrams) AS mean_cond_ppm FROM ds"""
+
+
+def sql_user_trailing_1h() -> str:
+    """Twin of ``window.rolling_range_sum_over`` over events: trailing
+    1-hour per-user cents sum + count, SQL RANGE frame (peers included on
+    both sides of the current row)."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_id, user_id, ts, {v} AS cents FROM events)
+SELECT event_id, user_id, ts,
+       sum(cents) OVER w::BIGINT AS win_sum_cents,
+       count(*) OVER w::BIGINT AS win_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""

@@ -542,6 +542,36 @@ def q_user_rolling_value(sf_dir: str):
     )
 
 
+def q_user_trailing_1h(sf_dir: str):
+    """Trailing 1-HOUR per-user value sum + true window count — the
+    TIME-based RANGE window (sum/count OVER ... RANGE BETWEEN INTERVAL 1
+    HOUR PRECEDING AND CURRENT ROW), peer rows included, via the segmented
+    scan with horizon-bounded tail carries and forward peer-run stitches."""
+    from ..stages.window import rolling_range_sum_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}).append_column(
+            "ts_us",
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    out = rolling_range_sum_over(
+        ev,
+        "user_id",
+        "ts_us",
+        ["ts_us", "event_id"],
+        "cents",
+        3_600_000_000,
+        sum_col="win_sum_cents",
+        cnt_col="win_n",
+    )
+    return _cast_ts_us(
+        out.select_columns(["event_id", "user_id", "ts", "win_sum_cents", "win_n"]),
+        ["ts"],
+    )
+
+
 def q_event_lag_delta(sf_dir: str):
     """Per-user inter-event gap in µs — lag() OVER a hot-key-safe segmented
     scan; NULL for each user's first event."""
@@ -2493,6 +2523,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_doc_bigram_score,
             oracle_rel.sql_doc_bigram_score(),
         ),
+        "user_trailing_1h": (
+            q_user_trailing_1h,
+            oracle_rel.sql_user_trailing_1h(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -2505,6 +2539,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_assortativity",
         "orders_loo_priority",
         "doc_bigram_score",
+        "user_trailing_1h",
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",

@@ -523,3 +523,260 @@ def lead_over(
     return out.map_batches(
         lambda t: t.drop_columns(neg_cols), batch_format="pyarrow"
     )
+
+
+def rolling_range_sum_over(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    ts_col: str,
+    order_cols: list[str],
+    val_col: str,
+    horizon: int,
+    sum_col: str = "win_sum",
+    cnt_col: str = "win_n",
+) -> "ray.data.Dataset":
+    """``sum(val) OVER (PARTITION BY part ORDER BY ts RANGE BETWEEN horizon
+    PRECEDING AND CURRENT ROW)`` plus the matching ``count(*)`` — the
+    TIME-based trailing window (trailing 1-hour spend, 24-hour event rate),
+    the variable-width sibling of ``rolling_sum_over``. The frame of row r
+    is every row of its part with ``ts ∈ [ts_r − horizon, ts_r]`` — both
+    ends inclusive and INCLUDING peers (rows sharing ts_r) on either side
+    of r, exactly the SQL RANGE frame.
+
+    ``ts_col`` must be int64 (epoch µs) and ``horizon`` in the same unit;
+    ``order_cols`` = [ts_col, tiebreaks...] must be unique within a part
+    (they key block segments, same precondition as ``_segmented_window``).
+
+    Shape: one global sort on [part] + order_cols → per-block scan where
+    each row's frame bounds come from two ``searchsorted`` probes into its
+    own segment (vectorized per segment; peer-safe) → per block segment ONE
+    summary row carrying (a) the tail rows within ``horizon`` of the
+    segment's last ts — the only rows any LATER row can still see — and
+    (b) the head peer-run (count/sum of rows equal to the first ts), which
+    lets a row whose peer run straddles a block boundary collect its
+    FORWARD peers. The summary table is block-count × in-horizon-density
+    bounded, never row-proportional (same budget argument as
+    ``rolling_sum_over``'s W−1 tails: a horizon enclosing an entire hot
+    part means the caller wanted ``cumsum_over``). Pass 2 resolves back
+    carries with one suffix-sum searchsorted per affected segment and
+    forward peer-runs with a flag lookup — no task ever holds a whole
+    partition."""
+    H = int(horizon)
+    if H < 0:
+        raise ValueError("horizon must be >= 0")
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    names = list(sch.names)
+    sf_cols = [f"_sf_{c}" for c in order_cols]
+    sf_fields = [(f, typ[c]) for f, c in zip(sf_cols, order_cols)]
+    OUT_SCHEMA = pa.schema(
+        [(n, typ[n]) for n in names] + [(sum_col, pa.int64()), (cnt_col, pa.int64())]
+    )
+    MID_SCHEMA = pa.schema(
+        [(n, typ[n]) for n in names]
+        + [(sum_col, pa.int64()), (cnt_col, pa.int64()), ("_fwd", pa.bool_())]
+        + sf_fields
+    )
+    SUMM_SCHEMA = pa.schema(
+        [(part_col, typ[part_col])]
+        + sf_fields
+        + [
+            ("_tail_ts", pa.list_(pa.int64())),
+            ("_tail_val", pa.list_(pa.int64())),
+            ("_head_ts", pa.int64()),
+            ("_head_cnt", pa.int64()),
+            ("_head_sum", pa.int64()),
+            ("_last_ts", pa.int64()),
+            ("_seg_len", pa.int64()),
+        ]
+    )
+
+    def _seg_bounds(parts: np.ndarray):
+        n = len(parts)
+        new_p = np.ones(n, dtype=bool)
+        new_p[1:] = parts[1:] != parts[:-1]
+        starts = np.flatnonzero(new_p)
+        return starts, np.append(starts[1:], n)
+
+    def local_scan(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID_SCHEMA.empty_table()
+        parts = _np(t.column(part_col))
+        ts = _np(t.column(ts_col)).astype(np.int64)
+        vals = _np(t.column(val_col)).astype(np.int64)
+        n = len(parts)
+        starts, ends = _seg_bounds(parts)
+        C = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vals, out=C[1:])
+        sums = np.empty(n, dtype=np.int64)
+        cnts = np.empty(n, dtype=np.int64)
+        fwd = np.zeros(n, dtype=bool)
+        start_of = np.maximum.accumulate(
+            np.where(np.isin(np.arange(n), starts), np.arange(n), 0)
+        )
+        for s, e in zip(starts, ends):
+            seg_ts = ts[s:e]
+            lo = s + np.searchsorted(seg_ts, seg_ts - H, side="left")
+            hi = s + np.searchsorted(seg_ts, seg_ts, side="right")
+            sums[s:e] = C[hi] - C[lo]
+            cnts[s:e] = hi - lo
+            fwd[s:e] = seg_ts == seg_ts[-1]
+        t = t.append_column(sum_col, pa.array(sums, pa.int64()))
+        t = t.append_column(cnt_col, pa.array(cnts, pa.int64()))
+        t = t.append_column("_fwd", pa.array(fwd))
+        for f, c in zip(sf_cols, order_cols):
+            t = t.append_column(f, t.column(c).take(pa.array(start_of)))
+        return t
+
+    def seg_summary(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return SUMM_SCHEMA.empty_table()
+        parts = _np(t.column(part_col))
+        ts = _np(t.column(ts_col)).astype(np.int64)
+        vals = _np(t.column(val_col)).astype(np.int64)
+        starts, ends = _seg_bounds(parts)
+        tail_ts, tail_val, h_cnt, h_sum = [], [], [], []
+        for s, e in zip(starts, ends):
+            k = s + np.searchsorted(ts[s:e], ts[e - 1] - H, side="left")
+            tail_ts.append(ts[k:e].tolist())
+            tail_val.append(vals[k:e].tolist())
+            hp = s + np.searchsorted(ts[s:e], ts[s], side="right")
+            h_cnt.append(int(hp - s))
+            h_sum.append(int(C_sum(vals, s, hp)))
+        cols = [t.column(part_col).take(pa.array(starts))]
+        cols += [t.column(c).take(pa.array(starts)) for c in order_cols]
+        cols.append(pa.array(tail_ts, pa.list_(pa.int64())))
+        cols.append(pa.array(tail_val, pa.list_(pa.int64())))
+        cols.append(pa.array(ts[starts], pa.int64()))
+        cols.append(pa.array(np.asarray(h_cnt, dtype=np.int64), pa.int64()))
+        cols.append(pa.array(np.asarray(h_sum, dtype=np.int64), pa.int64()))
+        cols.append(pa.array(ts[ends - 1], pa.int64()))
+        cols.append(pa.array((ends - starts).astype(np.int64), pa.int64()))
+        return pa.Table.from_arrays(cols, schema=SUMM_SCHEMA)
+
+    def C_sum(vals: np.ndarray, a: int, b: int) -> int:
+        return int(vals[a:b].sum())
+
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import drop_empty_blocks
+
+    sorted_ds = ds.sort([part_col] + order_cols).materialize()
+    scanned = sorted_ds.map_batches(local_scan, batch_format="pyarrow", batch_size=None)
+    summ_tbl = pa.concat_tables(
+        [
+            b
+            for b in sorted_ds.map_batches(
+                seg_summary, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns
+        ]
+        or [SUMM_SCHEMA.empty_table()]
+    ).combine_chunks()
+    summ_ref = broadcast(summ_tbl)
+
+    def _carry_index(ref):
+        """Two driver-side maps over the (block-count-bounded) summaries,
+        in part + order_cols order:
+        back: (part, *seg_first) → (carry_ts asc, suffix_sums, suffix_cnts)
+              over earlier rows still within ``horizon`` of any future row;
+        fwd:  (part, *seg_first) → (add_sum, add_cnt) of this segment's
+              last-ts peer run continuing into LATER segments."""
+        tbl = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+        back: dict = {}
+        fwd: dict = {}
+        if tbl.num_rows == 0:
+            return back, fwd
+        tbl = tbl.sort_by(
+            [(part_col, "ascending")] + [(f, "ascending") for f in sf_cols]
+        )
+        parts = _np(tbl.column(part_col))
+        firsts = [_np(tbl.column(f)) for f in sf_cols]
+        tails_ts = tbl.column("_tail_ts").to_pylist()
+        tails_val = tbl.column("_tail_val").to_pylist()
+        head_ts = _np(tbl.column("_head_ts"))
+        head_cnt = _np(tbl.column("_head_cnt"))
+        head_sum = _np(tbl.column("_head_sum"))
+        last_ts = _np(tbl.column("_last_ts"))
+        seg_len = _np(tbl.column("_seg_len"))
+        n = len(parts)
+        # backward sweep for forward peer-runs
+        for i in range(n - 2, -1, -1):
+            if parts[i + 1] != parts[i] or head_ts[i + 1] != last_ts[i]:
+                continue
+            add_s, add_c = int(head_sum[i + 1]), int(head_cnt[i + 1])
+            # segment i+1 entirely one peer run -> its own fwd chain continues
+            if head_cnt[i + 1] == seg_len[i + 1] and last_ts[i + 1] == last_ts[i]:
+                nxt = fwd.get((parts[i + 1], *(f[i + 1] for f in firsts)))
+                if nxt is not None:
+                    add_s += nxt[0]
+                    add_c += nxt[1]
+            fwd[(parts[i], *(f[i] for f in firsts))] = (add_s, add_c)
+        # forward sweep for backward carries
+        prev_part = None
+        c_ts: list = []
+        c_val: list = []
+        for i in range(n):
+            p = parts[i]
+            if p != prev_part:
+                c_ts, c_val, prev_part = [], [], p
+            if c_ts:
+                a_ts = np.asarray(c_ts, dtype=np.int64)
+                a_val = np.asarray(c_val, dtype=np.int64)
+                ss = np.zeros(len(a_val) + 1, dtype=np.int64)
+                np.cumsum(a_val[::-1], out=ss[1:])
+                suf = ss[::-1].copy()  # suf[k] = sum of a_val[k:]
+                key = (p, *(f[i] for f in firsts))
+                back[key] = (a_ts, suf)
+            c_ts.extend(tails_ts[i])
+            c_val.extend(tails_val[i])
+            # prune to the horizon of this segment's end: no later row can
+            # reach further back (later rows have ts >= last_ts[i])
+            cut = np.searchsorted(
+                np.asarray(c_ts, dtype=np.int64), last_ts[i] - H, side="left"
+            )
+            if cut:
+                c_ts, c_val = c_ts[cut:], c_val[cut:]
+        return back, fwd
+
+    def add_carry(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        back, fwd = task_state(
+            state_key("rangewin", summ_ref), lambda: _carry_index(summ_ref)
+        )
+        parts = _np(t.column(part_col))
+        firsts = [_np(t.column(f)) for f in sf_cols]
+        ts = _np(t.column(ts_col)).astype(np.int64)
+        sums = _np(t.column(sum_col)).copy()
+        cnts = _np(t.column(cnt_col)).copy()
+        fflag = _np(t.column("_fwd"))
+        n = len(parts)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = parts[1:] != parts[:-1]
+        for f in firsts:
+            change[1:] |= f[1:] != f[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            key = (parts[s], *(f[s] for f in firsts))
+            got = back.get(key)
+            if got is not None:
+                a_ts, suf = got
+                idx = np.searchsorted(a_ts, ts[s:e] - H, side="left")
+                sums[s:e] += suf[idx]
+                cnts[s:e] += len(a_ts) - idx
+            fq = fwd.get(key)
+            if fq is not None:
+                m = fflag[s:e]
+                sums[s:e][m] += fq[0]
+                cnts[s:e][m] += fq[1]
+        t = t.drop_columns(sf_cols + [sum_col, cnt_col, "_fwd"])
+        t = t.append_column(sum_col, pa.array(sums, pa.int64()))
+        t = t.append_column(cnt_col, pa.array(cnts, pa.int64()))
+        return t.select(OUT_SCHEMA.names)
+
+    return drop_empty_blocks(
+        scanned.map_batches(add_carry, batch_format="pyarrow", batch_size=None),
+        OUT_SCHEMA,
+    )

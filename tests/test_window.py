@@ -297,3 +297,85 @@ def test_lag_over_exact_above_2_53():
     assert pv[0] is None
     assert pv[1] == int(big[0])
     assert pv[2] == int(big[1])
+
+
+def _range_ref(df: pd.DataFrame, h: int) -> pd.DataFrame:
+    """Brute-force SQL RANGE frame: for each row, sum/count of same-part
+    rows with ts in [ts_r - h, ts_r] — peers included on both sides."""
+    out_s, out_n = [], []
+    for _, r in df.iterrows():
+        g = df[df["part"] == r["part"]]
+        m = (g["ts"] >= r["ts"] - h) & (g["ts"] <= r["ts"])
+        out_s.append(int(g.loc[m, "v"].sum()))
+        out_n.append(int(m.sum()))
+    res = df.copy()
+    res["win_sum"], res["win_n"] = out_s, out_n
+    return res
+
+
+def _mk_range(seed: int, n_keys: int = 6, hot_runs: bool = True) -> pd.DataFrame:
+    """Adversarial: one hot key with LONG runs of identical ts (peer runs
+    that straddle many blocks), sparse keys, singleton keys, negative vals."""
+    rng = np.random.RandomState(seed)
+    parts, ts, ids, vals = [], [], [], []
+    nid = 0
+    for k in range(n_keys):
+        if k == 0 and hot_runs:
+            # hot key: 120 rows over few distinct ts values -> giant peer runs
+            t = np.sort(rng.choice([0, 10, 10, 10, 25, 60, 61, 200], size=120))
+        elif k == 1:
+            t = np.array([5])  # singleton
+        else:
+            t = np.sort(rng.randint(0, 300, size=rng.randint(3, 30)))
+        parts += [f"k{k}"] * len(t)
+        ts += list(t)
+        ids += list(range(nid, nid + len(t)))
+        nid += len(t)
+        vals += list(rng.randint(-9, 9, size=len(t)))
+    df = pd.DataFrame({"part": parts, "ts": np.array(ts, dtype="int64"),
+                       "id": ids, "v": vals})
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("blocks,h", [(1, 50), (9, 50), (31, 15), (31, 0)])
+def test_rolling_range_sum_matches_bruteforce(blocks, h):
+    from multiomics_biocypher_kg_ray.stages.window import rolling_range_sum_over
+
+    df = _mk_range(seed=blocks + h)
+    out = (
+        rolling_range_sum_over(
+            _ds(df, blocks), "part", "ts", ["ts", "id"], "v", h
+        )
+        .to_pandas()
+        .sort_values(["part", "ts", "id"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        _range_ref(df, h)
+        .sort_values(["part", "ts", "id"])
+        .reset_index(drop=True)
+    )
+    assert (out["win_sum"].to_numpy() == ref["win_sum"].to_numpy()).all()
+    assert (out["win_n"].to_numpy() == ref["win_n"].to_numpy()).all()
+
+
+def test_rolling_range_hot_peer_run_across_blocks():
+    """A single part whose rows ALL share one ts, split across many blocks:
+    every row's frame is the whole part (pure peer frame) — exercises the
+    forward peer-run chain through >2 consecutive segments."""
+    from multiomics_biocypher_kg_ray.stages.window import rolling_range_sum_over
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "part": ["hot"] * n,
+            "ts": np.full(n, 42, dtype="int64"),
+            "id": np.arange(n),
+            "v": np.arange(n, dtype="int64") - 100,
+        }
+    )
+    out = rolling_range_sum_over(
+        _ds(df, 23), "part", "ts", ["ts", "id"], "v", 5
+    ).to_pandas()
+    assert (out["win_sum"] == int(df["v"].sum())).all()
+    assert (out["win_n"] == n).all()
