@@ -222,6 +222,11 @@ def run_bench() -> dict:
         q_shipping_priority,
         q_session_type_overlap,
         q_sorted_neighborhood,
+        q_user_trailing_1h,
+        q_doc_bigram_score,
+        q_orders_loo_priority,
+        q_user_cumulative_types,
+        q_order_share_of_customer,
     )
 
     for name, fn in [
@@ -270,6 +275,13 @@ def run_bench() -> dict:
         ("shipping_priority", q_shipping_priority),
         ("session_type_overlap", q_session_type_overlap),
         ("sorted_neighborhood", q_sorted_neighborhood),
+        # session-5 round-4 additions: time-RANGE trailing window, bigram-LM
+        # doc scoring, LOO target encoding, cumulative distinct, share-of-group
+        ("user_trailing_1h", q_user_trailing_1h),
+        ("doc_bigram_score", q_doc_bigram_score),
+        ("orders_loo_priority", q_orders_loo_priority),
+        ("user_cumulative_types", q_user_cumulative_types),
+        ("order_share_of_customer", q_order_share_of_customer),
     ]:
         t = time.time()
         out = fn(SF_DIR)

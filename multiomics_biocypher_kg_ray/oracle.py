@@ -779,3 +779,38 @@ SELECT n,
                           * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)))::BIGINT
             ELSE NULL END AS assort_ppm
 FROM st WHERE n > 0"""
+
+
+def sql_kg_clustering() -> str:
+    """Twin of ``graph.clustering_coefficient`` — same degree-ordered
+    triangle enumeration as ``sql_kg_triangles``, credited to corners, then
+    cc_ppm = floor(2·T·10⁶ / (d·(d−1))) over every node with degree ≥ 2
+    (triangle-free nodes kept at 0 via LEFT JOIN; all-positive BIGINT
+    ``//`` == floor)."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS (SELECT node, count(*)::BIGINT AS d FROM
+        (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        GROUP BY 1),
+ori AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS u,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS v
+        FROM und u
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b),
+tri AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+        FROM ori o1
+        JOIN ori o2 ON o1.u = o2.u AND o1.v < o2.v
+        JOIN und t ON t.a = o1.v AND t.b = o2.v),
+tc AS (SELECT node, count(*)::BIGINT AS n_triangles FROM
+       (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+       GROUP BY 1)
+SELECT deg.node, deg.d,
+       coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+       ((2 * coalesce(tc.n_triangles, 0) * 1000000)
+        // (deg.d * (deg.d - 1)))::BIGINT AS cc_ppm
+FROM deg LEFT JOIN tc USING (node) WHERE deg.d >= 2"""

@@ -2086,3 +2086,32 @@ SELECT event_id, user_id, ts,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+
+
+def sql_user_cumulative_types() -> str:
+    """Twin of the ranked_over + cumsum_over composition: running distinct
+    event-type count per user — first occurrences flagged by row_number()
+    over (user, type), then a running sum of the flags ((ts, event_id) is
+    unique per user, so the default RANGE frame equals the engine's ROWS
+    scan)."""
+    return """
+SELECT event_id, user_id, ts,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS n_types
+FROM (SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)"""
+
+
+def sql_order_share_of_customer() -> str:
+    """Twin of ``q_order_share_of_customer``: per-order share of the
+    customer's lifetime spend as exact integer ppm (all-positive BIGINT
+    ``//``)."""
+    c = CENTS.format(col="o_totalprice")
+    return f"""
+WITH o AS (SELECT o_orderkey, o_custkey, {c} AS cents FROM orders)
+SELECT o_orderkey, o_custkey, cents,
+       (cents * 1000000 // sum(cents) OVER (PARTITION BY o_custkey))::BIGINT
+         AS share_ppm
+FROM o"""

@@ -523,6 +523,39 @@ def q_user_cumulative_value(sf_dir: str):
     )
 
 
+def q_user_cumulative_types(sf_dir: str):
+    """Running count of DISTINCT event types seen per user — the cumulative
+    count-distinct window, composed scale-safely from two existing kernels:
+    ``ranked_over`` marks each (user, type)'s FIRST occurrence (rank 1 under
+    (ts, event_id) order), then ``cumsum_over`` accumulates the 0/1 novelty
+    flags per user. Both are hot-key-safe segmented scans; no per-user set
+    state ever exists anywhere."""
+    from ..stages.window import cumsum_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    ranked = relational.ranked_over(
+        ev, ["user_id", "event_type"], [("ts", True), ("event_id", True)],
+        rank_col="_rn",
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        isnew = pc.cast(pc.equal(t.column("_rn"), 1), pa.int64())
+        return t.drop_columns(["_rn"]).append_column("_isnew", isnew)
+
+    out = cumsum_over(
+        ranked.map_batches(flag, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "_isnew",
+        out_col="n_types",
+    )
+    return _cast_ts_us(
+        out.select_columns(["event_id", "user_id", "ts", "n_types"]), ["ts"]
+    )
+
+
 def q_user_rolling_value(sf_dir: str):
     """Trailing-7-row per-user value sum + true window count — the bounded
     ROWS window (sum/count OVER ... ROWS BETWEEN 6 PRECEDING AND CURRENT
@@ -734,6 +767,16 @@ def q_kg_triangles(sf_dir: str):
     from ..stages import graph
 
     return graph.node_triangles(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    )
+
+
+def q_kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the KG (degree ≥ 2) —
+    triangle kernel + degree fastagg + left join, exact integer ppm."""
+    from ..stages import graph
+
+    return graph.clustering_coefficient(
         materialize.build_edges(_linked(sf_dir), _canon_tbl())
     )
 
@@ -1077,6 +1120,59 @@ def q_orders_loo_priority(sf_dir: str):
     return relational.loo_group_mean(
         o, ["o_orderpriority"], "cents", n_col="loo_n", out_col="loo_mean_cents"
     )
+
+
+def q_order_share_of_customer(sf_dir: str):
+    """Ratio-to-report: each order's share of its customer's lifetime spend
+    in exact integer ppm. Customer totals are KEY-proportional (one per
+    customer), so they attach via a distributed hash join — never a
+    broadcast — then one stateless integer finalize; all-positive cents
+    make floor == trunc, bit-identical to the BIGINT ``//`` twin."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: relational.to_cents(t, {"o_totalprice": "cents"}).select(
+            ["o_orderkey", "o_custkey", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    TOT = pa.schema([("o_custkey", pa.int64()), ("_tot", pa.int64())])
+    tot = drop_empty_blocks(
+        sorted_grouped_agg(
+            o.select_columns(["o_custkey", "cents"]),
+            ["o_custkey"],
+            [("cents", "sum")],
+            out_names=["_tot"],
+        ),
+        TOT,
+    )
+    OUT = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("share_ppm", pa.int64()),
+        ]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        c = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = t.column("_tot").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("o_orderkey"),
+                t.column("o_custkey"),
+                pa.array(c, pa.int64()),
+                pa.array((c * 1_000_000) // tt, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    j = hash_join(drop_empty_blocks(o, OUT.remove(3)), tot, on=("o_custkey",))
+    return drop_empty_blocks(j.map_batches(fin, batch_format="pyarrow"), OUT)
 
 
 def q_user_interval_coverage(sf_dir: str):
@@ -2410,6 +2506,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_labelprop": (q_kg_labelprop, oracle.sql_kg_labelprop()),
         "kg_triangles": (q_kg_triangles, oracle.sql_kg_triangles()),
         "kg_assortativity": (q_kg_assortativity, oracle.sql_kg_assortativity()),
+        "kg_clustering": (q_kg_clustering, oracle.sql_kg_clustering()),
         "user_type_pivot": (q_user_type_pivot, oracle_rel.sql_user_type_pivot()),
         "term_heavy_hitters": (
             q_term_heavy_hitters,
@@ -2527,6 +2624,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_user_trailing_1h,
             oracle_rel.sql_user_trailing_1h(),
         ),
+        "user_cumulative_types": (
+            q_user_cumulative_types,
+            oracle_rel.sql_user_cumulative_types(),
+        ),
+        "order_share_of_customer": (
+            q_order_share_of_customer,
+            oracle_rel.sql_order_share_of_customer(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -2540,6 +2645,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "orders_loo_priority",
         "doc_bigram_score",
         "user_trailing_1h",
+        "kg_clustering",
+        "user_cumulative_types",
+        "order_share_of_customer",
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",

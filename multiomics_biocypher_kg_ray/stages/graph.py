@@ -977,3 +977,94 @@ def degree_assortativity(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         ),
         OUT,
     )
+
+
+def clustering_coefficient(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-node LOCAL clustering coefficient over the undirected simple
+    graph — ``(node, d, n_triangles, cc_ppm)`` for every node with degree
+    ≥ 2, where cc_ppm = floor(2·T·10⁶ / (d·(d−1))): the fraction of a
+    node's neighbor pairs that are themselves connected, as exact integer
+    ppm. The per-node companion of ``degree_assortativity`` (how clustered
+    is each entity's neighborhood vs how hubs mix) and the second standard
+    output of the triangle kernel (reference analog: the neighborhood-
+    statistics rollups of ``post-import.cypher:840-911``).
+
+    Pure composition of existing scale shapes: ``node_triangles``'s
+    degree-ordered oriented enumeration (O(m^1.5) worst case), one
+    incidence-degree fastagg, one node-proportional LEFT hash join
+    (triangle-free nodes keep T=0), one stateless integer finalize. No
+    floats anywhere."""
+    from .joins import hash_join
+
+    UND = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def und_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return UND.empty_table()
+        src, dst = t.column("src"), t.column("dst")
+        lt = pc.less(src, dst)
+        tbl = pa.Table.from_arrays(
+            [pc.if_else(lt, src, dst), pc.if_else(lt, dst, src)], schema=UND
+        )
+        return tbl.filter(pc.invert(pc.equal(tbl.column("a"), tbl.column("b"))))
+
+    und = drop_empty_blocks(
+        sorted_distinct(edges.map_batches(und_fn, batch_format="pyarrow"), ["a", "b"])
+    )
+    DEG = pa.schema([("node", pa.string()), ("d", pa.int64())])
+    deg = drop_empty_blocks(
+        sorted_grouped_agg(
+            _node_column(und, "a", "b"), ["node"], [("node", "count")],
+            out_names=["d"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("node"), pc.cast(t.column("d"), pa.int64())], schema=DEG
+            ).filter(pc.greater_equal(pc.cast(t.column("d"), pa.int64()), 2))
+            if t.num_columns
+            else DEG.empty_table(),
+            batch_format="pyarrow",
+        ),
+        DEG,
+    )
+    TRI = pa.schema([("node", pa.string()), ("n_triangles", pa.int64())])
+    tri = drop_empty_blocks(
+        node_triangles(edges).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("node"), pc.cast(t.column("n_triangles"), pa.int64())],
+                schema=TRI,
+            )
+            if t.num_columns
+            else TRI.empty_table(),
+            batch_format="pyarrow",
+        ),
+        TRI,
+    )
+    j = hash_join(deg, tri, on=("node",), how="left_outer")
+    OUT = pa.schema(
+        [
+            ("node", pa.string()),
+            ("d", pa.int64()),
+            ("n_triangles", pa.int64()),
+            ("cc_ppm", pa.int64()),
+        ]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = pc.fill_null(t.column("n_triangles"), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ppm = (2 * tr * 1_000_000) // (d * (d - 1))
+        return pa.Table.from_arrays(
+            [
+                t.column("node"),
+                pa.array(d, pa.int64()),
+                pa.array(tr, pa.int64()),
+                pa.array(ppm, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(j.map_batches(fin, batch_format="pyarrow"), OUT)

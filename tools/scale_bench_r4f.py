@@ -1,0 +1,122 @@
+"""Scale-bench for the session-5 round-4 operator wave (time-RANGE trailing
+window, bigram-LM doc scoring, leave-one-out encoding, cumulative distinct
+types, share-of-group, degree assortativity, clustering coefficient): each
+tabular operator at sf0.1 (1x) and at a >=10x replicated input (default
+16x); the two graph kernels run over the Zipf-skewed synthetic edge
+generator (their registry inputs are KG edges built from transcripts, so
+scaling through the KG build would measure extraction, already benched).
+
+Usage: python tools/scale_bench_r4f.py [--reps 16] [--cpus 32] [--repeats 2]
+Prints one JSON line per operator and a final summary JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_bench_r3 import _shift_tables  # noqa: E402
+from scale_bench_r4b import EDGES_1X, _synth_edges  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=16)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import logging
+
+    import ray.data
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from multiomics_biocypher_kg_ray.tuning import tune_context_for_small_data
+
+    tune_context_for_small_data()
+
+    sf_tag = os.path.basename(args.sf.rstrip("/"))
+    big = f"/tmp/scale_{sf_tag}_x{args.reps}"
+    t0 = time.time()
+    _shift_tables(args.sf, big, args.reps)
+    print(json.dumps({"gen_sec": round(time.time() - t0, 1), "dir": big}))
+
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_doc_bigram_score,
+        q_order_share_of_customer,
+        q_orders_loo_priority,
+        q_user_cumulative_types,
+        q_user_trailing_1h,
+    )
+    from multiomics_biocypher_kg_ray.stages import graph
+
+    g1 = _synth_edges(EDGES_1X)
+    gN = _synth_edges(EDGES_1X * args.reps)
+
+    def graph_op(fn):
+        def run(tbl):
+            return fn(ray.data.from_arrow(tbl).repartition(args.cpus))
+
+        return run
+
+    summary: dict = {"reps": args.reps, "num_cpus": args.cpus, "ops": {}}
+
+    def bench(name, fn, small, bigi):
+        row: dict = {}
+        for tag, d in [("1x", small), (f"{args.reps}x", bigi)]:
+            best, n = float("inf"), 0
+            for _ in range(args.repeats):
+                t0 = time.time()
+                out = fn(d)
+                n = out.count() if hasattr(out, "count") else len(out)
+                best = min(best, time.time() - t0)
+            row[tag] = {"sec": round(best, 2), "rows": int(n)}
+        step = row[f"{args.reps}x"]["sec"] / max(row["1x"]["sec"], 1e-9)
+        row["step_ratio"] = round(step, 2)
+        row["per_row_ratio"] = round(step / args.reps, 3)
+        summary["ops"][name] = row
+        print(json.dumps({name: row}))
+
+    bench(
+        "degree_assortativity_synth",
+        graph_op(graph.degree_assortativity),
+        g1,
+        gN,
+    )
+    bench(
+        "clustering_coefficient_synth",
+        graph_op(graph.clustering_coefficient),
+        g1,
+        gN,
+    )
+    for name, fn in [
+        ("user_trailing_1h", q_user_trailing_1h),
+        ("doc_bigram_score", q_doc_bigram_score),
+        ("orders_loo_priority", q_orders_loo_priority),
+        ("user_cumulative_types", q_user_cumulative_types),
+        ("order_share_of_customer", q_order_share_of_customer),
+    ]:
+        bench(name, fn, args.sf, big)
+
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
