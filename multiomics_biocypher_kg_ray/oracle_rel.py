@@ -2115,3 +2115,54 @@ SELECT o_orderkey, o_custkey, cents,
        (cents * 1000000 // sum(cents) OVER (PARTITION BY o_custkey))::BIGINT
          AS share_ppm
 FROM o"""
+
+
+def sql_user_value_trend() -> str:
+    """Twin of ``relational.group_slope`` over events per user: OLS slope of
+    cents on epoch-days (DuckDB BIGINT ``//`` floors, matching the engine's
+    floor_div_i64), exact int64 cross-moments, the corr twins' exact double
+    op order, floor(slope·10⁶), NULL on zero x-variance."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS x, {v} AS y
+           FROM events),
+st AS (SELECT user_id, count(*)::BIGINT AS n,
+              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+              sum(x*x)::BIGINT AS sxx, sum(x*y)::BIGINT AS sxy
+       FROM e GROUP BY 1)
+SELECT user_id, n,
+       CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0.0::DOUBLE
+            THEN floor(((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1000000.0::DOUBLE)
+                       / (n::DOUBLE * sxx - sx::DOUBLE * sx))::BIGINT
+            ELSE NULL END AS slope_q
+FROM st"""
+
+
+def sql_event_value_histogram(k: int = 8) -> str:
+    """Twin of ``q_event_value_histogram``: equi-depth NTILE(k) buckets per
+    event type (tie-broken by event_id, SQL's exact first-tiles-bigger
+    rule), then per-bucket count + boundary cents."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_id, event_type, {v} AS cents FROM events),
+t AS (SELECT event_type, cents,
+             ntile({k}) OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS bucket
+      FROM e)
+SELECT event_type, bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
+       min(cents)::BIGINT AS lo_cents, max(cents)::BIGINT AS hi_cents
+FROM t GROUP BY 1, 2"""
+
+
+def sql_user_peak_1h() -> str:
+    """Twin of ``window.rolling_range_max_over`` over events: trailing
+    1-hour per-user max cents + count, SQL RANGE frame (peers included)."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_id, user_id, ts, {v} AS cents FROM events)
+SELECT event_id, user_id, ts,
+       max(cents) OVER w::BIGINT AS win_max_cents,
+       count(*) OVER w::BIGINT AS win_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""

@@ -605,6 +605,36 @@ def q_user_trailing_1h(sf_dir: str):
     )
 
 
+def q_user_peak_1h(sf_dir: str):
+    """Trailing 1-HOUR per-user PEAK single value + window count — the
+    time-RANGE max window (max/count OVER ... RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW) via the sparse-table segmented scan with
+    suffix-max carries."""
+    from ..stages.window import rolling_range_max_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}).append_column(
+            "ts_us",
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    out = rolling_range_max_over(
+        ev,
+        "user_id",
+        "ts_us",
+        ["ts_us", "event_id"],
+        "cents",
+        3_600_000_000,
+        max_col="win_max_cents",
+        cnt_col="win_n",
+    )
+    return _cast_ts_us(
+        out.select_columns(["event_id", "user_id", "ts", "win_max_cents", "win_n"]),
+        ["ts"],
+    )
+
+
 def q_event_lag_delta(sf_dir: str):
     """Per-user inter-event gap in µs — lag() OVER a hot-key-safe segmented
     scan; NULL for each user's first event."""
@@ -1120,6 +1150,75 @@ def q_orders_loo_priority(sf_dir: str):
     return relational.loo_group_mean(
         o, ["o_orderpriority"], "cents", n_col="loo_n", out_col="loo_mean_cents"
     )
+
+
+def q_event_value_histogram(sf_dir: str):
+    """Equi-DEPTH value histogram per event type: NTILE(8) bucket
+    boundaries + counts — (type, bucket, n, lo_cents, hi_cents), the
+    distribution summary used for drift baselines and bin design. Composed
+    from the hot-key-safe global-sort ntile and one fastagg; no group ever
+    lands whole in a task."""
+    from ..stages.fastagg import sorted_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}).select(
+            ["event_id", "event_type", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    tiled = relational.ntile_over(
+        ev, ["event_type"], [("cents", True), ("event_id", True)], k=8,
+        ntile_col="bucket",
+    ).select_columns(["event_type", "bucket", "cents"])
+    agg = sorted_grouped_agg(
+        tiled,
+        ["event_type", "bucket"],
+        [("cents", "count"), ("cents", "min"), ("cents", "max")],
+        out_names=["n", "lo_cents", "hi_cents"],
+    )
+    OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("n", pa.int64()),
+            ("lo_cents", pa.int64()),
+            ("hi_cents", pa.int64()),
+        ]
+    )
+    from ..stages.fastagg import drop_empty_blocks
+
+    return drop_empty_blocks(
+        agg.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t.column(c), f.type) for c, f in zip(OUT.names, OUT)],
+                schema=OUT,
+            )
+            if t.num_columns
+            else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )
+
+
+def q_user_value_trend(sf_dir: str):
+    """Per-user OLS spend trend (cents per day, floor(·10⁶)) — the drift
+    detector over exact integer cross-moments; the time axis is quantized
+    to epoch DAYS (coarse, near-zero magnitudes) so every square stays
+    deep inside int64, per ``group_slope``'s documented contract."""
+    from ..arrow_util import floor_div_i64
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = relational.to_cents(t, {"value": "cents"})
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return t.append_column(
+            "x_day", floor_div_i64(ts_us, 86_400_000_000)
+        ).select(["user_id", "x_day", "cents"])
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return relational.group_slope(ev, ["user_id"], "x_day", "cents", out_col="slope_q")
 
 
 def q_order_share_of_customer(sf_dir: str):
@@ -2632,6 +2731,15 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_order_share_of_customer,
             oracle_rel.sql_order_share_of_customer(),
         ),
+        "user_value_trend": (
+            q_user_value_trend,
+            oracle_rel.sql_user_value_trend(),
+        ),
+        "event_value_histogram": (
+            q_event_value_histogram,
+            oracle_rel.sql_event_value_histogram(),
+        ),
+        "user_peak_1h": (q_user_peak_1h, oracle_rel.sql_user_peak_1h()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -2648,6 +2756,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_clustering",
         "user_cumulative_types",
         "order_share_of_customer",
+        "user_value_trend",
+        "event_value_histogram",
+        "user_peak_1h",
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",

@@ -1803,3 +1803,94 @@ def loo_group_mean(
     from .fastagg import drop_empty_blocks
 
     return drop_empty_blocks(ds.map_batches(enc, batch_format="pyarrow"), OUT)
+
+
+def group_slope(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "slope_q",
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-group OLS regression slope of y on x, one row per group:
+    ``keys + n + out_col`` where out_col = floor(slope·scale) and
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the per-entity TREND
+    detector (is this user's spend rising? is this sensor drifting?), the
+    directional sibling of ``group_corr``. NULL when x has zero variance
+    (fewer than two distinct x values).
+
+    Exactness: identical cross-moment discipline as ``group_corr`` — four
+    exact int64 sums from one fastagg pass, finalized in doubles with the
+    twin's promote-then-multiply op order, quantized by one floor.
+
+    Inputs must be pre-quantized int64 with magnitudes sized so per-row
+    x·x / x·y and their group sums stay within int64 — for time axes that
+    means COARSE units rebased near zero (e.g. days since a fixed epoch:
+    |x| ≈ 10³–10⁴ keeps Σx² < 10¹⁴ even at 10⁶ rows per group), NOT raw
+    epoch micros (10¹⁵² blows int64 at the first square). Same per-batch
+    partials + fastagg + stateless finalize scale shape as ``group_corr``:
+    no broadcast, no driver state, no per-group Python."""
+    from .fastagg import sorted_grouped_agg
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    MID = pa.schema(
+        [(k, typ[k]) for k in keys]
+        + [
+            ("_x", pa.int64()),
+            ("_y", pa.int64()),
+            ("_xx", pa.int64()),
+            ("_xy", pa.int64()),
+        ]
+    )
+    OUT = pa.schema(
+        [(k, typ[k]) for k in keys] + [("n", pa.int64()), (out_col, pa.int64())]
+    )
+
+    def sq(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        arrs = [t.column(k) for k in keys] + [
+            pa.array(x, pa.int64()),
+            pa.array(y, pa.int64()),
+            pa.array(x * x, pa.int64()),
+            pa.array(x * y, pa.int64()),
+        ]
+        return pa.Table.from_arrays(arrs, schema=MID)
+
+    stats = sorted_grouped_agg(
+        ds.map_batches(sq, batch_format="pyarrow"),
+        keys,
+        [
+            ("_x", "count"),
+            ("_x", "sum"),
+            ("_y", "sum"),
+            ("_xx", "sum"),
+            ("_xy", "sum"),
+        ],
+        out_names=["n", "_sx", "_sy", "_sxx", "_sxy"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        f = np.float64
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(f)
+        sx = t.column("_sx").to_numpy(zero_copy_only=False).astype(f)
+        sy = t.column("_sy").to_numpy(zero_copy_only=False).astype(f)
+        sxx = t.column("_sxx").to_numpy(zero_copy_only=False).astype(f)
+        sxy = t.column("_sxy").to_numpy(zero_copy_only=False).astype(f)
+        vx = n * sxx - sx * sx
+        ok = vx > 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.floor(((n * sxy - sx * sy) * float(scale)) / vx)
+        arr = pa.array(np.where(ok, s, 0).astype(np.int64), pa.int64(), mask=~ok)
+        arrs = [t.column(k) for k in keys] + [
+            pc.cast(t.column("n"), pa.int64()),
+            arr,
+        ]
+        return pa.Table.from_arrays(arrs, schema=OUT)
+
+    return stats.map_batches(finalize, batch_format="pyarrow")

@@ -780,3 +780,261 @@ def rolling_range_sum_over(
         scanned.map_batches(add_carry, batch_format="pyarrow", batch_size=None),
         OUT_SCHEMA,
     )
+
+
+def _range_max_query(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized range-maximum over half-open windows [lo, hi) of ``vals``
+    via an O(n log n) sparse table — O(1) per query, no per-row Python.
+    Requires hi > lo for every query."""
+    n = len(vals)
+    levels = [vals]
+    size = 1
+    while size * 2 <= n:
+        prev = levels[-1]
+        levels.append(np.maximum(prev[: n - size * 2 + 1], prev[size : n - size + 1]))
+        size *= 2
+    width = hi - lo
+    # branchless floor(log2(width)) via frexp's exponent (width >= 1 always:
+    # every RANGE frame contains at least the current row)
+    k = np.frexp(width.astype(np.float64))[1] - 1
+    half = (1 << k.astype(np.int64)).astype(np.int64)
+    out = np.empty(len(width), dtype=np.int64)
+    for lev in np.unique(k):
+        m = k == lev
+        tbl = levels[int(lev)]
+        out[m] = np.maximum(tbl[lo[m]], tbl[hi[m] - half[m]])
+    return out
+
+
+def rolling_range_max_over(
+    ds: "ray.data.Dataset",
+    part_col: str,
+    ts_col: str,
+    order_cols: list[str],
+    val_col: str,
+    horizon: int,
+    max_col: str = "win_max",
+    cnt_col: str = "win_n",
+) -> "ray.data.Dataset":
+    """``max(val) OVER (PARTITION BY part ORDER BY ts RANGE BETWEEN horizon
+    PRECEDING AND CURRENT ROW)`` plus the matching ``count(*)`` — the
+    trailing-time PEAK detector (largest single spend in the last hour,
+    burst ceiling in the last minute), sibling of ``rolling_range_sum_over``
+    with identical frame semantics (both ends inclusive, peers on either
+    side of the current row included) and identical distribution shape.
+
+    Differences from the sum sibling, forced by max being non-invertible:
+    in-block windows resolve against an O(n log n) sparse table instead of
+    a cumsum (still O(1) per row, fully vectorized per level); the back
+    carry stores per-segment suffix MAXIMA over the horizon-bounded tails;
+    the forward peer-run stitch carries the run's max instead of its sum.
+    Same preconditions: int64 epoch-µs ``ts_col``, unique ``order_cols``
+    tuples per part, horizon-bounded in-window density."""
+    H = int(horizon)
+    if H < 0:
+        raise ValueError("horizon must be >= 0")
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    names = list(sch.names)
+    sf_cols = [f"_sf_{c}" for c in order_cols]
+    sf_fields = [(f, typ[c]) for f, c in zip(sf_cols, order_cols)]
+    OUT_SCHEMA = pa.schema(
+        [(n, typ[n]) for n in names] + [(max_col, pa.int64()), (cnt_col, pa.int64())]
+    )
+    MID_SCHEMA = pa.schema(
+        [(n, typ[n]) for n in names]
+        + [(max_col, pa.int64()), (cnt_col, pa.int64()), ("_fwd", pa.bool_())]
+        + sf_fields
+    )
+    SUMM_SCHEMA = pa.schema(
+        [(part_col, typ[part_col])]
+        + sf_fields
+        + [
+            ("_tail_ts", pa.list_(pa.int64())),
+            ("_tail_val", pa.list_(pa.int64())),
+            ("_head_ts", pa.int64()),
+            ("_head_cnt", pa.int64()),
+            ("_head_max", pa.int64()),
+            ("_last_ts", pa.int64()),
+            ("_seg_len", pa.int64()),
+        ]
+    )
+
+    def _seg_bounds(parts: np.ndarray):
+        n = len(parts)
+        new_p = np.ones(n, dtype=bool)
+        new_p[1:] = parts[1:] != parts[:-1]
+        starts = np.flatnonzero(new_p)
+        return starts, np.append(starts[1:], n)
+
+    def local_scan(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID_SCHEMA.empty_table()
+        parts = _np(t.column(part_col))
+        ts = _np(t.column(ts_col)).astype(np.int64)
+        vals = _np(t.column(val_col)).astype(np.int64)
+        n = len(parts)
+        starts, ends = _seg_bounds(parts)
+        maxs = np.empty(n, dtype=np.int64)
+        cnts = np.empty(n, dtype=np.int64)
+        fwd = np.zeros(n, dtype=bool)
+        start_of = np.zeros(n, dtype=np.int64)
+        start_of[starts] = starts
+        np.maximum.accumulate(start_of, out=start_of)
+        for s, e in zip(starts, ends):
+            seg_ts = ts[s:e]
+            lo = np.searchsorted(seg_ts, seg_ts - H, side="left")
+            hi = np.searchsorted(seg_ts, seg_ts, side="right")
+            maxs[s:e] = _range_max_query(vals[s:e], lo, hi)
+            cnts[s:e] = hi - lo
+            fwd[s:e] = seg_ts == seg_ts[-1]
+        t = t.append_column(max_col, pa.array(maxs, pa.int64()))
+        t = t.append_column(cnt_col, pa.array(cnts, pa.int64()))
+        t = t.append_column("_fwd", pa.array(fwd))
+        for f, c in zip(sf_cols, order_cols):
+            t = t.append_column(f, t.column(c).take(pa.array(start_of)))
+        return t
+
+    def seg_summary(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return SUMM_SCHEMA.empty_table()
+        parts = _np(t.column(part_col))
+        ts = _np(t.column(ts_col)).astype(np.int64)
+        vals = _np(t.column(val_col)).astype(np.int64)
+        starts, ends = _seg_bounds(parts)
+        tail_ts, tail_val, h_cnt, h_max = [], [], [], []
+        for s, e in zip(starts, ends):
+            k = s + np.searchsorted(ts[s:e], ts[e - 1] - H, side="left")
+            tail_ts.append(ts[k:e].tolist())
+            tail_val.append(vals[k:e].tolist())
+            hp = s + np.searchsorted(ts[s:e], ts[s], side="right")
+            h_cnt.append(int(hp - s))
+            h_max.append(int(vals[s:hp].max()))
+        cols = [t.column(part_col).take(pa.array(starts))]
+        cols += [t.column(c).take(pa.array(starts)) for c in order_cols]
+        cols.append(pa.array(tail_ts, pa.list_(pa.int64())))
+        cols.append(pa.array(tail_val, pa.list_(pa.int64())))
+        cols.append(pa.array(ts[starts], pa.int64()))
+        cols.append(pa.array(np.asarray(h_cnt, dtype=np.int64), pa.int64()))
+        cols.append(pa.array(np.asarray(h_max, dtype=np.int64), pa.int64()))
+        cols.append(pa.array(ts[ends - 1], pa.int64()))
+        cols.append(pa.array((ends - starts).astype(np.int64), pa.int64()))
+        return pa.Table.from_arrays(cols, schema=SUMM_SCHEMA)
+
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import drop_empty_blocks
+
+    sorted_ds = ds.sort([part_col] + order_cols).materialize()
+    scanned = sorted_ds.map_batches(local_scan, batch_format="pyarrow", batch_size=None)
+    summ_tbl = pa.concat_tables(
+        [
+            b
+            for b in sorted_ds.map_batches(
+                seg_summary, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns
+        ]
+        or [SUMM_SCHEMA.empty_table()]
+    ).combine_chunks()
+    summ_ref = broadcast(summ_tbl)
+
+    def _carry_index(ref):
+        """back: (part, *seg_first) → (carry_ts asc, suffix_max, suffix_cnt);
+        fwd: (part, *seg_first) → (run_max, run_cnt) of the last-ts peer run
+        continuing into later segments."""
+        tbl = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+        back: dict = {}
+        fwd: dict = {}
+        if tbl.num_rows == 0:
+            return back, fwd
+        tbl = tbl.sort_by(
+            [(part_col, "ascending")] + [(f, "ascending") for f in sf_cols]
+        )
+        parts = _np(tbl.column(part_col))
+        firsts = [_np(tbl.column(f)) for f in sf_cols]
+        tails_ts = tbl.column("_tail_ts").to_pylist()
+        tails_val = tbl.column("_tail_val").to_pylist()
+        head_ts = _np(tbl.column("_head_ts"))
+        head_cnt = _np(tbl.column("_head_cnt"))
+        head_max = _np(tbl.column("_head_max"))
+        last_ts = _np(tbl.column("_last_ts"))
+        seg_len = _np(tbl.column("_seg_len"))
+        n = len(parts)
+        for i in range(n - 2, -1, -1):
+            if parts[i + 1] != parts[i] or head_ts[i + 1] != last_ts[i]:
+                continue
+            add_m, add_c = int(head_max[i + 1]), int(head_cnt[i + 1])
+            if head_cnt[i + 1] == seg_len[i + 1] and last_ts[i + 1] == last_ts[i]:
+                nxt = fwd.get((parts[i + 1], *(f[i + 1] for f in firsts)))
+                if nxt is not None:
+                    add_m = max(add_m, nxt[0])
+                    add_c += nxt[1]
+            fwd[(parts[i], *(f[i] for f in firsts))] = (add_m, add_c)
+        prev_part = None
+        c_ts: list = []
+        c_val: list = []
+        for i in range(n):
+            p = parts[i]
+            if p != prev_part:
+                c_ts, c_val, prev_part = [], [], p
+            if c_ts:
+                a_ts = np.asarray(c_ts, dtype=np.int64)
+                a_val = np.asarray(c_val, dtype=np.int64)
+                sm = np.empty(len(a_val) + 1, dtype=np.int64)
+                sm[-1] = np.iinfo(np.int64).min
+                sm[:-1] = np.maximum.accumulate(a_val[::-1])[::-1]
+                back[(p, *(f[i] for f in firsts))] = (a_ts, sm)
+            c_ts.extend(tails_ts[i])
+            c_val.extend(tails_val[i])
+            cut = np.searchsorted(
+                np.asarray(c_ts, dtype=np.int64), last_ts[i] - H, side="left"
+            )
+            if cut:
+                c_ts, c_val = c_ts[cut:], c_val[cut:]
+        return back, fwd
+
+    def add_carry(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        back, fwd = task_state(
+            state_key("rangemax", summ_ref), lambda: _carry_index(summ_ref)
+        )
+        parts = _np(t.column(part_col))
+        firsts = [_np(t.column(f)) for f in sf_cols]
+        ts = _np(t.column(ts_col)).astype(np.int64)
+        maxs = _np(t.column(max_col)).copy()
+        cnts = _np(t.column(cnt_col)).copy()
+        fflag = _np(t.column("_fwd"))
+        n = len(parts)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = parts[1:] != parts[:-1]
+        for f in firsts:
+            change[1:] |= f[1:] != f[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            key = (parts[s], *(f[s] for f in firsts))
+            got = back.get(key)
+            if got is not None:
+                a_ts, sm = got
+                idx = np.searchsorted(a_ts, ts[s:e] - H, side="left")
+                has = idx < len(a_ts)
+                maxs[s:e] = np.where(
+                    has, np.maximum(maxs[s:e], sm[idx]), maxs[s:e]
+                )
+                cnts[s:e] += len(a_ts) - idx
+            fq = fwd.get(key)
+            if fq is not None:
+                m = fflag[s:e]
+                maxs[s:e][m] = np.maximum(maxs[s:e][m], fq[0])
+                cnts[s:e][m] += fq[1]
+        t = t.drop_columns(sf_cols + [max_col, cnt_col, "_fwd"])
+        t = t.append_column(max_col, pa.array(maxs, pa.int64()))
+        t = t.append_column(cnt_col, pa.array(cnts, pa.int64()))
+        return t.select(OUT_SCHEMA.names)
+
+    return drop_empty_blocks(
+        scanned.map_batches(add_carry, batch_format="pyarrow", batch_size=None),
+        OUT_SCHEMA,
+    )

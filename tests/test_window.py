@@ -379,3 +379,56 @@ def test_rolling_range_hot_peer_run_across_blocks():
     ).to_pandas()
     assert (out["win_sum"] == int(df["v"].sum())).all()
     assert (out["win_n"] == n).all()
+
+
+def _range_max_ref(df: pd.DataFrame, h: int) -> pd.DataFrame:
+    out_m, out_n = [], []
+    for _, r in df.iterrows():
+        g = df[df["part"] == r["part"]]
+        m = (g["ts"] >= r["ts"] - h) & (g["ts"] <= r["ts"])
+        out_m.append(int(g.loc[m, "v"].max()))
+        out_n.append(int(m.sum()))
+    res = df.copy()
+    res["win_max"], res["win_n"] = out_m, out_n
+    return res
+
+
+@pytest.mark.parametrize("blocks,h", [(1, 50), (9, 50), (31, 15), (31, 0)])
+def test_rolling_range_max_matches_bruteforce(blocks, h):
+    from multiomics_biocypher_kg_ray.stages.window import rolling_range_max_over
+
+    df = _mk_range(seed=100 + blocks + h)
+    out = (
+        rolling_range_max_over(
+            _ds(df, blocks), "part", "ts", ["ts", "id"], "v", h
+        )
+        .to_pandas()
+        .sort_values(["part", "ts", "id"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        _range_max_ref(df, h)
+        .sort_values(["part", "ts", "id"])
+        .reset_index(drop=True)
+    )
+    assert (out["win_max"].to_numpy() == ref["win_max"].to_numpy()).all()
+    assert (out["win_n"].to_numpy() == ref["win_n"].to_numpy()).all()
+
+
+def test_rolling_range_max_hot_peer_run_across_blocks():
+    from multiomics_biocypher_kg_ray.stages.window import rolling_range_max_over
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "part": ["hot"] * n,
+            "ts": np.full(n, 42, dtype="int64"),
+            "id": np.arange(n),
+            "v": np.arange(n, dtype="int64") - 100,
+        }
+    )
+    out = rolling_range_max_over(
+        _ds(df, 23), "part", "ts", ["ts", "id"], "v", 5
+    ).to_pandas()
+    assert (out["win_max"] == int(df["v"].max())).all()
+    assert (out["win_n"] == n).all()
