@@ -2166,3 +2166,43 @@ SELECT event_id, user_id, ts,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+
+
+def sql_signup_to_purchase() -> str:
+    """Twin of the forward as-of (``asof_last_marker`` on negated time):
+    each signup's earliest strictly-following purchase in (ts, event_id)
+    order + latency µs, NULL when the user never purchased after it."""
+    return """
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_purchase_ts
+  FROM events
+)
+SELECT event_id, user_id, ts, next_purchase_ts,
+       (epoch_us(next_purchase_ts) - epoch_us(ts))::BIGINT AS latency_us
+FROM s WHERE event_type = 'signup'"""
+
+
+def sql_priority_size_factors() -> str:
+    """Twin of ``relational.median_log_ratio_factors`` over the customer ×
+    priority order-count matrix: floor(ln·10⁶) quantize-then-integer
+    discipline, DESeq all-samples gene filter, ×S-scaled log-ratios,
+    discrete (quantile_disc == ceil(n/2) rank) median per sample."""
+    return """
+WITH c AS (SELECT o_custkey, o_orderpriority, count(*)::BIGINT AS cnt
+           FROM orders GROUP BY 1, 2),
+q AS (SELECT o_custkey, o_orderpriority,
+             floor(ln(cnt::DOUBLE) * 1000000)::BIGINT AS qln
+      FROM c),
+s AS (SELECT count(DISTINCT o_orderpriority)::BIGINT AS ns FROM c),
+g AS (SELECT o_custkey, count(*)::BIGINT AS k, sum(qln)::BIGINT AS t
+      FROM q GROUP BY 1),
+fg AS (SELECT o_custkey, t FROM g CROSS JOIN s WHERE g.k = s.ns),
+lr AS (SELECT q.o_orderpriority, (q.qln * s.ns - fg.t)::BIGINT AS lr
+       FROM q JOIN fg USING (o_custkey) CROSS JOIN s)
+SELECT o_orderpriority, count(*)::BIGINT AS n_genes,
+       quantile_disc(lr, 0.5)::BIGINT AS med_lr_scaled
+FROM lr GROUP BY 1"""

@@ -456,6 +456,66 @@ def q_asof_signup(sf_dir: str):
     return _cast_ts_us(events.asof_last_marker(ev), ["ts", "last_marker_ts"])
 
 
+def q_signup_to_purchase(sf_dir: str):
+    """FORWARD as-of: for every signup, the user's next purchase timestamp
+    strictly after it in (ts, event_id) order, plus the latency in µs
+    (NULL = never converted) — the label generator for conversion models.
+    Rides ``asof_last_marker``'s hot-key-safe segmented scan on NEGATED
+    time (epoch-µs and id sign-flipped, so 'most recent preceding' becomes
+    'earliest following'); negation is a bijection on the lexicographic
+    order, so the carry/summary correctness argument transfers verbatim."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def neg(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": pc.negate(t.column("event_id")),
+                "ts": pc.cast(pc.negate(ts_us), pa.timestamp("us")),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    out = events.asof_last_marker(
+        ev.map_batches(neg, batch_format="pyarrow"),
+        marker_type="purchase",
+        target_type="signup",
+        out_col="next_purchase_ts",
+    )
+    OUT = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("next_purchase_ts", pa.timestamp("us")),
+            ("latency_us", pa.int64()),
+        ]
+    )
+
+    def unneg(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        ts = pc.negate(pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()))
+        nxt = pc.negate(
+            pc.cast(pc.cast(t.column("next_purchase_ts"), pa.timestamp("us")), pa.int64())
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.negate(t.column("event_id")),
+                t.column("user_id"),
+                pc.cast(ts, pa.timestamp("us")),
+                pc.cast(nxt, pa.timestamp("us")),
+                pc.subtract(nxt, ts),
+            ],
+            schema=OUT,
+        )
+
+    return out.map_batches(unneg, batch_format="pyarrow")
+
+
 def q_hopping_event_counts(sf_dir: str):
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
     return _cast_ts_us(
@@ -1198,6 +1258,48 @@ def q_event_value_histogram(sf_dir: str):
             batch_format="pyarrow",
         ),
         OUT,
+    )
+
+
+def q_priority_size_factors(sf_dir: str):
+    """DESeq-style per-sample size factors (median of scaled log-ratios,
+    micro-nats) over the customer × priority order-count matrix — samples =
+    the 5 priority classes, genes = customers with orders in ALL of them."""
+    from ..stages.fastagg import sorted_grouped_agg
+
+    cnt = sorted_grouped_agg(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+        ["o_custkey", "o_orderpriority"],
+        [("o_orderpriority", "count")],
+        out_names=["cnt"],
+    )
+    CNT = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderpriority", pa.string()),
+            ("cnt", pa.int64()),
+        ]
+    )
+    from ..stages.fastagg import drop_empty_blocks
+
+    cnt = drop_empty_blocks(
+        cnt.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("o_custkey"),
+                    t.column("o_orderpriority"),
+                    pc.cast(t.column("cnt"), pa.int64()),
+                ],
+                schema=CNT,
+            )
+            if t.num_columns
+            else CNT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        CNT,
+    )
+    return relational.median_log_ratio_factors(
+        cnt, ["o_custkey"], "o_orderpriority", "cnt"
     )
 
 
@@ -2740,6 +2842,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_event_value_histogram(),
         ),
         "user_peak_1h": (q_user_peak_1h, oracle_rel.sql_user_peak_1h()),
+        "signup_to_purchase": (
+            q_signup_to_purchase,
+            oracle_rel.sql_signup_to_purchase(),
+        ),
+        "priority_size_factors": (
+            q_priority_size_factors,
+            oracle_rel.sql_priority_size_factors(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -2759,6 +2869,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "user_value_trend",
         "event_value_histogram",
         "user_peak_1h",
+        "signup_to_purchase",
+        "priority_size_factors",
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",

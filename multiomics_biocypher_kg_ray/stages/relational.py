@@ -1894,3 +1894,117 @@ def group_slope(
         return pa.Table.from_arrays(arrs, schema=OUT)
 
     return stats.map_batches(finalize, batch_format="pyarrow")
+
+
+def median_log_ratio_factors(
+    ds: "ray.data.Dataset",
+    gene_keys: list[str],
+    sample_col: str,
+    count_col: str,
+    out_col: str = "med_lr_scaled",
+) -> "ray.data.Dataset":
+    """DESeq-style median-of-log-ratios size factors over a (gene, sample,
+    count) table — ONE row per sample: ``(sample, n_genes, out_col)`` where
+    out_col is the sample's discrete median of S·ln(count) − Σ_s ln(count)
+    in micro-nats (S = number of distinct samples): the per-sample
+    normalization offset of bulk-omics count matrices (Anders & Huber 2010;
+    reference analog: the replicate/condition baseline normalization of
+    SURVEY §2.5 A1/M16 — ``omics_adapter.py``'s per-condition reference
+    means). Genes missing from ANY sample are excluded (the DESeq
+    all-samples rule, which also makes the scaled log-ratios comparable
+    across genes without a division).
+
+    Exactness: each ln quantizes FIRST — floor(ln(count)·10⁶) int64, the
+    PSI/entropy quantize-then-integer discipline — so gene sums, the ×S
+    scaling and the subtraction are exact integer ops, and the median is a
+    DISCRETE rank pick (ceil(n/2), == DuckDB quantile_disc) over int64:
+    bit-identical to the twin at any parallelism, one last-ulp ln budget.
+
+    Scale shape: one per-batch quantize pass, one gene-cardinality fastagg
+    (k, Σqln), one tiny distinct-sample count, one gene-proportional hash
+    join back, then ranked_over's global-sort median pick per sample — no
+    broadcast of gene-proportional state, no per-group Python."""
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .joins import hash_join
+
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    Q = pa.schema(
+        [(k, typ[k]) for k in gene_keys]
+        + [(sample_col, typ[sample_col]), ("_qln", pa.int64())]
+    )
+
+    def quant(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return Q.empty_table()
+        c = t.column(count_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        qln = np.floor(np.log(c) * 1_000_000.0).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column(k) for k in gene_keys]
+            + [t.column(sample_col), pa.array(qln, pa.int64())],
+            schema=Q,
+        )
+
+    q = ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    n_samples = sorted_distinct(q.select_columns([sample_col]), [sample_col]).count()
+
+    G = pa.schema([(k, typ[k]) for k in gene_keys] + [("_t", pa.int64())])
+    genes = drop_empty_blocks(
+        sorted_grouped_agg(
+            q, gene_keys, [("_qln", "count"), ("_qln", "sum")], out_names=["_k", "_t"]
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column(k) for k in gene_keys]
+                + [pc.cast(t.column("_t"), pa.int64())],
+                schema=G,
+            ).filter(pc.equal(pc.cast(t.column("_k"), pa.int64()), n_samples))
+            if t.num_columns
+            else G.empty_table(),
+            batch_format="pyarrow",
+        ),
+        G,
+    )
+    j = hash_join(drop_empty_blocks(q, Q), genes, on=tuple(gene_keys))
+
+    LR = pa.schema([(sample_col, typ[sample_col]), ("_lr", pa.int64())])
+
+    def to_lr(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return LR.empty_table()
+        qln = t.column("_qln").to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = t.column("_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column(sample_col), pa.array(qln * n_samples - tt, pa.int64())],
+            schema=LR,
+        )
+
+    lr = drop_empty_blocks(j.map_batches(to_lr, batch_format="pyarrow"), LR)
+    ranked = ranked_over(
+        lr, [sample_col], [("_lr", True)], rank_col="_rnk", with_group_size=True
+    )
+    OUT = pa.schema(
+        [
+            (sample_col, typ[sample_col]),
+            ("n_genes", pa.int64()),
+            (out_col, pa.int64()),
+        ]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        rnk = t.column("_rnk").to_numpy(zero_copy_only=False)
+        n = t.column("_gn").to_numpy(zero_copy_only=False)
+        target = np.maximum(np.ceil(0.5 * n).astype(np.int64), 1)
+        idx = pa.array(np.flatnonzero(rnk == target))
+        return pa.Table.from_arrays(
+            [
+                t.column(sample_col).take(idx),
+                pc.cast(t.column("_gn").take(idx), pa.int64()),
+                pc.cast(t.column("_lr").take(idx), pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(ranked.map_batches(pick, batch_format="pyarrow"), OUT)
