@@ -2206,3 +2206,25 @@ lr AS (SELECT q.o_orderpriority, (q.qln * s.ns - fg.t)::BIGINT AS lr
 SELECT o_orderpriority, count(*)::BIGINT AS n_genes,
        quantile_disc(lr, 0.5)::BIGINT AS med_lr_scaled
 FROM lr GROUP BY 1"""
+
+
+def sql_priority_quantile_norm() -> str:
+    """Twin of ``relational.quantile_normalize`` over the customer ×
+    priority count matrix: complete-matrix gene filter, row_number ranks
+    tie-broken by the gene key, per-rank exact integer reference mean
+    (Σ // S)."""
+    return """
+WITH c AS (SELECT o_custkey, o_orderpriority, count(*)::BIGINT AS cnt
+           FROM orders GROUP BY 1, 2),
+s AS (SELECT count(DISTINCT o_orderpriority)::BIGINT AS ns FROM c),
+g AS (SELECT o_custkey FROM c GROUP BY 1
+      HAVING count(*) = (SELECT ns FROM s)),
+f AS (SELECT c.* FROM c JOIN g USING (o_custkey)),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cnt, o_custkey) AS rnk
+      FROM f),
+ref AS (SELECT rnk, (sum(cnt) // (SELECT ns FROM s))::BIGINT AS norm_cnt
+        FROM r GROUP BY 1)
+SELECT r.o_custkey, r.o_orderpriority, r.cnt, r.rnk::BIGINT AS rnk,
+       ref.norm_cnt
+FROM r JOIN ref USING (rnk)"""

@@ -1261,11 +1261,10 @@ def q_event_value_histogram(sf_dir: str):
     )
 
 
-def q_priority_size_factors(sf_dir: str):
-    """DESeq-style per-sample size factors (median of scaled log-ratios,
-    micro-nats) over the customer × priority order-count matrix — samples =
-    the 5 priority classes, genes = customers with orders in ALL of them."""
-    from ..stages.fastagg import sorted_grouped_agg
+def _custkey_priority_counts(sf_dir: str):
+    """Shared (gene=customer, sample=priority, count) matrix for the omics
+    normalization family."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
 
     cnt = sorted_grouped_agg(
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
@@ -1280,9 +1279,7 @@ def q_priority_size_factors(sf_dir: str):
             ("cnt", pa.int64()),
         ]
     )
-    from ..stages.fastagg import drop_empty_blocks
-
-    cnt = drop_empty_blocks(
+    return drop_empty_blocks(
         cnt.map_batches(
             lambda t: pa.Table.from_arrays(
                 [
@@ -1298,8 +1295,27 @@ def q_priority_size_factors(sf_dir: str):
         ),
         CNT,
     )
+
+
+def q_priority_quantile_norm(sf_dir: str):
+    """Bolstad quantile normalization of the customer × priority order-count
+    matrix — each priority class's count distribution replaced by the
+    cross-class per-rank integer reference mean."""
+    return relational.quantile_normalize(
+        _custkey_priority_counts(sf_dir),
+        ["o_custkey"],
+        "o_orderpriority",
+        "cnt",
+        out_col="norm_cnt",
+    )
+
+
+def q_priority_size_factors(sf_dir: str):
+    """DESeq-style per-sample size factors (median of scaled log-ratios,
+    micro-nats) over the customer × priority order-count matrix — samples =
+    the 5 priority classes, genes = customers with orders in ALL of them."""
     return relational.median_log_ratio_factors(
-        cnt, ["o_custkey"], "o_orderpriority", "cnt"
+        _custkey_priority_counts(sf_dir), ["o_custkey"], "o_orderpriority", "cnt"
     )
 
 
@@ -2850,6 +2866,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_priority_size_factors,
             oracle_rel.sql_priority_size_factors(),
         ),
+        "priority_quantile_norm": (
+            q_priority_quantile_norm,
+            oracle_rel.sql_priority_quantile_norm(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -2871,6 +2891,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "user_peak_1h",
         "signup_to_purchase",
         "priority_size_factors",
+        "priority_quantile_norm",
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",

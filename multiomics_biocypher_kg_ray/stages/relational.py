@@ -2008,3 +2008,113 @@ def median_log_ratio_factors(
         )
 
     return drop_empty_blocks(ranked.map_batches(pick, batch_format="pyarrow"), OUT)
+
+
+def quantile_normalize(
+    ds: "ray.data.Dataset",
+    gene_keys: list[str],
+    sample_col: str,
+    value_col: str,
+    out_col: str = "norm_val",
+) -> "ray.data.Dataset":
+    """Bolstad quantile normalization over a (gene, sample, value) matrix —
+    every sample's distribution is replaced by the cross-sample reference:
+    row r of each sample's sorted values maps to floor(mean of ALL samples'
+    r-th sorted values). THE classic cross-array normalization of omics
+    expression matrices (Bolstad et al. 2003; reference analog: the
+    cross-replicate comparability step before the per-condition rollups of
+    SURVEY §2.5 A1). Genes missing from any sample are excluded first (the
+    complete-matrix rule that makes every sample the same length, sibling
+    of ``median_log_ratio_factors``'s DESeq filter). Emits one row per
+    (gene, sample): ``gene_keys + sample + value + rnk + out_col``.
+
+    Exactness: values stay int64 end to end — per-rank reference means are
+    exact integer floor divisions (Σ // S); rank assignment is the global-
+    sort ``ranked_over`` with gene keys as tie-breaks, mirrored verbatim in
+    the twin's row_number() ORDER BY.
+
+    Scale shape: gene-cardinality completeness fastagg + semi filter, one
+    global sort per rank assignment (hot samples cost their block share),
+    one rank-cardinality fastagg for the reference, one rank-proportional
+    hash join back — no broadcast of gene-proportional state, no per-group
+    Python, matrix never lands whole anywhere."""
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .joins import hash_join
+
+    sch = ds.schema()
+    typ = dict(zip(sch.names, sch.types))
+    n_samples = sorted_distinct(
+        ds.select_columns([sample_col]), [sample_col]
+    ).count()
+
+    G = pa.schema([(k, typ[k]) for k in gene_keys])
+    complete = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns(gene_keys + [sample_col]),
+            gene_keys,
+            [(sample_col, "count")],
+            out_names=["_k"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column(k) for k in gene_keys], schema=G
+            ).filter(pc.equal(pc.cast(t.column("_k"), pa.int64()), n_samples))
+            if t.num_columns
+            else G.empty_table(),
+            batch_format="pyarrow",
+        ),
+        G,
+    )
+    F = pa.schema(
+        [(k, typ[k]) for k in gene_keys]
+        + [(sample_col, typ[sample_col]), (value_col, pa.int64())]
+    )
+    filtered = drop_empty_blocks(
+        hash_join(
+            drop_empty_blocks(ds.select_columns(F.names), F),
+            complete,
+            on=tuple(gene_keys),
+            how="left_semi",
+        ),
+        F,
+    )
+    ranked = ranked_over(
+        filtered,
+        [sample_col],
+        [(value_col, True)] + [(k, True) for k in gene_keys],
+        rank_col="rnk",
+    ).materialize()  # consumed twice: reference build + final join
+
+    REF = pa.schema([("rnk", pa.int64()), (out_col, pa.int64())])
+    ref = drop_empty_blocks(
+        sorted_grouped_agg(
+            ranked.select_columns(["rnk", value_col]),
+            ["rnk"],
+            [(value_col, "sum")],
+            out_names=["_s"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.cast(t.column("rnk"), pa.int64()),
+                    pa.array(
+                        t.column("_s").to_numpy(zero_copy_only=False).astype(np.int64)
+                        // n_samples,
+                        pa.int64(),
+                    ),
+                ],
+                schema=REF,
+            )
+            if t.num_columns
+            else REF.empty_table(),
+            batch_format="pyarrow",
+        ),
+        REF,
+    )
+    OUT = pa.schema(list(F) + [("rnk", pa.int64()), (out_col, pa.int64())])
+    j = hash_join(ranked, ref, on=("rnk",))
+    return drop_empty_blocks(
+        j.map_batches(
+            lambda t: t.select(OUT.names) if t.num_columns else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )
