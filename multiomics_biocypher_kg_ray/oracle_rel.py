@@ -2228,3 +2228,29 @@ ref AS (SELECT rnk, (sum(cnt) // (SELECT ns FROM s))::BIGINT AS norm_cnt
 SELECT r.o_custkey, r.o_orderpriority, r.cnt, r.rnk::BIGINT AS rnk,
        ref.norm_cnt
 FROM r JOIN ref USING (rnk)"""
+
+
+def sql_purchase_click_utest() -> str:
+    """Twin of ``relational.mann_whitney_u`` over purchase-vs-click cents:
+    doubled midranks from the value-cardinality exclusive running count
+    (2·N_less + c + 1), u2 = ΣcG·mid2 − n(n+1), integer-// AUC ppm."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_type AS grp, {v} AS cents FROM events
+           WHERE event_type IN ('purchase', 'click')),
+cv AS (SELECT cents, count(*)::BIGINT AS c FROM e GROUP BY 1),
+mr AS (SELECT cents,
+              (2 * coalesce(sum(c) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1)::BIGINT AS mid2
+       FROM cv),
+tot AS (SELECT sum(c)::BIGINT AS total FROM cv),
+gv AS (SELECT grp, cents, count(*)::BIGINT AS cg FROM e GROUP BY 1, 2),
+st AS (SELECT grp, sum(cg)::BIGINT AS n, sum(cg * mid2)::BIGINT AS r2
+       FROM gv JOIN mr USING (cents) GROUP BY 1)
+SELECT grp AS event_type, n,
+       (r2 - n * (n + 1))::BIGINT AS u2,
+       CASE WHEN (total - n) > 0
+            THEN ((r2 - n * (n + 1)) * 1000000 // (2 * n * (total - n)))::BIGINT
+            ELSE NULL END AS auc_ppm
+FROM st CROSS JOIN tot"""

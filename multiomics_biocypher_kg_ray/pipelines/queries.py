@@ -1297,6 +1297,24 @@ def _custkey_priority_counts(sf_dir: str):
     )
 
 
+def q_purchase_click_utest(sf_dir: str):
+    """Exact integer Mann-Whitney U between purchase and click values —
+    the nonparametric A/B readout (doubled midranks keep ties integer;
+    auc_ppm = common-language effect size)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"})
+        .select(["event_type", "cents"])
+        .filter(
+            pc.is_in(
+                t.column("event_type"),
+                value_set=pa.array(["purchase", "click"]),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.mann_whitney_u(ev, "event_type", "cents")
+
+
 def q_priority_quantile_norm(sf_dir: str):
     """Bolstad quantile normalization of the customer × priority order-count
     matrix — each priority class's count distribution replaced by the
@@ -2870,6 +2888,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_priority_quantile_norm,
             oracle_rel.sql_priority_quantile_norm(),
         ),
+        "purchase_click_utest": (
+            q_purchase_click_utest,
+            oracle_rel.sql_purchase_click_utest(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -2892,6 +2914,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "signup_to_purchase",
         "priority_size_factors",
         "priority_quantile_norm",
+        "purchase_click_utest",
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",

@@ -2118,3 +2118,176 @@ def quantile_normalize(
         ),
         OUT,
     )
+
+
+def mann_whitney_u(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+) -> "ray.data.Dataset":
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between the groups of
+    ``group_col`` over int64 ``value_col`` — one row per group:
+    ``(group, n, u2, auc_ppm)`` where u2 = 2·U (doubled so tie midranks
+    stay integer) and auc_ppm = floor(U·10⁶ / (n·(N−n))), the
+    common-language effect size P(group value > other value) with ties
+    counted half. THE nonparametric two-sample location test — the A/B
+    readout that, unlike a means test, survives the heavy-tailed value
+    distributions (``user_event_skew``) real event data has. No float
+    enters anywhere: doubled midranks make every tie-averaged rank an
+    integer, so U is exact at any parallelism.
+
+    Midrank identity: for a tied run of c copies of value v with N_less
+    smaller values overall, 2·midrank = 2·N_less + c + 1 — so the whole
+    statistic needs only the VALUE-cardinality tables (total count and
+    per-group count per distinct value), never a ranking of raw rows.
+
+    Scale shape: two fastaggs at value cardinality, one hot-key-safe
+    segmented ``cumsum_over`` for the exclusive N_less scan (single
+    constant part — exactly the hot-part shape that scan is built for),
+    one value-proportional hash join, one group-cardinality fastagg.
+    Contract: Σ c_g·(2N+1) per group must fit int64 — fine to ~10⁹ rows;
+    quantize values coarser beyond."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+    from .window import cumsum_over
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    CV = pa.schema([(value_col, pa.int64()), ("_c", pa.int64())])
+    cv = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns([value_col]), [value_col], [(value_col, "count")],
+            out_names=["_c"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t.column(value_col), pa.int64()),
+                 pc.cast(t.column("_c"), pa.int64())],
+                schema=CV,
+            )
+            if t.num_columns
+            else CV.empty_table(),
+            batch_format="pyarrow",
+        ),
+        CV,
+    ).materialize()  # consumed twice: the N_less scan and the total-N scalar
+    # exclusive running count of smaller values over the value-sorted
+    # aggregate (constant part: the segmented scan's hot-key case)
+    withg = cv.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
+        if t.num_columns
+        else pa.schema(list(CV) + [("_g", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    nless = cumsum_over(
+        withg, "_g", [value_col], "_c", out_col="_nless", inclusive=False
+    )
+    MR = pa.schema([(value_col, pa.int64()), ("_mid2", pa.int64())])
+    mr = drop_empty_blocks(
+        nless.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column(value_col),
+                    pc.add(
+                        pc.add(
+                            pc.multiply(t.column("_nless"), pa.scalar(2, pa.int64())),
+                            t.column("_c"),
+                        ),
+                        pa.scalar(1, pa.int64()),
+                    ),
+                ],
+                schema=MR,
+            )
+            if t.num_columns
+            else MR.empty_table(),
+            batch_format="pyarrow",
+        ),
+        MR,
+    )
+    GV = pa.schema(
+        [(group_col, typ[group_col]), (value_col, pa.int64()), ("_cg", pa.int64())]
+    )
+    gv = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns([group_col, value_col]),
+            [group_col, value_col],
+            [(value_col, "count")],
+            out_names=["_cg"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column(group_col),
+                    pc.cast(t.column(value_col), pa.int64()),
+                    pc.cast(t.column("_cg"), pa.int64()),
+                ],
+                schema=GV,
+            )
+            if t.num_columns
+            else GV.empty_table(),
+            batch_format="pyarrow",
+        ),
+        GV,
+    )
+    j = hash_join(gv, mr, on=(value_col,))
+    P = pa.schema(
+        [(group_col, typ[group_col]), ("_n", pa.int64()), ("_r2", pa.int64())]
+    )
+    prod = drop_empty_blocks(
+        j.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column(group_col),
+                    t.column("_cg"),
+                    pc.multiply(t.column("_cg"), t.column("_mid2")),
+                ],
+                schema=P,
+            )
+            if t.num_columns
+            else P.empty_table(),
+            batch_format="pyarrow",
+        ),
+        P,
+    )
+    stats = sorted_grouped_agg(
+        prod, [group_col], [("_n", "sum"), ("_r2", "sum")], out_names=["n", "_r2"]
+    )
+    OUT = pa.schema(
+        [
+            (group_col, typ[group_col]),
+            ("n", pa.int64()),
+            ("u2", pa.int64()),
+            ("auc_ppm", pa.int64()),
+        ]
+    )
+
+    def fin(t: pa.Table, total: int) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        r2 = t.column("_r2").to_numpy(zero_copy_only=False).astype(np.int64)
+        u2 = r2 - n * (n + 1)
+        other = total - n
+        auc = np.where(
+            other > 0, (u2 * 1_000_000) // np.maximum(2 * n * other, 1), 0
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                pa.array(n, pa.int64()),
+                pa.array(u2, pa.int64()),
+                pa.array(auc, pa.int64(), mask=~(other > 0)),
+            ],
+            schema=OUT,
+        )
+
+    total_n = int(
+        sum(
+            pc.sum(b.column("_c")).as_py() or 0
+            for b in cv.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns and b.num_rows
+        )
+    )
+    return drop_empty_blocks(
+        stats.map_batches(
+            fin, fn_kwargs={"total": total_n}, batch_format="pyarrow"
+        ),
+        OUT,
+    )

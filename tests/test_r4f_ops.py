@@ -133,3 +133,17 @@ def test_quantile_normalize_matches_bruteforce():
     f = f.sort_values(["sample", "gene"]).reset_index(drop=True)
     assert (out["nv"].to_numpy() == f["nv"].to_numpy()).all()
     assert (out["rnk"].to_numpy() == f["rnk"].to_numpy()).all()
+
+
+def test_mann_whitney_known_case_and_complement():
+    from multiomics_biocypher_kg_ray.stages.relational import mann_whitney_u
+
+    # A = [1, 2, 2], B = [2, 3]: with ties counted half,
+    # U_A = #(a>b) + ties/2 = 0 + 1 = 1  ->  u2 = 2
+    df = pd.DataFrame(
+        {"g": ["A", "A", "A", "B", "B"], "v": [1, 2, 2, 2, 3]}
+    )
+    out = mann_whitney_u(_ds(df, 3), "g", "v").to_pandas().set_index("g")
+    assert out.loc["A", "u2"] == 2
+    assert out.loc["B", "u2"] == 2 * 3 * 2 - 2  # complement: u2A + u2B = 2 n1 n2
+    assert out.loc["A", "auc_ppm"] == (2 * 1_000_000) // (2 * 3 * 2)
