@@ -2254,3 +2254,29 @@ SELECT grp AS event_type, n,
             THEN ((r2 - n * (n + 1)) * 1000000 // (2 * n * (total - n)))::BIGINT
             ELSE NULL END AS auc_ppm
 FROM st CROSS JOIN tot"""
+
+
+def sql_corpus_zipf_slope() -> str:
+    """Twin of ``q_corpus_zipf_slope``: vocabulary ranked by (freq DESC,
+    term), both axes floor(ln·10³) milli-nat ints, the group_slope
+    cross-moment finalize."""
+    return """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, count(*)::BIGINT AS n FROM tok WHERE term <> ''
+        GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM cnt),
+q AS (SELECT floor(ln(rnk::DOUBLE) * 1000)::BIGINT AS x,
+             floor(ln(n::DOUBLE) * 1000)::BIGINT AS y
+      FROM r),
+st AS (SELECT count(*)::BIGINT AS n,
+              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+              sum(x*x)::BIGINT AS sxx, sum(x*y)::BIGINT AS sxy
+       FROM q)
+SELECT n,
+       CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0.0::DOUBLE
+            THEN floor(((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1000000.0::DOUBLE)
+                       / (n::DOUBLE * sxx - sx::DOUBLE * sx))::BIGINT
+            ELSE NULL END AS zipf_slope_q
+FROM st WHERE n > 0"""

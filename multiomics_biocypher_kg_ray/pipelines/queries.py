@@ -1297,6 +1297,90 @@ def _custkey_priority_counts(sf_dir: str):
     )
 
 
+def q_corpus_zipf_slope(sf_dir: str):
+    """Zipf slope of the corpus (one row): OLS slope of ln(freq) on
+    ln(rank) over the full vocabulary, both axes quantized to integer
+    MILLI-nats first (int64 headroom for 10⁸-term vocabularies), ranks from
+    the hot-key-safe global sort — healthy natural-language corpora sit
+    near −1; template/boilerplate floods flatten it. Composition of
+    ``vocab`` fastagg + ``ranked_over`` + ``group_slope``."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    UNI = pa.schema([("term", pa.string()), ("n", pa.int64())])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return UNI.empty_table()
+        s = batch.column("text").to_pandas()
+        counts = s.str.split(" ").explode().replace("", None).dropna().value_counts()
+        return pa.Table.from_arrays(
+            [
+                pa.array(counts.index.astype(str), pa.string()),
+                pa.array(counts.to_numpy(), pa.int64()),
+            ],
+            schema=UNI,
+        )
+
+    cnt = sorted_grouped_agg(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            uni_partial, batch_format="pyarrow"
+        ),
+        ["term"],
+        [("n", "sum")],
+        out_names=["n"],
+    )
+    UNIG = pa.schema(list(UNI) + [("_g", pa.int64())])
+    withg = drop_empty_blocks(
+        cnt.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))
+            )
+            if t.num_columns
+            else UNIG.empty_table(),
+            batch_format="pyarrow",
+        ),
+        UNIG,
+    )
+    ranked = relational.ranked_over(
+        withg, ["_g"], [("n", False), ("term", True)], rank_col="_rnk"
+    )
+    Q = pa.schema([("_g", pa.int64()), ("x", pa.int64()), ("y", pa.int64())])
+
+    def quant(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return Q.empty_table()
+        r = t.column("_rnk").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_arrays(
+            [
+                t.column("_g"),
+                pa.array(np.floor(np.log(r) * 1000.0).astype(np.int64)),
+                pa.array(np.floor(np.log(n) * 1000.0).astype(np.int64)),
+            ],
+            schema=Q,
+        )
+
+    slope = relational.group_slope(
+        drop_empty_blocks(
+            ranked.map_batches(quant, batch_format="pyarrow"), Q
+        ),
+        ["_g"],
+        "x",
+        "y",
+        out_col="zipf_slope_q",
+    )
+    OUT = pa.schema([("n", pa.int64()), ("zipf_slope_q", pa.int64())])
+    return drop_empty_blocks(
+        slope.map_batches(
+            lambda t: t.drop_columns(["_g"]) if t.num_columns else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )
+
+
 def q_purchase_click_utest(sf_dir: str):
     """Exact integer Mann-Whitney U between purchase and click values —
     the nonparametric A/B readout (doubled midranks keep ties integer;
@@ -2892,6 +2976,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_purchase_click_utest,
             oracle_rel.sql_purchase_click_utest(),
         ),
+        "corpus_zipf_slope": (
+            q_corpus_zipf_slope,
+            oracle_rel.sql_corpus_zipf_slope(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -2915,6 +3003,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "priority_size_factors",
         "priority_quantile_norm",
         "purchase_click_utest",
+        "corpus_zipf_slope",
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",
