@@ -2280,3 +2280,41 @@ SELECT n,
                        / (n::DOUBLE * sxx - sx::DOUBLE * sx))::BIGINT
             ELSE NULL END AS zipf_slope_q
 FROM st WHERE n > 0"""
+
+
+def sql_event_type_burstiness() -> str:
+    """Twin of ``q_event_type_burstiness``: hourly-count Fano factor per
+    type — sample variance over mean, ×10⁶, exact int64 moments, the corr
+    family's promote-then-multiply double finalize; NULL below 2 hours."""
+    return """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                  count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+              sum(c)::BIGINT AS s, sum(c*c)::BIGINT AS ss
+       FROM h GROUP BY 1)
+SELECT event_type, n_hours,
+       CASE WHEN n_hours > 1 AND s > 0
+            THEN floor(((n_hours::DOUBLE * ss - s::DOUBLE * s) * 1000000.0::DOUBLE)
+                       / ((n_hours::DOUBLE - 1.0::DOUBLE) * s::DOUBLE))::BIGINT
+            ELSE NULL END AS fano_ppm
+FROM st"""
+
+
+def sql_fk_orphan_audit() -> str:
+    """Twin of ``q_fk_orphan_audit``: per FK pair the child rowcount,
+    anti-join orphan count and integer-ppm orphan rate."""
+
+    def block(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+        return f"""SELECT '{name}' AS fk, count(*)::BIGINT AS n_rows,
+       count(CASE WHEN p.{pk} IS NULL THEN 1 END)::BIGINT AS n_orphans,
+       (count(CASE WHEN p.{pk} IS NULL THEN 1 END) * 1000000
+        // greatest(count(*), 1))::BIGINT AS orphan_ppm
+FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}"""
+
+    blocks = [
+        block("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        block("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        block("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    return "\nUNION ALL\n".join(blocks)

@@ -1297,6 +1297,174 @@ def _custkey_priority_counts(sf_dir: str):
     )
 
 
+def q_event_type_burstiness(sf_dir: str):
+    """Per-type burstiness: Fano factor (variance/mean ×10⁶) of HOURLY event
+    counts — Poisson traffic sits at 10⁶, bursty bot/batch traffic far
+    above. Hourly counts via one fastagg; the dispersion finalizes from
+    exact int64 moments with the corr-family double op order."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("event_type", pa.string()), ("hour", pa.int64())]
+            ).empty_table()
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        from ..arrow_util import floor_div_i64
+
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": floor_div_i64(ts_us, 3_600_000_000),
+            }
+        )
+
+    hc = sorted_grouped_agg(
+        ev.map_batches(hourly, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [("hour", "count")],
+        out_names=["c"],
+    )
+    MID = pa.schema([("event_type", pa.string()), ("_c", pa.int64()), ("_cc", pa.int64())])
+    sq = drop_empty_blocks(
+        hc.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("event_type"),
+                    pc.cast(t.column("c"), pa.int64()),
+                    pc.multiply(
+                        pc.cast(t.column("c"), pa.int64()),
+                        pc.cast(t.column("c"), pa.int64()),
+                    ),
+                ],
+                schema=MID,
+            )
+            if t.num_columns
+            else MID.empty_table(),
+            batch_format="pyarrow",
+        ),
+        MID,
+    )
+    st = sorted_grouped_agg(
+        sq,
+        ["event_type"],
+        [("_c", "count"), ("_c", "sum"), ("_cc", "sum")],
+        out_names=["n_hours", "_s", "_ss"],
+    )
+    OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_hours", pa.int64()),
+            ("fano_ppm", pa.int64()),
+        ]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        f = np.float64
+        n = t.column("n_hours").to_numpy(zero_copy_only=False).astype(f)
+        s = t.column("_s").to_numpy(zero_copy_only=False).astype(f)
+        ss = t.column("_ss").to_numpy(zero_copy_only=False).astype(f)
+        ok = (n > 1.0) & (s > 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fano = np.floor(
+                ((n * ss - s * s) * 1000000.0) / ((n - 1.0) * s)
+            )
+        arr = pa.array(np.where(ok, fano, 0).astype(np.int64), pa.int64(), mask=~ok)
+        return pa.Table.from_arrays(
+            [
+                t.column("event_type"),
+                pc.cast(t.column("n_hours"), pa.int64()),
+                arr,
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(st.map_batches(fin, batch_format="pyarrow"), OUT)
+
+
+def q_fk_orphan_audit(sf_dir: str):
+    """Referential-integrity audit across three FK pairs (lineitem→orders,
+    orders→customer, customer→nation): rows, orphans (anti-join misses),
+    orphan_ppm — the pre-build data-quality gate (reference analog: the
+    unresolved-mention side channel of SURVEY §2.3 S9, generalized to
+    relational FKs). Each pair: one distinct-key build + one stateless
+    membership probe; counts combine per batch."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_distinct
+
+    pairs = [
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    OUT = pa.schema(
+        [
+            ("fk", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_orphans", pa.int64()),
+            ("orphan_ppm", pa.int64()),
+        ]
+    )
+    from ..state.broadcast import broadcast, state_key, task_state
+
+    rows = []
+    for name, child, ck, parent, pk in pairs:
+        key_tbl = pa.concat_tables(
+            [
+                b
+                for b in sorted_distinct(
+                    _read(sf_dir, parent, [pk]), [pk]
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+                if b.num_columns
+            ]
+        ).combine_chunks()
+        key_ref = broadcast(key_tbl)
+
+        def count_fn(t: pa.Table, _ref=key_ref, _ck=ck, _pk=pk) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table(
+                    {"n": pa.array([], pa.int64()), "o": pa.array([], pa.int64())}
+                )
+
+            def build(_r=_ref, _p=_pk):
+                tb = ray.get(_r) if not isinstance(_r, pa.Table) else _r
+                return tb.column(_p).combine_chunks()
+
+            vset = task_state(state_key("fk_audit", _ref), build)
+            hit = pc.is_in(t.column(_ck), value_set=vset)
+            n = t.num_rows
+            ok = int(pc.sum(pc.cast(hit, pa.int64())).as_py() or 0)
+            return pa.table(
+                {
+                    "n": pa.array([n], pa.int64()),
+                    "o": pa.array([n - ok], pa.int64()),
+                }
+            )
+
+        n_rows = n_orph = 0
+        for b in (
+            _read(sf_dir, child, [ck])
+            .map_batches(count_fn, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ):
+            if b.num_columns and b.num_rows:
+                n_rows += int(pc.sum(b.column("n")).as_py() or 0)
+                n_orph += int(pc.sum(b.column("o")).as_py() or 0)
+        rows.append((name, n_rows, n_orph, (n_orph * 1_000_000) // max(n_rows, 1)))
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([r[1] for r in rows], pa.int64()),
+            pa.array([r[2] for r in rows], pa.int64()),
+            pa.array([r[3] for r in rows], pa.int64()),
+        ],
+        schema=OUT,
+    )
+
+
 def q_corpus_zipf_slope(sf_dir: str):
     """Zipf slope of the corpus (one row): OLS slope of ln(freq) on
     ln(rank) over the full vocabulary, both axes quantized to integer
@@ -2980,6 +3148,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_corpus_zipf_slope,
             oracle_rel.sql_corpus_zipf_slope(),
         ),
+        "event_type_burstiness": (
+            q_event_type_burstiness,
+            oracle_rel.sql_event_type_burstiness(),
+        ),
+        "fk_orphan_audit": (
+            q_fk_orphan_audit,
+            oracle_rel.sql_fk_orphan_audit(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3004,6 +3180,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "priority_quantile_norm",
         "purchase_click_utest",
         "corpus_zipf_slope",
+        "event_type_burstiness",
+        "fk_orphan_audit",
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",
