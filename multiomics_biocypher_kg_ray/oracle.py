@@ -814,3 +814,33 @@ SELECT deg.node, deg.d,
        ((2 * coalesce(tc.n_triangles, 0) * 1000000)
         // (deg.d * (deg.d - 1)))::BIGINT AS cc_ppm
 FROM deg LEFT JOIN tc USING (node) WHERE deg.d >= 2"""
+
+
+def sql_kg_edge_support() -> str:
+    """Twin of ``graph.edge_support`` — the triangle CTEs of
+    ``sql_kg_triangles``, credited to each triangle's three canonical
+    edges, zero-support edges kept via LEFT join."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS (SELECT node, count(*)::BIGINT AS d FROM
+        (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        GROUP BY 1),
+ori AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS u,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS v
+        FROM und u
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b),
+tri AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+        FROM ori o1
+        JOIN ori o2 ON o1.u = o2.u AND o1.v < o2.v
+        JOIN und t ON t.a = o1.v AND t.b = o2.v),
+es AS (SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
+       UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+       UNION ALL SELECT least(y, z), greatest(y, z) FROM tri),
+sc AS (SELECT a, b, count(*)::BIGINT AS s FROM es GROUP BY 1, 2)
+SELECT und.a, und.b, coalesce(sc.s, 0)::BIGINT AS support
+FROM und LEFT JOIN sc USING (a, b)"""

@@ -861,6 +861,16 @@ def q_kg_triangles(sf_dir: str):
     )
 
 
+def q_kg_edge_support(sf_dir: str):
+    """Per-edge triangle support over the KG (k-truss input; support-0
+    bridges kept) — shared degree-oriented enumeration + edge credit."""
+    from ..stages import graph
+
+    return graph.edge_support(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    )
+
+
 def q_kg_clustering(sf_dir: str):
     """Per-node local clustering coefficient over the KG (degree ≥ 2) —
     triangle kernel + degree fastagg + left join, exact integer ppm."""
@@ -2994,6 +3004,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_triangles": (q_kg_triangles, oracle.sql_kg_triangles()),
         "kg_assortativity": (q_kg_assortativity, oracle.sql_kg_assortativity()),
         "kg_clustering": (q_kg_clustering, oracle.sql_kg_clustering()),
+        "kg_edge_support": (q_kg_edge_support, oracle.sql_kg_edge_support()),
         "user_type_pivot": (q_user_type_pivot, oracle_rel.sql_user_type_pivot()),
         "term_heavy_hitters": (
             q_term_heavy_hitters,
@@ -3182,6 +3193,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "corpus_zipf_slope",
         "event_type_burstiness",
         "fk_orphan_audit",
+        "kg_edge_support",
         "user_interval_coverage",
         "part_price_corr",
         "kg_common_neighbors",

@@ -174,14 +174,13 @@ def pagerank(
     return scores.map_batches(rename, batch_format="pyarrow")
 
 
-def node_triangles(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Per-node triangle participation counts → (node, n_triangles).
-
-    Treats the edge table as an UNDIRECTED simple graph (direction and
-    multiplicity dropped, self-loops removed). Every triangle is enumerated
-    exactly once via degree-ordered orientation, then credited to all three
-    corners; nodes in zero triangles are omitted (the oracle twin mirrors
-    both choices).
+def _oriented_triangles(edges: "ray.data.Dataset"):
+    """Shared degree-ordered triangle enumeration: returns ``(closed, und)``
+    where ``closed`` holds one row per triangle (u, va, vb) — u the wedge
+    center, va < vb — and ``und`` is the deduped undirected edge list
+    (a < b). Each triangle appears EXACTLY once; O(m^1.5) worst case via
+    the low-(deg, node) orientation. Consumers: ``node_triangles`` (credit
+    corners), ``edge_support`` (credit edges — the k-truss support input).
     """
     from .dedup import bucket_pairs
 
@@ -278,6 +277,20 @@ def node_triangles(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         num_partitions=default_join_partitions(),
     )
 
+    return closed, und
+
+
+def node_triangles(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-node triangle participation counts → (node, n_triangles).
+
+    Treats the edge table as an UNDIRECTED simple graph (direction and
+    multiplicity dropped, self-loops removed). Every triangle is enumerated
+    exactly once via degree-ordered orientation (``_oriented_triangles``),
+    then credited to all three corners; nodes in zero triangles are omitted
+    (the oracle twin mirrors both choices).
+    """
+    closed, _ = _oriented_triangles(edges)
+
     def corners(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
             return pa.schema([("node", pa.string())]).empty_table()
@@ -290,6 +303,74 @@ def node_triangles(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         ["node"],
         [("node", "count")],
         out_names=["n_triangles"],
+    )
+
+
+def edge_support(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-EDGE triangle support over the undirected simple graph —
+    ``(a, b, support)`` for every deduped edge a < b, support = number of
+    triangles containing it (0 kept via LEFT join): the input of k-truss
+    decomposition and the edge-strength signal tie-breaking entity merges
+    (two aliases whose connecting edge closes many triangles are far
+    safer to merge than a support-0 bridge). Same enumeration cost as
+    ``node_triangles``; one extra edge-cardinality fastagg + LEFT join."""
+    closed, und = _oriented_triangles(edges)
+
+    TRI_E = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def tri_edges(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TRI_E.empty_table()
+        u, va, vb = t.column("u"), t.column("va"), t.column("vb")
+        parts = []
+        for x, y in ((u, va), (u, vb), (va, vb)):
+            lo = pc.min_element_wise(x, y)
+            hi = pc.max_element_wise(x, y)
+            parts.append(pa.Table.from_arrays([lo, hi], schema=TRI_E))
+        return pa.concat_tables(parts)
+
+    SUP = pa.schema([("a", pa.string()), ("b", pa.string()), ("support", pa.int64())])
+    sup = drop_empty_blocks(
+        sorted_grouped_agg(
+            drop_empty_blocks(
+                closed.map_batches(tri_edges, batch_format="pyarrow"), TRI_E
+            ),
+            ["a", "b"],
+            [("a", "count")],
+            out_names=["support"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("a"), t.column("b"),
+                 pc.cast(t.column("support"), pa.int64())],
+                schema=SUP,
+            )
+            if t.num_columns
+            else SUP.empty_table(),
+            batch_format="pyarrow",
+        ),
+        SUP,
+    )
+    j = drop_empty_blocks(und, TRI_E).join(
+        sup,
+        join_type="left_outer",
+        on=("a", "b"),
+        num_partitions=default_join_partitions(),
+    )
+    return drop_empty_blocks(
+        j.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("a"),
+                    t.column("b"),
+                    pc.fill_null(pc.cast(t.column("support"), pa.int64()), 0),
+                ],
+                schema=SUP,
+            )
+            if t.num_columns and t.num_rows
+            else SUP.empty_table(),
+            batch_format="pyarrow",
+        ),
+        SUP,
     )
 
 
