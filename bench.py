@@ -227,6 +227,11 @@ def run_bench() -> dict:
         q_orders_loo_priority,
         q_user_cumulative_types,
         q_order_share_of_customer,
+        q_user_peak_1h,
+        q_signup_to_purchase,
+        q_priority_quantile_norm,
+        q_purchase_click_utest,
+        q_event_value_histogram,
     )
 
     for name, fn in [
@@ -282,6 +287,13 @@ def run_bench() -> dict:
         ("orders_loo_priority", q_orders_loo_priority),
         ("user_cumulative_types", q_user_cumulative_types),
         ("order_share_of_customer", q_order_share_of_customer),
+        # late session-5 additions: time-RANGE max, forward as-of, Bolstad
+        # quantile norm, exact Mann-Whitney, equi-depth histogram
+        ("user_peak_1h", q_user_peak_1h),
+        ("signup_to_purchase", q_signup_to_purchase),
+        ("priority_quantile_norm", q_priority_quantile_norm),
+        ("purchase_click_utest", q_purchase_click_utest),
+        ("event_value_histogram", q_event_value_histogram),
     ]:
         t = time.time()
         out = fn(SF_DIR)
