@@ -2318,3 +2318,67 @@ FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}"""
         block("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
     ]
     return "\nUNION ALL\n".join(blocks)
+
+
+def sql_part_price_spearman() -> str:
+    """Twin of ``relational.group_spearman`` over lineitem per part:
+    Spearman ρ between quantity and extended price (both cents), doubled
+    midranks via 2·rank() + count-equal − 1 (= 2·N_less + c + 1), then the
+    corr family's exact-int cross-moments and promote-then-multiply double
+    finalize — bit-exact floor(ρ·10⁶), NULL on a constant column."""
+    x = CENTS.format(col="l_quantity")
+    y = CENTS.format(col="l_extendedprice")
+    return f"""
+WITH e AS (
+  SELECT l_partkey::BIGINT AS g, {x} AS x, {y} AS y FROM lineitem
+),
+r AS (
+  SELECT g,
+         (2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + count(*) OVER (PARTITION BY g, x) - 1)::BIGINT AS mx,
+         (2 * rank() OVER (PARTITION BY g ORDER BY y)
+            + count(*) OVER (PARTITION BY g, y) - 1)::BIGINT AS my
+  FROM e
+),
+st AS (
+  SELECT g, count(*)::BIGINT AS n,
+         sum(mx)::BIGINT AS sx, sum(my)::BIGINT AS sy,
+         sum(mx*mx)::BIGINT AS sxx, sum(my*my)::BIGINT AS syy,
+         sum(mx*my)::BIGINT AS sxy
+  FROM r GROUP BY 1
+)
+SELECT g AS l_partkey, n,
+       CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0.0::DOUBLE
+             AND (n::DOUBLE * syy - sy::DOUBLE * sy) > 0.0::DOUBLE
+            THEN floor(((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1000000.0::DOUBLE)
+                       / (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)
+                          * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)))::BIGINT
+            ELSE NULL END AS spearman_ppm
+FROM st"""
+
+
+def sql_purchase_click_ks() -> str:
+    """Twin of ``relational.ks_two_sample`` over purchase-vs-click cents:
+    per-value indicator counts, inclusive running sums ordered by value,
+    d_num = max|cumA·n_b − cumB·n_a| exact integer, d_ppm floored in the
+    same promote-then-divide double order as the engine."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_type AS grp, {v} AS v FROM events
+           WHERE event_type IN ('purchase', 'click')),
+cv AS (SELECT v,
+              sum(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+              sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END)::BIGINT AS cb
+       FROM e GROUP BY 1),
+c AS (SELECT sum(ca) OVER (ORDER BY v)::BIGINT AS cuma,
+             sum(cb) OVER (ORDER BY v)::BIGINT AS cumb
+      FROM cv),
+t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM cv)
+SELECT na AS n_a, nb AS n_b,
+       max(abs(cuma * nb - cumb * na))::BIGINT AS d_num,
+       CASE WHEN na > 0 AND nb > 0
+            THEN floor((max(abs(cuma * nb - cumb * na))::DOUBLE
+                        * 1000000.0::DOUBLE)
+                       / (na::DOUBLE * nb::DOUBLE))::BIGINT
+            ELSE NULL END AS d_ppm
+FROM c CROSS JOIN t GROUP BY na, nb"""

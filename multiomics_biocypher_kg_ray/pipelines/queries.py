@@ -1396,6 +1396,35 @@ def q_event_type_burstiness(sf_dir: str):
     return drop_empty_blocks(st.map_batches(fin, batch_format="pyarrow"), OUT)
 
 
+def q_part_price_spearman(sf_dir: str):
+    """Per-part Spearman rank correlation between quantity and extended
+    price — the outlier-robust monotone-association companion to
+    ``part_price_corr``'s Pearson, exact doubled-midrank moments."""
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    prepped = li.map_batches(
+        lambda t: relational.to_cents(
+            t, {"l_quantity": "x", "l_extendedprice": "y"}
+        ).select(["l_partkey", "x", "y"]),
+        batch_format="pyarrow",
+    )
+    return relational.group_spearman(prepped, "l_partkey", "x", "y")
+
+
+def q_purchase_click_ks(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov D between purchase and click
+    value distributions — the shape-drift companion to the Mann-Whitney
+    location test; integer sup over value-cardinality cumsums."""
+    ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}).select(
+            ["event_type", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.ks_two_sample(ev, "event_type", "cents", "purchase", "click")
+
+
 def q_fk_orphan_audit(sf_dir: str):
     """Referential-integrity audit across three FK pairs (lineitem→orders,
     orders→customer, customer→nation): rows, orphans (anti-join misses),
@@ -3167,6 +3196,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_fk_orphan_audit,
             oracle_rel.sql_fk_orphan_audit(),
         ),
+        "part_price_spearman": (
+            q_part_price_spearman,
+            oracle_rel.sql_part_price_spearman(),
+        ),
+        "purchase_click_ks": (
+            q_purchase_click_ks,
+            oracle_rel.sql_purchase_click_ks(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3176,6 +3213,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "part_price_spearman",
+        "purchase_click_ks",
         "kg_assortativity",
         "orders_loo_priority",
         "doc_bigram_score",

@@ -2291,3 +2291,330 @@ def mann_whitney_u(
         ),
         OUT,
     )
+
+
+def group_spearman(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "spearman_ppm",
+) -> "ray.data.Dataset":
+    """Per-group Spearman rank correlation between two int64 columns, one
+    row per group: ``(group, n, out_col)`` with out_col = floor(ρ·10⁶) —
+    the monotone-association screen that, unlike ``group_corr``'s Pearson,
+    survives outliers and nonlinear (but monotone) value scales. NULL when
+    either column is constant within the group.
+
+    ρ = Pearson on tie-averaged ranks; doubled midranks (2·N_less + c + 1,
+    the ``mann_whitney_u`` identity) keep every rank integer, and Pearson
+    is scale/shift invariant so the doubling cancels. Exactness: the five
+    cross-moments over doubled midranks are exact int64 sums; the finalize
+    derives ρ in doubles with the identical promote-then-multiply op order
+    as ``group_corr``'s twin — bit-exact floor(ρ·10⁶) at any parallelism.
+
+    Never ranks raw rows: (group, x, y) CELL counts from one fastagg carry
+    everything. Midranks come from value-cardinality tables (per-group
+    exclusive segmented count scans — hot groups are the scan's hot-part
+    case), joined back to the CELLS (cell-cardinality, not row-cardinality,
+    probes). Moments are c-weighted sums over cells.
+
+    Contract: Σ c·(2N_g+1)² per group must fit int64 → exact to ~1.3M rows
+    per group; quantize values coarser (fewer distinct ranks don't help —
+    it's N_g that matters) or shard groups beyond. Reference analog: the
+    co-expression rank-correlation screens of the reference's experiment
+    aggregation layer (SURVEY.md §2.5)."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+    from .window import cumsum_over
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    gt = typ[group_col]
+    CELLS = pa.schema(
+        [(group_col, gt), ("_x", pa.int64()), ("_y", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CELLS.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                pc.cast(t.column(x_col), pa.int64()),
+                pc.cast(t.column(y_col), pa.int64()),
+            ],
+            schema=CELLS,
+        )
+
+    cells = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns([group_col, x_col, y_col]).map_batches(
+                prep, batch_format="pyarrow"
+            ),
+            [group_col, "_x", "_y"],
+            [("_x", "count")],
+            out_names=["_c"],
+        ),
+        pa.schema(list(CELLS) + [("_c", pa.int64())]),
+    ).materialize()  # consumed three times: x-marginal, y-marginal, probe
+
+    def _midranks(axis: str, out: str) -> "ray.data.Dataset":
+        # value-cardinality marginal → exclusive per-group count scan →
+        # doubled midrank 2·N_less + c + 1 (integer even under ties)
+        marg = sorted_grouped_agg(
+            cells.select_columns([group_col, axis, "_c"]),
+            [group_col, axis],
+            [("_c", "sum")],
+            out_names=["_c"],
+        )
+        nless = cumsum_over(
+            marg, group_col, [axis], "_c", out_col="_nless", inclusive=False
+        )
+        MR = pa.schema([(group_col, gt), (axis, pa.int64()), (out, pa.int64())])
+        return drop_empty_blocks(
+            nless.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        t.column(group_col),
+                        t.column(axis),
+                        pc.add(
+                            pc.add(
+                                pc.multiply(
+                                    t.column("_nless"), pa.scalar(2, pa.int64())
+                                ),
+                                t.column("_c"),
+                            ),
+                            pa.scalar(1, pa.int64()),
+                        ),
+                    ],
+                    schema=MR,
+                )
+                if t.num_columns
+                else MR.empty_table(),
+                batch_format="pyarrow",
+            ),
+            MR,
+        )
+
+    j = hash_join(
+        hash_join(cells, _midranks("_x", "_mx"), on=(group_col, "_x")),
+        _midranks("_y", "_my"),
+        on=(group_col, "_y"),
+    )
+    MID = pa.schema(
+        [
+            (group_col, gt),
+            ("_n", pa.int64()),
+            ("_sx", pa.int64()),
+            ("_sy", pa.int64()),
+            ("_sxx", pa.int64()),
+            ("_syy", pa.int64()),
+            ("_sxy", pa.int64()),
+        ]
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        c = t.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = t.column("_mx").to_numpy(zero_copy_only=False).astype(np.int64)
+        my = t.column("_my").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                pa.array(c, pa.int64()),
+                pa.array(c * mx, pa.int64()),
+                pa.array(c * my, pa.int64()),
+                pa.array(c * mx * mx, pa.int64()),
+                pa.array(c * my * my, pa.int64()),
+                pa.array(c * mx * my, pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    stats = sorted_grouped_agg(
+        drop_empty_blocks(j.map_batches(weigh, batch_format="pyarrow"), MID),
+        [group_col],
+        [
+            ("_n", "sum"),
+            ("_sx", "sum"),
+            ("_sy", "sum"),
+            ("_sxx", "sum"),
+            ("_syy", "sum"),
+            ("_sxy", "sum"),
+        ],
+        out_names=["n", "_sx", "_sy", "_sxx", "_syy", "_sxy"],
+    )
+    OUT = pa.schema([(group_col, gt), ("n", pa.int64()), (out_col, pa.int64())])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        f = np.float64
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(f)
+        sx = t.column("_sx").to_numpy(zero_copy_only=False).astype(f)
+        sy = t.column("_sy").to_numpy(zero_copy_only=False).astype(f)
+        sxx = t.column("_sxx").to_numpy(zero_copy_only=False).astype(f)
+        syy = t.column("_syy").to_numpy(zero_copy_only=False).astype(f)
+        sxy = t.column("_sxy").to_numpy(zero_copy_only=False).astype(f)
+        # identical double derivation as the SQL twin (promote-then-multiply)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        ok = (vx > 0.0) & (vy > 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.floor((cov * 1000000.0) / (np.sqrt(vx) * np.sqrt(vy)))
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                pc.cast(t.column("n"), pa.int64()),
+                pa.array(np.where(ok, r, 0).astype(np.int64), pa.int64(), mask=~ok),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        stats.map_batches(finalize, batch_format="pyarrow"), OUT
+    )
+
+
+def ks_two_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> "ray.data.Dataset":
+    """Exact two-sample Kolmogorov-Smirnov statistic between the rows of
+    ``group_a`` and ``group_b`` over int64 ``value_col`` — ONE row:
+    ``(n_a, n_b, d_num, d_ppm)`` where d_num = max|cumA·n_b − cumB·n_a|
+    (exact integer: the sup of |F_a − F_b| over the step functions, scaled
+    by n_a·n_b) and d_ppm = floor(d_num·10⁶ / (n_a·n_b)) in the corr
+    family's promote-then-divide double order. The distribution-SHAPE
+    companion to ``mann_whitney_u``'s location test: detects any
+    distributional drift (spread, modality), not just a median shift.
+
+    Step functions attain their sup at data points, so the statistic needs
+    only the VALUE-cardinality table: one fastagg of per-value (c_a, c_b)
+    indicator counts, two inclusive segmented cumsum scans over the
+    value-sorted aggregate (single constant part — the scan's hot-part
+    case), a stateless per-row |·| and one global max fastagg. No raw-row
+    ranking, no driver state beyond the two O(1) totals.
+
+    Contract: cum·n ≤ N² must fit int64 → exact to ~3·10⁹ total rows."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .window import cumsum_over
+
+    CV = pa.schema(
+        [("_v", pa.int64()), ("_ca", pa.int64()), ("_cb", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CV.empty_table()
+        g = t.column(group_col)
+        keep = pc.or_(pc.equal(g, group_a), pc.equal(g, group_b))
+        t = t.filter(keep)
+        isa = pc.cast(pc.equal(t.column(group_col), group_a), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column(value_col), pa.int64()),
+                isa,
+                pc.subtract(pa.scalar(1, pa.int64()), isa),
+            ],
+            schema=CV,
+        )
+
+    cv = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns([group_col, value_col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["_v"],
+            [("_ca", "sum"), ("_cb", "sum")],
+            out_names=["_ca", "_cb"],
+        ),
+        CV,
+    ).materialize()  # consumed twice: the cum scans and the O(1) totals
+
+    na = nb = 0
+    for b in cv.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_columns and b.num_rows:
+            na += pc.sum(b.column("_ca")).as_py() or 0
+            nb += pc.sum(b.column("_cb")).as_py() or 0
+
+    CVG = pa.schema(list(CV) + [("_g", pa.int64())])
+    withg = drop_empty_blocks(
+        cv.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))
+            )
+            if t.num_columns
+            else CVG.empty_table(),
+            batch_format="pyarrow",
+        ),
+        CVG,
+    )
+    cum = cumsum_over(
+        cumsum_over(withg, "_g", ["_v"], "_ca", out_col="_cuma"),
+        "_g",
+        ["_v"],
+        "_cb",
+        out_col="_cumb",
+    )
+    D = pa.schema([("_g", pa.int64()), ("_d", pa.int64())])
+
+    def diff(t: pa.Table, na: int, nb: int) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return D.empty_table()
+        ca = t.column("_cuma").to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t.column("_cumb").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column("_g"), pa.array(np.abs(ca * nb - cb * na), pa.int64())],
+            schema=D,
+        )
+
+    mx = sorted_grouped_agg(
+        drop_empty_blocks(
+            cum.map_batches(
+                diff, fn_kwargs={"na": na, "nb": nb}, batch_format="pyarrow"
+            ),
+            D,
+        ),
+        ["_g"],
+        [("_d", "max")],
+        out_names=["_d"],
+    )
+    OUT = pa.schema(
+        [
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("d_num", pa.int64()),
+            ("d_ppm", pa.int64()),
+        ]
+    )
+
+    def fin(t: pa.Table, na: int, nb: int) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        d = int(t.column("_d")[0].as_py())
+        ok = na > 0 and nb > 0
+        ppm = (
+            int(np.floor((np.float64(d) * 1000000.0) / (np.float64(na) * np.float64(nb))))
+            if ok
+            else None
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array([na], pa.int64()),
+                pa.array([nb], pa.int64()),
+                pa.array([d], pa.int64()),
+                pa.array([ppm], pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        mx.map_batches(fin, fn_kwargs={"na": na, "nb": nb}, batch_format="pyarrow"),
+        OUT,
+    )

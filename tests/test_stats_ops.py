@@ -1,0 +1,121 @@
+"""Round-4 session-6 statistics operators — Spearman rank correlation vs a
+pandas-rank reference (ties, perfect monotone, anti-monotone, constant
+column) and the exact two-sample KS statistic vs a brute-force ECDF sweep."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from multiomics_biocypher_kg_ray.stages.relational import (
+    group_spearman,
+    ks_two_sample,
+)
+
+
+def _ds(df: pd.DataFrame, blocks: int = 4):
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(blocks)
+
+
+def _spearman_ref(x: np.ndarray, y: np.ndarray) -> int | None:
+    # doubled pandas midranks + the engine/oracle's exact moment-form and
+    # promote-then-multiply double op order (incl. its floor quantization)
+    mx = (2 * pd.Series(x).rank(method="average").to_numpy()).astype(np.int64)
+    my = (2 * pd.Series(y).rank(method="average").to_numpy()).astype(np.int64)
+    n = np.float64(len(mx))
+    sx, sy = np.float64(mx.sum()), np.float64(my.sum())
+    sxx = np.float64((mx * mx).sum())
+    syy = np.float64((my * my).sum())
+    sxy = np.float64((mx * my).sum())
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if not (vx > 0.0 and vy > 0.0):
+        return None
+    return int(np.floor(((n * sxy - sx * sy) * 1e6) / (np.sqrt(vx) * np.sqrt(vy))))
+
+
+def test_spearman_perfect_monotone_and_inverse():
+    # nonlinear but strictly monotone -> rho exactly +1 / -1
+    x = np.array([1, 2, 3, 4, 5, 6], np.int64)
+    df = pd.DataFrame(
+        {
+            "g": ["up"] * 6 + ["down"] * 6,
+            "x": np.concatenate([x, x]),
+            "y": np.concatenate([x**3, (100 - x) ** 2]),
+        }
+    )
+    out = group_spearman(_ds(df, 3), "g", "x", "y").to_pandas().set_index("g")
+    # floor quantization of the double ratio: exact +1 floors to 10⁶, exact
+    # −1 may floor to −10⁶−1 when sqrt(vx)·sqrt(vy) rounds below |cov|
+    assert out.loc["up", "spearman_ppm"] == 1_000_000
+    assert out.loc["down", "spearman_ppm"] in (-1_000_000, -1_000_001)
+    assert out.loc["down", "spearman_ppm"] == _spearman_ref(
+        x, (100 - x) ** 2
+    )
+    assert (out["n"] == 6).all()
+
+
+def test_spearman_ties_match_pandas_midrank_reference():
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in ["a", "b", "c"]:
+        x = rng.integers(0, 8, 40)  # heavy ties
+        y = x * 2 + rng.integers(0, 5, 40)
+        rows.append(pd.DataFrame({"g": g, "x": x, "y": y}))
+    df = pd.concat(rows, ignore_index=True)
+    out = group_spearman(_ds(df, 5), "g", "x", "y").to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        ref = _spearman_ref(sub["x"].to_numpy(), sub["y"].to_numpy())
+        assert int(out.loc[g, "spearman_ppm"]) == ref, g
+
+
+def test_spearman_constant_column_is_null():
+    df = pd.DataFrame({"g": ["k"] * 5, "x": [1, 2, 3, 4, 5], "y": [9] * 5})
+    out = group_spearman(_ds(df, 2), "g", "x", "y").to_pandas()
+    assert len(out) == 1 and pd.isna(out.loc[0, "spearman_ppm"])
+
+
+def _ks_ref(a: np.ndarray, b: np.ndarray) -> tuple[int, int]:
+    vals = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), vals, side="right")
+    cb = np.searchsorted(np.sort(b), vals, side="right")
+    d = np.max(np.abs(ca * len(b) - cb * len(a)))
+    ppm = int(np.floor(float(d) * 1e6 / (len(a) * len(b))))
+    return int(d), ppm
+
+
+def test_ks_identical_and_disjoint_distributions():
+    a = np.array([1, 2, 3, 4], np.int64)
+    df_same = pd.DataFrame(
+        {"g": ["A"] * 4 + ["B"] * 4, "v": np.concatenate([a, a])}
+    )
+    out = ks_two_sample(_ds(df_same, 3), "g", "v", "A", "B").to_pandas()
+    assert out.loc[0, "d_num"] == 0 and out.loc[0, "d_ppm"] == 0
+
+    df_disj = pd.DataFrame(
+        {"g": ["A"] * 4 + ["B"] * 4, "v": [1, 2, 3, 4, 10, 11, 12, 13]}
+    )
+    out = ks_two_sample(_ds(df_disj, 3), "g", "v", "A", "B").to_pandas()
+    # fully separated -> D = 1 -> d_num = n_a * n_b
+    assert out.loc[0, "d_num"] == 16 and out.loc[0, "d_ppm"] == 1_000_000
+
+
+def test_ks_ties_and_unequal_sizes_match_bruteforce():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 20, 57)
+    b = rng.integers(5, 25, 143)
+    df = pd.DataFrame(
+        {
+            "g": ["A"] * len(a) + ["B"] * len(b) + ["other"] * 10,
+            "v": np.concatenate([a, b, rng.integers(0, 9, 10)]),
+        }
+    )
+    out = ks_two_sample(_ds(df, 6), "g", "v", "A", "B").to_pandas()
+    d_ref, ppm_ref = _ks_ref(a, b)
+    assert out.loc[0, "n_a"] == 57 and out.loc[0, "n_b"] == 143
+    assert out.loc[0, "d_num"] == d_ref
+    assert out.loc[0, "d_ppm"] == ppm_ref
