@@ -2382,3 +2382,55 @@ SELECT na AS n_a, nb AS n_b,
                        / (na::DOUBLE * nb::DOUBLE))::BIGINT
             ELSE NULL END AS d_ppm
 FROM c CROSS JOIN t GROUP BY na, nb"""
+
+
+def sql_segment_priority_chisq() -> str:
+    """Twin of ``relational.contingency_chi2`` over segment × priority:
+    cells + margins, FULL cross product (zero cells carry their expected
+    mass), per-cell floor((O·N−R·C)²·10⁶/(N·R·C)) in the engine's double
+    op order, Cramér's V from the already-quantized statistic."""
+    return """
+WITH j AS (SELECT c_mktsegment AS r, o_orderpriority AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+cells AS (SELECT r, c, count(*)::BIGINT AS o FROM j GROUP BY 1, 2),
+rm AS (SELECT r, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+cm AS (SELECT c, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+fullx AS (SELECT rt, ct, coalesce(cells.o, 0)::BIGINT AS o, n
+          FROM rm CROSS JOIN cm CROSS JOIN tot
+          LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+q AS (SELECT floor(((o::DOUBLE * n::DOUBLE - rt::DOUBLE * ct::DOUBLE)
+                    * (o::DOUBLE * n::DOUBLE - rt::DOUBLE * ct::DOUBLE)
+                    * 1000000.0::DOUBLE)
+                   / (n::DOUBLE * rt::DOUBLE * ct::DOUBLE))::BIGINT AS qv, n
+      FROM fullx),
+dims AS (SELECT (SELECT count(*) FROM rm)::BIGINT AS nr,
+                (SELECT count(*) FROM cm)::BIGINT AS nc)
+SELECT n, nr AS n_rows, nc AS n_cols,
+       ((nr - 1) * (nc - 1))::BIGINT AS dof,
+       sum(qv)::BIGINT AS chi2_micro,
+       floor(sqrt((sum(qv)::DOUBLE / 1000000.0::DOUBLE)
+                  / (n::DOUBLE * least(nr - 1, nc - 1)::DOUBLE))
+             * 1000000.0::DOUBLE)::BIGINT AS cramers_v_ppm
+FROM q CROSS JOIN dims GROUP BY n, nr, nc"""
+
+
+def sql_event_type_hour_mi() -> str:
+    """Twin of ``relational.contingency_mi`` over event type × hour-of-day:
+    observed cells only (zero cells contribute exactly 0), pointwise log
+    quantized to milli-nats FIRST (the zipf-slope floor(ln·10³) discipline),
+    weighted by exact integer counts."""
+    return """
+WITH e AS (SELECT event_type AS r,
+                  ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS c
+           FROM events),
+cells AS (SELECT r, c, count(*)::BIGINT AS o FROM e GROUP BY 1, 2),
+rm AS (SELECT r, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+cm AS (SELECT c, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+tot AS (SELECT sum(o)::BIGINT AS n FROM cells)
+SELECT n,
+       (SELECT count(*) FROM rm)::BIGINT AS n_rows,
+       (SELECT count(*) FROM cm)::BIGINT AS n_cols,
+       sum(o * floor(ln((o::DOUBLE * n::DOUBLE) / (rt::DOUBLE * ct::DOUBLE))
+                     * 1000.0::DOUBLE)::BIGINT)::BIGINT AS mi_milli_sum
+FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot GROUP BY n"""

@@ -1425,6 +1425,40 @@ def q_purchase_click_ks(sf_dir: str):
     return relational.ks_two_sample(ev, "event_type", "cents", "purchase", "click")
 
 
+def q_segment_priority_chisq(sf_dir: str):
+    """Chi-square independence test between customer market segment and
+    order priority — the two-way stratification audit; full cross product
+    incl. zero cells, per-cell micro-quantized contributions."""
+    from ..stages.joins import hash_join
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    j = hash_join(o, c, on=("o_custkey",))
+    return relational.contingency_chi2(j, "c_mktsegment", "o_orderpriority")
+
+
+def q_event_type_hour_mi(sf_dir: str):
+    """Mutual information between event type and hour-of-day in integer
+    milli-nat·count units — does the clock carry event-type signal?"""
+    from ..arrow_util import floor_div_i64
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        hour = floor_div_i64(ts_us, 3_600_000_000)
+        h = hour.to_numpy(zero_copy_only=False).astype(np.int64) % 24
+        return pa.table(
+            {"event_type": t.column("event_type"), "hour": pa.array(h, pa.int64())}
+        )
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return relational.contingency_mi(ev, "event_type", "hour")
+
+
 def q_fk_orphan_audit(sf_dir: str):
     """Referential-integrity audit across three FK pairs (lineitem→orders,
     orders→customer, customer→nation): rows, orphans (anti-join misses),
@@ -3204,6 +3238,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_purchase_click_ks,
             oracle_rel.sql_purchase_click_ks(),
         ),
+        "segment_priority_chisq": (
+            q_segment_priority_chisq,
+            oracle_rel.sql_segment_priority_chisq(),
+        ),
+        "event_type_hour_mi": (
+            q_event_type_hour_mi,
+            oracle_rel.sql_event_type_hour_mi(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3215,6 +3257,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     first = [
         "part_price_spearman",
         "purchase_click_ks",
+        "segment_priority_chisq",
+        "event_type_hour_mi",
         "kg_assortativity",
         "orders_loo_priority",
         "doc_bigram_score",

@@ -2618,3 +2618,160 @@ def ks_two_sample(
         mx.map_batches(fin, fn_kwargs={"na": na, "nb": nb}, batch_format="pyarrow"),
         OUT,
     )
+
+
+def _contingency_cells(
+    ds: "ray.data.Dataset", row_col: str, col_col: str
+) -> list[tuple[object, object, int]]:
+    """Distributed (row, col) contingency counts collected to the driver —
+    bounded by distinct(row)·distinct(col) BY CONTRACT (the ``psi_drift``
+    bounded-collect shape: callers pass low-cardinality categoricals like
+    segment × priority or type × hour; the row counting itself is one
+    fastagg with per-batch C++ combiners, so the stream that reaches the
+    driver is already cell-cardinality)."""
+    from .fastagg import sorted_grouped_agg
+
+    agg = sorted_grouped_agg(
+        ds.select_columns([row_col, col_col]),
+        [row_col, col_col],
+        [(row_col, "count")],
+        out_names=["_n"],
+    )
+    cells: list[tuple[object, object, int]] = []
+    for bt in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        if bt.num_columns and bt.num_rows:
+            cells.extend(
+                zip(
+                    bt.column(row_col).to_pylist(),
+                    bt.column(col_col).to_pylist(),
+                    (int(x) for x in bt.column("_n").to_pylist()),
+                )
+            )
+    return cells
+
+
+def contingency_chi2(
+    ds: "ray.data.Dataset", row_col: str, col_col: str
+) -> "ray.data.Dataset":
+    """Pearson chi-square test of independence between two categorical
+    columns — ONE row ``(n, n_rows, n_cols, dof, chi2_micro,
+    cramers_v_ppm)``. The are-these-features-independent audit run before
+    using one categorical to stratify another (SURVEY §2.5's significance
+    readouts, generalized to a two-way table).
+
+    chi2_micro = Σ over the FULL row×col cross product (zero cells
+    contribute their expected mass) of floor((O·N − R·C)²·10⁶ / (N·R·C))
+    per cell, each term derived in doubles with the exact op order of the
+    SQL twin, summed as int64 — deterministic at any parallelism.
+    cramers_v_ppm = floor(√((chi2_micro/10⁶)/(N·min(R−1,C−1)))·10⁶) from
+    the already-quantized statistic, same both sides.
+
+    Scale shape: one (row,col)-cardinality fastagg; the cross-product
+    finalize is O(categories²) on the driver — bounded by contract."""
+    cells = _contingency_cells(ds, row_col, col_col)
+    obs: dict[tuple[object, object], int] = {(r, c): n for r, c, n in cells}
+    rt: dict[object, int] = {}
+    ct: dict[object, int] = {}
+    for r, c, n in cells:
+        rt[r] = rt.get(r, 0) + n
+        ct[c] = ct.get(c, 0) + n
+    n_tot = sum(rt.values())
+    R, C = len(rt), len(ct)
+    OUT = pa.schema(
+        [
+            ("n", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("n_cols", pa.int64()),
+            ("dof", pa.int64()),
+            ("chi2_micro", pa.int64()),
+            ("cramers_v_ppm", pa.int64()),
+        ]
+    )
+    if n_tot == 0 or R < 2 or C < 2:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "n": [n_tot],
+                    "n_rows": [R],
+                    "n_cols": [C],
+                    "dof": [0],
+                    "chi2_micro": [None],
+                    "cramers_v_ppm": [None],
+                },
+                schema=OUT,
+            )
+        )
+    f = np.float64
+    chi2 = 0
+    for r, rtot in rt.items():
+        for c, ctot in ct.items():
+            o = obs.get((r, c), 0)
+            # identical double op order as the SQL twin
+            d = f(o) * f(n_tot) - f(rtot) * f(ctot)
+            chi2 += int(np.floor((d * d * 1000000.0) / (f(n_tot) * f(rtot) * f(ctot))))
+    k = min(R - 1, C - 1)
+    v = int(np.floor(np.sqrt((f(chi2) / 1000000.0) / (f(n_tot) * f(k))) * 1000000.0))
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n": [n_tot],
+                "n_rows": [R],
+                "n_cols": [C],
+                "dof": [(R - 1) * (C - 1)],
+                "chi2_micro": [chi2],
+                "cramers_v_ppm": [v],
+            },
+            schema=OUT,
+        )
+    )
+
+
+def contingency_mi(
+    ds: "ray.data.Dataset", row_col: str, col_col: str
+) -> "ray.data.Dataset":
+    """Mutual information between two categorical columns in quantized
+    units — ONE row ``(n, n_rows, n_cols, mi_milli_sum)`` where
+    mi_milli_sum = Σ over OBSERVED cells of O·floor(ln(O·N/(R·C))·10³):
+    the pointwise-MI log quantized to integer milli-nats FIRST (the
+    ``corpus_zipf_slope`` discipline — floor(ln·10³) is where numpy and
+    DuckDB libm provably agree), then weighted by the exact integer cell
+    count and summed as int64. MI = mi_milli_sum/(N·10³) nats up to
+    quantization; zero cells contribute exactly 0 (lim x·ln x = 0), so no
+    cross product is needed. THE feature-redundancy screen (does hour of
+    day carry event-type information?).
+
+    Scale shape: identical to ``contingency_chi2`` — one cell-cardinality
+    fastagg, O(cells) driver finalize, bounded by contract."""
+    cells = _contingency_cells(ds, row_col, col_col)
+    rt: dict[object, int] = {}
+    ct: dict[object, int] = {}
+    for r, c, n in cells:
+        rt[r] = rt.get(r, 0) + n
+        ct[c] = ct.get(c, 0) + n
+    n_tot = sum(rt.values())
+    f = np.float64
+    mi = 0
+    for r, c, o in cells:
+        l = int(
+            np.floor(np.log((f(o) * f(n_tot)) / (f(rt[r]) * f(ct[c]))) * 1000.0)
+        )
+        mi += o * l
+    OUT = pa.schema(
+        [
+            ("n", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("n_cols", pa.int64()),
+            ("mi_milli_sum", pa.int64()),
+        ]
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n": [n_tot],
+                "n_rows": [len(rt)],
+                "n_cols": [len(ct)],
+                "mi_milli_sum": [mi if n_tot else None],
+            },
+            schema=OUT,
+        )
+    )

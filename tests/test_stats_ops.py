@@ -119,3 +119,43 @@ def test_ks_ties_and_unequal_sizes_match_bruteforce():
     assert out.loc[0, "n_a"] == 57 and out.loc[0, "n_b"] == 143
     assert out.loc[0, "d_num"] == d_ref
     assert out.loc[0, "d_ppm"] == ppm_ref
+
+
+def test_chi2_known_2x2_and_zero_cell():
+    from multiomics_biocypher_kg_ray.stages.relational import contingency_chi2
+
+    # 2x2: [[10, 0], [0, 10]] -> perfect association, chi2 = N = 20,
+    # Cramér's V = 1; the two zero cells MUST contribute their expected mass
+    df = pd.DataFrame(
+        {"r": ["a"] * 10 + ["b"] * 10, "c": ["x"] * 10 + ["y"] * 10}
+    )
+    out = contingency_chi2(_ds(df, 3), "r", "c").to_pandas()
+    assert out.loc[0, "n"] == 20 and out.loc[0, "dof"] == 1
+    assert out.loc[0, "chi2_micro"] == 20 * 1_000_000
+    assert out.loc[0, "cramers_v_ppm"] in (1_000_000, 999_999)
+
+
+def test_chi2_independent_is_zero():
+    from multiomics_biocypher_kg_ray.stages.relational import contingency_chi2
+
+    # perfectly proportional table -> chi2 exactly 0
+    rows = []
+    for r, mult in [("a", 1), ("b", 3)]:
+        for c, base in [("x", 4), ("y", 6)]:
+            rows.extend([{"r": r, "c": c}] * (mult * base))
+    out = contingency_chi2(_ds(pd.DataFrame(rows), 4), "r", "c").to_pandas()
+    assert out.loc[0, "chi2_micro"] == 0 and out.loc[0, "cramers_v_ppm"] == 0
+
+
+def test_mi_independent_vs_dependent():
+    from multiomics_biocypher_kg_ray.stages.relational import contingency_mi
+
+    # independent uniform 2x2 -> every pointwise log is ln(1) = 0
+    rows = [{"r": r, "c": c} for r in "ab" for c in "xy" for _ in range(5)]
+    out = contingency_mi(_ds(pd.DataFrame(rows), 3), "r", "c").to_pandas()
+    assert out.loc[0, "mi_milli_sum"] == 0
+
+    # perfectly dependent: MI = ln 2 per row -> sum = N * floor(1000 ln 2)
+    df = pd.DataFrame({"r": ["a"] * 8 + ["b"] * 8, "c": ["x"] * 8 + ["y"] * 8})
+    out = contingency_mi(_ds(df, 3), "r", "c").to_pandas()
+    assert out.loc[0, "mi_milli_sum"] == 16 * int(np.floor(np.log(2.0) * 1000))
