@@ -844,3 +844,83 @@ es AS (SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
 sc AS (SELECT a, b, count(*)::BIGINT AS s FROM es GROUP BY 1, 2)
 SELECT und.a, und.b, coalesce(sc.s, 0)::BIGINT AS support
 FROM und LEFT JOIN sc USING (a, b)"""
+
+
+def sql_kg_ktruss(k: int = 3, rounds: int = 3) -> str:
+    """Twin of ``graph.truss_peel``: the same fixed number of
+    recount-and-filter rounds unrolled one CTE triple per round — x<y<z
+    three-way self-join triangle enumeration, per-edge support via the
+    3-way corner union, inner join keeps only edges with support ≥ k−2
+    (positive threshold, so the engine's left-join zero-fill is moot)."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM e{r} e1 JOIN e{r} e2 ON e2.a = e1.b "
+            f"JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT a, b, count(*)::BIGINT AS support "
+            f"FROM (SELECT x AS a, y AS b FROM t{r} "
+            f"UNION ALL SELECT x, z FROM t{r} "
+            f"UNION ALL SELECT y, z FROM t{r}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT s.a, s.b, s.support "
+            f"FROM e{r} e JOIN s{r} s ON e.a = s.a AND e.b = s.b "
+            f"WHERE s.support >= {k - 2})"
+        )
+    body = ",\n".join(parts)
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+{body}
+SELECT a, b, support FROM e{rounds}"""
+
+
+def sql_kg_hits(iters: int = 2, scale: int = 1_000_000) -> str:
+    """Twin of ``graph.hits``: fixed synchronous half-iterations unrolled —
+    gather-sum across the directed deduped edges, zero-fill via nodes LEFT
+    JOIN, rescale by integer division with greatest(max // scale, 1)."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges "
+        "WHERE src <> dst)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0))",
+        f"h0 AS MATERIALIZED (SELECT node, {scale}::BIGINT AS s FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT n.node, coalesce(x.s, 0)::BIGINT AS s "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(h.s)::BIGINT AS s "
+            f"FROM e0 e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1) x "
+            f"ON n.node = x.node)"
+        )
+        parts.append(
+            f"ad{i} AS (SELECT greatest(max(s) // {scale}, 1)::BIGINT AS d FROM ar{i})"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node, (s // d)::BIGINT AS s "
+            f"FROM ar{i} CROSS JOIN ad{i})"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT n.node, coalesce(x.s, 0)::BIGINT AS s "
+            f"FROM nodes n LEFT JOIN (SELECT e.src AS node, sum(a.s)::BIGINT AS s "
+            f"FROM e0 e JOIN a{i} a ON e.dst = a.node GROUP BY 1) x "
+            f"ON n.node = x.node)"
+        )
+        parts.append(
+            f"hd{i} AS (SELECT greatest(max(s) // {scale}, 1)::BIGINT AS d FROM hr{i})"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT node, (s // d)::BIGINT AS s "
+            f"FROM hr{i} CROSS JOIN hd{i})"
+        )
+    body = ",\n".join(parts)
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+{body}
+SELECT a.node, a.s AS auth_q, h.s AS hub_q
+FROM a{iters} a JOIN h{iters} h USING (node)"""

@@ -871,6 +871,28 @@ def q_kg_edge_support(sf_dir: str):
     )
 
 
+def q_kg_ktruss(sf_dir: str):
+    """Bounded 3-truss peel of the KG (3 recount rounds): edges whose
+    endpoints share ≥ 1 common neighbor within the surviving core —
+    multi-path-corroborated claims."""
+    from ..stages import graph
+
+    return graph.truss_peel(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()), k=3, rounds=3
+    )
+
+
+def q_kg_hits(sf_dir: str):
+    """Integer HITS hubs/authorities over the directed KG edge table (2
+    iterations) — the directed complement to PageRank, bit-identical to
+    the unrolled-CTE oracle."""
+    from ..stages import graph
+
+    return graph.hits(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()), iters=2
+    )
+
+
 def q_kg_clustering(sf_dir: str):
     """Per-node local clustering coefficient over the KG (degree ≥ 2) —
     triangle kernel + degree fastagg + left join, exact integer ppm."""
@@ -3063,6 +3085,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle.sql_kg_neighbor_jaccard(),
         ),
         "kg_kcore": (q_kg_kcore, oracle.sql_kg_kcore()),
+        "kg_ktruss": (q_kg_ktruss, oracle.sql_kg_ktruss()),
+        "kg_hits": (q_kg_hits, oracle.sql_kg_hits()),
         "kg_labelprop": (q_kg_labelprop, oracle.sql_kg_labelprop()),
         "kg_triangles": (q_kg_triangles, oracle.sql_kg_triangles()),
         "kg_assortativity": (q_kg_assortativity, oracle.sql_kg_assortativity()),
@@ -3259,6 +3283,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "purchase_click_ks",
         "segment_priority_chisq",
         "event_type_hour_mi",
+        "kg_ktruss",
+        "kg_hits",
         "kg_assortativity",
         "orders_loo_priority",
         "doc_bigram_score",

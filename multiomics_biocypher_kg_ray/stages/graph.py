@@ -1149,3 +1149,181 @@ def clustering_coefficient(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return drop_empty_blocks(j.map_batches(fin, batch_format="pyarrow"), OUT)
+
+
+def truss_peel(
+    edges: "ray.data.Dataset", k: int = 3, rounds: int = 3
+) -> "ray.data.Dataset":
+    """Bounded k-truss peel → ``(a, b, support)``: repeatedly recompute
+    per-edge triangle support over the surviving edge set and drop edges
+    with support < k−2, for a FIXED number of rounds — the cohesive-core
+    refinement one level above ``kcore_peel`` (a k-truss edge needs k−2
+    common neighbors, not just k−2 neighbors; bridges and tree chatter die
+    in round one). The KG-curation read: surviving edges are the claims
+    corroborated by multiple closed co-mention paths.
+
+    Fixed-round contract (the ``kcore_peel``/``pagerank`` discipline):
+    equals the exact k-truss whenever the peel converges within ``rounds``;
+    both engines run the same count regardless, so the unrolled-CTE twin
+    matches bit-for-bit even mid-convergence. ``support`` on each output
+    row is the count from the FINAL recount, i.e. the filter that admitted
+    it. Requires k ≥ 3: the twin's per-round inner join against the
+    triangle-edge aggregate drops support-0 edges, which coincides with
+    the engine's ≥ k−2 filter only when the threshold is positive.
+
+    Scale shape per round: one full degree-ordered triangle enumeration
+    (``edge_support`` — O(m^1.5) via orientation, hub-safe) + a stateless
+    filter. The edge set shrinks monotonically, so later rounds cost less;
+    truss is inherently recount-iterative (support changes as edges die).
+    """
+    if k < 3:
+        raise ValueError("truss_peel requires k >= 3 (support threshold > 0)")
+    SUP = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("support", pa.int64())]
+    )
+    ED = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    cur = edges
+    keep = None
+    for _ in range(rounds):
+        sup = edge_support(cur)
+        keep = drop_empty_blocks(
+            sup.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t.column("support"), k - 2)
+                )
+                if t.num_columns
+                else SUP.empty_table(),
+                batch_format="pyarrow",
+            ),
+            SUP,
+        ).materialize()  # bounds lineage depth; consumed as next round's input
+        cur = drop_empty_blocks(
+            keep.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("a"), t.column("b")], schema=ED
+                )
+                if t.num_columns
+                else ED.empty_table(),
+                batch_format="pyarrow",
+            ),
+            ED,
+        )
+    return keep
+
+
+def hits(
+    edges: "ray.data.Dataset", iters: int = 2, scale: int = 1_000_000
+) -> "ray.data.Dataset":
+    """Fixed-iteration integer HITS → ``(node, auth_q, hub_q)`` over the
+    DIRECTED deduped edge table: authorities are pointed AT by good hubs,
+    hubs point AT good authorities — the directed complement to
+    ``pagerank`` (a node heavily cited by broad aggregator nodes ranks as
+    authority even with modest raw in-degree). hub₀ = ``scale`` for every
+    node; each iteration: auth_raw(v) = Σ_{u→v} hub(u), hub_raw(u) =
+    Σ_{u→v} auth(v), each rescaled by INTEGER division with
+    d = max(max_raw // scale, 1) so scores stay in ~[0, 2·scale] —
+    deterministic order-free arithmetic both engines replicate exactly
+    (the max is one O(1) scalar per half-iteration; no float ever enters).
+
+    int64 headroom: normalized scores ≤ 2·scale, so raw sums are bounded by
+    2·scale·deg ≤ 2·10⁶·n — safe past 10¹² edges.
+
+    Scale shape: the deduped edge table is built once and reused; each
+    half-iteration is one hash join (edges ⋈ scores) + one fastagg (hot
+    nodes absorb their degree in the C++ partial combine) + one O(1) max.
+    Nodes with no in-edges (auth 0) / no out-edges (hub 0) survive via the
+    zero-row union, exactly like ``pagerank``."""
+    e = drop_empty_blocks(_distinct_edges(edges)).materialize()
+    nodes = sorted_distinct(_node_column(e, "src", "dst"), ["node"]).materialize()
+
+    SC = pa.schema([("node", pa.string()), ("score", pa.int64())])
+
+    def init_scores(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return SC.empty_table()
+        return t.append_column(
+            "score", pa.array(np.full(t.num_rows, scale, dtype=np.int64))
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("node", pa.string()), ("c", pa.int64())]).empty_table()
+        return t.select(["node"]).append_column(
+            "c", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        )
+
+    zeros = nodes.map_batches(zero_rows, batch_format="pyarrow")
+
+    def _half(scores: "ray.data.Dataset", join_on: str, emit: str):
+        """One HITS half-step: propagate ``scores`` across edges from the
+        ``join_on`` endpoint to the ``emit`` endpoint, sum, rescale."""
+        joined = e.join(
+            drop_empty_blocks(scores, SC),
+            join_type="inner",
+            on=(join_on,),
+            right_on=("node",),
+            num_partitions=default_join_partitions(),
+        )
+        C = pa.schema([("node", pa.string()), ("c", pa.int64())])
+        cand = drop_empty_blocks(
+            joined.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column(emit), "c": t.column("score")}
+                )
+                if t.num_columns and t.num_rows
+                else C.empty_table(),
+                batch_format="pyarrow",
+            ),
+            C,
+        ).union(zeros)
+        sums = sorted_grouped_agg(
+            cand, ["node"], [("c", "sum")], out_names=["s"]
+        ).materialize()  # consumed twice: the O(1) max and the rescale
+        m = 0
+        for b in sums.iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_columns and b.num_rows:
+                m = max(m, pc.max(b.column("s")).as_py() or 0)
+        d = max(m // scale, 1)
+        return drop_empty_blocks(
+            sums.map_batches(
+                lambda t, _d=d: pa.Table.from_arrays(
+                    [
+                        t.column("node"),
+                        pc.divide(pc.cast(t.column("s"), pa.int64()),
+                                  pa.scalar(_d, pa.int64())),
+                    ],
+                    schema=SC,
+                )
+                if t.num_columns
+                else SC.empty_table(),
+                batch_format="pyarrow",
+            ),
+            SC,
+        ).materialize()
+
+    hub = nodes.map_batches(init_scores, batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = _half(hub, "src", "dst")   # authorities gather hub mass
+        hub = _half(auth, "dst", "src")   # hubs gather authority mass
+    OUT = pa.schema(
+        [("node", pa.string()), ("auth_q", pa.int64()), ("hub_q", pa.int64())]
+    )
+    j = auth.join(
+        hub.rename_columns({"score": "hub_q"}),
+        join_type="inner",  # both sides carry every node via the zero union
+        on=("node",),
+        num_partitions=default_join_partitions(),
+    )
+    return drop_empty_blocks(
+        j.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("node"), t.column("score"), t.column("hub_q")],
+                schema=OUT,
+            )
+            if t.num_columns and t.num_rows
+            else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )

@@ -402,3 +402,106 @@ def test_hub_domains_no_hubs_returns_empty():
     ds = ray.data.from_arrow(pa.table({"src": ["a"], "dst": ["b"]}))
     out = hub_domains(ds, min_hub_deg=5, rounds=2).to_pandas()
     assert len(out) == 0
+
+
+def _ref_truss(edges, k=3, rounds=3):
+    """Pure-python bounded truss peel: recount support, filter, repeat."""
+    e = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    kept = {}
+    for _ in range(rounds):
+        adj: dict[str, set] = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {}
+        for a, b in e:
+            common = adj[a] & adj[b]
+            sup[(a, b)] = len(common)
+        kept = {ab: s for ab, s in sup.items() if s >= k - 2}
+        e = sorted(kept)
+    return kept
+
+
+def test_truss_peel_matches_bruteforce_recount():
+    from multiomics_biocypher_kg_ray.stages.graph import truss_peel
+
+    edges = _random_edges(3, n_nodes=25, n_edges=160)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+        )
+    ).repartition(4)
+    out = truss_peel(ds, k=3, rounds=3).to_pandas()
+    got = {
+        (r.a, r.b): int(r.support) for r in out.itertuples(index=False)
+    }
+    assert got == _ref_truss(edges, k=3, rounds=3)
+
+
+def test_truss_triangle_plus_tail():
+    from multiomics_biocypher_kg_ray.stages.graph import truss_peel
+
+    # triangle a-b-c plus a pendant edge c-d: the tail dies in round 1,
+    # the triangle survives with support exactly 1 per edge
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": ["a", "b", "a", "c"], "dst": ["b", "c", "c", "d"]}
+        )
+    )
+    out = truss_peel(ds, k=3, rounds=2).to_pandas().sort_values(["a", "b"])
+    assert [tuple(r) for r in out.to_numpy()] == [
+        ("a", "b", 1),
+        ("a", "c", 1),
+        ("b", "c", 1),
+    ]
+
+
+def _ref_hits(edges, iters=2, scale=SCALE):
+    e = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({x for ab in e for x in ab})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for a, b in e:
+            raw[b] += hub[a]
+        d = max(max(raw.values()) // scale, 1)
+        auth = {n: v // d for n, v in raw.items()}
+        raw = {n: 0 for n in nodes}
+        for a, b in e:
+            raw[a] += auth[b]
+        d = max(max(raw.values()) // scale, 1)
+        hub = {n: v // d for n, v in raw.items()}
+    return auth, hub
+
+
+def test_hits_matches_pure_python_fixpoint():
+    from multiomics_biocypher_kg_ray.stages.graph import hits
+
+    edges = _random_edges(9, n_nodes=40, n_edges=300)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+        )
+    ).repartition(5)
+    out = hits(ds, iters=2).to_pandas().set_index("node")
+    auth, hub = _ref_hits(edges, iters=2)
+    assert len(out) == len(auth)
+    for n in auth:
+        assert int(out.loc[n, "auth_q"]) == auth[n], n
+        assert int(out.loc[n, "hub_q"]) == hub[n], n
+
+
+def test_hits_star_graph_directions():
+    from multiomics_biocypher_kg_ray.stages.graph import hits
+
+    # star: h -> {x1..x4}: h is the pure hub, leaves are pure authorities
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": ["h"] * 4, "dst": ["x1", "x2", "x3", "x4"]}
+        )
+    )
+    out = hits(ds, iters=2).to_pandas().set_index("node")
+    assert out.loc["h", "auth_q"] == 0 and out.loc["h", "hub_q"] > 0
+    assert (out.loc[["x1", "x2", "x3", "x4"], "auth_q"] > 0).all()
+    assert (out.loc[["x1", "x2", "x3", "x4"], "hub_q"] == 0).all()
