@@ -2434,3 +2434,61 @@ SELECT n,
        sum(o * floor(ln((o::DOUBLE * n::DOUBLE) / (rt::DOUBLE * ct::DOUBLE))
                      * 1000.0::DOUBLE)::BIGINT)::BIGINT AS mi_milli_sum
 FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot GROUP BY n"""
+
+
+def sql_tfidf_cosine_pairs(
+    k: int = 10, min_cos_ppm: int = 300_000, cap: int = 1000
+) -> str:
+    """Twin of ``text.tfidf_cosine_pairs``: the ``sql_doc_tfidf_top_terms``
+    pipeline at top-``k``, kilo-unit components qk = tfidf_q // 1000,
+    first-``cap``-ascending-doc_ids-per-term pair join (the LSH bucket-cap
+    convention), exact integer dot/norms, promote-then-multiply cosine."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor(tf.tf * ln(n.n / df.df) * 1000000)::BIGINT AS tfidf_q
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_q DESC, term
+  ) AS rk FROM scored
+),
+topk AS (
+  SELECT doc_id, term, (tfidf_q // 1000)::BIGINT AS qk
+  FROM ranked WHERE rk <= {k}
+),
+norms AS (SELECT doc_id, sum(qk * qk)::BIGINT AS n2 FROM topk GROUP BY 1),
+capped AS (
+  SELECT term, doc_id, qk FROM (
+    SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM topk
+  ) WHERE rn <= {cap}
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.qk * b.qk AS prod
+  FROM capped a JOIN capped b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+),
+agg AS (
+  SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared, sum(prod)::BIGINT AS dot
+  FROM p GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared, dot,
+       floor((dot::DOUBLE * 1000000.0::DOUBLE)
+             / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)))::BIGINT AS cos_ppm
+FROM agg
+JOIN norms na ON doc_a = na.doc_id
+JOIN norms nb ON doc_b = nb.doc_id
+WHERE floor((dot::DOUBLE * 1000000.0::DOUBLE)
+            / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)))::BIGINT
+      >= {min_cos_ppm}"""

@@ -1447,6 +1447,20 @@ def q_purchase_click_ks(sf_dir: str):
     return relational.ks_two_sample(ev, "event_type", "cents", "purchase", "click")
 
 
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """Sparse tf-idf cosine near-neighbor pairs over top-10 terms per doc —
+    prefix-filtered term-keyed pair join, no embedding model, no all-pairs."""
+    import pyarrow.parquet as pq
+
+    n_docs = sum(
+        f.metadata.num_rows
+        for f in pq.ParquetDataset(f"{sf_dir}/documents.parquet").fragments
+    )
+    return text.tfidf_cosine_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n_docs=n_docs
+    )
+
+
 def q_segment_priority_chisq(sf_dir: str):
     """Chi-square independence test between customer market segment and
     order priority — the two-way stratification audit; full cross product
@@ -3270,6 +3284,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_event_type_hour_mi,
             oracle_rel.sql_event_type_hour_mi(),
         ),
+        "tfidf_cosine_pairs": (
+            q_tfidf_cosine_pairs,
+            oracle_rel.sql_tfidf_cosine_pairs(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3285,6 +3303,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "event_type_hour_mi",
         "kg_ktruss",
         "kg_hits",
+        "tfidf_cosine_pairs",
         "kg_assortativity",
         "orders_loo_priority",
         "doc_bigram_score",

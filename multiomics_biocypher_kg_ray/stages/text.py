@@ -1275,3 +1275,160 @@ def doc_bigram_score(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return drop_empty_blocks(
         docs.map_batches(score, batch_format="pyarrow"), OUT
     )
+
+
+def tfidf_cosine_pairs(
+    docs: "ray.data.Dataset",
+    n_docs: int,
+    k: int = 10,
+    min_cos_ppm: int = 300_000,
+    cap: int = 1000,
+) -> "ray.data.Dataset":
+    """Sparse tf-idf cosine similarity pairs → ``(doc_a, doc_b, n_shared,
+    dot, cos_ppm)`` for document pairs sharing ≥ 1 top-``k`` tf-idf term
+    with cosine ≥ ``min_cos_ppm`` — topical near-neighbor discovery over
+    text alone (no embedding model needed), the classic sparse-vector
+    complement to ``similarity.embedding_near_dup_pairs``. Top-k term
+    truncation IS the scale story: it bounds every doc's vector to k
+    entries and drops corpus-ubiquitous terms (high df → tf-idf ≈ 0 →
+    never in the top-k), which is what makes a term-keyed pair join
+    tractable at all — the standard prefix-filtering trick.
+
+    Exactness/quantization: vector components are kilo-units qk =
+    tfidf_q // 1000 (tfidf_q = floor(tf·ln(N/df)·10⁶) from
+    ``doc_tfidf_top_terms``), so per-pair dot terms qk_a·qk_b and per-doc
+    norms Σqk² stay deep inside int64 for any plausible tf; dot and norms
+    are exact integer sums; cos_ppm = floor(dot·10⁶/(√n2a·√n2b)) in the
+    corr family's promote-then-multiply double order. Norms use the FULL
+    top-k vector (never the pair cap), so a truncated bucket can only
+    MISS pairs, never mis-score one.
+
+    Scale shape: the (doc, term, qk) stream rides ``bucket_pairs``'
+    segmented sorted-scan (term = bucket, first ``cap`` doc_ids ascending
+    per term — mirrored by the twin); per-pair products combine per batch
+    into a pair-cardinality fastagg; two hash joins attach the norm table
+    (doc-cardinality). No all-pairs anywhere."""
+    import pyarrow.compute as pc
+
+    from .dedup import bucket_pairs
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+
+    topk = doc_tfidf_top_terms(docs, n_docs=n_docs, k=k)
+    VEC = pa.schema(
+        [("term", pa.string()), ("doc_id", pa.int64()), ("qk", pa.int64())]
+    )
+    vec = drop_empty_blocks(
+        topk.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("term"),
+                    pc.cast(t.column("doc_id"), pa.int64()),
+                    pc.divide(t.column("tfidf_q"), pa.scalar(1000, pa.int64())),
+                ],
+                schema=VEC,
+            )
+            if t.num_columns
+            else VEC.empty_table(),
+            batch_format="pyarrow",
+        ),
+        VEC,
+    ).materialize()  # consumed twice: norms and the pair kernel
+
+    N2 = pa.schema([("doc_id", pa.int64()), ("n2", pa.int64())])
+    norms = drop_empty_blocks(
+        sorted_grouped_agg(
+            vec.map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": t.column("doc_id"),
+                        "_q2": pc.multiply(t.column("qk"), t.column("qk")),
+                    }
+                )
+                if t.num_columns and t.num_rows
+                else pa.schema(
+                    [("doc_id", pa.int64()), ("_q2", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["doc_id"],
+            [("_q2", "sum")],
+            out_names=["n2"],
+        ),
+        N2,
+    ).materialize()  # probed twice (doc_a and doc_b sides)
+
+    pairs = bucket_pairs(
+        vec, ["term"], id_col="doc_id", payload_cols=("qk",), cap=cap
+    )
+    PROD = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("_p", pa.int64())]
+    )
+    prods = drop_empty_blocks(
+        pairs.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("doc_a"),
+                    t.column("doc_b"),
+                    pc.multiply(t.column("qk_a"), t.column("qk_b")),
+                ],
+                schema=PROD,
+            )
+            if t.num_columns and t.num_rows
+            else PROD.empty_table(),
+            batch_format="pyarrow",
+        ),
+        PROD,
+    )
+    agg = sorted_grouped_agg(
+        prods,
+        ["doc_a", "doc_b"],
+        [("_p", "count"), ("_p", "sum")],
+        out_names=["n_shared", "dot"],
+    )
+    j = hash_join(
+        hash_join(
+            drop_empty_blocks(agg), norms.rename_columns({"doc_id": "doc_a", "n2": "_n2a"}),
+            on=("doc_a",),
+        ),
+        norms.rename_columns({"doc_id": "doc_b", "n2": "_n2b"}),
+        on=("doc_b",),
+    )
+    OUT = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("n_shared", pa.int64()),
+            ("dot", pa.int64()),
+            ("cos_ppm", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        f = np.float64
+        dot = t.column("dot").to_numpy(zero_copy_only=False).astype(f)
+        n2a = t.column("_n2a").to_numpy(zero_copy_only=False).astype(f)
+        n2b = t.column("_n2b").to_numpy(zero_copy_only=False).astype(f)
+        ok = (n2a > 0.0) & (n2b > 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.floor((dot * 1000000.0) / (np.sqrt(n2a) * np.sqrt(n2b)))
+        cos = np.where(ok, cos, 0.0).astype(np.int64)
+        out = pa.Table.from_arrays(
+            [
+                pc.cast(t.column("doc_a"), pa.int64()),
+                pc.cast(t.column("doc_b"), pa.int64()),
+                pc.cast(t.column("n_shared"), pa.int64()),
+                pc.cast(t.column("dot"), pa.int64()),
+                pa.array(cos, pa.int64()),
+            ],
+            schema=OUT,
+        )
+        return out.filter(
+            pc.greater_equal(out.column("cos_ppm"), min_cos_ppm)
+        )
+
+    return drop_empty_blocks(
+        j.map_batches(finalize, batch_format="pyarrow"), OUT
+    )
