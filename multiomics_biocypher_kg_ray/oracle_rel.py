@@ -2492,3 +2492,50 @@ JOIN norms nb ON doc_b = nb.doc_id
 WHERE floor((dot::DOUBLE * 1000000.0::DOUBLE)
             / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)))::BIGINT
       >= {min_cos_ppm}"""
+
+
+def sql_event_type_cusum() -> str:
+    """Twin of ``relational.group_cusum`` over per-type daily counts:
+    row_number step index, running-count window, |n·C_j − j·S| exact
+    integer, peak via (tj DESC, day ASC) row_number = 1."""
+    return """
+WITH d AS (SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                  count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, day,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS j,
+             sum(c) OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS cum
+      FROM d),
+t AS (SELECT event_type, count(*)::BIGINT AS n_steps, sum(c)::BIGINT AS total
+      FROM d GROUP BY 1),
+s AS (SELECT w.event_type, day, n_steps, total,
+             abs(n_steps * cum - j * total)::BIGINT AS tj
+      FROM w JOIN t USING (event_type))
+SELECT event_type, n_steps, total, tj AS cusum_max, day AS peak_step
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY tj DESC, day) AS rn FROM s)
+WHERE rn = 1"""
+
+
+def sql_orders_benford() -> str:
+    """Twin of ``relational.benford_digits`` over totalprice cents: first
+    digit via VARCHAR substr (== the engine's integer-division loop on
+    positive ints), all nine digits zero-filled, obs_ppm integer floor,
+    expected_ppm the constant floor(ln(1+1/d)/ln(10)·10⁶)."""
+    c = CENTS.format(col="o_totalprice")
+    return f"""
+WITH v AS (SELECT {c} AS c FROM orders),
+dig AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM v WHERE c > 0),
+cnt AS (SELECT digit, count(*)::BIGINT AS n FROM dig GROUP BY 1),
+all9 AS (SELECT unnest(range(1, 10))::BIGINT AS digit),
+tot AS (SELECT sum(n)::BIGINT AS nt FROM cnt)
+SELECT a.digit,
+       coalesce(c.n, 0)::BIGINT AS n_obs,
+       (coalesce(c.n, 0) * 1000000 // nt)::BIGINT AS obs_ppm,
+       floor(ln(1.0 + 1.0 / a.digit::DOUBLE) / ln(10.0::DOUBLE)
+             * 1000000.0::DOUBLE)::BIGINT AS expected_ppm,
+       ((coalesce(c.n, 0) * 1000000 // nt)
+        - floor(ln(1.0 + 1.0 / a.digit::DOUBLE) / ln(10.0::DOUBLE)
+                * 1000000.0::DOUBLE))::BIGINT AS dev_ppm
+FROM all9 a LEFT JOIN cnt c USING (digit) CROSS JOIN tot"""

@@ -1447,6 +1447,63 @@ def q_purchase_click_ks(sf_dir: str):
     return relational.ks_two_sample(ev, "event_type", "cents", "purchase", "click")
 
 
+def q_event_type_cusum(sf_dir: str):
+    """Per-type CUSUM change-point localizer over daily event counts —
+    max |n·C_j − j·S| exact integer, peak day with earliest-tie rule."""
+    from ..arrow_util import floor_div_i64
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    D = pa.schema(
+        [("event_type", pa.string()), ("day", pa.int64()), ("c", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": floor_div_i64(ts_us, 86_400_000_000),
+            }
+        )
+
+    daily = drop_empty_blocks(
+        sorted_grouped_agg(
+            _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+                prep, batch_format="pyarrow"
+            ),
+            ["event_type", "day"],
+            [("day", "count")],
+            out_names=["c"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("event_type"),
+                    t.column("day"),
+                    pc.cast(t.column("c"), pa.int64()),
+                ],
+                schema=D,
+            )
+            if t.num_columns
+            else D.empty_table(),
+            batch_format="pyarrow",
+        ),
+        D,
+    )
+    return relational.group_cusum(daily, "event_type", "day", "c")
+
+
+def q_orders_benford(sf_dir: str):
+    """Benford first-digit audit of order totals (cents) — the fabricated-
+    amounts / unit-mixup screen; all nine digits with ppm deviations."""
+    o = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda t: relational.to_cents(t, {"o_totalprice": "cents"}).select(
+            ["cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.benford_digits(o, "cents")
+
+
 def q_tfidf_cosine_pairs(sf_dir: str):
     """Sparse tf-idf cosine near-neighbor pairs over top-10 terms per doc —
     prefix-filtered term-keyed pair join, no embedding model, no all-pairs."""
@@ -3288,6 +3345,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_tfidf_cosine_pairs,
             oracle_rel.sql_tfidf_cosine_pairs(),
         ),
+        "event_type_cusum": (
+            q_event_type_cusum,
+            oracle_rel.sql_event_type_cusum(),
+        ),
+        "orders_benford": (
+            q_orders_benford,
+            oracle_rel.sql_orders_benford(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3304,6 +3369,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_ktruss",
         "kg_hits",
         "tfidf_cosine_pairs",
+        "event_type_cusum",
+        "orders_benford",
         "kg_assortativity",
         "orders_loo_priority",
         "doc_bigram_score",

@@ -2775,3 +2775,177 @@ def contingency_mi(
             schema=OUT,
         )
     )
+
+
+def group_cusum(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_col: str,
+    count_col: str,
+) -> "ray.data.Dataset":
+    """Exact integer CUSUM change-point statistic per group — one row
+    ``(group, n_steps, total, cusum_max, peak_step)`` over a pre-counted
+    (group, step, count) series: cusum_max = max_j |n·C_j − j·S| where C_j
+    is the running count through the j-th observed step and S the group
+    total — the scaled sup deviation of the empirical arrival curve from a
+    constant rate. Large values flag WHERE a rate shifted (``peak_step``,
+    ties → earliest step): the drift localizer that complements
+    ``event_type_burstiness``'s dispersion test and ``psi_drift``'s
+    two-snapshot comparison. Pure int64 throughout (|n·C_j − j·S| ≤ n·S —
+    exact past 10⁹ steps × 10⁹ rows); no float anywhere.
+
+    Scale shape: one hot-key-safe ``ranked_over`` for the step index j, one
+    segmented ``cumsum_over`` for C_j, a group-cardinality fastagg + join
+    for (n, S), then a second ``ranked_over`` on (|T| desc, step asc) picks
+    each group's peak without a whole-group task."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+    from .window import cumsum_over
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    gt = typ[group_col]
+    ranked = ranked_over(
+        ds.select_columns([group_col, order_col, count_col]),
+        [group_col],
+        [(order_col, True)],
+        rank_col="_j",
+    )
+    cum = cumsum_over(ranked, group_col, [order_col], count_col, out_col="_cum")
+    tot = sorted_grouped_agg(
+        ds.select_columns([group_col, count_col]),
+        [group_col],
+        [(count_col, "count"), (count_col, "sum")],
+        out_names=["n_steps", "total"],
+    )
+    j = hash_join(drop_empty_blocks(cum), drop_empty_blocks(tot), on=(group_col,))
+    T = pa.schema(
+        [
+            (group_col, gt),
+            (order_col, typ[order_col]),
+            ("n_steps", pa.int64()),
+            ("total", pa.int64()),
+            ("_t", pa.int64()),
+        ]
+    )
+
+    def stat(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return T.empty_table()
+        n = t.column("n_steps").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("total").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("_cum").to_numpy(zero_copy_only=False).astype(np.int64)
+        jj = t.column("_j").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                t.column(order_col),
+                pa.array(n, pa.int64()),
+                pa.array(s, pa.int64()),
+                pa.array(np.abs(n * c - jj * s), pa.int64()),
+            ],
+            schema=T,
+        )
+
+    stats = drop_empty_blocks(j.map_batches(stat, batch_format="pyarrow"), T)
+    peak = ranked_over(
+        stats, [group_col], [("_t", False), (order_col, True)], rank_col="_rn"
+    )
+    OUT = pa.schema(
+        [
+            (group_col, gt),
+            ("n_steps", pa.int64()),
+            ("total", pa.int64()),
+            ("cusum_max", pa.int64()),
+            ("peak_step", typ[order_col]),
+        ]
+    )
+    return drop_empty_blocks(
+        peak.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    (f := t.filter(pc.equal(t.column("_rn"), 1))).column(group_col),
+                    f.column("n_steps"),
+                    f.column("total"),
+                    f.column("_t"),
+                    f.column(order_col),
+                ],
+                schema=OUT,
+            )
+            if t.num_columns
+            else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )
+
+
+def benford_digits(
+    ds: "ray.data.Dataset", value_col: str
+) -> "ray.data.Dataset":
+    """Benford first-significant-digit audit over positive int64 values —
+    NINE rows ``(digit, n_obs, obs_ppm, expected_ppm, dev_ppm)``: observed
+    share vs Benford's log₁₀(1+1/d) law, the classic fabricated-amounts /
+    unit-mixup data-quality screen on money columns. Digits extracted by
+    pure integer division (repeated //10 until < 10 — no float log near
+    power-of-ten boundaries, no string round-trip); rows with value ≤ 0
+    are excluded. obs_ppm = n_obs·10⁶ // N (integer floor); expected_ppm =
+    floor(ln(1+1/d)/ln(10)·10⁶) — a CONSTANT per digit, identical in the
+    twin; dev_ppm = obs_ppm − expected_ppm. All nine digits always
+    emitted (zero-filled), so a digit that never appears shows its full
+    negative deviation.
+
+    Scale shape: per-batch digit histograms (≤ 9 cells) combine into one
+    9-row fastagg; the finalize is O(9) on the driver."""
+    from .fastagg import sorted_grouped_agg
+
+    H = pa.schema([("digit", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return H.empty_table()
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = v[v > 0]
+        while (v >= 10).any():
+            big = v >= 10
+            v[big] //= 10
+        u, c = np.unique(v, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64)), pa.array(c.astype(np.int64))],
+            schema=H,
+        )
+
+    agg = sorted_grouped_agg(
+        ds.select_columns([value_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["digit"],
+        [("n", "sum")],
+        out_names=["n"],
+    )
+    obs: dict[int, int] = {}
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_columns and b.num_rows:
+            for d, n in zip(b.column("digit").to_pylist(), b.column("n").to_pylist()):
+                obs[int(d)] = int(n)
+    n_tot = sum(obs.values())
+    f = np.float64
+    digits = list(range(1, 10))
+    n_obs = [obs.get(d, 0) for d in digits]
+    obs_ppm = [x * 1_000_000 // n_tot if n_tot else 0 for x in n_obs]
+    exp_ppm = [
+        int(np.floor(np.log(1.0 + 1.0 / f(d)) / np.log(f(10.0)) * 1000000.0))
+        for d in digits
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(digits, pa.int64()),
+                "n_obs": pa.array(n_obs, pa.int64()),
+                "obs_ppm": pa.array(obs_ppm, pa.int64()),
+                "expected_ppm": pa.array(exp_ppm, pa.int64()),
+                "dev_ppm": pa.array(
+                    [o - e for o, e in zip(obs_ppm, exp_ppm)], pa.int64()
+                ),
+            }
+        )
+    )

@@ -159,3 +159,44 @@ def test_mi_independent_vs_dependent():
     df = pd.DataFrame({"r": ["a"] * 8 + ["b"] * 8, "c": ["x"] * 8 + ["y"] * 8})
     out = contingency_mi(_ds(df, 3), "r", "c").to_pandas()
     assert out.loc[0, "mi_milli_sum"] == 16 * int(np.floor(np.log(2.0) * 1000))
+
+
+def test_cusum_flat_vs_step_change():
+    from multiomics_biocypher_kg_ray.stages.relational import group_cusum
+
+    # flat: c = 5 each step -> n·C_j = j·S exactly -> cusum 0
+    # step: rate jumps 1 -> 9 halfway -> peak at the change point (step 5)
+    flat = [("flat", d, 5) for d in range(10)]
+    step = [("step", d, 1 if d < 5 else 9) for d in range(10)]
+    df = pd.DataFrame(flat + step, columns=["g", "day", "c"])
+    out = (
+        group_cusum(_ds(df, 4), "g", "day", "c").to_pandas().set_index("g")
+    )
+    assert out.loc["flat", "cusum_max"] == 0
+    # flat peak: all tj equal 0 -> earliest step wins
+    assert out.loc["flat", "peak_step"] == 0
+    n, s = 10, 5 * 1 + 5 * 9
+    cum = np.cumsum([1 if d < 5 else 9 for d in range(10)])
+    tj = np.abs(n * cum - np.arange(1, 11) * s)
+    assert out.loc["step", "cusum_max"] == tj.max()
+    assert out.loc["step", "peak_step"] == int(np.argmax(tj))  # day index
+    assert out.loc["step", "total"] == s and out.loc["step", "n_steps"] == n
+
+
+def test_benford_exact_law_and_zero_fill():
+    from multiomics_biocypher_kg_ray.stages.relational import benford_digits
+
+    # values engineered: digit d appears exactly d times; 0/negatives dropped
+    vals = [d * 10 ** (i % 3) for d in range(1, 9) for i in range(d)]
+    vals += [0, -7]
+    df = pd.DataFrame({"v": vals})
+    out = benford_digits(_ds(df, 3), "v").to_pandas().set_index("digit")
+    n = sum(range(1, 9))
+    assert list(out.index) == list(range(1, 10))
+    for d in range(1, 9):
+        assert out.loc[d, "n_obs"] == d
+        assert out.loc[d, "obs_ppm"] == d * 1_000_000 // n
+    assert out.loc[9, "n_obs"] == 0 and out.loc[9, "obs_ppm"] == 0
+    exp9 = int(np.floor(np.log(1 + 1 / 9) / np.log(10.0) * 1e6))
+    assert out.loc[9, "expected_ppm"] == exp9
+    assert out.loc[9, "dev_ppm"] == -exp9
