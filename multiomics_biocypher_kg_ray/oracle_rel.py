@@ -2539,3 +2539,27 @@ SELECT a.digit,
         - floor(ln(1.0 + 1.0 / a.digit::DOUBLE) / ln(10.0::DOUBLE)
                 * 1000000.0::DOUBLE))::BIGINT AS dev_ppm
 FROM all9 a LEFT JOIN cnt c USING (digit) CROSS JOIN tot"""
+
+
+def sql_user_rfm() -> str:
+    """Twin of ``q_user_rfm``: purchase-only per-user aggregates, NTILE(5)
+    with (metric DESC, user_id) tie-breaks — DuckDB's first-(n mod k)-tiles-
+    get-ceil rule matches ``relational.ntile_over`` exactly."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH p AS (SELECT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                  {v} AS cents
+           FROM events WHERE event_type = 'purchase'),
+agg AS (SELECT user_id, max(day)::BIGINT AS last_day,
+               count(*)::BIGINT AS n_purchases,
+               sum(cents)::BIGINT AS total_cents
+        FROM p GROUP BY 1),
+t AS (SELECT *,
+        ntile(5) OVER (ORDER BY last_day DESC, user_id)::BIGINT AS r_tile,
+        ntile(5) OVER (ORDER BY n_purchases DESC, user_id)::BIGINT AS f_tile,
+        ntile(5) OVER (ORDER BY total_cents DESC, user_id)::BIGINT AS m_tile
+      FROM agg)
+SELECT user_id, last_day, n_purchases, total_cents,
+       r_tile, f_tile, m_tile,
+       (r_tile * 100 + f_tile * 10 + m_tile)::BIGINT AS rfm
+FROM t"""

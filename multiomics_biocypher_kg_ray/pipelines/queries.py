@@ -1447,6 +1447,115 @@ def q_purchase_click_ks(sf_dir: str):
     return relational.ks_two_sample(ev, "event_type", "cents", "purchase", "click")
 
 
+def q_user_rfm(sf_dir: str):
+    """Classic RFM customer tiering over purchase events — NTILE(5) on
+    recency (last purchase day), frequency and monetary (cents), combined
+    into the 3-digit rfm code; deterministic user_id tie-breaks."""
+    from ..arrow_util import floor_div_i64
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        t = relational.to_cents(t, {"value": "cents"})
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": floor_div_i64(ts_us, 86_400_000_000),
+                "cents": t.column("cents"),
+            }
+        )
+
+    agg = sorted_grouped_agg(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        [("day", "max"), ("day", "count"), ("cents", "sum")],
+        out_names=["last_day", "n_purchases", "total_cents"],
+    )
+    A = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("last_day", pa.int64()),
+            ("n_purchases", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("_g", pa.int64()),
+        ]
+    )
+    withg = drop_empty_blocks(
+        agg.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.cast(t.column("user_id"), pa.int64()),
+                    pc.cast(t.column("last_day"), pa.int64()),
+                    pc.cast(t.column("n_purchases"), pa.int64()),
+                    pc.cast(t.column("total_cents"), pa.int64()),
+                    pa.array(np.zeros(t.num_rows, np.int64)),
+                ],
+                schema=A,
+            )
+            if t.num_columns
+            else A.empty_table(),
+            batch_format="pyarrow",
+        ),
+        A,
+    )
+    cur = withg
+    for col, tile in (
+        ("last_day", "r_tile"),
+        ("n_purchases", "f_tile"),
+        ("total_cents", "m_tile"),
+    ):
+        cur = relational.ntile_over(
+            cur, ["_g"], [(col, False), ("user_id", True)], 5, ntile_col=tile
+        )
+        cur = cur.drop_columns(["pct_rank_ppm"])
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("last_day", pa.int64()),
+            ("n_purchases", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("r_tile", pa.int64()),
+            ("f_tile", pa.int64()),
+            ("m_tile", pa.int64()),
+            ("rfm", pa.int64()),
+        ]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        r = pc.cast(t.column("r_tile"), pa.int64())
+        fq = pc.cast(t.column("f_tile"), pa.int64())
+        m = pc.cast(t.column("m_tile"), pa.int64())
+        rfm = pc.add(
+            pc.add(
+                pc.multiply(r, pa.scalar(100, pa.int64())),
+                pc.multiply(fq, pa.scalar(10, pa.int64())),
+            ),
+            m,
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column("user_id"),
+                t.column("last_day"),
+                t.column("n_purchases"),
+                t.column("total_cents"),
+                r,
+                fq,
+                m,
+                rfm,
+            ],
+            schema=OUT,
+        )
+
+    from ..stages.fastagg import drop_empty_blocks as _deb
+
+    return _deb(cur.map_batches(fin, batch_format="pyarrow"), OUT)
+
+
 def q_event_type_cusum(sf_dir: str):
     """Per-type CUSUM change-point localizer over daily event counts —
     max |n·C_j − j·S| exact integer, peak day with earliest-tie rule."""
@@ -3353,6 +3462,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_orders_benford,
             oracle_rel.sql_orders_benford(),
         ),
+        "user_rfm": (q_user_rfm, oracle_rel.sql_user_rfm()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3371,6 +3481,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "tfidf_cosine_pairs",
         "event_type_cusum",
         "orders_benford",
+        "user_rfm",
         "kg_assortativity",
         "orders_loo_priority",
         "doc_bigram_score",
