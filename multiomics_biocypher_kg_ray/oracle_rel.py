@@ -2563,3 +2563,21 @@ SELECT user_id, last_day, n_purchases, total_cents,
        r_tile, f_tile, m_tile,
        (r_tile * 100 + f_tile * 10 + m_tile)::BIGINT AS rfm
 FROM t"""
+
+
+def sql_user_decayed_value(halflife_days: int = 7, max_shift: int = 40) -> str:
+    """Twin of ``relational.halflife_decayed_sum`` over purchase cents:
+    w = least((max_day − day) // halflife, max_shift); decayed = Σ cents
+    // (1 << w) — exact integer halving per elapsed half-life."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH p AS (SELECT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                  {v} AS cents
+           FROM events WHERE event_type = 'purchase'),
+mx AS (SELECT max(day)::BIGINT AS mday FROM p),
+d AS (SELECT user_id, cents,
+             least((mday - day) // {halflife_days}, {max_shift})::BIGINT AS w
+      FROM p CROSS JOIN mx)
+SELECT user_id, count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS total,
+       sum(cents // (1::BIGINT << w))::BIGINT AS decayed
+FROM d GROUP BY 1"""

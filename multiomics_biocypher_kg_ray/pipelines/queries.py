@@ -1447,6 +1447,30 @@ def q_purchase_click_ks(sf_dir: str):
     return relational.ks_two_sample(ev, "event_type", "cents", "purchase", "click")
 
 
+def q_user_decayed_value(sf_dir: str):
+    """Recency-weighted per-user purchase value: each 7-day half-life ago
+    halves a purchase's contribution by exact integer shift — the
+    deterministic stand-in for float exp-decay LTV scores."""
+    from ..arrow_util import floor_div_i64
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        t = relational.to_cents(t, {"value": "cents"})
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": floor_div_i64(ts_us, 86_400_000_000),
+                "cents": t.column("cents"),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return relational.halflife_decayed_sum(ev, "user_id", "day", "cents")
+
+
 def q_user_rfm(sf_dir: str):
     """Classic RFM customer tiering over purchase events — NTILE(5) on
     recency (last purchase day), frequency and monetary (cents), combined
@@ -3463,6 +3487,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_orders_benford(),
         ),
         "user_rfm": (q_user_rfm, oracle_rel.sql_user_rfm()),
+        "user_decayed_value": (
+            q_user_decayed_value,
+            oracle_rel.sql_user_decayed_value(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3482,6 +3510,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "event_type_cusum",
         "orders_benford",
         "user_rfm",
+        "user_decayed_value",
         "kg_assortativity",
         "orders_loo_priority",
         "doc_bigram_score",

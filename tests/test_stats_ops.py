@@ -200,3 +200,39 @@ def test_benford_exact_law_and_zero_fill():
     exp9 = int(np.floor(np.log(1 + 1 / 9) / np.log(10.0) * 1e6))
     assert out.loc[9, "expected_ppm"] == exp9
     assert out.loc[9, "dev_ppm"] == -exp9
+
+
+def test_halflife_decay_exact_shifts():
+    from multiomics_biocypher_kg_ray.stages.relational import (
+        halflife_decayed_sum,
+    )
+
+    # max day = 21; values at 0/1/2/3 half-lives (hl=7) and a mid-window
+    # day 20 (w = 0: 1//7 floors to 0)
+    df = pd.DataFrame(
+        {
+            "u": ["a", "a", "a", "a", "b"],
+            "day": [21, 14, 7, 0, 20],
+            "v": [100, 100, 100, 101, 64],
+        }
+    )
+    out = (
+        halflife_decayed_sum(_ds(df, 3), "u", "day", "v", halflife_days=7)
+        .to_pandas()
+        .set_index("u")
+    )
+    assert out.loc["a", "decayed"] == 100 + 50 + 25 + (101 >> 3)
+    assert out.loc["a", "total"] == 401 and out.loc["a", "n_rows"] == 4
+    assert out.loc["b", "decayed"] == 64  # (21-20)//7 == 0 -> no halving
+
+
+def test_halflife_decay_rejects_negative():
+    import pytest
+
+    from multiomics_biocypher_kg_ray.stages.relational import (
+        halflife_decayed_sum,
+    )
+
+    df = pd.DataFrame({"u": ["a"], "day": [0], "v": [-5]})
+    with pytest.raises(Exception):
+        halflife_decayed_sum(_ds(df, 1), "u", "day", "v").to_pandas()
