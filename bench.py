@@ -232,6 +232,15 @@ def run_bench() -> dict:
         q_priority_quantile_norm,
         q_purchase_click_utest,
         q_event_value_histogram,
+        q_part_price_spearman,
+        q_purchase_click_ks,
+        q_segment_priority_chisq,
+        q_event_type_hour_mi,
+        q_tfidf_cosine_pairs,
+        q_event_type_cusum,
+        q_orders_benford,
+        q_user_rfm,
+        q_user_decayed_value,
     )
 
     for name, fn in [
@@ -294,6 +303,17 @@ def run_bench() -> dict:
         ("priority_quantile_norm", q_priority_quantile_norm),
         ("purchase_click_utest", q_purchase_click_utest),
         ("event_value_histogram", q_event_value_histogram),
+        # session-6 additions: rank/stat tests (Spearman, KS, chi-square,
+        # MI), sparse tf-idf cosine, CUSUM, Benford, RFM, half-life decay
+        ("part_price_spearman", q_part_price_spearman),
+        ("purchase_click_ks", q_purchase_click_ks),
+        ("segment_priority_chisq", q_segment_priority_chisq),
+        ("event_type_hour_mi", q_event_type_hour_mi),
+        ("tfidf_cosine_pairs", q_tfidf_cosine_pairs),
+        ("event_type_cusum", q_event_type_cusum),
+        ("orders_benford", q_orders_benford),
+        ("user_rfm", q_user_rfm),
+        ("user_decayed_value", q_user_decayed_value),
     ]:
         t = time.time()
         out = fn(SF_DIR)
