@@ -241,6 +241,12 @@ def run_bench() -> dict:
         q_orders_benford,
         q_user_rfm,
         q_user_decayed_value,
+        q_orders_gini,
+        q_session_concurrency,
+        q_user_retention_km,
+        q_doc_readability,
+        q_user_value_autocorr,
+        q_user_interarrival_stats,
     )
 
     for name, fn in [
@@ -314,6 +320,14 @@ def run_bench() -> dict:
         ("orders_benford", q_orders_benford),
         ("user_rfm", q_user_rfm),
         ("user_decayed_value", q_user_decayed_value),
+        # session-7 additions: Gini, interval-sweep concurrency, KM
+        # survival, readability, lag-1 autocorr, interarrival quantiles
+        ("orders_gini", q_orders_gini),
+        ("session_concurrency", q_session_concurrency),
+        ("user_retention_km", q_user_retention_km),
+        ("doc_readability", q_doc_readability),
+        ("user_value_autocorr", q_user_value_autocorr),
+        ("user_interarrival_stats", q_user_interarrival_stats),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -2581,3 +2581,189 @@ d AS (SELECT user_id, cents,
 SELECT user_id, count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS total,
        sum(cents // (1::BIGINT << w))::BIGINT AS decayed
 FROM d GROUP BY 1"""
+
+
+def sql_orders_gini() -> str:
+    """Twin of ``relational.group_gini`` over orders per priority: doubled
+    midranks m = 2·rank() + count-equal − 1, G_num = Σv·m − (n+1)·Σv exact
+    BIGINT, then the engine's single promote-then-divide double floor."""
+    v = CENTS.format(col="o_totalprice")
+    return f"""
+WITH e AS (SELECT o_orderpriority AS g, {v} AS v FROM orders),
+r AS (
+  SELECT g, v,
+         (2 * rank() OVER (PARTITION BY g ORDER BY v)
+            + count(*) OVER (PARTITION BY g, v) - 1)::BIGINT AS m
+  FROM e
+),
+st AS (
+  SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+         sum(v * m)::BIGINT AS vm
+  FROM r GROUP BY 1
+)
+SELECT g AS o_orderpriority, n, s AS total,
+       CASE WHEN s > 0
+            THEN floor(((vm - (n + 1) * s)::DOUBLE * 1000000.0::DOUBLE)
+                       / (n::DOUBLE * s::DOUBLE))::BIGINT
+            ELSE NULL END AS gini_ppm
+FROM st"""
+
+
+def sql_session_concurrency(gap_minutes: int = 30) -> str:
+    """Twin of ``events.session_concurrency`` over sessionized events:
+    the sessionize CTE, ±1 endpoint deltas (end+1 so closed intervals
+    touching at an instant overlap), per-instant delta aggregation, one
+    running sum in time order, then peak / earliest-instant scalars."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM f
+),
+sess AS (
+  SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM s GROUP BY 1, 2
+),
+ep AS (
+  SELECT epoch_us(start_ts)::BIGINT AS t, 1::BIGINT AS d FROM sess
+  UNION ALL
+  SELECT epoch_us(end_ts)::BIGINT + 1, (-1)::BIGINT FROM sess
+),
+ag AS (SELECT t, sum(d)::BIGINT AS d FROM ep GROUP BY 1),
+c AS (SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS cur
+      FROM ag)
+SELECT (SELECT count(*) FROM sess)::BIGINT AS n_sessions,
+       (SELECT max(cur) FROM c)::BIGINT AS peak,
+       (SELECT min(t) FROM c
+        WHERE cur = (SELECT max(cur) FROM c))::BIGINT AS at_us"""
+
+
+def sql_user_retention_km(
+    unit_us: int = 3_600_000_000, censor_units: int = 24
+) -> str:
+    """Twin of ``events.survival_km`` over user event lifetimes: per-user
+    first/last µs, right-censor within censor_days of corpus max, per-
+    duration death/leave counts (durations in ``unit_us`` units — hours
+    for this dense corpus), at-risk via exclusive running sum, KM
+    product as exact sums of per-step floor(ln·10⁶) micro-nat logs —
+    NULL on the (last) row where the risk set dies out."""
+    c_us = censor_units * unit_us
+    return f"""
+WITH u AS (
+  SELECT user_id, min(epoch_us(ts))::BIGINT AS f, max(epoch_us(ts))::BIGINT AS l
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(l) AS m FROM u),
+lt AS (
+  SELECT (l - f) // {unit_us} AS dur,
+         CASE WHEN (SELECT m FROM mx) - l >= {c_us} THEN 1 ELSE 0 END AS died
+  FROM u
+),
+d AS (SELECT dur, count(*)::BIGINT AS tot, sum(died)::BIGINT AS deaths
+      FROM lt GROUP BY 1),
+r AS (
+  SELECT dur, deaths,
+         ((SELECT count(*) FROM u)
+          - coalesce(sum(tot) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0))::BIGINT AS n_risk
+  FROM d
+),
+s AS (
+  SELECT dur, n_risk, deaths,
+         CASE WHEN n_risk > deaths
+              THEN floor(ln((n_risk - deaths)::DOUBLE / n_risk::DOUBLE)
+                         * 1000000.0::DOUBLE)::BIGINT
+              ELSE 0 END AS step,
+         (n_risk <= deaths) AS zero
+  FROM r WHERE deaths > 0
+)
+SELECT dur, n_risk, deaths AS n_died,
+       (CASE WHEN zero THEN NULL
+             ELSE sum(step) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+        END)::BIGINT AS log_surv_e6
+FROM s"""
+
+
+def sql_doc_readability() -> str:
+    """Twin of ``text.doc_readability``: regexp_extract_all match counts
+    (RE2, non-overlapping — same kernel family as Arrow's
+    count_substring_regex), Flesch milli floor in the engine's op order."""
+    return """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+'))::BIGINT AS w,
+         len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))::BIGINT AS s,
+         len(regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+'))::BIGINT AS y
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syll,
+       CASE WHEN w > 0
+            THEN floor(206835.0::DOUBLE
+                       - (1015.0::DOUBLE * w::DOUBLE) / greatest(s, 1)::DOUBLE
+                       - (84600.0::DOUBLE * y::DOUBLE) / w::DOUBLE)::BIGINT
+            ELSE NULL END AS flesch_milli
+FROM c"""
+
+
+def sql_user_value_autocorr() -> str:
+    """Twin of the ``lag_over`` + ``group_corr`` composition: lag-1 value
+    pairs per user in (ts, event_id) order, then the corr family's exact
+    int cross-moments and promote-then-multiply double finalize."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, {v} AS v FROM events),
+p AS (
+  SELECT user_id, v AS y,
+         lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS x
+  FROM e
+),
+q AS (SELECT user_id AS g, x, y FROM p WHERE x IS NOT NULL),
+st AS (
+  SELECT g, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+         sum(x*y)::BIGINT AS sxy
+  FROM q GROUP BY 1
+)
+SELECT g AS user_id, n,
+       CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0.0::DOUBLE
+             AND (n::DOUBLE * syy - sy::DOUBLE * sy) > 0.0::DOUBLE
+            THEN floor(((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1000000.0::DOUBLE)
+                       / (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)
+                          * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)))::BIGINT
+            ELSE NULL END AS autocorr_ppm
+FROM st"""
+
+
+def sql_user_interarrival_stats() -> str:
+    """Twin of the lag-gap + ``distribution_stats(method='disc')``
+    composition: per-user inter-event µs gaps, discrete quantiles."""
+    return """
+WITH o AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS t,
+         lag(epoch_us(ts)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+g AS (SELECT user_id, (t - prev)::BIGINT AS gap_us FROM o WHERE prev IS NOT NULL)
+SELECT user_id, count(*)::BIGINT AS n,
+       min(gap_us)::DOUBLE AS min_v, max(gap_us)::DOUBLE AS max_v,
+       quantile_disc(gap_us, 0.25)::DOUBLE AS q1,
+       quantile_disc(gap_us, 0.5)::DOUBLE AS median,
+       quantile_disc(gap_us, 0.75)::DOUBLE AS q3
+FROM g GROUP BY 1"""

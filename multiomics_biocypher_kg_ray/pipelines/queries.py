@@ -3091,6 +3091,118 @@ def q_orders_bloom_join(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
 
 
+def q_orders_gini(sf_dir: str):
+    """Per-priority Gini concentration of order value — the inequality
+    screen (how concentrated is spend across orders of a class); exact
+    doubled-midrank cell identity, one mirrored float division."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    prepped = orders.map_batches(
+        lambda t: relational.to_cents(t, {"o_totalprice": "cents"}).select(
+            ["o_orderpriority", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.group_gini(prepped, "o_orderpriority", "cents")
+
+
+def q_session_concurrency(sf_dir: str):
+    """Peak simultaneous sessions over the whole corpus — interval
+    endpoint sweep (+1/−1 deltas, one global segmented cumsum) over the
+    hot-key-safe sessionize output; one (n_sessions, peak, at_us) row."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return events.session_concurrency(events.sessionize(ev))
+
+
+def q_user_retention_km(sf_dir: str):
+    """Kaplan-Meier survival of user lifetimes (first→last event, in
+    HOURS — the corpus is dense/always-on, so day-grain censoring would
+    mark nobody dead), right-censored within 24h of corpus end; KM
+    product carried as per-step-quantized micro-nat log sums —
+    bit-stable across engines."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return events.survival_km(
+        ev, unit_us=3_600_000_000, censor_units=24
+    )
+
+
+def q_doc_readability(sf_dir: str):
+    """Flesch reading ease per document in integer milli-units from
+    RE2-counted word/sentence-run/vowel-run matches — stateless
+    vectorized map, zero shuffles."""
+    return text.doc_readability(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_user_value_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event value (cents) in time
+    order — the temporal-persistence screen; lag via the hot-key-safe
+    segmented scan, Pearson on (prev, cur) pairs via exact int moments."""
+    from ..stages.window import lag_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = relational.to_cents(t, {"value": "cents"})
+        return t.append_column(
+            "ts_us",
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+        ).select(["user_id", "event_id", "ts_us", "cents"])
+
+    lagged = lag_over(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["ts_us", "event_id"],
+        "cents",
+        out_col="prev",
+    )
+    pairs = lagged.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("prev"))).select(
+            ["user_id", "prev", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.group_corr(
+        pairs, ["user_id"], "prev", "cents", out_col="autocorr_ppm"
+    )
+
+
+def q_user_interarrival_stats(sf_dir: str):
+    """Per-user inter-event gap distribution (n/min/max/q1/median/q3 µs,
+    discrete quantiles) — the burstiness companion at per-user grain;
+    lag-gap map feeding the marker-row exact-quantile machinery."""
+    from ..stages.window import lag_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    lagged = lag_over(
+        ev.map_batches(
+            lambda t: t.append_column(
+                "ts_us",
+                pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        ),
+        "user_id",
+        ["ts_us", "event_id"],
+        "ts_us",
+        out_col="prev_us",
+    )
+
+    def gaps(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.is_valid(t.column("prev_us")))
+        return pa.table(
+            {
+                "user_id": sel.column("user_id"),
+                "gap_us": pc.subtract(sel.column("ts_us"), sel.column("prev_us")),
+            }
+        )
+
+    return relational.distribution_stats(
+        lagged.map_batches(gaps, batch_format="pyarrow"),
+        ["user_id"],
+        "gap_us",
+        method="disc",
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -3491,6 +3603,24 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_user_decayed_value,
             oracle_rel.sql_user_decayed_value(),
         ),
+        "orders_gini": (q_orders_gini, oracle_rel.sql_orders_gini()),
+        "session_concurrency": (
+            q_session_concurrency,
+            oracle_rel.sql_session_concurrency(),
+        ),
+        "user_retention_km": (
+            q_user_retention_km,
+            oracle_rel.sql_user_retention_km(),
+        ),
+        "doc_readability": (q_doc_readability, oracle_rel.sql_doc_readability()),
+        "user_value_autocorr": (
+            q_user_value_autocorr,
+            oracle_rel.sql_user_value_autocorr(),
+        ),
+        "user_interarrival_stats": (
+            q_user_interarrival_stats,
+            oracle_rel.sql_user_interarrival_stats(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3500,6 +3630,12 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "orders_gini",
+        "session_concurrency",
+        "user_retention_km",
+        "doc_readability",
+        "user_value_autocorr",
+        "user_interarrival_stats",
         "part_price_spearman",
         "purchase_click_ks",
         "segment_priority_chisq",

@@ -1408,3 +1408,304 @@ def hopping_distinct_count(
         [(distinct_col, "count")],
         out_names=[out_col],
     )
+
+
+def session_concurrency(
+    sessions: "ray.data.Dataset",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> "pa.Table":
+    """Peak number of simultaneously-open sessions (interval stabbing by
+    endpoint sweep) — ONE row ``(n_sessions, peak, at_us)`` where peak is
+    the maximum concurrency ever reached and at_us the EARLIEST µs instant
+    reaching it. The capacity-planning readout (max simultaneous users /
+    connections / jobs) over any interval table, here ``sessionize``
+    output; intervals are closed [start, end].
+
+    Shape: each interval becomes two delta rows (+1 at start_us, −1 at
+    end_us+1 — so a session ending at t still overlaps one starting at t),
+    deltas pre-aggregate per distinct instant (fastagg — concurrency only
+    changes at endpoints, so the sweep stream is endpoint-cardinality, not
+    time-cardinality), then ONE global segmented inclusive cumsum in time
+    order gives the concurrency after every instant. The peak is an O(1)
+    scalar; at_us is a distributed filter + min. No per-row Python, no
+    whole-timeline task: the single sweep "group" is exactly the segmented
+    scan's hot-part case (per-block compiled scan + block-count-bounded
+    carry). Reference analog: the overlap audits of SURVEY.md §2.5 over
+    experiment time ranges."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .window import cumsum_over
+
+    EP = pa.schema([("_t", pa.int64()), ("_d", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return EP.empty_table()
+        s = (
+            pc.cast(pc.cast(t.column(start_col), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        e = (
+            pc.cast(pc.cast(t.column(end_col), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([s, e + 1]), pa.int64()),
+                pa.array(
+                    np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+                ),
+            ],
+            schema=EP,
+        )
+
+    eps = sorted_grouped_agg(
+        sessions.select_columns([start_col, end_col]).map_batches(
+            endpoints, batch_format="pyarrow"
+        ),
+        ["_t"],
+        [("_d", "count"), ("_d", "sum")],
+        out_names=["_c", "_d"],
+    )
+    cum = cumsum_over(
+        eps.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        "_g",
+        ["_t"],
+        "_d",
+        out_col="_cur",
+    ).materialize()  # consumed twice: peak scalar + earliest-instant filter
+
+    n_sessions, peak = 0, 0
+    agg = sorted_grouped_agg(
+        cum, ["_g"], [("_c", "sum"), ("_cur", "max")], out_names=["_n", "_p"]
+    )
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_columns and b.num_rows:
+            n_sessions = int(b.column("_n")[0].as_py()) // 2
+            peak = int(b.column("_p")[0].as_py())
+    at_us = None
+    AT = pa.schema([("_g", pa.int64()), ("_t", pa.int64())])
+
+    def at_peak(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return AT.empty_table()
+        sel = t.filter(pc.equal(t.column("_cur"), peak))
+        return pa.Table.from_arrays(
+            [sel.column("_g"), sel.column("_t")], schema=AT
+        )
+
+    first = sorted_grouped_agg(
+        drop_empty_blocks(
+            cum.map_batches(at_peak, batch_format="pyarrow"), AT
+        ),
+        ["_g"],
+        [("_t", "min")],
+        out_names=["_at"],
+    )
+    for b in first.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_columns and b.num_rows:
+            at_us = int(b.column("_at")[0].as_py())
+    return pa.table(
+        {
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "peak": pa.array([peak], pa.int64()),
+            "at_us": pa.array([at_us], pa.int64()),
+        }
+    )
+
+
+def survival_km(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_us: int = 86_400_000_000,
+    censor_units: int = 7,
+    quantum: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Kaplan-Meier product-limit survival of entity LIFETIMES (days from
+    first to last observed event), with right-censoring: an entity whose
+    last event falls within ``censor_units`` (in ``unit_us`` time units) of the corpus max timestamp is
+    CENSORED (still alive at observation end), not dead — the estimator
+    retention/churn dashboards need, where naive "empirical survival"
+    over-counts churn for recently-active users. Durations are measured
+    in ``unit_us`` microsecond units (days by default; pass hours for a
+    dense always-on corpus). One row per distinct
+    death duration: ``(dur, n_risk, n_died, log_surv_e6)`` with
+    log_surv_e6 = Σ_{d'≤d} floor(ln((n_r−n_d)/n_r)·10⁶) — the KM product
+    carried in per-step-quantized micro-nat log space (the ``contingency_mi``
+    discipline: quantize each pointwise log FIRST, sum exactly), so the
+    running product is bit-stable across engines; survival itself is
+    exp(log_surv_e6/1e6). NULL on the (necessarily last) row where the
+    risk set dies out entirely.
+
+    Tie convention: deaths precede censors at the same duration (the
+    standard KM rule) — censored entities leave the risk set AFTER the
+    deaths at their duration are counted, which the exclusive cumsum over
+    (deaths+censored) per strictly-smaller duration encodes exactly.
+
+    Scale shape: one entity-cardinality fastagg (min/max ts per key), one
+    O(1) corpus-max scalar, one duration-cardinality fastagg, one global
+    segmented cumsum over the duration axis (duration-cardinality ≪ row
+    count), one vectorized finalize. No driver loops, no per-group Python."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .window import cumsum_over
+
+    typ = dict(zip(events.schema().names, events.schema().types))
+    PREP = pa.schema([(key_col, typ[key_col]), ("_t", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column(key_col),
+                pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()),
+            ],
+            schema=PREP,
+        )
+
+    lives = sorted_grouped_agg(
+        events.select_columns([key_col, ts_col]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        [key_col],
+        [("_t", "min"), ("_t", "max")],
+        out_names=["_f", "_l"],
+    ).materialize()  # consumed twice: corpus-max scalar + lifetime map
+
+    corpus_max = 0
+    mx = sorted_grouped_agg(
+        lives.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["_g"],
+        [("_l", "max")],
+        out_names=["_m"],
+    )
+    for b in mx.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_columns and b.num_rows:
+            corpus_max = int(b.column("_m")[0].as_py())
+
+    LT = pa.schema([("_dur", pa.int64()), ("_died", pa.int64())])
+
+    def lifetime(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return LT.empty_table()
+        f = t.column("_f").to_numpy(zero_copy_only=False).astype(np.int64)
+        last = t.column("_l").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array((last - f) // unit_us, pa.int64()),
+                pa.array(
+                    (corpus_max - last >= censor_units * unit_us).astype(np.int64)
+                ),
+            ],
+            schema=LT,
+        )
+
+    durs = sorted_grouped_agg(
+        drop_empty_blocks(
+            lives.map_batches(lifetime, batch_format="pyarrow"), LT
+        ),
+        ["_dur"],
+        [("_died", "count"), ("_died", "sum")],
+        out_names=["_tot", "_deaths"],
+    )
+    left = cumsum_over(
+        durs.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        "_g",
+        ["_dur"],
+        "_tot",
+        out_col="_gone",
+        inclusive=False,
+    )
+    n_total = int(lives.count())
+
+    STEP = pa.schema(
+        [
+            ("_g", pa.int64()),
+            ("_dur", pa.int64()),
+            ("_risk", pa.int64()),
+            ("_deaths", pa.int64()),
+            ("_step", pa.int64()),
+            ("_zero", pa.bool_()),
+        ]
+    )
+
+    def step(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return STEP.empty_table()
+        deaths = t.column("_deaths").to_numpy(zero_copy_only=False).astype(np.int64)
+        gone = t.column("_gone").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = deaths > 0
+        risk = n_total - gone
+        zero = risk <= deaths  # survival hits 0 → log −inf → NULL row
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.floor(
+                np.log(
+                    (risk - deaths).astype(np.float64) / risk.astype(np.float64)
+                )
+                * float(quantum)
+            )
+        s = np.where(zero, 0.0, s)
+        out = pa.Table.from_arrays(
+            [
+                pa.array(np.zeros(len(deaths), np.int64)),
+                t.column("_dur"),
+                pa.array(risk, pa.int64()),
+                pa.array(deaths, pa.int64()),
+                pa.array(s.astype(np.int64), pa.int64()),
+                pa.array(zero),
+            ],
+            schema=STEP,
+        )
+        return out.filter(pa.array(keep))
+
+    cum = cumsum_over(
+        drop_empty_blocks(left.map_batches(step, batch_format="pyarrow"), STEP),
+        "_g",
+        ["_dur"],
+        "_step",
+        out_col="_cum",
+    )
+    OUT = pa.schema(
+        [
+            ("dur", pa.int64()),
+            ("n_risk", pa.int64()),
+            ("n_died", pa.int64()),
+            ("log_surv_e6", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        zero = t.column("_zero").to_numpy(zero_copy_only=False)
+        cumv = t.column("_cum").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("_dur"),
+                t.column("_risk"),
+                t.column("_deaths"),
+                pa.array(cumv, pa.int64(), mask=zero),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(cum.map_batches(finalize, batch_format="pyarrow"), OUT)

@@ -3055,3 +3055,131 @@ def halflife_decayed_sum(
         ),
         OUT,
     )
+
+
+def group_gini(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    out_col: str = "gini_ppm",
+) -> "ray.data.Dataset":
+    """Per-group Gini concentration coefficient over a non-negative int64
+    value column, one row per group: ``(group, n, total, out_col)`` with
+    out_col = floor(G·10⁶) — the inequality screen (how concentrated is
+    spend/volume across members of a group) behind Lorenz-curve dashboards
+    and Pareto "top x% own y%" audits. NULL when the group total is zero.
+
+    Identity used: with doubled midranks m = 2·N_less + c + 1 (the
+    ``group_spearman``/``mann_whitney_u`` integer rank), the classic
+    sorted-rank form G = Σ(2i−n−1)·vᵢ / (n·Σv) collapses per VALUE cell to
+    G_num = Σ_cells v·c·m − (n+1)·Σv — ties need no tie-break because the
+    (2i−n−1) weights summed over a tie block are permutation-invariant.
+    G_num is an EXACT int64; the finalize performs ONE promote-then-divide
+    double op (G_num::DOUBLE·10⁶ / (n·S)) in the same order as the DuckDB
+    twin — bit-exact floor at any parallelism.
+
+    Never ranks raw rows: (group, v) CELL counts from one fastagg carry
+    everything; N_less comes from a per-group exclusive segmented count
+    scan over the value-cardinality marginal (hot groups are the scan's
+    hot-part case), so a group with 10⁹ rows but 10⁴ distinct values costs
+    10⁴ cell rows past the first aggregate.
+
+    Contract: values must be ≥ 0 (Gini is undefined below zero — quantize
+    and clamp upstream) and Σ v·c·(2n+1) per group must fit int64, i.e.
+    2·n·Σv ≲ 9.2·10¹⁸ — cents values up to ~$10M with up to ~10⁸-row
+    groups; rescale coarser beyond. Reference analog: the per-experiment
+    abundance-concentration summaries of SURVEY.md §2.5."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .window import cumsum_over
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    gt = typ[group_col]
+    CELLS = pa.schema([(group_col, gt), ("_v", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CELLS.empty_table()
+        return pa.Table.from_arrays(
+            [t.column(group_col), pc.cast(t.column(value_col), pa.int64())],
+            schema=CELLS,
+        )
+
+    cells = sorted_grouped_agg(
+        ds.select_columns([group_col, value_col]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        [group_col, "_v"],
+        [("_v", "count")],
+        out_names=["_c"],
+    )
+    nless = cumsum_over(
+        cells, group_col, ["_v"], "_c", out_col="_nless", inclusive=False
+    )
+    MID = pa.schema(
+        [
+            (group_col, gt),
+            ("_n", pa.int64()),
+            ("_s", pa.int64()),
+            ("_vm", pa.int64()),
+        ]
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        v = t.column("_v").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = t.column("_nless").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = 2 * nl + c + 1  # doubled midrank, integer even under ties
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                pa.array(c, pa.int64()),
+                pa.array(v * c, pa.int64()),
+                pa.array(v * c * m, pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    stats = sorted_grouped_agg(
+        drop_empty_blocks(nless.map_batches(weigh, batch_format="pyarrow"), MID),
+        [group_col],
+        [("_n", "sum"), ("_s", "sum"), ("_vm", "sum")],
+        out_names=["n", "_s", "_vm"],
+    )
+    OUT = pa.schema(
+        [
+            (group_col, gt),
+            ("n", pa.int64()),
+            ("total", pa.int64()),
+            (out_col, pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("_s").to_numpy(zero_copy_only=False).astype(np.int64)
+        vm = t.column("_vm").to_numpy(zero_copy_only=False).astype(np.int64)
+        gnum = vm - (n + 1) * s  # exact int64, Σ(2i−n−1)·vᵢ
+        ok = s > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # identical promote-then-divide order as the SQL twin
+            g = np.floor(
+                (gnum.astype(np.float64) * 1000000.0)
+                / (n.astype(np.float64) * s.astype(np.float64))
+            )
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                pc.cast(t.column("n"), pa.int64()),
+                pa.array(s, pa.int64()),
+                pa.array(np.where(ok, g, 0).astype(np.int64), pa.int64(), mask=~ok),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        stats.map_batches(finalize, batch_format="pyarrow"), OUT
+    )
