@@ -247,6 +247,10 @@ def run_bench() -> dict:
         q_doc_readability,
         q_user_value_autocorr,
         q_user_interarrival_stats,
+        q_purchase_click_tv,
+        q_user_streak_days,
+        q_nation_monthly_growth,
+        q_orders_weekday_profile,
     )
 
     for name, fn in [
@@ -328,6 +332,12 @@ def run_bench() -> dict:
         ("doc_readability", q_doc_readability),
         ("user_value_autocorr", q_user_value_autocorr),
         ("user_interarrival_stats", q_user_interarrival_stats),
+        # session-8 additions: TV distance, day streaks, MoM growth,
+        # weekday profile (kg_closeness rides the graph-suite bench)
+        ("purchase_click_tv", q_purchase_click_tv),
+        ("user_streak_days", q_user_streak_days),
+        ("nation_monthly_growth", q_nation_monthly_growth),
+        ("orders_weekday_profile", q_orders_weekday_profile),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -924,3 +924,50 @@ edges AS ({_edges_select()}),
 {body}
 SELECT a.node, a.s AS auth_q, h.s AS hub_q
 FROM a{iters} a JOIN h{iters} h USING (node)"""
+
+
+def sql_kg_closeness(min_seed_deg: int = 8, rounds: int = 3) -> str:
+    """Twin of ``graph.harmonic_closeness``: per-(node, seed) BFS unrolled
+    one CTE triple per round (frontier fan-out + two-key anti-join against
+    visited pairs + per-seed contribution counts at exact integer weight
+    10⁶ // r), AS MATERIALIZED for the same inlining-explosion reason as
+    the hub-domains twin; zero rows keep unreachable seeds present."""
+    parts = [
+        "ue AS (SELECT src AS m, dst AS nb FROM edges WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM edges WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT m, nb FROM ue)",
+        "deg AS (SELECT m, count(*)::BIGINT AS d FROM und GROUP BY 1)",
+        f"a0 AS MATERIALIZED (SELECT m AS node, m AS seed FROM deg "
+        f"WHERE d >= {min_seed_deg})",
+        "f0 AS MATERIALIZED (SELECT node, seed FROM a0)",
+    ]
+    unions = ["SELECT seed, 0::BIGINT AS n, 0::BIGINT AS h FROM a0"]
+    for r in range(1, rounds + 1):
+        w = 1_000_000 // r
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT DISTINCT und.nb AS node, f.seed "
+            f"FROM f{r - 1} f JOIN und ON f.node = und.m)"
+        )
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT c.node, c.seed FROM c{r} c "
+            f"WHERE NOT EXISTS (SELECT 1 FROM a{r - 1} a "
+            f"WHERE a.node = c.node AND a.seed = c.seed))"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT * FROM a{r - 1} "
+            f"UNION ALL SELECT * FROM n{r})"
+        )
+        parts.append(f"f{r} AS MATERIALIZED (SELECT node, seed FROM n{r})")
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT seed, count(*)::BIGINT AS n, "
+            f"(count(*) * {w})::BIGINT AS h FROM n{r} GROUP BY 1)"
+        )
+        unions.append(f"SELECT seed, n, h FROM g{r}")
+    body = ",\n".join(parts)
+    allc = " UNION ALL ".join(unions)
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+{body},
+allc AS ({allc})
+SELECT seed, sum(n)::BIGINT AS n_reached, sum(h)::BIGINT AS harmonic_e6
+FROM allc GROUP BY 1"""

@@ -2767,3 +2767,88 @@ SELECT user_id, count(*)::BIGINT AS n,
        quantile_disc(gap_us, 0.5)::DOUBLE AS median,
        quantile_disc(gap_us, 0.75)::DOUBLE AS q3
 FROM g GROUP BY 1"""
+
+
+def sql_purchase_click_tv() -> str:
+    """Twin of ``relational.total_variation`` over purchase-vs-click cents:
+    per-value indicator counts, exact integer Σ|ca·nb − cb·na|, tv_ppm in
+    the same promote-then-divide double order as the engine."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_type AS grp, {v} AS v FROM events
+           WHERE event_type IN ('purchase', 'click')),
+cv AS (SELECT v,
+              sum(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+              sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END)::BIGINT AS cb
+       FROM e GROUP BY 1),
+t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM cv)
+SELECT na AS n_a, nb AS n_b,
+       sum(abs(ca * nb - cb * na))::BIGINT AS tv_num,
+       CASE WHEN na > 0 AND nb > 0
+            THEN floor((sum(abs(ca * nb - cb * na))::DOUBLE * 1000000.0::DOUBLE)
+                       / (2.0::DOUBLE * na::DOUBLE * nb::DOUBLE))::BIGINT
+            ELSE NULL END AS tv_ppm
+FROM cv, t GROUP BY na, nb"""
+
+
+def sql_user_streak_days() -> str:
+    """Twin of ``events.longest_streak``: distinct (user, day) → lag gap →
+    island numbering by running sum → island lengths → per-user max."""
+    return """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts)::BIGINT // 86400000000 AS day
+           FROM events),
+l AS (SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      FROM d),
+m AS (SELECT user_id, day,
+             CASE WHEN prev IS NULL OR day - prev > 1 THEN 1 ELSE 0 END AS new_i
+      FROM l),
+i AS (SELECT user_id, day,
+             sum(new_i) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS isl
+      FROM m),
+s AS (SELECT user_id, isl, count(*)::BIGINT AS len FROM i GROUP BY 1, 2)
+SELECT user_id, sum(len)::BIGINT AS n_active_days,
+       max(len)::BIGINT AS longest_streak
+FROM s GROUP BY 1"""
+
+
+def sql_nation_monthly_growth() -> str:
+    """Twin of ``q_nation_monthly_growth``: monthly cents rollup per
+    customer nation, lag along ym, mirrored float growth floor."""
+    v = CENTS.format(col="o_totalprice")
+    return f"""
+WITH j AS (
+  SELECT c_nationkey::BIGINT AS c_nationkey,
+         (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS ym,
+         {v} AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+m AS (SELECT c_nationkey, ym, sum(cents)::BIGINT AS revenue_cents
+      FROM j GROUP BY 1, 2),
+l AS (SELECT c_nationkey, ym, revenue_cents,
+             lag(revenue_cents) OVER (PARTITION BY c_nationkey ORDER BY ym)
+               AS prev
+      FROM m)
+SELECT c_nationkey, ym, revenue_cents,
+       CASE WHEN prev IS NOT NULL AND prev > 0
+            THEN floor(((revenue_cents::DOUBLE - prev::DOUBLE)
+                        * 1000000.0::DOUBLE) / prev::DOUBLE)::BIGINT
+            ELSE NULL END AS growth_ppm
+FROM l"""
+
+
+def sql_orders_weekday_profile() -> str:
+    """Twin of ``q_orders_weekday_profile``: isodow (Mon=1..Sun=7 — Arrow
+    day_of_week(Monday=0)+1), per-dow count/sum, pure integer share."""
+    v = CENTS.format(col="o_totalprice")
+    return f"""
+WITH o AS (SELECT isodow(o_orderdate)::BIGINT AS dow_iso, {v} AS cents
+           FROM orders),
+a AS (SELECT dow_iso, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents
+      FROM o GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS total FROM a)
+SELECT dow_iso, n, sum_cents,
+       (n * 1000000 // greatest(total, 1))::BIGINT AS share_ppm
+FROM a, t"""

@@ -1709,3 +1709,105 @@ def survival_km(
         )
 
     return drop_empty_blocks(cum.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
+def longest_streak(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> "ray.data.Dataset":
+    """Longest run of CONSECUTIVE active days per entity (gaps-and-islands
+    at day grain): ``(key, n_active_days, longest_streak)`` — the
+    engagement-streak metric behind retention dashboards. An "active day"
+    is any calendar day (UTC, epoch-µs // 86400e6) with ≥ 1 event; a
+    streak breaks when a full day passes with no activity.
+
+    Shape: row stream collapses to DISTINCT (key, day) immediately (one
+    fastagg — day-cardinality per key, never event-cardinality), then the
+    hot-key-safe segmented lag scan marks island starts (day − prev > 1),
+    a segmented cumsum numbers islands per key, and two fastaggs fold
+    (key, island) → length → per-key max. Every stage is
+    day-count-proportional; a user with 10⁹ events on 400 days costs the
+    scan 400 rows. No per-group Python, no driver state."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .window import cumsum_over, lag_over
+
+    typ = dict(zip(events.schema().names, events.schema().types))
+    kt = typ[key_col]
+    DAYS = pa.schema([(key_col, kt), ("_day", pa.int64())])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return DAYS.empty_table()
+        from ..arrow_util import floor_div_i64
+
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64())
+        return pa.Table.from_arrays(
+            [t.column(key_col), floor_div_i64(us, 86_400_000_000)],
+            schema=DAYS,
+        )
+
+    days = sorted_grouped_agg(
+        events.select_columns([key_col, ts_col]).map_batches(
+            to_day, batch_format="pyarrow"
+        ),
+        [key_col, "_day"],
+        [("_day", "count")],
+        out_names=["_c"],
+    )
+    lagged = lag_over(days, key_col, ["_day"], "_day", out_col="_prev")
+    NEW = pa.schema(
+        [(key_col, kt), ("_day", pa.int64()), ("_new", pa.int64())]
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return NEW.empty_table()
+        day = t.column("_day").to_numpy(zero_copy_only=False).astype(np.float64)
+        # lag nulls surface as NaN; day ordinals ≪ 2^53 so float compare is exact
+        prev = t.column("_prev").to_numpy(zero_copy_only=False).astype(np.float64)
+        isnew = (np.isnan(prev) | (day - prev > 1.0)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column(key_col), t.column("_day"), pa.array(isnew, pa.int64())],
+            schema=NEW,
+        )
+
+    isl = cumsum_over(
+        drop_empty_blocks(lagged.map_batches(mark, batch_format="pyarrow"), NEW),
+        key_col,
+        ["_day"],
+        "_new",
+        out_col="_isl",
+    )
+    lens = sorted_grouped_agg(
+        isl, [key_col, "_isl"], [("_day", "count")], out_names=["_len"]
+    )
+    agg = sorted_grouped_agg(
+        lens,
+        [key_col],
+        [("_len", "sum"), ("_len", "max")],
+        out_names=["n_active_days", "longest_streak"],
+    )
+    OUT = pa.schema(
+        [
+            (key_col, kt),
+            ("n_active_days", pa.int64()),
+            ("longest_streak", pa.int64()),
+        ]
+    )
+    return drop_empty_blocks(
+        agg.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column(key_col),
+                    pc.cast(t.column("n_active_days"), pa.int64()),
+                    pc.cast(t.column("longest_streak"), pa.int64()),
+                ],
+                schema=OUT,
+            )
+            if t.num_columns
+            else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )

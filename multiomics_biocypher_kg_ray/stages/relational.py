@@ -3183,3 +3183,133 @@ def group_gini(
     return drop_empty_blocks(
         stats.map_batches(finalize, batch_format="pyarrow"), OUT
     )
+
+
+def total_variation(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> "ray.data.Dataset":
+    """Exact total-variation distance between the value distributions of
+    two groups over int64 ``value_col`` — ONE row ``(n_a, n_b, tv_num,
+    tv_ppm)`` where tv_num = Σ_values |c_a·n_b − c_b·n_a| (exact integer:
+    2·n_a·n_b·TV) and tv_ppm = floor(tv_num·10⁶ / (2·n_a·n_b)) in the
+    ``ks_two_sample`` promote-then-divide double order. TV = the largest
+    probability mass any event can differ by — the drift gauge that,
+    unlike KS (sup of the CDF gap), weighs ALL value cells, and unlike
+    PSI, is bounded [0,1] and zero-cell-safe with no smoothing constant.
+
+    Needs only the VALUE-cardinality cell table (one fastagg of per-value
+    indicator counts), two O(1) totals, one stateless |·| map and one
+    scalar fastagg — no cumsum, no sort, no driver state. Contract:
+    c·n ≤ n_a·n_b must fit int64 → exact to ~3·10⁹ rows per side."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    CV = pa.schema(
+        [("_v", pa.int64()), ("_ca", pa.int64()), ("_cb", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CV.empty_table()
+        g = t.column(group_col)
+        t = t.filter(pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)))
+        isa = pc.cast(pc.equal(t.column(group_col), group_a), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column(value_col), pa.int64()),
+                isa,
+                pc.subtract(pa.scalar(1, pa.int64()), isa),
+            ],
+            schema=CV,
+        )
+
+    cv = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns([group_col, value_col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["_v"],
+            [("_ca", "sum"), ("_cb", "sum")],
+            out_names=["_ca", "_cb"],
+        ),
+        CV,
+    ).materialize()  # consumed twice: O(1) totals + the |·| pass
+
+    na = nb = 0
+    tot = sorted_grouped_agg(
+        cv.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["_g"],
+        [("_ca", "sum"), ("_cb", "sum")],
+        out_names=["_na", "_nb"],
+    )
+    for b in tot.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_columns and b.num_rows:
+            na = int(b.column("_na")[0].as_py())
+            nb = int(b.column("_nb")[0].as_py())
+
+    AD = pa.schema([("_g", pa.int64()), ("_d", pa.int64())])
+
+    def absdiff(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return AD.empty_table()
+        ca = t.column("_ca").to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t.column("_cb").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.zeros(len(ca), np.int64)),
+                pa.array(np.abs(ca * nb - cb * na), pa.int64()),
+            ],
+            schema=AD,
+        )
+
+    num = sorted_grouped_agg(
+        drop_empty_blocks(cv.map_batches(absdiff, batch_format="pyarrow"), AD),
+        ["_g"],
+        [("_d", "sum")],
+        out_names=["_num"],
+    )
+    OUT = pa.schema(
+        [
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("tv_num", pa.int64()),
+            ("tv_ppm", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("_num").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (na > 0) and (nb > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # identical promote-then-divide order as the SQL twin
+            ppm = np.floor(
+                (n.astype(np.float64) * 1000000.0)
+                / (2.0 * np.float64(na) * np.float64(nb))
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array([na] * len(n), pa.int64()),
+                pa.array([nb] * len(n), pa.int64()),
+                pa.array(n, pa.int64()),
+                pa.array(
+                    np.where(ok, ppm, 0).astype(np.int64),
+                    pa.int64(),
+                    mask=np.full(len(n), not ok),
+                ),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        num.map_batches(finalize, batch_format="pyarrow"), OUT
+    )

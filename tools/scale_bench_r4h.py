@@ -56,15 +56,21 @@ def main() -> None:
     print(json.dumps({"gen_sec": round(time.time() - t0, 1), "dir": big}))
 
     from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_doc_readability,
         q_event_type_cusum,
         q_event_type_hour_mi,
         q_orders_benford,
+        q_orders_gini,
         q_part_price_spearman,
         q_purchase_click_ks,
         q_segment_priority_chisq,
+        q_session_concurrency,
         q_tfidf_cosine_pairs,
         q_user_decayed_value,
+        q_user_interarrival_stats,
+        q_user_retention_km,
         q_user_rfm,
+        q_user_value_autocorr,
     )
     from multiomics_biocypher_kg_ray.stages import graph
 
@@ -112,6 +118,12 @@ def main() -> None:
         ("orders_benford", q_orders_benford),
         ("user_rfm", q_user_rfm),
         ("user_decayed_value", q_user_decayed_value),
+        ("orders_gini", q_orders_gini),
+        ("session_concurrency", q_session_concurrency),
+        ("user_retention_km", q_user_retention_km),
+        ("doc_readability", q_doc_readability),
+        ("user_value_autocorr", q_user_value_autocorr),
+        ("user_interarrival_stats", q_user_interarrival_stats),
     ]:
         bench(name, fn, args.sf, big)
 
