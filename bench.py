@@ -251,6 +251,9 @@ def run_bench() -> dict:
         q_user_streak_days,
         q_nation_monthly_growth,
         q_orders_weekday_profile,
+        q_customer_abc,
+        q_conv_echo_rate,
+        q_event_type_walk,
     )
 
     for name, fn in [
@@ -338,6 +341,11 @@ def run_bench() -> dict:
         ("user_streak_days", q_user_streak_days),
         ("nation_monthly_growth", q_nation_monthly_growth),
         ("orders_weekday_profile", q_orders_weekday_profile),
+        # session-9 additions: Pareto classification, transcript echo,
+        # weighted transition walk
+        ("customer_abc", q_customer_abc),
+        ("conv_echo_rate", q_conv_echo_rate),
+        ("event_type_walk", q_event_type_walk),
     ]:
         t = time.time()
         out = fn(SF_DIR)

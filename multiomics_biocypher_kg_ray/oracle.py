@@ -971,3 +971,29 @@ edges AS ({_edges_select()}),
 allc AS ({allc})
 SELECT seed, sum(n)::BIGINT AS n_reached, sum(h)::BIGINT AS harmonic_e6
 FROM allc GROUP BY 1"""
+
+
+def sql_conv_echo_rate() -> str:
+    """Twin of ``convo.conv_echo_rate``: whitespace-split term explode per
+    (conv, role), distinct-(conv, term) role indicators via max, pure
+    integer echo share n_echoed·10⁶ // n_user_terms."""
+    return f"""{_kg_prefix()},
+tok AS (
+  SELECT conv_id, role, unnest(string_split(text, ' ')) AS term
+  FROM transcripts
+),
+ct AS (
+  SELECT conv_id, term,
+         max(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS u,
+         max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS a
+  FROM tok GROUP BY 1, 2
+),
+s AS (
+  SELECT conv_id, sum(u)::BIGINT AS n_user_terms, sum(u * a)::BIGINT AS n_echoed
+  FROM ct GROUP BY 1
+)
+SELECT conv_id, n_user_terms, n_echoed,
+       CASE WHEN n_user_terms > 0
+            THEN (n_echoed * 1000000 // n_user_terms)::BIGINT
+            ELSE NULL END AS echo_ppm
+FROM s"""

@@ -2852,3 +2852,52 @@ t AS (SELECT sum(n)::BIGINT AS total FROM a)
 SELECT dow_iso, n, sum_cents,
        (n * 1000000 // greatest(total, 1))::BIGINT AS share_ppm
 FROM a, t"""
+
+
+def sql_customer_abc() -> str:
+    """Twin of ``relational.pareto_class`` over per-customer spend: window
+    running total in (value DESC, key) order, pure-integer class cuts
+    cum·100 vs total·threshold."""
+    v = CENTS.format(col="o_totalprice")
+    return f"""
+WITH s AS (SELECT o_custkey AS c_custkey, sum({v})::BIGINT AS v
+           FROM orders GROUP BY 1),
+t AS (SELECT sum(v)::BIGINT AS total FROM s),
+c AS (SELECT c_custkey, v,
+             sum(v) OVER (ORDER BY v DESC, c_custkey
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      FROM s)
+SELECT c_custkey, v AS value, cum AS cum_value,
+       CASE WHEN cum * 100 <= (SELECT total FROM t) * 80 THEN 'A'
+            WHEN cum * 100 <= (SELECT total FROM t) * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c"""
+
+
+def sql_event_type_walk(steps: int = 3, scale: int = 1_000_000) -> str:
+    """Twin of ``graph.weighted_walk`` over the event-type transition
+    counts: uniform integer mass, per-step (m·w)//W routing unrolled one
+    CTE per step; only states receiving final-step mass appear."""
+    parts = [
+        """tr AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)""",
+        """e AS (SELECT prev_type AS s, event_type AS d, count(*)::BIGINT AS w
+      FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)""",
+        "ws AS (SELECT s, sum(w)::BIGINT AS W FROM e GROUP BY 1)",
+        "st AS (SELECT DISTINCT s FROM (SELECT s FROM e UNION ALL SELECT d FROM e))",
+        f"p0 AS (SELECT s, {scale}::BIGINT AS m FROM st)",
+    ]
+    for r in range(1, steps + 1):
+        parts.append(
+            f"p{r} AS (SELECT e.d AS s, sum((p.m * e.w) // ws.W)::BIGINT AS m "
+            f"FROM p{r - 1} p JOIN e ON p.s = e.s JOIN ws ON ws.s = e.s "
+            f"GROUP BY 1)"
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT s AS state, m AS mass_e6 FROM p{steps}"""

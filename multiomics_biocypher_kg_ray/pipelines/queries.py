@@ -3391,6 +3391,53 @@ def q_orders_weekday_profile(sf_dir: str):
     return drop_empty_blocks(agg.map_batches(share, batch_format="pyarrow"), OUT)
 
 
+def q_customer_abc(sf_dir: str):
+    """ABC/Pareto classification of customers by total order spend — one
+    global segmented cumsum in spend-desc order, pure-integer class cuts
+    (cum·100 vs total·threshold, no share division)."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: relational.to_cents(t, {"o_totalprice": "cents"}).select(
+            ["o_custkey", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    spend = sorted_grouped_agg(
+        orders, ["o_custkey"], [("cents", "sum")], out_names=["v"]
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "v"])
+        if t.num_columns
+        else pa.schema(
+            [("c_custkey", pa.int64()), ("v", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    return relational.pareto_class(spend, "c_custkey", "v")
+
+
+def q_conv_echo_rate(sf_dir: str):
+    """Per-conversation lexical echo: share of distinct user terms the
+    assistant also uses — the alignment/parroting screen over transcript
+    turns; pure-integer ppm."""
+    from ..stages import convo
+
+    return convo.conv_echo_rate(transcripts_dataset(sf_dir))
+
+
+def q_event_type_walk(sf_dir: str):
+    """3-step integer random walk over the event-type transition graph —
+    where behavioral mass concentrates after 3 moves; (m·w)//W routing,
+    bit-identical to the unrolled CTE twin."""
+    from ..stages import graph
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    trans = events.event_transitions(ev)
+    return graph.weighted_walk(
+        trans, "prev_type", "event_type", "n", steps=3
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -3826,6 +3873,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_orders_weekday_profile,
             oracle_rel.sql_orders_weekday_profile(),
         ),
+        "customer_abc": (q_customer_abc, oracle_rel.sql_customer_abc()),
+        "conv_echo_rate": (q_conv_echo_rate, oracle.sql_conv_echo_rate()),
+        "event_type_walk": (q_event_type_walk, oracle_rel.sql_event_type_walk()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3835,6 +3885,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "customer_abc",
+        "conv_echo_rate",
+        "event_type_walk",
         "purchase_click_tv",
         "user_streak_days",
         "kg_closeness",

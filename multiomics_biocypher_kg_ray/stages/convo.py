@@ -270,3 +270,108 @@ def response_latency(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
             "max_latency_us",
         ],
     )
+
+
+def conv_echo_rate(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Lexical echo per conversation: of the DISTINCT whitespace terms the
+    user utters, what fraction does the assistant also use —
+    ``(conv_id, n_user_terms, n_echoed, echo_ppm)`` with echo_ppm =
+    n_echoed·10⁶ // n_user_terms (pure integer; NULL when the user says
+    nothing). The lexical-alignment / parroting screen run before turn
+    text feeds extraction — high echo flags template loops, near-zero
+    echo flags off-topic responses.
+
+    Shape: tokens explode per (conv, role-flag) as a stateless vectorized
+    list-flatten, collapse immediately to DISTINCT (conv, term) with max
+    role indicators (one term-cardinality fastagg — never carries raw
+    token duplicates past the first shuffle), then a conv-cardinality
+    fastagg folds Σu and Σu·a. Same whitespace-split convention as the
+    DuckDB twin's ``string_split(text, ' ')`` (no empty-token filtering —
+    both engines see identical term sets)."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    TOK = pa.schema(
+        [("conv_id", pa.string()), ("_term", pa.string()),
+         ("_u", pa.int64()), ("_a", pa.int64())]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TOK.empty_table()
+        toks = pc.split_pattern(pc.fill_null(t.column("text"), ""), " ")
+        toks = toks.combine_chunks()
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.chunk(0) if toks.num_chunks else pa.array([], pa.list_(pa.string()))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        idx = pa.array(parent)
+        isu = pc.cast(pc.equal(t.column("role"), "user"), pa.int64())
+        isa = pc.cast(pc.equal(t.column("role"), "assistant"), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id").take(idx),
+                toks.flatten(),
+                isu.take(idx),
+                isa.take(idx),
+            ],
+            schema=TOK,
+        )
+
+    terms = sorted_grouped_agg(
+        drop_empty_blocks(
+            transcripts.select_columns(["conv_id", "role", "text"]).map_batches(
+                explode, batch_format="pyarrow"
+            ),
+            TOK,
+        ),
+        ["conv_id", "_term"],
+        [("_u", "max"), ("_a", "max")],
+        out_names=["_u", "_a"],
+    )
+    MID = pa.schema(
+        [("conv_id", pa.string()), ("_u", pa.int64()), ("_ua", pa.int64())]
+    )
+
+    def both(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        u = t.column("_u").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t.column("_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column("conv_id"), pa.array(u, pa.int64()), pa.array(u * a, pa.int64())],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(terms.map_batches(both, batch_format="pyarrow"), MID),
+        ["conv_id"],
+        [("_u", "sum"), ("_ua", "sum")],
+        out_names=["n_user_terms", "n_echoed"],
+    )
+    OUT = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_user_terms", pa.int64()),
+            ("n_echoed", pa.int64()),
+            ("echo_ppm", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        u = t.column("n_user_terms").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t.column("n_echoed").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = u > 0
+        ppm = np.where(ok, e * 1_000_000 // np.maximum(u, 1), 0)
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                pa.array(u, pa.int64()),
+                pa.array(e, pa.int64()),
+                pa.array(ppm.astype(np.int64), pa.int64(), mask=~ok),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(finalize, batch_format="pyarrow"), OUT)

@@ -1506,3 +1506,131 @@ def harmonic_closeness(
         ),
         OUT,
     )
+
+
+def weighted_walk(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    steps: int = 3,
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """K-step synchronous random walk over a WEIGHTED directed edge table:
+    start every state at ``scale`` integer mass, each step routes a state's
+    mass along its out-edges proportionally — contribution = (m·w) // W_src,
+    pure integer division, so the walk is bit-identical to the unrolled CTE
+    twin at any parallelism (the ``pagerank`` fixed-point discipline, minus
+    damping). Output ``(state, mass_e6)`` after ``steps`` steps — one row
+    per state that RECEIVES mass at the final step. Mass at sinks (states
+    with no out-edges) is dropped, not held — this is the k-step transition
+    census ("where does behavior concentrate after k moves"), not a
+    stationary solver; document the absorbing convention when comparing.
+
+    Scale shape: out-strength fastagg once, then per step ONE hash join
+    (mass ⋈ weighted edges on src) + one state-cardinality fastagg by dst.
+    Contract: m·w must fit int64 — scale·max_W ≲ 9·10¹⁸."""
+    from .joins import hash_join
+
+    E = pa.schema(
+        [("_s", pa.string()), ("_d", pa.string()), ("_w", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return E.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column(src_col),
+                t.column(dst_col),
+                pc.cast(t.column(weight_col), pa.int64()),
+            ],
+            schema=E,
+        )
+
+    e = drop_empty_blocks(
+        edges.select_columns([src_col, dst_col, weight_col]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        E,
+    ).materialize()
+    wsum = sorted_grouped_agg(e, ["_s"], [("_w", "sum")], out_names=["_W"])
+    ew = drop_empty_blocks(
+        hash_join(e, wsum, on=("_s",)),
+        pa.schema(list(E) + [("_W", pa.int64())]),
+    ).materialize()  # reused every step
+
+    ST = pa.schema([("_s", pa.string()), ("_m", pa.int64())])
+    states = sorted_distinct(
+        e.map_batches(
+            lambda t: pa.table(
+                {"_s": pa.concat_arrays(
+                    [t.column("_s").combine_chunks(), t.column("_d").combine_chunks()]
+                )}
+            )
+            if t.num_columns
+            else pa.schema([("_s", pa.string())]).empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["_s"],
+    )
+    p = drop_empty_blocks(
+        states.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("_s"), pa.array(np.full(t.num_rows, scale, np.int64))],
+                schema=ST,
+            )
+            if t.num_columns
+            else ST.empty_table(),
+            batch_format="pyarrow",
+        ),
+        ST,
+    )
+    for _ in range(steps):
+        j = hash_join(p, ew, on=("_s",))
+        CONTRIB = pa.schema([("_d", pa.string()), ("_c", pa.int64())])
+
+        def contrib(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return CONTRIB.empty_table()
+            m = t.column("_m").to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t.column("_w").to_numpy(zero_copy_only=False).astype(np.int64)
+            W = t.column("_W").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t.column("_d"), pa.array(m * w // W, pa.int64())],
+                schema=CONTRIB,
+            )
+
+        nxt = sorted_grouped_agg(
+            drop_empty_blocks(
+                drop_empty_blocks(
+                    j, pa.schema(list(ST) + [("_d", pa.string()), ("_w", pa.int64()), ("_W", pa.int64())])
+                ).map_batches(contrib, batch_format="pyarrow"),
+                CONTRIB,
+            ),
+            ["_d"],
+            [("_c", "sum")],
+            out_names=["_m"],
+        )
+        p = drop_empty_blocks(
+            nxt.map_batches(
+                lambda t: t.rename_columns(["_s", "_m"])
+                if t.num_columns
+                else ST.empty_table(),
+                batch_format="pyarrow",
+            ),
+            ST,
+        ).materialize()
+
+    OUT = pa.schema([("state", pa.string()), ("mass_e6", pa.int64())])
+    return drop_empty_blocks(
+        p.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("_s"), t.column("_m")], schema=OUT
+            )
+            if t.num_columns
+            else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )

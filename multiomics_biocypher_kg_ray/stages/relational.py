@@ -3313,3 +3313,101 @@ def total_variation(
     return drop_empty_blocks(
         num.map_batches(finalize, batch_format="pyarrow"), OUT
     )
+
+
+def pareto_class(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    thresholds: tuple[int, int] = (80, 95),
+) -> "ray.data.Dataset":
+    """ABC / Pareto classification over (key, value) rows — ``(key, value,
+    cum_value, abc_class)`` where keys are ranked by value DESC (key asc
+    tie-break), cum_value is the inclusive running total in that order,
+    and abc_class is 'A' while cum·100 ≤ total·t₁, 'B' while ≤ t₂, else
+    'C' — the "top customers own 80% of revenue" working-capital segmenter.
+    The class boundary test is PURE INTEGER (cum·100 vs total·tᵢ — no
+    share division ever happens), so the cut is bit-exact at any
+    parallelism and in the SQL twin.
+
+    Input contract: one row per key (pre-aggregate upstream); non-negative
+    int64 values with total·100 < 2⁶³ (≲ $9·10¹⁴ in cents). Shape: ONE
+    global segmented cumsum in (−value, key) order (single constant part —
+    the scan's hot-part case), one O(1) total scalar, one stateless
+    vectorized classify. No ranking join, no driver state."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .window import cumsum_over
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    kt = typ[key_col]
+    MID = pa.schema(
+        [
+            (key_col, kt),
+            ("_v", pa.int64()),
+            ("_neg", pa.int64()),
+            ("_g", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        v = pc.cast(t.column(value_col), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t.column(key_col),
+                v,
+                pc.negate_checked(v),
+                pa.array(np.zeros(t.num_rows, np.int64)),
+            ],
+            schema=MID,
+        )
+
+    prepped = drop_empty_blocks(
+        ds.select_columns([key_col, value_col]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        MID,
+    ).materialize()  # consumed twice: O(1) total + the cum scan
+
+    total = 0
+    tot = sorted_grouped_agg(
+        prepped, ["_g"], [("_v", "sum")], out_names=["_t"]
+    )
+    for b in tot.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_columns and b.num_rows:
+            total = int(b.column("_t")[0].as_py())
+
+    cum = cumsum_over(
+        prepped, "_g", ["_neg", key_col], "_v", out_col="_cum"
+    )
+    OUT = pa.schema(
+        [
+            (key_col, kt),
+            ("value", pa.int64()),
+            ("cum_value", pa.int64()),
+            ("abc_class", pa.string()),
+        ]
+    )
+    t1, t2 = thresholds
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        cumv = t.column("_cum").to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = np.where(
+            cumv * 100 <= total * t1,
+            "A",
+            np.where(cumv * 100 <= total * t2, "B", "C"),
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column(key_col),
+                t.column("_v"),
+                pa.array(cumv, pa.int64()),
+                pa.array(cls, pa.string()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(cum.map_batches(classify, batch_format="pyarrow"), OUT)
