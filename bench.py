@@ -254,6 +254,10 @@ def run_bench() -> dict:
         q_customer_abc,
         q_conv_echo_rate,
         q_event_type_walk,
+        q_part_kendall,
+        q_part_supplier_hhi,
+        q_user_session_stats,
+        q_conv_mention_density,
     )
 
     for name, fn in [
@@ -346,6 +350,12 @@ def run_bench() -> dict:
         ("customer_abc", q_customer_abc),
         ("conv_echo_rate", q_conv_echo_rate),
         ("event_type_walk", q_event_type_walk),
+        # session-10 additions: binned Kendall, HHI concentration,
+        # session census, mention density
+        ("part_kendall", q_part_kendall),
+        ("part_supplier_hhi", q_part_supplier_hhi),
+        ("user_session_stats", q_user_session_stats),
+        ("conv_mention_density", q_conv_mention_density),
     ]:
         t = time.time()
         out = fn(SF_DIR)

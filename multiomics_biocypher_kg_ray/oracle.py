@@ -997,3 +997,17 @@ SELECT conv_id, n_user_terms, n_echoed,
             THEN (n_echoed * 1000000 // n_user_terms)::BIGINT
             ELSE NULL END AS echo_ppm
 FROM s"""
+
+
+def sql_conv_mention_density() -> str:
+    """Twin of ``q_conv_mention_density``: mention counts per conv LEFT
+    JOINed onto per-conv char totals (zero-mention convs kept), pure
+    integer density ·10⁶."""
+    return f"""{_kg_prefix()},
+mc AS (SELECT conv_id, count(*)::BIGINT AS nm FROM mentions GROUP BY 1),
+cc AS (SELECT conv_id, sum(length(text))::BIGINT AS n_chars
+       FROM transcripts GROUP BY 1)
+SELECT cc.conv_id, coalesce(mc.nm, 0)::BIGINT AS n_mentions, cc.n_chars,
+       (coalesce(mc.nm, 0) * 1000000 // greatest(cc.n_chars, 1))::BIGINT
+         AS density_e6
+FROM cc LEFT JOIN mc ON cc.conv_id = mc.conv_id"""

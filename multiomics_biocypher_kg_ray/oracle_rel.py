@@ -2901,3 +2901,97 @@ def sql_event_type_walk(steps: int = 3, scale: int = 1_000_000) -> str:
     return f"""
 WITH {body}
 SELECT s AS state, m AS mass_e6 FROM p{steps}"""
+
+
+def sql_part_kendall(k: int = 10) -> str:
+    """Twin of ``relational.group_kendall_binned`` over lineitem per part:
+    NTILE(k) per axis with (o, ln) tie-breaks, cell counts, tie masses
+    from the marginals, concordant/discordant from the qualifying
+    cell-pair self-join, mirrored τ-b float floor."""
+    x = CENTS.format(col="l_quantity")
+    y = CENTS.format(col="l_extendedprice")
+    return f"""
+WITH e AS (
+  SELECT l_partkey::BIGINT AS g, {x} AS x, {y} AS y,
+         l_orderkey AS o, l_linenumber AS ln
+  FROM lineitem
+),
+q AS (
+  SELECT g,
+         ntile({k}) OVER (PARTITION BY g ORDER BY x, o, ln)::BIGINT AS qx,
+         ntile({k}) OVER (PARTITION BY g ORDER BY y, o, ln)::BIGINT AS qy
+  FROM e
+),
+cells AS (SELECT g, qx, qy, count(*)::BIGINT AS c FROM q GROUP BY 1, 2, 3),
+nx AS (SELECT g, sum(t)::BIGINT AS n, sum(t * (t - 1) // 2)::BIGINT AS n1
+       FROM (SELECT g, qx, sum(c)::BIGINT AS t FROM cells GROUP BY 1, 2)
+       GROUP BY 1),
+ny AS (SELECT g, sum(t * (t - 1) // 2)::BIGINT AS n2
+       FROM (SELECT g, qy, sum(c)::BIGINT AS t FROM cells GROUP BY 1, 2)
+       GROUP BY 1),
+cd AS (
+  SELECT a.g,
+         sum(CASE WHEN a.qy < b.qy THEN a.c * b.c ELSE 0 END)::BIGINT AS cc,
+         sum(CASE WHEN a.qy > b.qy THEN a.c * b.c ELSE 0 END)::BIGINT AS dd
+  FROM cells a JOIN cells b ON a.g = b.g AND a.qx < b.qx
+  GROUP BY 1
+)
+SELECT nx.g AS l_partkey, nx.n AS n,
+       CASE WHEN (nx.n * (nx.n - 1) // 2) > nx.n1
+             AND (nx.n * (nx.n - 1) // 2) > ny.n2
+            THEN floor(((coalesce(cd.cc, 0) - coalesce(cd.dd, 0))::DOUBLE
+                        * 1000000.0::DOUBLE)
+                       / (sqrt(((nx.n * (nx.n - 1) // 2) - nx.n1)::DOUBLE)
+                          * sqrt(((nx.n * (nx.n - 1) // 2) - ny.n2)::DOUBLE)))::BIGINT
+            ELSE NULL END AS kendall_ppm
+FROM nx JOIN ny ON nx.g = ny.g LEFT JOIN cd ON cd.g = nx.g"""
+
+
+def sql_part_supplier_hhi() -> str:
+    """Twin of ``relational.concentration_hhi`` over lineitem: per-supplier
+    revenue totals per part, Σv² exact, mirrored squared-share floor."""
+    v = CENTS.format(col="l_extendedprice")
+    return f"""
+WITH m AS (SELECT l_partkey::BIGINT AS g, l_suppkey, sum({v})::BIGINT AS v
+           FROM lineitem GROUP BY 1, 2),
+a AS (SELECT g, count(*)::BIGINT AS n_members, sum(v)::BIGINT AS s,
+             sum(v * v)::BIGINT AS ss
+      FROM m GROUP BY 1)
+SELECT g AS l_partkey, n_members, s AS total,
+       CASE WHEN s > 0
+            THEN floor((ss::DOUBLE * 1000000.0::DOUBLE)
+                       / (s::DOUBLE * s::DOUBLE))::BIGINT
+            ELSE NULL END AS hhi_e6
+FROM a"""
+
+
+def sql_user_session_stats(gap_minutes: int = 30) -> str:
+    """Twin of ``q_user_session_stats``: the sessionize CTE folded to a
+    per-user census with pure-integer mean session length."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM f
+),
+sess AS (SELECT user_id, session_idx, count(*)::BIGINT AS n_events
+         FROM s GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(n_events)::BIGINT AS n_events,
+       max(n_events)::BIGINT AS max_session_events,
+       (sum(n_events) * 1000 // count(*))::BIGINT AS mean_len_milli
+FROM sess GROUP BY 1"""

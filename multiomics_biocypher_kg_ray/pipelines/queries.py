@@ -3438,6 +3438,162 @@ def q_event_type_walk(sf_dir: str):
     )
 
 
+def q_part_kendall(sf_dir: str):
+    """Per-part Kendall τ-b between quantity and price on within-part
+    NTILE(10) bins — concordance-based rank association with cell-pair
+    fan-out bounded at k⁴/2 per group regardless of group size."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"],
+    )
+    prepped = li.map_batches(
+        lambda t: relational.to_cents(
+            t, {"l_quantity": "x", "l_extendedprice": "y"}
+        ).select(["l_partkey", "x", "y", "l_orderkey", "l_linenumber"]),
+        batch_format="pyarrow",
+    )
+    return relational.group_kendall_binned(
+        prepped, "l_partkey", "x", "y", ["l_orderkey", "l_linenumber"], k=10
+    )
+
+
+def q_part_supplier_hhi(sf_dir: str):
+    """Supplier-concentration HHI per part — squared-share index over
+    per-supplier revenue totals; the single-source-risk screen."""
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
+    ).map_batches(
+        lambda t: relational.to_cents(t, {"l_extendedprice": "cents"}).select(
+            ["l_partkey", "l_suppkey", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.concentration_hhi(li, "l_partkey", "l_suppkey", "cents")
+
+
+def q_user_session_stats(sf_dir: str):
+    """Per-user session census over the hot-key-safe sessionize output —
+    session count, total/max session events, pure-integer mean length."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    sess = events.sessionize(ev)
+    agg = sorted_grouped_agg(
+        sess.select_columns(["user_id", "n_events"]),
+        ["user_id"],
+        [("n_events", "count"), ("n_events", "sum"), ("n_events", "max")],
+        out_names=["n_sessions", "n_events", "max_session_events"],
+    )
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_sessions", pa.int64()),
+            ("n_events", pa.int64()),
+            ("max_session_events", pa.int64()),
+            ("mean_len_milli", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        ns = t.column("n_sessions").to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = t.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("user_id"),
+                pa.array(ns, pa.int64()),
+                pa.array(ne, pa.int64()),
+                pc.cast(t.column("max_session_events"), pa.int64()),
+                pa.array(ne * 1000 // np.maximum(ns, 1), pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
+def q_conv_mention_density(sf_dir: str):
+    """Triple-extraction yield per conversation: mentions per character
+    (·10⁶, pure integer) — the extraction-coverage audit; zero-mention
+    conversations surface through the zero-row union, never vanish."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    tr = transcripts_dataset(sf_dir)
+    CC = pa.schema(
+        [("conv_id", pa.string()), ("_nc", pa.int64()), ("_nm", pa.int64())]
+    )
+    chars = drop_empty_blocks(
+        tr.select_columns(["conv_id", "text"]).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("conv_id"),
+                    pc.cast(
+                        pc.utf8_length(pc.fill_null(t.column("text"), "")),
+                        pa.int64(),
+                    ),
+                    pa.array(np.zeros(t.num_rows, np.int64)),
+                ],
+                schema=CC,
+            )
+            if t.num_columns
+            else CC.empty_table(),
+            batch_format="pyarrow",
+        ),
+        CC,
+    )
+    mentions = drop_empty_blocks(
+        extract_mentions(tr)
+        .select_columns(["conv_id"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("conv_id"),
+                    pa.array(np.zeros(t.num_rows, np.int64)),
+                    pa.array(np.ones(t.num_rows, np.int64)),
+                ],
+                schema=CC,
+            )
+            if t.num_columns
+            else CC.empty_table(),
+            batch_format="pyarrow",
+        ),
+        CC,
+    )
+    agg = sorted_grouped_agg(
+        chars.union(mentions),
+        ["conv_id"],
+        [("_nc", "sum"), ("_nm", "sum")],
+        out_names=["n_chars", "n_mentions"],
+    )
+    OUT = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_mentions", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("density_e6", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        nm = t.column("n_mentions").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                pa.array(nm, pa.int64()),
+                pa.array(nc, pa.int64()),
+                pa.array(nm * 1_000_000 // np.maximum(nc, 1), pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -3876,6 +4032,19 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "customer_abc": (q_customer_abc, oracle_rel.sql_customer_abc()),
         "conv_echo_rate": (q_conv_echo_rate, oracle.sql_conv_echo_rate()),
         "event_type_walk": (q_event_type_walk, oracle_rel.sql_event_type_walk()),
+        "part_kendall": (q_part_kendall, oracle_rel.sql_part_kendall()),
+        "part_supplier_hhi": (
+            q_part_supplier_hhi,
+            oracle_rel.sql_part_supplier_hhi(),
+        ),
+        "user_session_stats": (
+            q_user_session_stats,
+            oracle_rel.sql_user_session_stats(),
+        ),
+        "conv_mention_density": (
+            q_conv_mention_density,
+            oracle.sql_conv_mention_density(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -3885,6 +4054,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "part_kendall",
+        "part_supplier_hhi",
+        "user_session_stats",
+        "conv_mention_density",
         "customer_abc",
         "conv_echo_rate",
         "event_type_walk",

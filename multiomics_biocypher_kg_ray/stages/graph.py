@@ -1554,7 +1554,10 @@ def weighted_walk(
         ),
         E,
     ).materialize()
-    wsum = sorted_grouped_agg(e, ["_s"], [("_w", "sum")], out_names=["_W"])
+    wsum = drop_empty_blocks(
+        sorted_grouped_agg(e, ["_s"], [("_w", "sum")], out_names=["_W"]),
+        pa.schema([("_s", pa.string()), ("_W", pa.int64())]),
+    )
     ew = drop_empty_blocks(
         hash_join(e, wsum, on=("_s",)),
         pa.schema(list(E) + [("_W", pa.int64())]),
