@@ -258,6 +258,9 @@ def run_bench() -> dict:
         q_part_supplier_hhi,
         q_user_session_stats,
         q_conv_mention_density,
+        q_embedding_dim_stats,
+        q_events_outlier_iqr,
+        q_user_first_last_value,
     )
 
     for name, fn in [
@@ -356,6 +359,11 @@ def run_bench() -> dict:
         ("part_supplier_hhi", q_part_supplier_hhi),
         ("user_session_stats", q_user_session_stats),
         ("conv_mention_density", q_conv_mention_density),
+        # session-11 additions: embedding dim stats, IQR outliers,
+        # packed first/last value
+        ("embedding_dim_stats", q_embedding_dim_stats),
+        ("events_outlier_iqr", q_events_outlier_iqr),
+        ("user_first_last_value", q_user_first_last_value),
     ]:
         t = time.time()
         out = fn(SF_DIR)

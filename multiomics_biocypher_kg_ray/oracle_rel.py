@@ -2995,3 +2995,69 @@ SELECT user_id, count(*)::BIGINT AS n_sessions,
        max(n_events)::BIGINT AS max_session_events,
        (sum(n_events) * 1000 // count(*))::BIGINT AS mean_len_milli
 FROM sess GROUP BY 1"""
+
+
+def sql_embedding_dim_stats() -> str:
+    """Twin of ``similarity.embedding_dim_stats``: quantize-first element
+    ppm ints, exact sums, mean/var derived in the engine's double op order
+    (ss/n − (s/n)²). The inner CAST to DOUBLE is load-bearing (FLOAT
+    arithmetic would disagree at floor boundaries — see the centroids
+    twin)."""
+    return """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS ppm
+  FROM embeddings
+),
+a AS (SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+             sum(ppm)::BIGINT AS s, sum(ppm * ppm)::BIGINT AS ss
+      FROM ex GROUP BY 1)
+SELECT dim, n AS n_vecs,
+       (s::DOUBLE / n) AS mean_ppm,
+       (ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) AS var_ppm2
+FROM a"""
+
+
+def sql_events_outlier_iqr() -> str:
+    """Twin of ``q_events_outlier_iqr``: discrete quantile fences per type,
+    pure integer 2v-vs-2q comparisons (no float fence ever computed)."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_type, {v} AS cents FROM events),
+b AS (SELECT event_type,
+             quantile_disc(cents, 0.25)::BIGINT AS q1,
+             quantile_disc(cents, 0.75)::BIGINT AS q3
+      FROM e GROUP BY 1),
+f AS (
+  SELECT e.event_type,
+         CASE WHEN 2 * e.cents < 2 * b.q1 - 3 * (b.q3 - b.q1)
+              THEN 1 ELSE 0 END AS lo,
+         CASE WHEN 2 * e.cents > 2 * b.q3 + 3 * (b.q3 - b.q1)
+              THEN 1 ELSE 0 END AS hi
+  FROM e JOIN b ON e.event_type = b.event_type
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(lo)::BIGINT AS n_low, sum(hi)::BIGINT AS n_high,
+       (sum(lo) + sum(hi))::BIGINT AS n_outliers
+FROM f GROUP BY 1"""
+
+
+def sql_user_first_last_value() -> str:
+    """Twin of ``q_user_first_last_value``: zero-padded ts|id|value packed
+    strings, plain min/max, payload sliced off the fixed 34-char prefix."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         lpad(epoch_us(ts)::VARCHAR, 20, '0') || '|'
+           || lpad(event_id::VARCHAR, 12, '0') || '|'
+           || ({v})::VARCHAR AS pack
+  FROM events
+),
+a AS (SELECT user_id, min(pack) AS fp, max(pack) AS lp FROM e GROUP BY 1)
+SELECT user_id,
+       substring(fp, 35)::BIGINT AS first_value,
+       substring(lp, 35)::BIGINT AS last_value,
+       (substring(lp, 35)::BIGINT - substring(fp, 35)::BIGINT) AS delta_cents
+FROM a"""

@@ -3594,6 +3594,168 @@ def q_conv_mention_density(sf_dir: str):
     return drop_empty_blocks(agg.map_batches(finish, batch_format="pyarrow"), OUT)
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension mean/variance of the embedding table — dead-dimension
+    / feature-drift audit; quantize-first exact int moments, shuffle moves
+    3 ints per dim per batch."""
+    return similarity.embedding_dim_stats(
+        _read(sf_dir, "embeddings", ["embedding"])
+    )
+
+
+def q_events_outlier_iqr(sf_dir: str):
+    """Per-type Tukey-fence outlier census (1.5·IQR on discrete quantiles)
+    — the fence test is PURE INTEGER (2v vs 2q1−3·IQR), so the cut is
+    bit-exact; bounds ride a broadcast (type cardinality is schema-bounded,
+    never data-proportional)."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}).select(
+            ["event_type", "cents"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: quantile bounds + the fence scan
+    stats = relational.distribution_stats(
+        ev, ["event_type"], "cents", method="disc"
+    )
+    # type cardinality is schema-bounded → the bounds table is O(types)
+    bounds = pa.Table.from_pandas(
+        stats.to_pandas()[["event_type", "q1", "q3"]], preserve_index=False
+    )
+    b_tbl = pa.table(
+        {
+            "event_type": bounds.column("event_type"),
+            # disc quantiles of ints are integral — the cast is lossless
+            "_q1": pc.cast(bounds.column("q1"), pa.int64()),
+            "_q3": pc.cast(bounds.column("q3"), pa.int64()),
+        }
+    )
+    joined = broadcast_join(ev, b_tbl, on=["event_type"])
+    MID = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("_n", pa.int64()),
+            ("_lo", pa.int64()),
+            ("_hi", pa.int64()),
+        ]
+    )
+
+    def fence(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        v = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t.column("_q1").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("_q3").to_numpy(zero_copy_only=False).astype(np.int64)
+        iqr = b - a
+        low = 2 * v < 2 * a - 3 * iqr
+        high = 2 * v > 2 * b + 3 * iqr
+        return pa.Table.from_arrays(
+            [
+                t.column("event_type"),
+                pa.array(np.ones(len(v), np.int64)),
+                pa.array(low.astype(np.int64)),
+                pa.array(high.astype(np.int64)),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(joined.map_batches(fence, batch_format="pyarrow"), MID),
+        ["event_type"],
+        [("_n", "sum"), ("_lo", "sum"), ("_hi", "sum")],
+        out_names=["n", "n_low", "n_high"],
+    )
+    OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("n_low", pa.int64()),
+            ("n_high", pa.int64()),
+            ("n_outliers", pa.int64()),
+        ]
+    )
+    return drop_empty_blocks(
+        agg.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("event_type"),
+                    pc.cast(t.column("n"), pa.int64()),
+                    pc.cast(t.column("n_low"), pa.int64()),
+                    pc.cast(t.column("n_high"), pa.int64()),
+                    pc.add(
+                        pc.cast(t.column("n_low"), pa.int64()),
+                        pc.cast(t.column("n_high"), pa.int64()),
+                    ),
+                ],
+                schema=OUT,
+            )
+            if t.num_columns
+            else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )
+
+
+def q_user_first_last_value(sf_dir: str):
+    """First-touch vs last-touch value per user — packed sortable-string
+    argmin/argmax (zero-padded ts|id prefix carries the payload through a
+    plain min/max fastagg; no ranking sort, no per-group Python)."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    MID = pa.schema([("user_id", pa.int64()), ("_pack", pa.string())])
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        t2 = relational.to_cents(t, {"value": "cents"})
+        ts = pc.cast(
+            pc.cast(pc.cast(t2.column("ts"), pa.timestamp("us")), pa.int64()),
+            pa.string(),
+        )
+        eid = pc.cast(t2.column("event_id"), pa.string())
+        packed = pc.binary_join_element_wise(
+            pc.utf8_lpad(ts, 20, "0"),
+            pc.utf8_lpad(eid, 12, "0"),
+            pc.cast(t2.column("cents"), pa.string()),
+            "|",
+        )
+        return pa.Table.from_arrays([t2.column("user_id"), packed], schema=MID)
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(ev.map_batches(pack, batch_format="pyarrow"), MID),
+        ["user_id"],
+        [("_pack", "min"), ("_pack", "max")],
+        out_names=["_fp", "_lp"],
+    )
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("first_value", pa.int64()),
+            ("last_value", pa.int64()),
+            ("delta_cents", pa.int64()),
+        ]
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        # value payload starts after the fixed 20+1+12+1 char prefix
+        fv = pc.cast(
+            pc.utf8_slice_codeunits(t.column("_fp"), 34), pa.int64()
+        )
+        lv = pc.cast(
+            pc.utf8_slice_codeunits(t.column("_lp"), 34), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [t.column("user_id"), fv, lv, pc.subtract(lv, fv)], schema=OUT
+        )
+
+    return drop_empty_blocks(agg.map_batches(unpack, batch_format="pyarrow"), OUT)
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -4045,6 +4207,18 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_conv_mention_density,
             oracle.sql_conv_mention_density(),
         ),
+        "embedding_dim_stats": (
+            q_embedding_dim_stats,
+            oracle_rel.sql_embedding_dim_stats(),
+        ),
+        "events_outlier_iqr": (
+            q_events_outlier_iqr,
+            oracle_rel.sql_events_outlier_iqr(),
+        ),
+        "user_first_last_value": (
+            q_user_first_last_value,
+            oracle_rel.sql_user_first_last_value(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -4054,6 +4228,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "embedding_dim_stats",
+        "events_outlier_iqr",
+        "user_first_last_value",
         "part_kendall",
         "part_supplier_hhi",
         "user_session_stats",

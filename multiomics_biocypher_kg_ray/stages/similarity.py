@@ -843,3 +843,102 @@ def label_inertia(
         [("_n", "min"), ("_v", "sum")],
         out_names=["n_vecs", "inertia_q"],
     )
+
+
+def embedding_dim_stats(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> "ray.data.Dataset":
+    """Global per-DIMENSION mean/variance of an embedding column —
+    ``(dim, n_vecs, mean_ppm, var_ppm2)`` — the feature-drift /
+    dead-dimension audit (a dimension whose variance collapses is wasted
+    capacity; one whose mean drifts between snapshots signals an encoder
+    change). Same exactness discipline as ``label_centroids``: each
+    float32 element is quantized floor(x·scale) → int64 FIRST, per-batch
+    combiners emit ≤ dims partial rows (the shuffle moves 3 ints per dim
+    per batch, never vectors), and the finalize derives mean = s/n and
+    var = ss/n − (s/n)² in float64 with the identical op order as the
+    DuckDB twin — bit-stable at any partitioning. Contract: Σ ppm² per
+    dim must fit int64 → ~9·10⁶ vectors per dim at |x| ≲ 1; rescale
+    coarser beyond."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema(
+        [
+            ("dim", pa.int64()),
+            ("_n", pa.int64()),
+            ("_s", pa.int64()),
+            ("_ss", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        lists = t.column(vec_col).combine_chunks()
+        flat = (
+            lists.chunk(0).flatten()
+            if isinstance(lists, pa.ChunkedArray)
+            else lists.flatten()
+        )
+        d = len(flat) // t.num_rows
+        ppm = (
+            np.floor(
+                flat.to_numpy(zero_copy_only=False).astype(np.float64) * scale
+            )
+            .astype(np.int64)
+            .reshape(t.num_rows, d)
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.arange(d, dtype=np.int64)),
+                pa.array(np.full(d, t.num_rows, np.int64)),
+                pa.array(ppm.sum(axis=0, dtype=np.int64)),
+                pa.array((ppm * ppm).sum(axis=0, dtype=np.int64)),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            ds.select_columns([vec_col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            MID,
+        ),
+        ["dim"],
+        [("_n", "sum"), ("_s", "sum"), ("_ss", "sum")],
+        out_names=["n_vecs", "_s", "_ss"],
+    )
+    OUT = pa.schema(
+        [
+            ("dim", pa.int64()),
+            ("n_vecs", pa.int64()),
+            ("mean_ppm", pa.float64()),
+            ("var_ppm2", pa.float64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n_vecs").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("_s").to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t.column("_ss").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        # identical op order as the SQL twin: ss/n − (s/n)·(s/n)
+        var = ss / n - mean * mean
+        return pa.Table.from_arrays(
+            [
+                t.column("dim"),
+                pc.cast(t.column("n_vecs"), pa.int64()),
+                pa.array(mean, pa.float64()),
+                pa.array(var, pa.float64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(finalize, batch_format="pyarrow"), OUT)

@@ -1,0 +1,126 @@
+"""Scale-bench for the session-8/9/10 round-4 operator waves (total
+variation, day streaks, MoM growth, weekday profile, ABC classification,
+transcript echo rate, transition walk, binned Kendall, HHI, session census,
+mention density) at sf0.1 (1x) vs a >=10x replicated input (default 16x);
+harmonic_closeness over the Zipf-skewed synthetic edge generator.
+
+Usage: python tools/scale_bench_r4i.py [--reps 16] [--cpus 32] [--repeats 2]
+Prints one JSON line per operator and a final summary JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_bench_r3 import _shift_tables  # noqa: E402
+from scale_bench_r4b import EDGES_1X, _synth_edges  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=16)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import logging
+
+    import ray.data
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from multiomics_biocypher_kg_ray.tuning import tune_context_for_small_data
+
+    tune_context_for_small_data()
+
+    sf_tag = os.path.basename(args.sf.rstrip("/"))
+    big = f"/tmp/scale_{sf_tag}_x{args.reps}"
+    t0 = time.time()
+    _shift_tables(args.sf, big, args.reps)
+    print(json.dumps({"gen_sec": round(time.time() - t0, 1), "dir": big}))
+
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_conv_echo_rate,
+        q_customer_abc,
+        q_event_type_walk,
+        q_nation_monthly_growth,
+        q_orders_weekday_profile,
+        q_part_kendall,
+        q_part_supplier_hhi,
+        q_purchase_click_tv,
+        q_user_session_stats,
+        q_user_streak_days,
+    )
+    from multiomics_biocypher_kg_ray.stages import graph
+
+    g1 = _synth_edges(EDGES_1X)
+    gN = _synth_edges(EDGES_1X * args.reps)
+
+    def graph_op(fn):
+        def run(tbl):
+            return fn(ray.data.from_arrow(tbl).repartition(args.cpus))
+
+        return run
+
+    summary: dict = {"reps": args.reps, "num_cpus": args.cpus, "ops": {}}
+
+    def bench(name, fn, small, bigi):
+        row: dict = {}
+        for tag, d in [("1x", small), (f"{args.reps}x", bigi)]:
+            best, n = float("inf"), 0
+            for _ in range(args.repeats):
+                t0 = time.time()
+                out = fn(d)
+                n = out.count() if hasattr(out, "count") else len(out)
+                best = min(best, time.time() - t0)
+            row[tag] = {"sec": round(best, 2), "rows": int(n)}
+        step = row[f"{args.reps}x"]["sec"] / max(row["1x"]["sec"], 1e-9)
+        row["step_ratio"] = round(step, 2)
+        row["per_row_ratio"] = round(step / args.reps, 3)
+        summary["ops"][name] = row
+        print(json.dumps({name: row}))
+
+    bench(
+        "harmonic_closeness_synth",
+        graph_op(
+            lambda ds: graph.harmonic_closeness(ds, min_seed_deg=200, rounds=2)
+        ),
+        g1,
+        gN,
+    )
+    for name, fn in [
+        ("purchase_click_tv", q_purchase_click_tv),
+        ("user_streak_days", q_user_streak_days),
+        ("nation_monthly_growth", q_nation_monthly_growth),
+        ("orders_weekday_profile", q_orders_weekday_profile),
+        ("customer_abc", q_customer_abc),
+        ("conv_echo_rate", q_conv_echo_rate),
+        ("event_type_walk", q_event_type_walk),
+        ("part_kendall", q_part_kendall),
+        ("part_supplier_hhi", q_part_supplier_hhi),
+        ("user_session_stats", q_user_session_stats),
+    ]:
+        bench(name, fn, args.sf, big)
+
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
