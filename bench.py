@@ -261,6 +261,8 @@ def run_bench() -> dict:
         q_embedding_dim_stats,
         q_events_outlier_iqr,
         q_user_first_last_value,
+        q_doc_ngram_novelty,
+        q_user_type_lift,
     )
 
     for name, fn in [
@@ -364,6 +366,9 @@ def run_bench() -> dict:
         ("embedding_dim_stats", q_embedding_dim_stats),
         ("events_outlier_iqr", q_events_outlier_iqr),
         ("user_first_last_value", q_user_first_last_value),
+        # session-12 additions: n-gram novelty, type affinity lift
+        ("doc_ngram_novelty", q_doc_ngram_novelty),
+        ("user_type_lift", q_user_type_lift),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -3061,3 +3061,39 @@ SELECT user_id,
        substring(lp, 35)::BIGINT AS last_value,
        (substring(lp, 35)::BIGINT - substring(fp, 35)::BIGINT) AS delta_cents
 FROM a"""
+
+
+def sql_doc_ngram_novelty(k: int = 3) -> str:
+    """Twin of ``dedup.doc_ngram_novelty``: the shared shingle CTE, first
+    owner by min doc_id, pure-integer novelty share."""
+    return f"""
+WITH {_shingle_cte(k=k)},
+f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+p AS (
+  SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel
+  FROM sh JOIN f ON sh.shingle = f.shingle GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_novel,
+       (n_novel * 1000000 // n_shingles)::BIGINT AS novelty_ppm
+FROM p"""
+
+
+def sql_user_type_lift() -> str:
+    """Twin of ``q_user_type_lift``: distinct (user, type), within-user
+    ordered type pairs, lift vs independence in the engine's float order."""
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM events),
+ta AS (SELECT event_type, count(*)::BIGINT AS c FROM ut GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*)::BIGINT AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab,
+       floor(((n_ab::DOUBLE * (SELECT nu FROM n)::DOUBLE) * 1000000.0::DOUBLE)
+             / (ca.c::DOUBLE * cb.c::DOUBLE))::BIGINT AS lift_ppm
+FROM p JOIN ta ca ON ca.event_type = p.type_a
+       JOIN ta cb ON cb.event_type = p.type_b"""

@@ -997,3 +997,89 @@ def sorted_neighborhood_pairs(
         cap=None,
         pair_fn=keep,
     )
+
+
+def doc_ngram_novelty(
+    docs: "ray.data.Dataset",
+    k_shingle: int = 3,
+) -> "ray.data.Dataset":
+    """Per-doc n-gram NOVELTY against all earlier docs (doc_id order):
+    ``(doc_id, n_shingles, n_novel, novelty_ppm)`` where a shingle is
+    novel iff this doc is its minimum owning doc_id — 10⁶ for a wholly
+    novel document, near 0 for a re-paste of earlier material. The
+    incremental-curation signal ("how much does each new crawl snapshot
+    actually add") that exact/near dedup doesn't give: a doc can be 40%
+    recycled without any single near-duplicate partner. Pure integer
+    share n_novel·10⁶ // n_shingles. Docs with < k tokens have no
+    shingles and are absent (the minhash convention).
+
+    Shape: the distinct (doc, shingle) explode (shared ``_shingle_explode``
+    normalization — oracle parity with the jaccard family), one
+    shingle-cardinality fastagg for first owners, one shingle-keyed hash
+    join back, one doc-cardinality fastagg. First-owner attribution is a
+    plain min — order arrives from the data, no driver state."""
+    import pyarrow.compute as pc
+
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+
+    SH = pa.schema([("doc_id", pa.int64()), ("shingle", pa.string())])
+    sh = drop_empty_blocks(
+        _shingle_explode(docs, k_shingle, None), SH
+    ).materialize()  # consumed twice: first-owner agg + the probe side
+    first = drop_empty_blocks(
+        sorted_grouped_agg(
+            sh, ["shingle"], [("doc_id", "min")], out_names=["_first"]
+        ),
+        pa.schema([("shingle", pa.string()), ("_first", pa.int64())]),
+    )
+    joined = hash_join(sh, first, on=("shingle",))
+    MID = pa.schema(
+        [("doc_id", pa.int64()), ("_n", pa.int64()), ("_nov", pa.int64())]
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_id"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.cast(
+                    pc.equal(t.column("doc_id"), t.column("_first")), pa.int64()
+                ),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(joined.map_batches(flag, batch_format="pyarrow"), MID),
+        ["doc_id"],
+        [("_n", "sum"), ("_nov", "sum")],
+        out_names=["n_shingles", "n_novel"],
+    )
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_shingles", pa.int64()),
+            ("n_novel", pa.int64()),
+            ("novelty_ppm", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
+        nov = t.column("n_novel").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_id"),
+                pa.array(n, pa.int64()),
+                pa.array(nov, pa.int64()),
+                pa.array(nov * 1_000_000 // np.maximum(n, 1), pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(finish, batch_format="pyarrow"), OUT)
