@@ -263,6 +263,8 @@ def run_bench() -> dict:
         q_user_first_last_value,
         q_doc_ngram_novelty,
         q_user_type_lift,
+        q_user_hour_entropy,
+        q_part_return_wilson,
     )
 
     for name, fn in [
@@ -369,6 +371,9 @@ def run_bench() -> dict:
         # session-12 additions: n-gram novelty, type affinity lift
         ("doc_ngram_novelty", q_doc_ngram_novelty),
         ("user_type_lift", q_user_type_lift),
+        # session-13 additions: integer entropy, Wilson lower bound
+        ("user_hour_entropy", q_user_hour_entropy),
+        ("part_return_wilson", q_part_return_wilson),
     ]:
         t = time.time()
         out = fn(SF_DIR)

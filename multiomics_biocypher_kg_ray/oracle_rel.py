@@ -3097,3 +3097,41 @@ SELECT type_a, type_b, n_ab,
              / (ca.c::DOUBLE * cb.c::DOUBLE))::BIGINT AS lift_ppm
 FROM p JOIN ta ca ON ca.event_type = p.type_a
        JOIN ta cb ON cb.event_type = p.type_b"""
+
+
+def sql_user_hour_entropy(quantum: int = 1000) -> str:
+    """Twin of ``relational.group_entropy`` over per-user hour-of-day
+    counts: quantized logs first, exact integer sums, integer floor
+    division — no float in the compared output."""
+    return f"""
+WITH h AS (SELECT user_id, hour(ts)::BIGINT AS hr FROM events),
+c AS (SELECT user_id, hr, count(*)::BIGINT AS c FROM h GROUP BY 1, 2),
+a AS (
+  SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_items,
+         sum(c * floor(ln(c::DOUBLE) * {quantum}.0)::BIGINT)::BIGINT AS s
+  FROM c GROUP BY 1
+)
+SELECT user_id, n, n_items,
+       ((n * floor(ln(n::DOUBLE) * {quantum}.0)::BIGINT - s) // n)::BIGINT
+         AS entropy_milli
+FROM a"""
+
+
+def sql_part_return_wilson() -> str:
+    """Twin of ``q_part_return_wilson``: exact (k, n) counts, one Wilson
+    lower-bound float expression with identical parenthesization (z=2)."""
+    return """
+WITH a AS (
+  SELECT l_partkey::BIGINT AS l_partkey, count(*)::BIGINT AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, n, k,
+       floor((((k::DOUBLE / n::DOUBLE) + 2.0::DOUBLE / n::DOUBLE)
+              - 2.0::DOUBLE * sqrt((k::DOUBLE / n::DOUBLE)
+                                   * (1.0::DOUBLE - k::DOUBLE / n::DOUBLE)
+                                   / n::DOUBLE
+                                   + 1.0::DOUBLE / (n::DOUBLE * n::DOUBLE)))
+             / (1.0::DOUBLE + 4.0::DOUBLE / n::DOUBLE)
+             * 1000000.0::DOUBLE)::BIGINT AS wilson_low_ppm
+FROM a"""
