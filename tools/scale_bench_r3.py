@@ -85,9 +85,12 @@ def _shift_tables(sf: str, out_dir: str, reps: int) -> None:
                 {
                     "l_orderkey": pc.add(t.column("l_orderkey"), r * 1_000_000_000),
                     "l_partkey": pc.add(t.column("l_partkey"), r * 10_000_000),
+                    "l_suppkey": pc.add(t.column("l_suppkey"), r * 10_000_000),
+                    "l_linenumber": t.column("l_linenumber"),
                     "l_quantity": t.column("l_quantity"),
                     "l_extendedprice": t.column("l_extendedprice"),
                     "l_discount": t.column("l_discount"),
+                    "l_returnflag": t.column("l_returnflag"),
                     "l_shipdate": pc.add(d, r * t_span).cast(pa.timestamp("us")),
                 }
             )
@@ -152,9 +155,12 @@ def _shift_tables(sf: str, out_dir: str, reps: int) -> None:
             [
                 "l_orderkey",
                 "l_partkey",
+                "l_suppkey",
+                "l_linenumber",
                 "l_quantity",
                 "l_extendedprice",
                 "l_discount",
+                "l_returnflag",
                 "l_shipdate",
             ],
             rep_lineitem,

@@ -58,14 +58,21 @@ def main() -> None:
     from multiomics_biocypher_kg_ray.pipelines.queries import (
         q_conv_echo_rate,
         q_customer_abc,
+        q_doc_ngram_novelty,
+        q_embedding_dim_stats,
         q_event_type_walk,
+        q_events_outlier_iqr,
         q_nation_monthly_growth,
         q_orders_weekday_profile,
         q_part_kendall,
+        q_part_return_wilson,
         q_part_supplier_hhi,
         q_purchase_click_tv,
+        q_user_first_last_value,
+        q_user_hour_entropy,
         q_user_session_stats,
         q_user_streak_days,
+        q_user_type_lift,
     )
     from multiomics_biocypher_kg_ray.stages import graph
 
@@ -100,14 +107,20 @@ def main() -> None:
     # Sum-of-ball-volume by design; an unbounded seed set (deg >= 200 gave
     # 622 seeds x ~full-graph 2-hop balls at 16x) measures the spill path,
     # not the kernel
-    bench(
-        "harmonic_closeness_synth",
-        graph_op(
-            lambda ds: graph.harmonic_closeness(ds, min_seed_deg=3000, rounds=2)
-        ),
-        g1,
-        gN,
-    )
+    if "harmonic_closeness_synth" not in (
+        (os.environ.get("GRAFT_SKIP_OPS") or "").split(",")
+    ):
+        bench(
+            "harmonic_closeness_synth",
+            graph_op(
+                lambda ds: graph.harmonic_closeness(
+                    ds, min_seed_deg=3000, rounds=2
+                )
+            ),
+            g1,
+            gN,
+        )
+    measured = set((os.environ.get("GRAFT_SKIP_OPS") or "").split(","))
     for name, fn in [
         ("purchase_click_tv", q_purchase_click_tv),
         ("user_streak_days", q_user_streak_days),
@@ -119,7 +132,16 @@ def main() -> None:
         ("part_kendall", q_part_kendall),
         ("part_supplier_hhi", q_part_supplier_hhi),
         ("user_session_stats", q_user_session_stats),
+        ("embedding_dim_stats", q_embedding_dim_stats),
+        ("events_outlier_iqr", q_events_outlier_iqr),
+        ("user_first_last_value", q_user_first_last_value),
+        ("doc_ngram_novelty", q_doc_ngram_novelty),
+        ("user_type_lift", q_user_type_lift),
+        ("user_hour_entropy", q_user_hour_entropy),
+        ("part_return_wilson", q_part_return_wilson),
     ]:
+        if name in measured:
+            continue
         bench(name, fn, args.sf, big)
 
     print(json.dumps(summary))
