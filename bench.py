@@ -265,6 +265,8 @@ def run_bench() -> dict:
         q_user_type_lift,
         q_user_hour_entropy,
         q_part_return_wilson,
+        q_kg_node_pred_entropy,
+        q_doc_token_hhi,
     )
 
     for name, fn in [
@@ -374,6 +376,9 @@ def run_bench() -> dict:
         # session-13 additions: integer entropy, Wilson lower bound
         ("user_hour_entropy", q_user_hour_entropy),
         ("part_return_wilson", q_part_return_wilson),
+        # session-14 compositions: KG predicate entropy, doc token HHI
+        ("kg_node_pred_entropy", q_kg_node_pred_entropy),
+        ("doc_token_hhi", q_doc_token_hhi),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -1011,3 +1011,20 @@ SELECT cc.conv_id, coalesce(mc.nm, 0)::BIGINT AS n_mentions, cc.n_chars,
        (coalesce(mc.nm, 0) * 1000000 // greatest(cc.n_chars, 1))::BIGINT
          AS density_e6
 FROM cc LEFT JOIN mc ON cc.conv_id = mc.conv_id"""
+
+
+def sql_kg_node_pred_entropy(quantum: int = 1000) -> str:
+    """Twin of ``relational.group_entropy`` over (src, pred) of the built
+    KG edges: quantized logs first, exact integer sums, integer floor."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+c AS (SELECT src, pred, count(*)::BIGINT AS c FROM edges GROUP BY 1, 2),
+a AS (
+  SELECT src, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_items,
+         sum(c * floor(ln(c::DOUBLE) * {quantum}.0)::BIGINT)::BIGINT AS s
+  FROM c GROUP BY 1
+)
+SELECT src, n, n_items,
+       ((n * floor(ln(n::DOUBLE) * {quantum}.0)::BIGINT - s) // n)::BIGINT
+         AS entropy_milli
+FROM a"""

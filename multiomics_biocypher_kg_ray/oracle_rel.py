@@ -3135,3 +3135,23 @@ SELECT l_partkey, n, k,
              / (1.0::DOUBLE + 4.0::DOUBLE / n::DOUBLE)
              * 1000000.0::DOUBLE)::BIGINT AS wilson_low_ppm
 FROM a"""
+
+
+def sql_doc_token_hhi() -> str:
+    """Twin of ``q_doc_token_hhi``: whitespace token explode, per-term
+    counts as member totals, mirrored squared-share floor."""
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS term
+  FROM documents
+),
+m AS (SELECT doc_id, term, count(*)::BIGINT AS v FROM tok GROUP BY 1, 2),
+a AS (SELECT doc_id, count(*)::BIGINT AS n_members, sum(v)::BIGINT AS s,
+             sum(v * v)::BIGINT AS ss
+      FROM m GROUP BY 1)
+SELECT doc_id, n_members, s AS total,
+       CASE WHEN s > 0
+            THEN floor((ss::DOUBLE * 1000000.0::DOUBLE)
+                       / (s::DOUBLE * s::DOUBLE))::BIGINT
+            ELSE NULL END AS hhi_e6
+FROM a"""

@@ -3950,6 +3950,49 @@ def q_part_return_wilson(sf_dir: str):
     return drop_empty_blocks(agg.map_batches(wilson, batch_format="pyarrow"), OUT)
 
 
+def q_kg_node_pred_entropy(sf_dir: str):
+    """Predicate-diversity entropy per KG source node — a real entity
+    accumulates varied predicates, a template-noise mega-hub repeats one;
+    the hub-curation signal, fully integer quantized-log path."""
+    edges = materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    return relational.group_entropy(
+        edges.select_columns(["src", "pred"]), "src", "pred"
+    )
+
+
+def q_doc_token_hhi(sf_dir: str):
+    """Token-concentration HHI per document — the squared-share repetition
+    gauge (a doc that is one token over and over scores 10⁶); complements
+    the Gopher repetition signals with a single bounded scalar."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    TOK = pa.schema(
+        [("doc_id", pa.int64()), ("_term", pa.string()), ("_one", pa.int64())]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TOK.empty_table()
+        toks = pc.split_pattern(pc.fill_null(t.column("text"), ""), " ")
+        toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(len(lens), dtype=np.int64), lens))
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_id").take(idx),
+                toks.flatten(),
+                pa.array(np.ones(int(lens.sum()), np.int64)),
+            ],
+            schema=TOK,
+        )
+
+    return relational.concentration_hhi(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        "doc_id",
+        "_term",
+        "_one",
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -4426,6 +4469,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_part_return_wilson,
             oracle_rel.sql_part_return_wilson(),
         ),
+        "kg_node_pred_entropy": (
+            q_kg_node_pred_entropy,
+            oracle.sql_kg_node_pred_entropy(),
+        ),
+        "doc_token_hhi": (q_doc_token_hhi, oracle_rel.sql_doc_token_hhi()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -4435,6 +4483,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "kg_node_pred_entropy",
+        "doc_token_hhi",
         "user_hour_entropy",
         "part_return_wilson",
         "doc_ngram_novelty",
