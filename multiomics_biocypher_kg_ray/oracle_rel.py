@@ -2905,21 +2905,24 @@ SELECT s AS state, m AS mass_e6 FROM p{steps}"""
 
 def sql_part_kendall(k: int = 10) -> str:
     """Twin of ``relational.group_kendall_binned`` over lineitem per part:
-    NTILE(k) per axis with (o, ln) tie-breaks, cell counts, tie masses
-    from the marginals, concordant/discordant from the qualifying
-    cell-pair self-join, mirrored τ-b float floor."""
+    tie-preserving midrank-decile bins qx = ((2·N_less + c)·k) // (2n)
+    (2·rank + count_eq − 2 over rows ≡ the engine's cell form), cell
+    counts, tie masses from the marginals, concordant/discordant from the
+    qualifying cell-pair self-join, mirrored τ-b float floor."""
     x = CENTS.format(col="l_quantity")
     y = CENTS.format(col="l_extendedprice")
     return f"""
 WITH e AS (
-  SELECT l_partkey::BIGINT AS g, {x} AS x, {y} AS y,
-         l_orderkey AS o, l_linenumber AS ln
-  FROM lineitem
+  SELECT l_partkey::BIGINT AS g, {x} AS x, {y} AS y FROM lineitem
 ),
 q AS (
   SELECT g,
-         ntile({k}) OVER (PARTITION BY g ORDER BY x, o, ln)::BIGINT AS qx,
-         ntile({k}) OVER (PARTITION BY g ORDER BY y, o, ln)::BIGINT AS qy
+         (((2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + count(*) OVER (PARTITION BY g, x) - 2) * {k})
+          // (2 * count(*) OVER (PARTITION BY g)))::BIGINT AS qx,
+         (((2 * rank() OVER (PARTITION BY g ORDER BY y)
+            + count(*) OVER (PARTITION BY g, y) - 2) * {k})
+          // (2 * count(*) OVER (PARTITION BY g)))::BIGINT AS qy
   FROM e
 ),
 cells AS (SELECT g, qx, qy, count(*)::BIGINT AS c FROM q GROUP BY 1, 2, 3),

@@ -3440,22 +3440,19 @@ def q_event_type_walk(sf_dir: str):
 
 def q_part_kendall(sf_dir: str):
     """Per-part Kendall τ-b between quantity and price on within-part
-    NTILE(10) bins — concordance-based rank association with cell-pair
-    fan-out bounded at k⁴/2 per group regardless of group size."""
+    midrank-decile bins — concordance-based rank association; never ranks
+    raw rows (bins come from value-cell marginals), cell-pair fan-out
+    bounded at k⁴/2 per group regardless of group size."""
     li = _read(
-        sf_dir,
-        "lineitem",
-        ["l_partkey", "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"],
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
     )
     prepped = li.map_batches(
         lambda t: relational.to_cents(
             t, {"l_quantity": "x", "l_extendedprice": "y"}
-        ).select(["l_partkey", "x", "y", "l_orderkey", "l_linenumber"]),
+        ).select(["l_partkey", "x", "y"]),
         batch_format="pyarrow",
     )
-    return relational.group_kendall_binned(
-        prepped, "l_partkey", "x", "y", ["l_orderkey", "l_linenumber"], k=10
-    )
+    return relational.group_kendall_binned(prepped, "l_partkey", "x", "y", k=10)
 
 
 def q_part_supplier_hhi(sf_dir: str):

@@ -3428,70 +3428,159 @@ def group_kendall_binned(
     group_col: str,
     x_col: str,
     y_col: str,
-    id_cols: list[str],
     k: int = 10,
 ) -> "ray.data.Dataset":
     """Per-group Kendall τ-b between two int64 columns on within-group
-    NTILE(k) bins — ``(group, n, kendall_ppm)`` with kendall_ppm =
-    floor(τ_b·10⁶), NULL when either axis is constant after binning. The
-    concordance-based rank association: unlike Spearman (which squares
-    rank displacements) τ counts pair ORDER inversions, the robustness
-    grade M-competition-style forecast evaluation and feature screens
-    ask for. Binning to k tiles per axis is what makes τ scale-feasible:
-    exact τ needs all O(n²) pair orders, while the binned statistic is
-    EXACTLY Kendall τ-b of the tile-quantized data — a documented,
-    deterministic coarsening (ties broken by ``id_cols`` in the tile
-    sort, mirrored in the twin), not an approximation heuristic.
+    midrank-decile bins — ``(group, n, kendall_ppm)`` with kendall_ppm =
+    floor(τ_b·10⁶), NULL when either axis is constant (all mass in one
+    bin). The concordance-based rank association: unlike Spearman (which
+    squares rank displacements) τ counts pair ORDER inversions, the
+    robustness grade forecast evaluation and feature screens ask for.
+    Binning is what makes τ scale-feasible (exact τ needs all O(n²) pair
+    orders); the bin of a VALUE is its doubled-midrank decile,
+    qx = ((2·N_less + c)·k) // (2n) — tie-PRESERVING (equal values always
+    share a bin; in [0, k−1] by construction) and the binned statistic is
+    exactly τ-b of that deterministic coarsening, mirrored in the twin.
 
-    Shape: two ``ntile_over`` passes (global sorts, hot-key safe), one
-    (group, qx, qy) CELL fastagg, then concordant/discordant mass from a
-    within-group cell×cell self-join — fan-out ≤ k⁴/2 cell pairs per
-    group (≤ 5000 at k=10) REGARDLESS of group row count; tie masses n₁,
-    n₂ come from the two marginals. All counts are exact int64
-    (contract: n per group ≲ 3·10⁹ so n(n−1)/2 fits); the single float
-    step is the final promote-then-multiply floor, identical op order to
-    the twin. Groups with no cross-tile x pairs surface through the
-    pagerank-style zero-row union, so constant groups emit NULL rather
-    than vanish."""
+    NEVER ranks raw rows — the lesson of the measured 57× step at 16×
+    data for the first cut of this operator (two NTILE passes = two
+    full-data global sorts + two full-data shuffle joins once the group
+    count passes the broadcast threshold): bins come from per-axis
+    VALUE-cell marginals (exclusive segmented count scans, the
+    ``group_spearman`` shape), joined back to the (g, x, y) cells at CELL
+    cardinality. Concordant/discordant mass then comes from a
+    within-group bin-cell self-join — fan-out ≤ k⁴/2 pairs per group
+    (≤ 5000 at k=10) REGARDLESS of group row count; tie masses n₁, n₂
+    from the bin marginals. All counts exact int64 (contract: n per
+    group ≲ 3·10⁹ so n(n−1)/2 fits); the single float step is the final
+    promote-then-multiply floor, identical op order to the twin. Groups
+    with no cross-bin x pairs surface through the pagerank-style
+    zero-row union, so constant groups emit NULL rather than vanish."""
     from .fastagg import drop_empty_blocks, sorted_grouped_agg
     from .joins import hash_join
+    from .window import cumsum_over
 
     typ = dict(zip(ds.schema().names, ds.schema().types))
     gt = typ[group_col]
 
-    base = ds.select_columns([group_col, x_col, y_col] + id_cols)
-    qx = ntile_over(
-        base,
-        [group_col],
-        [(x_col, True)] + [(c, True) for c in id_cols],
-        k,
-        ntile_col="_qx",
-    ).map_batches(
-        # drop the ride-along pct_rank before the second ntile pass
-        # (duplicate-column guard) and the no-longer-needed x axis
-        lambda t: t.select([group_col, y_col] + id_cols + ["_qx"]),
-        batch_format="pyarrow",
+    XY = pa.schema([(group_col, gt), ("_x", pa.int64()), ("_y", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return XY.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                pc.cast(t.column(x_col), pa.int64()),
+                pc.cast(t.column(y_col), pa.int64()),
+            ],
+            schema=XY,
+        )
+
+    vcells = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns([group_col, x_col, y_col]).map_batches(
+                prep, batch_format="pyarrow"
+            ),
+            [group_col, "_x", "_y"],
+            [("_x", "count")],
+            out_names=["_c"],
+        ),
+        pa.schema(list(XY) + [("_c", pa.int64())]),
+    ).materialize()  # consumed thrice: totals + two bin-marginal paths
+
+    NG = pa.schema([(group_col, gt), ("_n", pa.int64())])
+    ngrp = drop_empty_blocks(
+        sorted_grouped_agg(
+            vcells.select_columns([group_col, "_c"]),
+            [group_col],
+            [("_c", "sum")],
+            out_names=["_n"],
+        ),
+        NG,
+    ).materialize()
+
+    def _bins(axis: str, out: str) -> "ray.data.Dataset":
+        # value-cardinality marginal → exclusive count scan → doubled
+        # midrank m = 2·N_less + c → bin (m·k) // (2n) ∈ [0, k−1]
+        marg = sorted_grouped_agg(
+            vcells.select_columns([group_col, axis, "_c"]),
+            [group_col, axis],
+            [("_c", "sum")],
+            out_names=["_cm"],
+        )
+        nless = cumsum_over(
+            marg, group_col, [axis], "_cm", out_col="_nl", inclusive=False
+        )
+        withn = hash_join(
+            drop_empty_blocks(
+                nless,
+                pa.schema(
+                    [
+                        (group_col, gt),
+                        (axis, pa.int64()),
+                        ("_cm", pa.int64()),
+                        ("_nl", pa.int64()),
+                    ]
+                ),
+            ),
+            ngrp,
+            on=(group_col,),
+        )
+        QB = pa.schema([(group_col, gt), (axis, pa.int64()), (out, pa.int64())])
+
+        def fin(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return QB.empty_table()
+            cm = t.column("_cm").to_numpy(zero_copy_only=False).astype(np.int64)
+            nl = t.column("_nl").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = t.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+            q = (2 * nl + cm) * k // (2 * n)
+            return pa.Table.from_arrays(
+                [t.column(group_col), t.column(axis), pa.array(q, pa.int64())],
+                schema=QB,
+            )
+
+        return drop_empty_blocks(withn.map_batches(fin, batch_format="pyarrow"), QB)
+
+    jx = drop_empty_blocks(
+        hash_join(vcells, _bins("_x", "_qx"), on=(group_col, "_x")),
+        pa.schema(
+            [
+                (group_col, gt),
+                ("_x", pa.int64()),
+                ("_y", pa.int64()),
+                ("_c", pa.int64()),
+                ("_qx", pa.int64()),
+            ]
+        ),
     )
-    qy = ntile_over(
-        qx,
-        [group_col],
-        [(y_col, True)] + [(c, True) for c in id_cols],
-        k,
-        ntile_col="_qy",
+    jxy = drop_empty_blocks(
+        hash_join(jx, _bins("_y", "_qy"), on=(group_col, "_y")),
+        pa.schema(
+            [
+                (group_col, gt),
+                ("_x", pa.int64()),
+                ("_y", pa.int64()),
+                ("_c", pa.int64()),
+                ("_qx", pa.int64()),
+                ("_qy", pa.int64()),
+            ]
+        ),
     )
     CELLS = pa.schema(
         [(group_col, gt), ("_qx", pa.int64()), ("_qy", pa.int64())]
     )
     cells = drop_empty_blocks(
         sorted_grouped_agg(
-            qy.map_batches(
-                lambda t: t.select([group_col, "_qx", "_qy"])
+            jxy.map_batches(
+                lambda t: t.select([group_col, "_qx", "_qy", "_c"])
                 if t.num_columns
-                else CELLS.empty_table(),
+                else pa.schema(list(CELLS) + [("_c", pa.int64())]).empty_table(),
                 batch_format="pyarrow",
             ),
             [group_col, "_qx", "_qy"],
-            [("_qx", "count")],
+            [("_c", "sum")],
             out_names=["_c"],
         ),
         pa.schema(list(CELLS) + [("_c", pa.int64())]),

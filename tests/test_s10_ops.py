@@ -48,7 +48,7 @@ def test_kendall_permutation_brute_force():
     ys = [2, 1, 4, 3, 6, 5]  # 3 inversions
     df = _kendall_df("p", [1, 2, 3, 4, 5, 6], ys)
     out = (
-        group_kendall_binned(_ds(df), "g", "x", "y", ["i"], k=10)
+        group_kendall_binned(_ds(df), "g", "x", "y", k=10)
         .to_pandas()
         .iloc[0]
     )
@@ -62,7 +62,7 @@ def test_kendall_monotone_survives_binning():
     n = 100
     df = _kendall_df("m", np.arange(n), np.arange(n) * 7)
     out = (
-        group_kendall_binned(_ds(df), "g", "x", "y", ["i"], k=10)
+        group_kendall_binned(_ds(df), "g", "x", "y", k=10)
         .to_pandas()
         .iloc[0]
     )
@@ -73,15 +73,14 @@ def test_kendall_monotone_survives_binning():
 def test_kendall_constant_axis_null():
     df = _kendall_df("c", [5, 5, 5, 5], [1, 2, 3, 4])
     out = (
-        group_kendall_binned(_ds(df), "g", "x", "y", ["i"], k=10)
+        group_kendall_binned(_ds(df), "g", "x", "y", k=10)
         .to_pandas()
         .iloc[0]
     )
-    # x constant -> after binning tiles are 1..4 via the id tie-break, so
-    # binned tau sees a DETERMINISTIC pseudo-order; with k >= n the tiles
-    # are distinct and tau is computed vs that order — the documented
-    # coarsening. Verify it matches the brute force of the same rule.
-    assert out["n"] == 4  # row present, value defined by the binned rule
+    # x constant -> the tie-preserving midrank bin puts ALL rows in one
+    # x-bin, so every pair is x-tied (n1 == n0) and tau-b is undefined
+    assert out["n"] == 4
+    assert pd.isna(out["kendall_ppm"])
 
 
 def test_hhi_monopoly_balanced_and_hand():
