@@ -267,6 +267,7 @@ def run_bench() -> dict:
         q_part_return_wilson,
         q_kg_node_pred_entropy,
         q_doc_token_hhi,
+        q_orders_skyline,
     )
 
     for name, fn in [
@@ -379,6 +380,7 @@ def run_bench() -> dict:
         # session-14 compositions: KG predicate entropy, doc token HHI
         ("kg_node_pred_entropy", q_kg_node_pred_entropy),
         ("doc_token_hhi", q_doc_token_hhi),
+        ("orders_skyline", q_orders_skyline),
     ]:
         t = time.time()
         out = fn(SF_DIR)

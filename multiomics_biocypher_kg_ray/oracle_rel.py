@@ -3158,3 +3158,24 @@ SELECT doc_id, n_members, s AS total,
                        / (s::DOUBLE * s::DOUBLE))::BIGINT
             ELSE NULL END AS hhi_e6
 FROM a"""
+
+
+def sql_orders_skyline() -> str:
+    """Twin of ``relational.skyline_2d`` over (price cents, −order day):
+    min-y per distinct x, then the exclusive running-min window — a point
+    survives iff strictly below every smaller-x minimum."""
+    v = CENTS.format(col="o_totalprice")
+    return f"""
+WITH p AS (
+  SELECT {v} AS x,
+         -(epoch_us(o_orderdate)::BIGINT // 86400000000) AS y
+  FROM orders
+),
+d AS (SELECT x, min(y) AS y FROM p GROUP BY 1),
+w AS (SELECT x, y,
+             min(y) OVER (ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev
+      FROM d)
+SELECT x AS price_cents, (-y)::BIGINT AS order_day
+FROM w WHERE prev IS NULL OR y < prev"""

@@ -3925,3 +3925,70 @@ def group_entropy(
         )
 
     return drop_empty_blocks(agg.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
+def skyline_2d(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+) -> "ray.data.Dataset":
+    """2-D skyline (Pareto frontier), both axes MINIMIZED: the rows not
+    dominated by any other row (x' ≤ x, y' ≤ y, one strict) — the
+    efficient-frontier query (cheapest-vs-freshest, price-vs-latency…).
+    Maximize an axis by negating it upstream. Output ``(x, y)`` frontier
+    points, one row per distinct x (the minimal y at that x).
+
+    The naive formulation is an O(n²) NOT-EXISTS self-join; the sort
+    identity collapses it to value cardinality: dedupe to the minimal y
+    per distinct x (one fastagg), then a point survives iff its y is
+    strictly below the running minimum of y over all smaller x — ONE
+    exclusive segmented scan (running min = −cummax(−y)) over the
+    x-sorted distinct stream plus a stateless filter. Pure integers
+    end-to-end, bit-exact vs the window twin; a billion input rows cost
+    the scan only their distinct-x count."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .window import cummax_over
+
+    XY = pa.schema([("_g", pa.int64()), ("x", pa.int64()), ("_ny", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return XY.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.zeros(t.num_rows, np.int64)),
+                pc.cast(t.column(x_col), pa.int64()),
+                pc.negate_checked(pc.cast(t.column(y_col), pa.int64())),
+            ],
+            schema=XY,
+        )
+
+    # minimal y per distinct x == maximal −y
+    dist = sorted_grouped_agg(
+        ds.select_columns([x_col, y_col]).map_batches(prep, batch_format="pyarrow"),
+        ["_g", "x"],
+        [("_ny", "max")],
+        out_names=["_ny"],
+    )
+    scanned = cummax_over(dist, "_g", ["x"], "_ny", out_col="_prev")
+    OUT = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        ny = t.column("_ny").to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = t.column("_prev").to_numpy(zero_copy_only=False).astype(np.float64)
+        # survives iff no smaller-x point had y ≤ this y (−y ≥ this −y)
+        ok = np.isnan(prev) | (ny > prev)
+        idx = pa.array(np.flatnonzero(ok))
+        return pa.Table.from_arrays(
+            [
+                t.column("x").take(idx),
+                pa.array(-ny[np.flatnonzero(ok)], pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        scanned.map_batches(keep, batch_format="pyarrow"), OUT
+    )

@@ -69,3 +69,27 @@ def test_pred_entropy_on_hand_edges():
     assert out.loc["n1", "entropy_milli"] == (4 * L4 - 4 * L2) // 4
     # n2: single predicate -> 0 (the template-noise hub signature)
     assert out.loc["n2", "entropy_milli"] == 0
+
+
+def test_skyline_2d_hand_dominance():
+    from multiomics_biocypher_kg_ray.stages.relational import skyline_2d
+
+    # minimize both axes. points: (1,5) frontier; (2,5) dominated by (1,5)
+    # (x strict, y tied); (2,3) frontier; (3,3) dominated; (4,1) frontier;
+    # (5,2) dominated; duplicate x keeps only min y: (2,9) collapses
+    pts = [(1, 5), (2, 5), (2, 3), (2, 9), (3, 3), (4, 1), (5, 2)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "x": pa.array([p[0] for p in pts], pa.int64()),
+                "y": pa.array([p[1] for p in pts], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = (
+        skyline_2d(ds, "x", "y")
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.values)) == [(1, 5), (2, 3), (4, 1)]
