@@ -594,6 +594,124 @@ HAVING count(DISTINCT conv_id) >= {min_convs}
 ORDER BY n_turns DESC, text LIMIT {k}"""
 
 
+def sql_conv_turn_taking() -> str:
+    """Twin of ``convo.turn_taking``: lag(role)/lag(length(text)) per
+    conversation ordered by turn_idx, adjacent-pair switch counts and
+    absolute length deltas, integer switch_ppm (identical semantics to the
+    engine's lossless len*4+role_code pack; convs with a single turn drop
+    out — GROUP BY after the prev-IS-NOT-NULL filter, both engines)."""
+    return f"""{_kg_prefix()}
+, lagged AS (
+  SELECT conv_id, role,
+         lag(role) OVER w AS prev_role,
+         length(text)::BIGINT AS len,
+         lag(length(text)::BIGINT) OVER w AS prev_len
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+p AS (
+  SELECT conv_id,
+         CASE WHEN role <> prev_role THEN 1 ELSE 0 END::BIGINT AS sw,
+         abs(len - prev_len)::BIGINT AS dl
+  FROM lagged WHERE prev_role IS NOT NULL
+),
+a AS (
+  SELECT conv_id, count(*)::BIGINT AS n_pairs, sum(sw)::BIGINT AS n_switches,
+         sum(dl)::BIGINT AS sum_abs_len_delta
+  FROM p GROUP BY 1
+)
+SELECT conv_id, n_pairs, n_switches,
+       (n_switches * 1000000 // CASE WHEN n_pairs > 1 THEN n_pairs ELSE 1 END)::BIGINT AS switch_ppm,
+       sum_abs_len_delta
+FROM a"""
+
+
+def sql_kg_type_rollup() -> str:
+    """Twin of ``q_kg_type_rollup``: the multi-source edge table rolled up
+    to (src_type, pred, dst_type) with edge counts and summed weights —
+    node type = split_part(id, '_', 1), the engine's _node_type."""
+    return f"""
+SELECT split_part(src, '_', 1) AS src_type, pred,
+       split_part(dst, '_', 1) AS dst_type,
+       count(*)::BIGINT AS n_edges, sum(weight)::BIGINT AS total_weight
+FROM ({sql_kg_multisource()}) ms
+GROUP BY 1, 2, 3"""
+
+
+def sql_kg_schema_audit(
+    declared: "tuple[tuple[str, str, str], ...] | None" = None,
+) -> str:
+    """Twin of ``q_kg_schema_audit``: multi-source edges outside the
+    declared (src_type, pred, dst_type) schema, or self-loops (self-loop
+    wins the reason priority), rolled up with counts."""
+    if declared is None:
+        from .pipelines.queries import KG_DECLARED_SCHEMA
+
+        declared = KG_DECLARED_SCHEMA
+    vals = ", ".join(f"('{a}', '{p}', '{b}')" for a, p, b in declared)
+    return f"""
+WITH ms AS ({sql_kg_multisource()}),
+decl(src_type, pred, dst_type) AS (VALUES {vals}),
+typed AS (
+  SELECT split_part(src, '_', 1) AS src_type, pred,
+         split_part(dst, '_', 1) AS dst_type,
+         (src = dst) AS is_self
+  FROM ms
+),
+flagged AS (
+  SELECT t.src_type, t.pred, t.dst_type,
+         CASE WHEN t.is_self THEN 'self_loop' ELSE 'undeclared_triple' END AS reason
+  FROM typed t
+  LEFT JOIN decl d ON d.src_type = t.src_type AND d.pred = t.pred
+                  AND d.dst_type = t.dst_type
+  WHERE t.is_self OR d.pred IS NULL
+)
+SELECT src_type, pred, dst_type, reason, count(*)::BIGINT AS n_edges
+FROM flagged GROUP BY 1, 2, 3, 4"""
+
+
+def sql_kg_ppr(
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    seed_prefix: str = "term:s",
+) -> str:
+    """Twin of ``q_kg_ppr`` — ``graph.pagerank`` with seed restart: the
+    identical int64 fixed-point recurrence, unrolled one CTE per iteration,
+    with score₀ and the base term masked to the seed set (canonical ids of
+    components whose key starts with ``seed_prefix``)."""
+    base = scale * (100 - damping_pct) // 100
+    parts = [
+        "e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1)",
+        "ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d ON d.src = e.src)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "seeds AS (SELECT DISTINCT canonical_id AS node FROM canon "
+        f"WHERE component_key LIKE '{seed_prefix}%')",
+        "sn AS (SELECT n.node, (s.node IS NOT NULL)::BIGINT AS is_seed "
+        "FROM nodes n LEFT JOIN seeds s ON s.node = n.node)",
+        f"s0 AS (SELECT node, (is_seed * {scale})::BIGINT AS score FROM sn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT n.node,
+         (n.is_seed * {base}::BIGINT
+           + ({damping_pct} * COALESCE(sum(p.score // ed.outdeg), 0)) // 100
+         )::BIGINT AS score
+  FROM sn n
+  LEFT JOIN ed ON ed.dst = n.node
+  LEFT JOIN s{i - 1} p ON p.node = ed.src
+  GROUP BY n.node, n.is_seed)"""
+        )
+    return (
+        f"{_kg_prefix(recursive=True)},\nedges AS ({_edges_select()}),\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node, score AS ppr_score FROM s{iters}"
+    )
+
+
 def sql_tool_sequences(k: int = 20) -> str:
     """Twin of ``convo.tool_sequences``: per-conv ordered non-empty tool
     sequence, top-k sequences by conversation count."""

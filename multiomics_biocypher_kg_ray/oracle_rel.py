@@ -2256,6 +2256,45 @@ SELECT grp AS event_type, n,
 FROM st CROSS JOIN tot"""
 
 
+def sql_purchase_click_welch() -> str:
+    """Twin of ``relational.welch_t`` over purchase-vs-click cents: exact
+    int64 conditional moments, then the engine finalize's EXACT double op
+    order — ma = sa/na, va = (qa − sa·sa/na)/(na−1), sea = va/na,
+    t² = floor(d·d·10⁶ / (sea+seb)), Welch–Satterthwaite df in millis.
+    NULL stats when either n ≤ 1 or the pooled standard error is zero."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_type AS grp, {v} AS cents FROM events
+           WHERE event_type IN ('purchase', 'click')),
+st AS (SELECT
+  sum(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS na,
+  sum(CASE WHEN grp = 'purchase' THEN cents ELSE 0 END)::BIGINT AS sa,
+  sum(CASE WHEN grp = 'purchase' THEN cents * cents ELSE 0 END)::BIGINT AS qa,
+  sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END)::BIGINT AS nb,
+  sum(CASE WHEN grp = 'click' THEN cents ELSE 0 END)::BIGINT AS sb,
+  sum(CASE WHEN grp = 'click' THEN cents * cents ELSE 0 END)::BIGINT AS qb
+  FROM e),
+m AS (SELECT na, nb,
+  sa::DOUBLE / na::DOUBLE AS ma, sb::DOUBLE / nb::DOUBLE AS mb,
+  CASE WHEN na > 1 AND nb > 1 THEN
+    ((qa::DOUBLE - (sa::DOUBLE * sa::DOUBLE) / na::DOUBLE)
+       / (na::DOUBLE - 1.0)) / na::DOUBLE ELSE NULL END AS sea,
+  CASE WHEN na > 1 AND nb > 1 THEN
+    ((qb::DOUBLE - (sb::DOUBLE * sb::DOUBLE) / nb::DOUBLE)
+       / (nb::DOUBLE - 1.0)) / nb::DOUBLE ELSE NULL END AS seb
+  FROM st)
+SELECT na AS n_a, nb AS n_b,
+  CASE WHEN sea + seb > 0.0
+       THEN floor(((ma - mb) * (ma - mb) * 1000000.0) / (sea + seb))::BIGINT
+       ELSE NULL END AS t2_micro,
+  CASE WHEN sea + seb > 0.0
+       THEN floor(((sea + seb) * (sea + seb) * 1000.0)
+                  / ((sea * sea) / (na::DOUBLE - 1.0)
+                     + (seb * seb) / (nb::DOUBLE - 1.0)))::BIGINT
+       ELSE NULL END AS df_milli
+FROM m"""
+
+
 def sql_corpus_zipf_slope() -> str:
     """Twin of ``q_corpus_zipf_slope``: vocabulary ranked by (freq DESC,
     term), both axes floor(ln·10³) milli-nat ints, the group_slope

@@ -135,7 +135,7 @@ def q_kg_conv_stats(sf_dir: str):
     return materialize.conv_stats(transcripts_dataset(sf_dir), _linked(sf_dir))
 
 
-def q_kg_multisource(sf_dir: str):
+def _multisource_edges(sf_dir: str):
     """COMPOSED multi-source build (reference flagship shape:
     ``create_knowledge_graph.py:52-279`` — 20 adapters in one
     dependency-ordered run, shrunk to three sources): transcript mentions AND
@@ -221,6 +221,141 @@ def q_kg_multisource(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.3
     ).map_batches(neardup_as_edges, batch_format="pyarrow")
     return edges.union(nd_edges)
+
+
+def q_kg_multisource(sf_dir: str):
+    return _multisource_edges(sf_dir)
+
+
+# Node "type" of a multisource node id = the token before '_' ('ent_000001'
+# → 'ent' entities, 'doc_00000012' → 'doc' documents) — the BioCypher label
+# namespace the reference declares per adapter in its schema_config
+# (reference CLAUDE.md node-label table; create_knowledge_graph.py adapters
+# each own one label). split_part(src, '_', 1) in the twins.
+def _node_type(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+    return pc.list_element(pc.split_pattern(col, "_"), 0)
+
+
+def type_rollup(edges) -> "ray.data.Dataset":
+    """Schema census over a KG edge table: edge counts and summed weights
+    per (src_type, pred, dst_type) — the per-label import summary BioCypher
+    prints after a build ('created N edges of type X between labels A and
+    B'); the first thing a curator reads to see what a multi-adapter run
+    actually produced. One fastagg at triple-schema cardinality (≤ labels²
+    × preds — tiny at any corpus size)."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema(
+        [
+            ("src_type", pa.string()),
+            ("pred", pa.string()),
+            ("dst_type", pa.string()),
+            ("_one", pa.int64()),
+            ("_w", pa.int64()),
+        ]
+    )
+
+    def typed(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        return pa.Table.from_arrays(
+            [
+                _node_type(t.column("src")),
+                t.column("pred"),
+                _node_type(t.column("dst")),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.cast(t.column("weight"), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(
+            edges.map_batches(typed, batch_format="pyarrow"),
+            MID,
+        ),
+        ["src_type", "pred", "dst_type"],
+        [("_one", "sum"), ("_w", "sum")],
+        out_names=["n_edges", "total_weight"],
+    )
+
+
+def q_kg_type_rollup(sf_dir: str):
+    return type_rollup(_multisource_edges(sf_dir))
+
+
+# Declared edge schema for the audit — the rule predicates are declared
+# entity↔entity only (mirrors config.ExtractionRule subj_type/obj_type);
+# anything else an adapter emits (the near_dup_of doc↔doc cross-reference
+# edges, future adapters' labels) is flagged until declared, and self-loops
+# are flagged regardless (canonicalization can collapse a mention pair onto
+# one entity — 'sort join order' → term:sort joins term:sort).
+KG_DECLARED_SCHEMA: tuple[tuple[str, str, str], ...] = (
+    ("ent", "joins", "ent"),
+    ("ent", "merges_with", "ent"),
+    ("ent", "filters", "ent"),
+    ("ent", "scans", "ent"),
+    ("ent", "groups", "ent"),
+)
+
+
+def schema_audit(
+    edges, declared: "tuple[tuple[str, str, str], ...]" = KG_DECLARED_SCHEMA
+) -> "ray.data.Dataset":
+    """Schema-violation audit over a KG edge table: every edge whose
+    (src_type, pred, dst_type) is not in the declared schema, or which
+    is a self-loop, rolled up to (src_type, pred, dst_type, reason,
+    n_edges). The BioCypher schema_config validation step (the reference
+    rejects triples outside its declared node/edge labels at import time);
+    reason codes keep the audit actionable instead of a silent drop — the
+    ``doc_quality_filter`` discipline applied to graph structure.
+
+    Self-loops win the reason priority (a self-loop of a declared triple is
+    still flagged). Stateless vectorized screen (one is_in probe against
+    the broadcast declared set) + one fastagg at violation-schema
+    cardinality."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    allowed = pa.array(["|".join(tr) for tr in declared], pa.string())
+    MID = pa.schema(
+        [
+            ("src_type", pa.string()),
+            ("pred", pa.string()),
+            ("dst_type", pa.string()),
+            ("reason", pa.string()),
+            ("_one", pa.int64()),
+        ]
+    )
+
+    def screen(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        st, dt = _node_type(t.column("src")), _node_type(t.column("dst"))
+        trip = pc.binary_join_element_wise(st, t.column("pred"), dt, "|")
+        undeclared = pc.invert(pc.is_in(trip, value_set=allowed))
+        self_loop = pc.equal(t.column("src"), t.column("dst"))
+        bad = pc.or_(self_loop, undeclared)
+        reason = pc.if_else(self_loop, "self_loop", "undeclared_triple")
+        out = pa.Table.from_arrays(
+            [st, t.column("pred"), dt, reason,
+             pa.array(np.ones(t.num_rows, np.int64))],
+            schema=MID,
+        )
+        return out.filter(bad)
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(
+            edges.map_batches(screen, batch_format="pyarrow"),
+            MID,
+        ),
+        ["src_type", "pred", "dst_type", "reason"],
+        [("_one", "sum")],
+        out_names=["n_edges"],
+    )
+
+
+def q_kg_schema_audit(sf_dir: str):
+    return schema_audit(_multisource_edges(sf_dir))
 
 
 def q_entity_consensus(sf_dir: str):
@@ -851,6 +986,34 @@ def q_kg_pagerank(sf_dir: str):
     )
 
 
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank from the 'term:s*' entity seeds (sort/scan/
+    stream components) — proximity-weighted relevance of every KG node to
+    the seed neighborhood; restart mass lands only on the seeds. Same
+    integer fixed-point rounds as ``kg_pagerank``, bit-identical to the
+    unrolled-CTE oracle."""
+    from ..stages import graph
+
+    canon = _canon_tbl()
+    seeds = pc.unique(
+        canon.filter(
+            pc.starts_with(canon.column("component_key"), "term:s")
+        ).column("canonical_id")
+    ).to_pylist()
+    pr = graph.pagerank(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()),
+        iters=3,
+        seeds=seeds,
+    )
+    OUT = pa.schema([("node", pa.string()), ("ppr_score", pa.int64())])
+    return pr.map_batches(
+        lambda t: t.rename_columns(["node", "ppr_score"])
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 def q_kg_triangles(sf_dir: str):
     """Per-node triangle counts via degree-ordered orientation — wedge
     emission rides the segmented pair kernel, O(m^1.5) worst case."""
@@ -1081,6 +1244,33 @@ def q_conv_role_stats(sf_dir: str):
     from ..stages import convo
 
     return convo.conv_role_stats(transcripts_dataset(sf_dir))
+
+
+def q_conv_turn_taking(sf_dir: str):
+    """Per-conversation turn-taking dynamics: role-switch rate and
+    turn-length swing over adjacent turn pairs — one packed segmented lag
+    scan + one conv-cardinality fastagg."""
+    from ..stages import convo
+
+    return convo.turn_taking(transcripts_dataset(sf_dir))
+
+
+def q_purchase_click_welch(sf_dir: str):
+    """Welch's unequal-variance t² between purchase and click values —
+    the parametric mean-separation readout beside the Mann-Whitney U;
+    exact int64 moments, mirrored-double finalize, micro/milli quantized."""
+    ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"})
+        .select(["event_type", "cents"])
+        .filter(
+            pc.is_in(
+                t.column("event_type"),
+                value_set=pa.array(["purchase", "click"]),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.welch_t(ev, "event_type", "cents", "purchase", "click")
 
 
 def q_conv_response_latency(sf_dir: str):
@@ -4510,6 +4700,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         ),
         "doc_token_hhi": (q_doc_token_hhi, oracle_rel.sql_doc_token_hhi()),
         "orders_skyline": (q_orders_skyline, oracle_rel.sql_orders_skyline()),
+        "kg_type_rollup": (q_kg_type_rollup, oracle.sql_kg_type_rollup()),
+        "kg_schema_audit": (q_kg_schema_audit, oracle.sql_kg_schema_audit()),
+        "kg_ppr": (q_kg_ppr, oracle.sql_kg_ppr()),
+        "conv_turn_taking": (q_conv_turn_taking, oracle.sql_conv_turn_taking()),
+        "purchase_click_welch": (
+            q_purchase_click_welch,
+            oracle_rel.sql_purchase_click_welch(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -4519,6 +4717,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "kg_type_rollup",
+        "kg_schema_audit",
+        "kg_ppr",
+        "conv_turn_taking",
+        "purchase_click_welch",
         "orders_skyline",
         "kg_node_pred_entropy",
         "doc_token_hhi",

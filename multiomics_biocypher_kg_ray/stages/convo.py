@@ -272,6 +272,130 @@ def response_latency(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def turn_taking(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Turn-taking dynamics per conversation: over adjacent turn pairs
+    (ordered by ``turn_idx``), emits ``(conv_id, n_pairs, n_switches,
+    switch_ppm, sum_abs_len_delta)`` — how often the speaker role changes
+    hands (switch_ppm = n_switches·10⁶ // n_pairs) and how much turn
+    length swings between neighbors (Σ |len(text) − len(prev text)|).
+    The dialogue-structure audit run before turn-pair construction:
+    monologue runs (agent loops, pasted logs) show low switch rates, and
+    erratic length deltas flag truncation or concatenated records.
+
+    Reference analog: the per-conversation composition audits of
+    ``conv_role_stats`` extended to ORDERED structure (reference
+    ``multiomics_kg/gene_id_utils.py`` count reports have no ordered
+    analog — this is the transcript-native addition).
+
+    Scale shape: ONE segmented lag scan (``window.lag_over``) over a packed
+    int64 — ``char_len·4 + role_code`` (role ∈ {user=0, assistant=1,
+    other=2}; len < 2⁵¹ so the pack is lossless) — recovers the previous
+    turn's role (``% 4``) and length (``// 4``) from a single lag column;
+    then one conversation-cardinality fastagg. The DuckDB twin lags role
+    and length separately — identical semantics, the pack is bijective."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    from .window import lag_over
+
+    PACKED = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("packed", pa.int64()),
+        ]
+    )
+    FOUR = pa.scalar(4, pa.int64())
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PACKED.empty_table()
+        role = t.column("role")
+        code = pc.if_else(
+            pc.equal(role, "user"),
+            pa.scalar(0, pa.int64()),
+            pc.if_else(
+                pc.equal(role, "assistant"),
+                pa.scalar(1, pa.int64()),
+                pa.scalar(2, pa.int64()),
+            ),
+        )
+        ln = pc.cast(pc.utf8_length(pc.fill_null(t.column("text"), "")), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                pc.cast(t.column("turn_idx"), pa.int64()),
+                pc.add(pc.multiply(ln, FOUR), code),
+            ],
+            schema=PACKED,
+        )
+
+    lagged = lag_over(
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+        .map_batches(pack, batch_format="pyarrow"),
+        "conv_id",
+        ["turn_idx"],
+        "packed",
+        out_col="prev_packed",
+    )
+
+    PAIR = pa.schema(
+        [("conv_id", pa.string()), ("_sw", pa.int64()), ("_dl", pa.int64())]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PAIR.empty_table()
+        t = t.filter(pc.is_valid(t.column("prev_packed")))
+        if t.num_rows == 0:
+            return PAIR.empty_table()
+        cur, prev = t.column("packed"), t.column("prev_packed")
+        # role = packed % 4, len = packed // 4 (both non-negative)
+        cur_role = pc.subtract(cur, pc.multiply(pc.divide(cur, FOUR), FOUR))
+        prev_role = pc.subtract(prev, pc.multiply(pc.divide(prev, FOUR), FOUR))
+        sw = pc.cast(pc.not_equal(cur_role, prev_role), pa.int64())
+        dl = pc.abs_checked(
+            pc.subtract(pc.divide(cur, FOUR), pc.divide(prev, FOUR))
+        )
+        return pa.Table.from_arrays(
+            [t.column("conv_id"), sw, dl], schema=PAIR
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(lagged.map_batches(pairs, batch_format="pyarrow"), PAIR),
+        ["conv_id"],
+        [("_sw", "count"), ("_sw", "sum"), ("_dl", "sum")],
+        out_names=["n_pairs", "n_switches", "sum_abs_len_delta"],
+    )
+    OUT = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_pairs", pa.int64()),
+            ("n_switches", pa.int64()),
+            ("switch_ppm", pa.int64()),
+            ("sum_abs_len_delta", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n_pairs").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("n_switches").to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = s * 1_000_000 // np.maximum(n, 1)
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                t.column("n_pairs"),
+                t.column("n_switches"),
+                pa.array(ppm, pa.int64()),
+                t.column("sum_abs_len_delta"),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
 def conv_echo_rate(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     """Lexical echo per conversation: of the DISTINCT whitespace terms the
     user utters, what fraction does the assistant also use —

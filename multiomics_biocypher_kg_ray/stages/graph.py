@@ -79,6 +79,7 @@ def pagerank(
     iters: int = 3,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    seeds: "list[str] | None" = None,
 ) -> "ray.data.Dataset":
     """Fixed-iteration integer PageRank → (node, pr_score).
 
@@ -89,10 +90,23 @@ def pagerank(
     leak their mass — the simplified variant; the oracle twin
     (``oracle.sql_kg_pagerank``) applies the identical rule, unrolled.
 
+    ``seeds``: PERSONALIZED PageRank — restart mass lands only on the seed
+    set: score₀ = scale·[n ∈ seeds] and the per-round base term is
+    base·[n ∈ seeds] (twin: ``oracle.sql_kg_ppr``). Non-seed nodes score
+    only what random walks from the seeds carry to them, so the result
+    ranks nodes by proximity-weighted relevance to the seed entities (the
+    seed-neighborhood exploration a KG curator runs around entities of
+    interest). ``seeds`` must be broadcast-sized (it ships in the task
+    closure and probes via one ``pc.is_in`` per round) — entity seed sets
+    are; for corpus-scale seed sets, join a seed table instead.
+
     int64 headroom: total mass ≤ n_nodes·scale, so scale=1e6 is safe past
     10¹¹ nodes before the 85·sum product nears 2⁶³.
     """
     base = scale * (100 - damping_pct) // 100
+    seed_arr = (
+        pa.array(sorted(set(seeds)), pa.string()) if seeds is not None else None
+    )
 
     e = drop_empty_blocks(_distinct_edges(edges))
     deg = sorted_grouped_agg(e, ["src"], [("dst", "count")], out_names=["outdeg"])
@@ -114,9 +128,14 @@ def pagerank(
             return pa.schema(
                 [("node", pa.string()), ("score", pa.int64())]
             ).empty_table()
-        return t.append_column(
-            "score", pa.array(np.full(t.num_rows, scale, dtype=np.int64))
-        )
+        if seed_arr is None:
+            s = pa.array(np.full(t.num_rows, scale, dtype=np.int64))
+        else:
+            s = pc.multiply(
+                pc.cast(pc.is_in(t.column("node"), value_set=seed_arr), pa.int64()),
+                pa.scalar(scale, pa.int64()),
+            )
+        return t.append_column("score", s)
 
     def zero_rows(t: pa.Table) -> pa.Table:
         # every node appears with a 0 contribution so nodes without in-edges
@@ -143,8 +162,15 @@ def pagerank(
             return pa.schema(
                 [("node", pa.string()), ("score", pa.int64())]
             ).empty_table()
+        if seed_arr is None:
+            b = pa.scalar(base, pa.int64())
+        else:
+            b = pc.multiply(
+                pc.cast(pc.is_in(t.column("node"), value_set=seed_arr), pa.int64()),
+                pa.scalar(base, pa.int64()),
+            )
         s = pc.add(
-            pa.scalar(base, pa.int64()),
+            b,
             pc.divide(pc.multiply(pa.scalar(damping_pct, pa.int64()), t.column("in_sum")), pa.scalar(100, pa.int64())),
         )
         return pa.table({"node": t.column("node"), "score": s})

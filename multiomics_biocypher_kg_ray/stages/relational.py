@@ -2120,6 +2120,140 @@ def quantile_normalize(
     )
 
 
+def welch_t(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> "ray.data.Dataset":
+    """Welch's unequal-variance t-test between ``group_a`` and ``group_b``
+    over int64 ``value_col`` — ONE row ``(n_a, n_b, t2_micro, df_milli)``:
+    t² (not t — sign-free, so no sqrt enters either engine) quantized to
+    micros and the Welch–Satterthwaite degrees of freedom in millis. The
+    parametric complement to ``mann_whitney_u``: U answers "which group is
+    stochastically larger", Welch answers "how separated are the means
+    relative to their (possibly unequal) variances".
+
+    Determinism: per-group moments (n, Σv, Σv²) are EXACT int64 sums at any
+    parallelism; the finalize runs once on a single two-group row with a
+    fixed double op order mirrored token-for-token by the DuckDB twin
+    (the ``group_corr`` discipline) — floor quantization makes the match
+    bit-exact. NULL t²/df when either n ≤ 1 or both variances are zero.
+
+    Scale shape: per-batch int64 moment partials → one two-row fastagg →
+    a constant-key pivot fold (a + b columns on one row) → stateless
+    finalize. Σv² must fit int64 — same contract as ``group_slope``.
+    """
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema(
+        [
+            ("_k", pa.int64()),
+            ("_na", pa.int64()),
+            ("_sa", pa.int64()),
+            ("_qa", pa.int64()),
+            ("_nb", pa.int64()),
+            ("_sb", pa.int64()),
+            ("_qb", pa.int64()),
+        ]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        g = t.column(group_col)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        isa = pc.equal(g, group_a).to_numpy(zero_copy_only=False)
+        isb = pc.equal(g, group_b).to_numpy(zero_copy_only=False)
+        va = np.where(isa, v, 0)
+        vb = np.where(isb, v, 0)
+        return pa.Table.from_arrays(
+            [
+                pa.array([0], pa.int64()),
+                pa.array([int(isa.sum())], pa.int64()),
+                pa.array([int(va.sum())], pa.int64()),
+                pa.array([int((va * va).sum())], pa.int64()),
+                pa.array([int(isb.sum())], pa.int64()),
+                pa.array([int(vb.sum())], pa.int64()),
+                pa.array([int((vb * vb).sum())], pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        ds.select_columns([group_col, value_col]).map_batches(
+            moments, batch_format="pyarrow"
+        ),
+        ["_k"],
+        [
+            ("_na", "sum"),
+            ("_sa", "sum"),
+            ("_qa", "sum"),
+            ("_nb", "sum"),
+            ("_sb", "sum"),
+            ("_qb", "sum"),
+        ],
+        out_names=["_na", "_sa", "_qa", "_nb", "_sb", "_qb"],
+    )
+    OUT = pa.schema(
+        [
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("t2_micro", pa.int64()),
+            ("df_milli", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        na = int(t.column("_na")[0].as_py())
+        nb = int(t.column("_nb")[0].as_py())
+        sa, qa = int(t.column("_sa")[0].as_py()), int(t.column("_qa")[0].as_py())
+        sb, qb = int(t.column("_sb")[0].as_py()), int(t.column("_qb")[0].as_py())
+        t2 = df = None
+        if na > 1 and nb > 1:
+            # EXACT double op order of the SQL twin (sql_purchase_click_welch)
+            fna, fnb = np.float64(na), np.float64(nb)
+            ma = np.float64(sa) / fna
+            mb = np.float64(sb) / fnb
+            va = (np.float64(qa) - (np.float64(sa) * np.float64(sa)) / fna) / (
+                fna - np.float64(1.0)
+            )
+            vb = (np.float64(qb) - (np.float64(sb) * np.float64(sb)) / fnb) / (
+                fnb - np.float64(1.0)
+            )
+            sea = va / fna
+            seb = vb / fnb
+            se = sea + seb
+            if se > 0.0:
+                d = ma - mb
+                t2 = int(np.floor((d * d * np.float64(1000000.0)) / se))
+                df = int(
+                    np.floor(
+                        (se * se * np.float64(1000.0))
+                        / (
+                            (sea * sea) / (fna - np.float64(1.0))
+                            + (seb * seb) / (fnb - np.float64(1.0))
+                        )
+                    )
+                )
+        return pa.Table.from_arrays(
+            [
+                pa.array([na], pa.int64()),
+                pa.array([nb], pa.int64()),
+                pa.array([t2], pa.int64()),
+                pa.array([df], pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        agg.map_batches(finalize, batch_format="pyarrow"), OUT
+    )
+
+
 def mann_whitney_u(
     ds: "ray.data.Dataset",
     group_col: str,
