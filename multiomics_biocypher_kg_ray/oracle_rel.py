@@ -2295,6 +2295,113 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_blocking_quality(
+    sample_max_doc_id: int = 60, min_jaccard: float = 0.5, cap: int = 1000
+) -> str:
+    """Twin of ``dedup.blocking_quality``: shingle-Jaccard > min_jaccard
+    pairs over the bounded doc-id sample as ground truth (the
+    ``sql_jaccard_pairs`` kernel), the full ``sql_lsh_candidate_pairs`` as
+    candidates (completeness restricted to the sample, reduction counted
+    globally), one-row pair-completeness / reduction-ratio readout in ppm."""
+    lsh = sql_lsh_candidate_pairs(cap).strip()
+    jac = sql_jaccard_pairs(max_doc_id=sample_max_doc_id, cap=cap).strip()
+    return f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({jac}) j WHERE j.jaccard > {min_jaccard}
+),
+cand AS (SELECT doc_a, doc_b FROM ({lsh}) c),
+st AS (SELECT
+  (SELECT count(*)::BIGINT FROM documents) AS nd,
+  (SELECT count(*)::BIGINT FROM truth) AS nt,
+  (SELECT count(*)::BIGINT FROM cand) AS nc,
+  (SELECT count(*)::BIGINT FROM truth t
+     JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+     WHERE c.doc_a < {sample_max_doc_id}
+       AND c.doc_b < {sample_max_doc_id}) AS nh)
+SELECT nd AS n_docs, nt AS n_truth_pairs, nc AS n_cand_pairs,
+       nh AS n_hit_pairs,
+       CASE WHEN nt > 0 THEN (nh * 1000000 // nt)::BIGINT
+            ELSE NULL END AS pair_completeness_ppm,
+       CASE WHEN nd * (nd - 1) // 2 > 0
+            THEN ((nd * (nd - 1) // 2 - nc) * 1000000
+                  // (nd * (nd - 1) // 2))::BIGINT
+            ELSE NULL END AS reduction_ppm
+FROM st"""
+
+
+def sql_corpus_heaps_slope() -> str:
+    """Twin of ``q_corpus_heaps_slope``: per-term first-occurrence doc,
+    new-terms and token counts per doc, running V(d)/N(d) windows ordered
+    by doc_id, both axes floor(ln·10³) milli-nat ints, the shared
+    group_slope cross-moment finalize (Heaps' law V ≈ k·N^β — slope_q
+    ≈ β·10⁶)."""
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+fs AS (SELECT term, min(doc_id)::BIGINT AS fsd FROM tk GROUP BY 1),
+nn AS (SELECT fsd AS doc_id, count(*)::BIGINT AS n_new FROM fs GROUP BY 1),
+nt AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM tk GROUP BY 1),
+c AS (
+  SELECT nt.doc_id,
+         sum(coalesce(nn.n_new, 0)) OVER (ORDER BY nt.doc_id)::BIGINT AS v,
+         sum(nt.n_tok) OVER (ORDER BY nt.doc_id)::BIGINT AS nw
+  FROM nt LEFT JOIN nn ON nn.doc_id = nt.doc_id
+),
+q AS (SELECT floor(ln(nw::DOUBLE) * 1000)::BIGINT AS x,
+             floor(ln(v::DOUBLE) * 1000)::BIGINT AS y
+      FROM c),
+st AS (SELECT count(*)::BIGINT AS n,
+              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+              sum(x*x)::BIGINT AS sxx, sum(x*y)::BIGINT AS sxy
+       FROM q)
+SELECT n,
+       CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0.0::DOUBLE
+            THEN floor(((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1000000.0::DOUBLE)
+                       / (n::DOUBLE * sxx - sx::DOUBLE * sx))::BIGINT
+            ELSE NULL END AS heaps_slope_q
+FROM st WHERE n > 0"""
+
+
+def sql_event_user_hll(salt: str = "hll") -> str:
+    """Twin of ``sampling.distinct_hll`` over (events.event_type,
+    events.user_id): identical md5-derived 60-bit hash split into a 6-bit
+    register (// 2⁵⁴) and 50-bit tail (% 2⁵⁰); rank = 51 − bit_length(tail)
+    from a max-k join against a powers-of-two VALUES table (the engine's
+    exact-frexp twin); register max, Σ2^(51−rank) integer harmonic sum,
+    then the mirrored double estimator with linear-counting fallback."""
+    esc = salt.replace("'", "''")
+    powers = ", ".join(f"({k}, {1 << k})" for k in range(50))
+    c51 = 1 << 51  # 2251799813685248
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5('{esc}:' || user_id), 1, 15))::UBIGINT::BIGINT AS _h
+  FROM events
+),
+r0 AS (SELECT event_type, _h // {1 << 54} AS reg, _h % {1 << 50} AS tail FROM h),
+p(k, v) AS (VALUES {powers}),
+bl AS (
+  SELECT r0.event_type, r0.reg,
+         CASE WHEN r0.tail = 0 THEN 51 ELSE 50 - max(p.k) END AS rnk
+  FROM r0 LEFT JOIN p ON p.v <= r0.tail
+  GROUP BY r0.event_type, r0.reg, r0.tail
+),
+rm AS (SELECT event_type, reg, max(rnk)::BIGINT AS r FROM bl GROUP BY 1, 2),
+ag AS (SELECT event_type, count(*)::BIGINT AS n_set,
+              sum(1::BIGINT << (51 - r))::BIGINT AS s
+       FROM rm GROUP BY 1)
+SELECT event_type, n_set AS n_set_regs,
+  CASE WHEN floor((0.709::DOUBLE * 64.0::DOUBLE * 64.0::DOUBLE * {c51}.0::DOUBLE)
+                  / (s + (64 - n_set) * {c51})::DOUBLE) <= 160.0::DOUBLE
+            AND (64 - n_set) > 0
+       THEN floor(64.0::DOUBLE * ln(64.0::DOUBLE / (64 - n_set)::DOUBLE))::BIGINT
+       ELSE floor((0.709::DOUBLE * 64.0::DOUBLE * 64.0::DOUBLE * {c51}.0::DOUBLE)
+                  / (s + (64 - n_set) * {c51})::DOUBLE)::BIGINT END AS hll_est
+FROM ag"""
+
+
 def sql_corpus_zipf_slope() -> str:
     """Twin of ``q_corpus_zipf_slope``: vocabulary ranked by (freq DESC,
     term), both axes floor(ln·10³) milli-nat ints, the group_slope

@@ -2038,6 +2038,175 @@ def q_corpus_zipf_slope(sf_dir: str):
     )
 
 
+def q_corpus_heaps_slope(sf_dir: str):
+    """Heaps'-law vocabulary-growth slope of the corpus (one row): OLS slope
+    of ln(cumulative distinct terms) on ln(cumulative tokens) over docs in
+    doc_id order, both axes milli-nat ints — V ≈ k·N^β, so slope_q ≈ β·10⁶
+    (natural language sits near 0.4–0.6; template floods collapse toward 0,
+    random noise toward 10⁶). The companion curation signal to
+    ``corpus_zipf_slope``: Zipf reads the frequency head, Heaps reads
+    whether NEW vocabulary keeps arriving as the corpus grows.
+
+    Scale shape: first-occurrence doc per term is ONE term-cardinality
+    fastagg min (never a sort of raw tokens); new-terms/doc and tokens/doc
+    union into one doc-cardinality fastagg; two segmented constant-key
+    ``cumsum_over`` scans build V(d), N(d); the shared group_slope
+    cross-moment finalize ends it. Nothing is ever ranked row-wise."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.window import cumsum_over
+
+    TOK = pa.schema([("term", pa.string()), ("doc_id", pa.int64())])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return TOK.empty_table()
+        s = batch.column("text").to_pandas()
+        ex = s.str.split(" ").explode()
+        ids = batch.column("doc_id").to_pandas().iloc[
+            ex.index.to_numpy()
+        ].to_numpy()
+        keep = (ex != "").to_numpy() & ex.notna().to_numpy()
+        frame = pd.DataFrame({"term": ex.to_numpy()[keep], "doc_id": ids[keep]})
+        # in-batch min-combine: one row per (term) with its min doc
+        g = frame.groupby("term", sort=False)["doc_id"].min()
+        return pa.Table.from_arrays(
+            [
+                pa.array(g.index.astype(str), pa.string()),
+                pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            ],
+            schema=TOK,
+        )
+
+    fs = sorted_grouped_agg(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            tok_partial, batch_format="pyarrow"
+        ),
+        ["term"],
+        [("doc_id", "min")],
+        out_names=["fsd"],
+    )
+    MID = pa.schema(
+        [("doc_id", pa.int64()), ("n_new", pa.int64()), ("n_tok", pa.int64())]
+    )
+
+    def new_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        g = t.group_by("fsd").aggregate([("fsd", "count")])
+        return pa.Table.from_arrays(
+            [
+                g.column("fsd"),
+                pc.cast(g.column("fsd_count"), pa.int64()),
+                pa.array(np.zeros(g.num_rows, np.int64)),
+            ],
+            schema=MID,
+        )
+
+    def ntok_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return MID.empty_table()
+        s = batch.column("text").to_pandas()
+        ex = s.str.split(" ").explode()
+        ids = batch.column("doc_id").to_pandas().iloc[
+            ex.index.to_numpy()
+        ].to_numpy()
+        keep = (ex != "").to_numpy() & ex.notna().to_numpy()
+        cnt = pd.Series(ids[keep]).value_counts()
+        return pa.Table.from_arrays(
+            [
+                pa.array(cnt.index.to_numpy().astype(np.int64), pa.int64()),
+                pa.array(np.zeros(len(cnt), np.int64)),
+                pa.array(cnt.to_numpy().astype(np.int64), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    per_doc = sorted_grouped_agg(
+        drop_empty_blocks(fs.map_batches(new_partial, batch_format="pyarrow"), MID)
+        .union(
+            _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+                ntok_partial, batch_format="pyarrow"
+            )
+        ),
+        ["doc_id"],
+        [("n_new", "sum"), ("n_tok", "sum")],
+        out_names=["n_new", "n_tok"],
+    )
+    WG = pa.schema(list(MID) + [("_g", pa.int64())])
+    withg = drop_empty_blocks(
+        per_doc.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))
+            )
+            if t.num_columns
+            else WG.empty_table(),
+            batch_format="pyarrow",
+        ),
+        WG,
+    )
+    cum = cumsum_over(
+        cumsum_over(withg, "_g", ["doc_id"], "n_new", out_col="v"),
+        "_g",
+        ["doc_id"],
+        "n_tok",
+        out_col="nw",
+    )
+    Q = pa.schema([("_g", pa.int64()), ("x", pa.int64()), ("y", pa.int64())])
+
+    def quant(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return Q.empty_table()
+        nw = t.column("nw").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_arrays(
+            [
+                t.column("_g"),
+                pa.array(np.floor(np.log(nw) * 1000.0).astype(np.int64)),
+                pa.array(np.floor(np.log(v) * 1000.0).astype(np.int64)),
+            ],
+            schema=Q,
+        )
+
+    slope = relational.group_slope(
+        drop_empty_blocks(cum.map_batches(quant, batch_format="pyarrow"), Q),
+        ["_g"],
+        "x",
+        "y",
+        out_col="heaps_slope_q",
+    )
+    OUT = pa.schema([("n", pa.int64()), ("heaps_slope_q", pa.int64())])
+    return drop_empty_blocks(
+        slope.map_batches(
+            lambda t: t.drop_columns(["_g"]) if t.num_columns else OUT.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OUT,
+    )
+
+
+def q_event_user_hll(sf_dir: str):
+    """Per-event-type approximate distinct users via a 64-register
+    HyperLogLog — constant-size mergeable sketch, oracle-checked for
+    bit-identity (md5 hash + exact integer rank both engines)."""
+    from ..stages import sampling
+
+    return sampling.distinct_hll(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        ["event_type"],
+        "user_id",
+    )
+
+
+def q_blocking_quality(sf_dir: str):
+    """Blocking-quality audit: LSH candidate pairs vs exact-duplicate
+    ground truth — pair completeness + reduction ratio in ppm."""
+    return dedup.blocking_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_purchase_click_utest(sf_dir: str):
     """Exact integer Mann-Whitney U between purchase and click values —
     the nonparametric A/B readout (doubled midranks keep ties integer;
@@ -4708,6 +4877,15 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_purchase_click_welch,
             oracle_rel.sql_purchase_click_welch(),
         ),
+        "corpus_heaps_slope": (
+            q_corpus_heaps_slope,
+            oracle_rel.sql_corpus_heaps_slope(),
+        ),
+        "event_user_hll": (q_event_user_hll, oracle_rel.sql_event_user_hll()),
+        "blocking_quality": (
+            q_blocking_quality,
+            oracle_rel.sql_blocking_quality(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -4717,6 +4895,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "corpus_heaps_slope",
+        "event_user_hll",
+        "blocking_quality",
         "kg_type_rollup",
         "kg_schema_audit",
         "kg_ppr",

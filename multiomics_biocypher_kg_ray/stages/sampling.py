@@ -493,6 +493,139 @@ def distinct_kmv(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def distinct_hll(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    salt: str = "hll",
+) -> "ray.data.Dataset":
+    """Per-group approximate COUNT(DISTINCT value) via a HyperLogLog sketch
+    with m = 64 registers [Flajolet et al. 2007] — the constant-size
+    complement to ``distinct_kmv``: a KMV sketch costs k rows per group in
+    the exchange, HLL costs ≤ 64 regardless of k-vs-accuracy tuning, and
+    register-max is the textbook mergeable semilattice. Emits
+    (keys…, n_set_regs, hll_est).
+
+    Hash layout (twin: ``oracle_rel.sql_event_user_hll``): the md5-derived
+    60-bit ``_hash60`` splits into register = top 6 bits (h >> 54) and a
+    50-bit tail (h & 2⁵⁰−1; the middle 4 bits are discarded so the tail is
+    exactly representable in a double). rank = leading zeros of the tail
+    + 1 = 51 − bit_length(tail), 51 when the tail is all zeros. The engine
+    gets bit_length from ``np.frexp`` (exact for ints < 2⁵³); the twin gets
+    it from a max-k join against a 50-row powers-of-two VALUES table —
+    both exact integer semantics, so the SKETCH matches bit-for-bit and
+    the estimate is oracle-checked for identity (accuracy vs true distinct
+    is pytest-checked separately).
+
+    Estimator, mirrored double op order both engines: Σ2^(−M[j]) scaled by
+    2⁵¹ stays integer (Σ 2^(51−rank) + zeros·2⁵¹ ≤ 64·2⁵¹ < 2⁶³);
+    raw = floor(α₆₄·m²·2⁵¹ / S) with α₆₄ = 0.709; linear-counting
+    correction floor(m·ln(m/zeros)) when raw ≤ 2.5m and zeros > 0 (the
+    small-range regime where HLL registers are mostly empty). No 32-bit
+    large-range correction — the hash space is 60-bit.
+
+    Scale shape: per-batch (keys, reg, rank) max-combine → one fastagg max
+    at groups×64 cardinality → one group-cardinality fastagg. Pure
+    streaming; a group with 10¹² values still exchanges ≤ 64 rows."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    REG = pa.schema(
+        [(kk, typ[kk]) for kk in keys]
+        + [("_reg", pa.int64()), ("_rank", pa.int64())]
+    )
+    TAIL_BITS = 50
+    TAIL_MASK = (1 << TAIL_BITS) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return REG.empty_table()
+        h = _hash60(t.column(value_col), salt)
+        reg = h >> 54
+        tail = h & TAIL_MASK
+        # bit_length via frexp: exact for 0 < tail < 2^53
+        bl = np.frexp(tail.astype(np.float64))[1]  # 0 for tail == 0
+        rank = np.where(tail > 0, TAIL_BITS + 1 - bl, TAIL_BITS + 1)
+        g = pa.Table.from_arrays(
+            [t.column(kk) for kk in keys]
+            + [pa.array(reg, pa.int64()), pa.array(rank, pa.int64())],
+            schema=REG,
+        )
+        # in-batch max-combine: bounds emitted rows at groups×64 per batch
+        agg = g.group_by(keys + ["_reg"]).aggregate([("_rank", "max")])
+        return agg.rename_columns(keys + ["_reg", "_rank"])
+
+    rmax = sorted_grouped_agg(
+        drop_empty_blocks(
+            ds.select_columns(keys + [value_col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            REG,
+        ),
+        keys + ["_reg"],
+        [("_rank", "max")],
+        out_names=["_rank"],
+    )
+    MID = pa.schema(
+        [(kk, typ[kk]) for kk in keys]
+        + [("_one", pa.int64()), ("_s", pa.int64())]
+    )
+
+    def scaled(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        r = t.column("_rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column(kk) for kk in keys]
+            + [
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pa.array(
+                    np.left_shift(np.int64(1), TAIL_BITS + 1 - r), pa.int64()
+                ),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(rmax.map_batches(scaled, batch_format="pyarrow"), MID),
+        keys,
+        [("_one", "sum"), ("_s", "sum")],
+        out_names=["n_set_regs", "_s"],
+    )
+    OUT = pa.schema(
+        [(kk, typ[kk]) for kk in keys]
+        + [("n_set_regs", pa.int64()), ("hll_est", pa.int64())]
+    )
+    M = 64
+    SCALE = np.float64(1 << (TAIL_BITS + 1))  # 2^51
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n_set = t.column("n_set_regs").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s = t.column("_s").to_numpy(zero_copy_only=False).astype(np.int64)
+        zeros = M - n_set
+        stot = (s + zeros * (1 << (TAIL_BITS + 1))).astype(np.float64)
+        raw = np.floor(
+            (np.float64(0.709) * np.float64(M) * np.float64(M) * SCALE) / stot
+        )
+        small = (raw <= np.float64(2.5) * np.float64(M)) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = np.floor(
+                np.float64(M) * np.log(np.float64(M) / np.maximum(zeros, 1))
+            )
+        est = np.where(small, lin, raw).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column(kk) for kk in keys]
+            + [t.column("n_set_regs"), pa.array(est, pa.int64())],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
 def importance_sample(
     ds: "ray.data.Dataset",
     key_col: str,
