@@ -712,6 +712,43 @@ def sql_kg_ppr(
     )
 
 
+def sql_kg_wpagerank(
+    iters: int = 3, damping_pct: int = 85, scale: int = 1_000_000
+) -> str:
+    """Twin of ``graph.pagerank(weighted=True)`` over the built KG edges:
+    parallel edges pre-summed per (src, dst), out-mass split proportional
+    to edge weight — contribution = score·w // wsum(src); same unrolled
+    int64 fixed-point recurrence as ``sql_kg_pagerank``."""
+    base = scale * (100 - damping_pct) // 100
+    parts = [
+        "e AS (SELECT src, dst, sum(weight)::BIGINT AS w FROM edges "
+        "WHERE src <> dst GROUP BY 1, 2)",
+        "deg AS (SELECT src, sum(w)::BIGINT AS wsum FROM e GROUP BY 1)",
+        "ed AS (SELECT e.src, e.dst, e.w, d.wsum FROM e "
+        "JOIN deg d ON d.src = e.src)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        f"s0 AS (SELECT node, {scale}::BIGINT AS score FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT n.node,
+         ({base}::BIGINT
+           + ({damping_pct} * COALESCE(sum((p.score * ed.w) // ed.wsum), 0)) // 100
+         )::BIGINT AS score
+  FROM nodes n
+  LEFT JOIN ed ON ed.dst = n.node
+  LEFT JOIN s{i - 1} p ON p.node = ed.src
+  GROUP BY n.node)"""
+        )
+    return (
+        f"{_kg_prefix(recursive=True)},\nedges AS ({_edges_select()}),\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node, score AS wpr_score FROM s{iters}"
+    )
+
+
 def sql_tool_sequences(k: int = 20) -> str:
     """Twin of ``convo.tool_sequences``: per-conv ordered non-empty tool
     sequence, top-k sequences by conversation count."""

@@ -2295,6 +2295,60 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_doc_lang_kappa() -> str:
+    """Twin of ``q_doc_lang_kappa``: Cohen's kappa between documents.lang
+    and the ``sql_lang_id`` heuristic prediction — confusion cells, integer
+    marginal products, (10⁶·(N·D − S)) // (N² − S) with DuckDB's floor //."""
+    lid = sql_lang_id().strip()
+    return f"""
+WITH pred AS ({lid}),
+pair AS (
+  SELECT d.lang AS a, p.lang_guess AS b
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+),
+conf AS (SELECT a, b, count(*)::BIGINT AS n FROM pair GROUP BY 1, 2),
+marg AS (
+  SELECT l, sum(r)::BIGINT AS r, sum(c)::BIGINT AS c FROM (
+    SELECT a AS l, n AS r, 0::BIGINT AS c FROM conf
+    UNION ALL
+    SELECT b, 0, n FROM conf
+  ) GROUP BY 1
+),
+st AS (SELECT
+  (SELECT sum(n)::BIGINT FROM conf) AS nt,
+  (SELECT coalesce(sum(n), 0)::BIGINT FROM conf WHERE a = b) AS d,
+  (SELECT sum(r * c)::BIGINT FROM marg) AS s)
+SELECT nt AS n_rows, d AS n_agree,
+       -- true FLOOR division: DuckDB // truncates toward zero, but kappa's
+       -- numerator can be negative (denominator N² − S is always ≥ 0)
+       CASE WHEN nt * nt - s <> 0
+            THEN (((1000000 * (nt * d - s)) // (nt * nt - s))
+                  - CASE WHEN (1000000 * (nt * d - s)) < 0
+                              AND ((1000000 * (nt * d - s)) % (nt * nt - s)) <> 0
+                         THEN 1 ELSE 0 END)::BIGINT
+            ELSE NULL END AS kappa_micro
+FROM st"""
+
+
+def sql_event_markov_entropy() -> str:
+    """Twin of ``q_event_markov_entropy``: conditional next-type entropy
+    rate H(next|cur) over the ``sql_event_transitions`` cells — single-floor
+    identity (Σᵢ nᵢ·L(nᵢ) − Σᵢⱼ c·L(c)) // N in milli-nats, the
+    ``group_entropy`` quantized-log discipline."""
+    tr = sql_event_transitions().strip()
+    return f"""
+WITH cells AS ({tr}),
+rowm AS (SELECT prev_type, sum(n)::BIGINT AS ni FROM cells GROUP BY 1),
+st AS (SELECT
+  (SELECT sum(n)::BIGINT FROM cells) AS nt,
+  (SELECT count(*)::BIGINT FROM rowm) AS n_states,
+  (SELECT sum(ni * floor(ln(ni::DOUBLE) * 1000)::BIGINT)::BIGINT FROM rowm) AS hi,
+  (SELECT sum(n * floor(ln(n::DOUBLE) * 1000)::BIGINT)::BIGINT FROM cells) AS lo)
+SELECT nt AS n_transitions, n_states,
+       ((hi - lo) // nt)::BIGINT AS entropy_rate_milli
+FROM st"""
+
+
 def sql_blocking_quality(
     sample_max_doc_id: int = 60, min_jaccard: float = 0.5, cap: int = 1000
 ) -> str:

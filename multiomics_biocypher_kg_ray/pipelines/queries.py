@@ -1014,6 +1014,27 @@ def q_kg_ppr(sf_dir: str):
     )
 
 
+def q_kg_wpagerank(sf_dir: str):
+    """Evidence-weighted PageRank over the built KG — out-mass split
+    proportional to edge weight (mention counts), so a claim corroborated
+    40 times pulls more rank than a singleton co-mention; same integer
+    fixed-point rounds, unrolled-CTE oracle."""
+    from ..stages import graph
+
+    pr = graph.pagerank(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()),
+        iters=3,
+        weighted=True,
+    )
+    OUT = pa.schema([("node", pa.string()), ("wpr_score", pa.int64())])
+    return pr.map_batches(
+        lambda t: t.rename_columns(["node", "wpr_score"])
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 def q_kg_triangles(sf_dir: str):
     """Per-node triangle counts via degree-ordered orientation — wedge
     emission rides the segmented pair kernel, O(m^1.5) worst case."""
@@ -2205,6 +2226,125 @@ def q_blocking_quality(sf_dir: str):
     """Blocking-quality audit: LSH candidate pairs vs exact-duplicate
     ground truth — pair completeness + reduction ratio in ppm."""
     return dedup.blocking_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_lang_kappa(sf_dir: str):
+    """Cohen's kappa between the documents.lang gold column and the n-gram
+    ``lang_id`` heuristic — the chance-corrected annotation-QA readout for
+    a model/heuristic labeler vs gold (accuracy alone rewards majority-
+    class parroting). Confusion cells via fastagg, pure-integer finalize."""
+    from ..stages import text
+    from ..stages.joins import hash_join
+
+    gold = _read(sf_dir, "documents", ["doc_id", "lang"])
+    pred = text.lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+    joined = hash_join(gold, pred, on=("doc_id",))
+    return relational.cohens_kappa(joined, "lang", "lang_guess")
+
+
+def q_event_markov_entropy(sf_dir: str):
+    """Conditional next-event-type entropy rate H(next | current) over the
+    per-user transition census — ONE row (n_transitions, n_states,
+    entropy_rate_milli): how predictable the behavioral Markov chain is
+    (0 = every state determines its successor; ln(k) = uniform chaos).
+    Single-floor integer identity (Σᵢ nᵢ·L(nᵢ) − Σᵢⱼ c·L(c)) // N over the
+    transition CELLS — the ``group_entropy`` quantized-log discipline, so
+    the rate is bit-identical to the twin with ONE integer division."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    cells = events.event_transitions(
+        _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    ).materialize()  # consumed by both the state-marginal and cell folds
+
+    MID = pa.schema(
+        [
+            ("_k", pa.int64()),
+            ("_nt", pa.int64()),
+            ("_st", pa.int64()),
+            ("_hi", pa.int64()),
+            ("_lo", pa.int64()),
+        ]
+    )
+
+    def L(v: np.ndarray) -> np.ndarray:
+        return np.floor(np.log(v.astype(np.float64)) * 1000.0).astype(np.int64)
+
+    def cell_parts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array([0], pa.int64()),
+                pa.array([int(n.sum())], pa.int64()),
+                pa.array([0], pa.int64()),
+                pa.array([0], pa.int64()),
+                pa.array([int((n * L(n)).sum())], pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    rowm = sorted_grouped_agg(
+        cells.select_columns(["prev_type", "n"]),
+        ["prev_type"],
+        [("n", "sum")],
+        out_names=["ni"],
+    )
+
+    def state_parts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        ni = t.column("ni").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array([0], pa.int64()),
+                pa.array([0], pa.int64()),
+                pa.array([t.num_rows], pa.int64()),
+                pa.array([int((ni * L(ni)).sum())], pa.int64()),
+                pa.array([0], pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    folded = sorted_grouped_agg(
+        drop_empty_blocks(
+            cells.map_batches(cell_parts, batch_format="pyarrow").union(
+                rowm.map_batches(state_parts, batch_format="pyarrow")
+            ),
+            MID,
+        ),
+        ["_k"],
+        [("_nt", "sum"), ("_st", "sum"), ("_hi", "sum"), ("_lo", "sum")],
+        out_names=["_nt", "_st", "_hi", "_lo"],
+    )
+    OUT = pa.schema(
+        [
+            ("n_transitions", pa.int64()),
+            ("n_states", pa.int64()),
+            ("entropy_rate_milli", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        nt = int(t.column("_nt")[0].as_py())
+        st = int(t.column("_st")[0].as_py())
+        hi = int(t.column("_hi")[0].as_py())
+        lo = int(t.column("_lo")[0].as_py())
+        rate = (hi - lo) // nt if nt > 0 else None
+        return pa.Table.from_arrays(
+            [
+                pa.array([nt], pa.int64()),
+                pa.array([st], pa.int64()),
+                pa.array([rate], pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        folded.map_batches(finish, batch_format="pyarrow"), OUT
+    )
 
 
 def q_purchase_click_utest(sf_dir: str):
@@ -4886,6 +5026,12 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_blocking_quality,
             oracle_rel.sql_blocking_quality(),
         ),
+        "kg_wpagerank": (q_kg_wpagerank, oracle.sql_kg_wpagerank()),
+        "doc_lang_kappa": (q_doc_lang_kappa, oracle_rel.sql_doc_lang_kappa()),
+        "event_markov_entropy": (
+            q_event_markov_entropy,
+            oracle_rel.sql_event_markov_entropy(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -4895,6 +5041,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "kg_wpagerank",
+        "doc_lang_kappa",
+        "event_markov_entropy",
         "corpus_heaps_slope",
         "event_user_hll",
         "blocking_quality",

@@ -80,6 +80,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 1_000_000,
     seeds: "list[str] | None" = None,
+    weighted: bool = False,
 ) -> "ray.data.Dataset":
     """Fixed-iteration integer PageRank → (node, pr_score).
 
@@ -100,6 +101,14 @@ def pagerank(
     closure and probes via one ``pc.is_in`` per round) — entity seed sets
     are; for corpus-scale seed sets, join a seed table instead.
 
+    ``weighted``: each out-neighbor receives mass proportional to its edge
+    ``weight`` instead of 1/outdeg — contribution = score·w // wsum(src),
+    parallel edges pre-summed per (src, dst) (twin:
+    ``oracle.sql_kg_wpagerank``). The evidence-weighted variant a KG wants:
+    a claim seen 40 times pulls more rank than a singleton co-mention.
+    int64 contract: max score·max weight < 2⁶³ — scores stay ≈ scale-scale
+    (total mass only shrinks), so weights to ~10¹⁰ are safe at scale=10⁶.
+
     int64 headroom: total mass ≤ n_nodes·scale, so scale=1e6 is safe past
     10¹¹ nodes before the 85·sum product nears 2⁶³.
     """
@@ -108,18 +117,48 @@ def pagerank(
         pa.array(sorted(set(seeds)), pa.string()) if seeds is not None else None
     )
 
-    e = drop_empty_blocks(_distinct_edges(edges))
-    deg = sorted_grouped_agg(e, ["src"], [("dst", "count")], out_names=["outdeg"])
+    if weighted:
+        W = pa.schema(
+            [("src", pa.string()), ("dst", pa.string()), ("w", pa.int64())]
+        )
+
+        def wclean(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return W.empty_table()
+            keep = pc.invert(pc.equal(t.column("src"), t.column("dst")))
+            t = t.filter(keep)
+            return pa.Table.from_arrays(
+                [
+                    t.column("src"),
+                    t.column("dst"),
+                    pc.cast(t.column("weight"), pa.int64()),
+                ],
+                schema=W,
+            )
+
+        e = drop_empty_blocks(
+            sorted_grouped_agg(
+                edges.map_batches(wclean, batch_format="pyarrow"),
+                ["src", "dst"],
+                [("w", "sum")],
+                out_names=["w"],
+            )
+        )
+        deg = sorted_grouped_agg(e, ["src"], [("w", "sum")], out_names=["outdeg"])
+    else:
+        e = drop_empty_blocks(_distinct_edges(edges))
+        deg = sorted_grouped_agg(e, ["src"], [("dst", "count")], out_names=["outdeg"])
     # degree-annotated edge table: built once, reused every iteration
-    ed = (
+    ed_cols = ["src", "dst", "w", "outdeg"] if weighted else ["src", "dst", "outdeg"]
+    # drop_empty_blocks between joins: a join's own empty output partitions
+    # are schema-less and break the NEXT Dataset.join (fastagg.py footgun)
+    ed = drop_empty_blocks(
         e.join(
             drop_empty_blocks(deg),
             join_type="inner",
             on=("src",),
             num_partitions=default_join_partitions(),
-        )
-        .select_columns(["src", "dst", "outdeg"])
-        .materialize()
+        ).select_columns(ed_cols)
     )
     nodes = sorted_distinct(_node_column(e, "src", "dst"), ["node"]).materialize()
 
@@ -154,7 +193,12 @@ def pagerank(
                 [("node", pa.string()), ("c", pa.int64())]
             ).empty_table()
         # score // outdeg: both positive int64, Arrow divide truncates = floor
-        c = pc.divide(t.column("score"), t.column("outdeg"))
+        if weighted:
+            c = pc.divide(
+                pc.multiply(t.column("score"), t.column("w")), t.column("outdeg")
+            )
+        else:
+            c = pc.divide(t.column("score"), t.column("outdeg"))
         return pa.table({"node": t.column("dst"), "c": c})
 
     def damp(t: pa.Table) -> pa.Table:

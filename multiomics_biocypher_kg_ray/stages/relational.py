@@ -2120,6 +2120,162 @@ def quantile_normalize(
     )
 
 
+def cohens_kappa(
+    ds: "ray.data.Dataset",
+    col_a: str,
+    col_b: str,
+) -> "ray.data.Dataset":
+    """Cohen's kappa between two categorical label columns — ONE row
+    ``(n_rows, n_agree, kappa_micro)``: the chance-corrected inter-annotator
+    agreement [Cohen 1960], THE annotation-QA readout when two labelers (a
+    gold column vs a model/heuristic prediction, two extraction rules, two
+    pipeline versions) label the same rows. Plain accuracy rewards majority-
+    class parroting; kappa subtracts the agreement expected from the two
+    marginal label distributions alone.
+
+    Fully integer: with confusion counts n_ij, N = Σn_ij, D = Σn_ii,
+    S = Σ_l row_l·col_l, kappa = (N·D − S)/(N² − S), emitted as
+    kappa_micro = (10⁶·(N·D − S)) // (N² − S) — floor division on a
+    possibly-negative numerator, the same floor semantics in DuckDB.
+    NULL when N² = S (both marginals degenerate — chance agreement is 1).
+    Contract: 10⁶·N² must fit int64 → N ≲ 3·10⁶ label pairs per audit at
+    micro quantization; sample first above that (the audit is a QA readout,
+    not a corpus aggregate).
+
+    Scale shape: one confusion-cell fastagg (labels² cells), then label-
+    marginal and constant-key folds over the CELL table — nothing after
+    the first fastagg is data-proportional.
+    """
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    CONF = pa.schema(
+        [("_a", pa.string()), ("_b", pa.string()), ("_n", pa.int64())]
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CONF.empty_table()
+        g = (
+            t.select([col_a, col_b])
+            .group_by([col_a, col_b])
+            .aggregate([(col_a, "count")])
+        )
+        return g.rename_columns(["_a", "_b", "_n"])
+
+    conf = sorted_grouped_agg(
+        drop_empty_blocks(ds.map_batches(cells, batch_format="pyarrow"), CONF),
+        ["_a", "_b"],
+        [("_n", "sum")],
+        out_names=["_n"],
+    ).materialize()  # consumed by both the marginal and the total folds
+
+    MARG = pa.schema(
+        [("_l", pa.string()), ("_r", pa.int64()), ("_c", pa.int64())]
+    )
+
+    def marg_parts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MARG.empty_table()
+        zero = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.concat_tables(
+            [
+                pa.Table.from_arrays(
+                    [t.column("_a"), t.column("_n"), zero], schema=MARG
+                ),
+                pa.Table.from_arrays(
+                    [t.column("_b"), zero, t.column("_n")], schema=MARG
+                ),
+            ]
+        )
+
+    marg = sorted_grouped_agg(
+        conf.map_batches(marg_parts, batch_format="pyarrow"),
+        ["_l"],
+        [("_r", "sum"), ("_c", "sum")],
+        out_names=["_r", "_c"],
+    )
+    MID = pa.schema(
+        [
+            ("_k", pa.int64()),
+            ("_tot", pa.int64()),
+            ("_diag", pa.int64()),
+            ("_s", pa.int64()),
+        ]
+    )
+
+    def tot_parts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        n = t.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        eq = pc.equal(t.column("_a"), t.column("_b")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array([0], pa.int64()),
+                pa.array([int(n.sum())], pa.int64()),
+                pa.array([int(n[eq].sum())], pa.int64()),
+                pa.array([0], pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    def s_parts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        r = t.column("_r").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array([0], pa.int64()),
+                pa.array([0], pa.int64()),
+                pa.array([0], pa.int64()),
+                pa.array([int((r * c).sum())], pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    folded = sorted_grouped_agg(
+        drop_empty_blocks(
+            conf.map_batches(tot_parts, batch_format="pyarrow").union(
+                marg.map_batches(s_parts, batch_format="pyarrow")
+            ),
+            MID,
+        ),
+        ["_k"],
+        [("_tot", "sum"), ("_diag", "sum"), ("_s", "sum")],
+        out_names=["_tot", "_diag", "_s"],
+    )
+    OUT = pa.schema(
+        [
+            ("n_rows", pa.int64()),
+            ("n_agree", pa.int64()),
+            ("kappa_micro", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = int(t.column("_tot")[0].as_py())
+        d = int(t.column("_diag")[0].as_py())
+        s = int(t.column("_s")[0].as_py())
+        denom = n * n - s
+        kappa = (1_000_000 * (n * d - s)) // denom if denom != 0 else None
+        return pa.Table.from_arrays(
+            [
+                pa.array([n], pa.int64()),
+                pa.array([d], pa.int64()),
+                pa.array([kappa], pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        folded.map_batches(finish, batch_format="pyarrow"), OUT
+    )
+
+
 def welch_t(
     ds: "ray.data.Dataset",
     group_col: str,
