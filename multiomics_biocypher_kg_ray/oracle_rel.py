@@ -2295,6 +2295,60 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_bm25_rrf(
+    terms: "list[str]", k0: int = 60, keep: int = 50, k: int = 10
+) -> str:
+    """Twin of ``q_bm25_rrf``: BM25 top-``keep`` and query-term-count
+    top-``keep`` row_number ranks, fused by Σ 10⁶ // (k0 + rank) — pure
+    integers, (rrf_micro DESC, doc_id) LIMIT k."""
+    bm = sql_bm25_docs(terms, k=keep).strip()
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"""
+WITH a AS ({bm}),
+ar AS (SELECT doc_id,
+       row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rnk FROM a),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+bc AS (SELECT doc_id, count(*)::BIGINT AS cnt FROM toks
+       WHERE term IN ({tl}) GROUP BY 1
+       ORDER BY cnt DESC, doc_id LIMIT {keep}),
+br AS (SELECT doc_id,
+       row_number() OVER (ORDER BY cnt DESC, doc_id) AS rnk FROM bc),
+u AS (
+  SELECT doc_id, (1000000 // ({k0} + rnk))::BIGINT AS s FROM ar
+  UNION ALL
+  SELECT doc_id, (1000000 // ({k0} + rnk))::BIGINT AS s FROM br
+)
+SELECT doc_id, count(*)::BIGINT AS n_rankers, sum(s)::BIGINT AS rrf_micro
+FROM u GROUP BY 1
+ORDER BY rrf_micro DESC, doc_id LIMIT {k}"""
+
+
+def sql_funnel_3step(
+    steps: "tuple[str, str, str]" = ("signup", "click", "purchase"),
+    max_gap_s: int = 72 * 3600,
+) -> str:
+    """Twin of ``events.funnel_ksteps`` for the 3-step signup→click→
+    purchase funnel: chained per-user earliest-qualifying-anchor mins with
+    the strict-after + gap-window predicate."""
+    gap_us = max_gap_s * 1_000_000
+    a, b, c = steps
+    return f"""
+WITH e AS (SELECT user_id AS u, event_type, epoch_us(ts) AS t FROM events),
+s0 AS (SELECT u, min(t) AS m FROM e WHERE event_type = '{a}' GROUP BY 1),
+s1 AS (SELECT e.u, min(e.t) AS m FROM e JOIN s0 ON s0.u = e.u
+       WHERE e.event_type = '{b}' AND e.t > s0.m AND e.t <= s0.m + {gap_us}
+       GROUP BY 1),
+s2 AS (SELECT e.u, min(e.t) AS m FROM e JOIN s1 ON s1.u = e.u
+       WHERE e.event_type = '{c}' AND e.t > s1.m AND e.t <= s1.m + {gap_us}
+       GROUP BY 1)
+SELECT 0::BIGINT AS step_idx, '{a}' AS step_type,
+       (SELECT count(*)::BIGINT FROM s0) AS n_users
+UNION ALL
+SELECT 1, '{b}', (SELECT count(*)::BIGINT FROM s1)
+UNION ALL
+SELECT 2, '{c}', (SELECT count(*)::BIGINT FROM s2)"""
+
+
 def sql_doc_lang_kappa() -> str:
     """Twin of ``q_doc_lang_kappa``: Cohen's kappa between documents.lang
     and the ``sql_lang_id`` heuristic prediction — confusion cells, integer

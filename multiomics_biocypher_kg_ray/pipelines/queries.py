@@ -2612,6 +2612,107 @@ def q_bm25_docs(sf_dir: str):
     )
 
 
+def _ranked_const(ds, order: "list[tuple[str, bool]]", keep: int):
+    """1-based global rank over a single-group table (constant-key
+    ``ranked_over``), truncated to the first ``keep`` rows."""
+    from ..stages.fastagg import drop_empty_blocks
+
+    sch = ds.schema()
+    WG = pa.schema(list(zip(sch.names, sch.types)) + [("_g", pa.int64())])
+    withg = drop_empty_blocks(
+        ds.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))
+            )
+            if t.num_columns
+            else WG.empty_table(),
+            batch_format="pyarrow",
+        ),
+        WG,
+    )
+    ranked = relational.ranked_over(withg, ["_g"], order, rank_col="rank")
+    return ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("rank"), keep)).drop_columns(
+            ["_g"]
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+
+
+def q_bm25_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of two retrievals for the fixed query bag:
+    BM25 top-50 and raw query-term-count top-50 → fused top-10 by
+    Σ 10⁶//(60+rank) — the standard zero-tuning lexical∪lexical fusion
+    shape (swap either ranker for an embedding top-k unchanged)."""
+    from ..stages import text
+
+    a = _ranked_const(
+        text.bm25_topk(
+            _read(sf_dir, "documents", ["doc_id", "text"]), _BM25_TERMS, k=50
+        ),
+        [("bm25_q", False), ("doc_id", True)],
+        keep=50,
+    ).select_columns(["doc_id", "rank"])
+
+    CNT = pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())])
+    term_set = pa.array(sorted(set(_BM25_TERMS)), pa.string())
+
+    def tfc(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return CNT.empty_table()
+        s = batch.column("text").to_pandas()
+        ex = s.str.split(" ").explode()
+        ids = batch.column("doc_id").to_pandas().iloc[
+            ex.index.to_numpy()
+        ].to_numpy()
+        keep = ex.isin(term_set.to_pylist()).to_numpy()
+        if not keep.any():
+            return CNT.empty_table()
+        import numpy as _np
+
+        cnt = pd.Series(ids[keep]).value_counts()
+        return pa.Table.from_arrays(
+            [
+                pa.array(cnt.index.to_numpy().astype(_np.int64), pa.int64()),
+                pa.array(cnt.to_numpy().astype(_np.int64), pa.int64()),
+            ],
+            schema=CNT,
+        )
+
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    b_counts = sorted_grouped_agg(
+        drop_empty_blocks(
+            _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+                tfc, batch_format="pyarrow"
+            ),
+            CNT,
+        ),
+        ["doc_id"],
+        [("cnt", "sum")],
+        out_names=["cnt"],
+    )
+    b = _ranked_const(
+        b_counts, [("cnt", False), ("doc_id", True)], keep=50
+    ).select_columns(["doc_id", "rank"])
+    return relational.rrf_fuse([a, b], "doc_id", k=10)
+
+
+def q_funnel_3step(sf_dir: str):
+    """Ordered 3-step funnel signup → click → purchase with a 72h
+    per-step attribution window — per-step surviving-user counts via k
+    shrinking user-proportional joins."""
+    return events.funnel_ksteps(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        ["signup", "click", "purchase"],
+        max_gap_s=72 * 3600,
+    )
+
+
 _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 
 
@@ -5027,6 +5128,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_blocking_quality(),
         ),
         "kg_wpagerank": (q_kg_wpagerank, oracle.sql_kg_wpagerank()),
+        "bm25_rrf": (q_bm25_rrf, oracle_rel.sql_bm25_rrf(_BM25_TERMS)),
+        "funnel_3step": (q_funnel_3step, oracle_rel.sql_funnel_3step()),
         "doc_lang_kappa": (q_doc_lang_kappa, oracle_rel.sql_doc_lang_kappa()),
         "event_markov_entropy": (
             q_event_markov_entropy,
@@ -5041,6 +5144,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "bm25_rrf",
+        "funnel_3step",
         "kg_wpagerank",
         "doc_lang_kappa",
         "event_markov_entropy",

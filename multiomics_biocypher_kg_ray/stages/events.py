@@ -1811,3 +1811,153 @@ def longest_streak(
         ),
         OUT,
     )
+
+
+def funnel_ksteps(
+    events: "ray.data.Dataset",
+    steps: "list[str]",
+    max_gap_s: "int | None" = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> "ray.data.Dataset":
+    """K-step ORDERED funnel: one row per step ``(step_idx, step_type,
+    n_users)`` — users whose first ``steps[0]`` is followed by a strictly
+    later ``steps[1]``, which is followed by a strictly later ``steps[2]``,
+    … taking each step's EARLIEST qualifying event as the anchor for the
+    next (the greedy anchor is optimal here: an earlier anchor can only
+    admit a superset of later completions). ``max_gap_s`` additionally
+    requires each step to land within that window of the previous anchor —
+    the attribution-window semantics real funnels use. Generalizes
+    ``funnel_2step`` (k = 2, no gap, and that op also reports raw pair
+    counts).
+
+    Scale shape: one materialized pass over events, then per step ONE
+    user-proportional hash join against the previous anchor table + ONE
+    fastagg min — k small (funnel definitions are human-written), so the
+    whole funnel is k joins over shrinking user sets. Step counts ride
+    one-row per-batch partials into a single k-row fastagg; no driver-side
+    counting, no broadcast of data-proportional state."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    gap_us = max_gap_s * 1_000_000 if max_gap_s is not None else None
+
+    EV = pa.schema([("u", pa.int64()), ("ts_us", pa.int64())])
+
+    def pick(t: pa.Table, typ: str) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return EV.empty_table()
+        sub = t.filter(pc.equal(t.column(type_col), typ))
+        return pa.Table.from_arrays(
+            [
+                pc.cast(sub.column(user_col), pa.int64()),
+                pc.cast(
+                    pc.cast(sub.column(ts_col), pa.timestamp("us")), pa.int64()
+                ),
+            ],
+            schema=EV,
+        )
+
+    ev = events.select_columns([user_col, type_col, ts_col]).materialize()
+
+    MID = pa.schema([("step_idx", pa.int64()), ("_n", pa.int64())])
+
+    def counter(idx: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return MID.empty_table()
+            return pa.Table.from_arrays(
+                [pa.array([idx], pa.int64()), pa.array([t.num_rows], pa.int64())],
+                schema=MID,
+            )
+
+        return fn
+
+    count_parts = []
+    anchor = None  # Dataset (u, anchor_ts)
+    for i, st in enumerate(steps):
+        stream = ev.map_batches(
+            lambda t, typ=st: pick(t, typ), batch_format="pyarrow"
+        )
+        if i == 0:
+            anchor = sorted_grouped_agg(
+                stream, ["u"], [("ts_us", "min")], out_names=["anchor_ts"]
+            )
+        else:
+            joined = hash_join(
+                drop_empty_blocks(stream, EV),
+                drop_empty_blocks(anchor),
+                on=("u",),
+            )
+            ANC = pa.schema([("u", pa.int64()), ("ts_us", pa.int64())])
+
+            def qualify(t: pa.Table) -> pa.Table:
+                if t.num_columns == 0 or t.num_rows == 0:
+                    return ANC.empty_table()
+                keep = pc.greater(t.column("ts_us"), t.column("anchor_ts"))
+                if gap_us is not None:
+                    keep = pc.and_(
+                        keep,
+                        pc.less_equal(
+                            t.column("ts_us"),
+                            pc.add(
+                                t.column("anchor_ts"),
+                                pa.scalar(gap_us, pa.int64()),
+                            ),
+                        ),
+                    )
+                return t.filter(keep).select(["u", "ts_us"])
+
+            anchor = sorted_grouped_agg(
+                drop_empty_blocks(
+                    joined.map_batches(qualify, batch_format="pyarrow"), ANC
+                ),
+                ["u"],
+                [("ts_us", "min")],
+                out_names=["anchor_ts"],
+            )
+        anchor = anchor.materialize()  # consumed by the count AND next join
+        count_parts.append(
+            anchor.map_batches(counter(i), batch_format="pyarrow")
+        )
+
+    parts = count_parts[0]
+    for p in count_parts[1:]:
+        parts = parts.union(p)
+    # every step emits a row even with zero survivors: seed 0-count partials
+    seed = pa.Table.from_arrays(
+        [
+            pa.array(list(range(len(steps))), pa.int64()),
+            pa.array([0] * len(steps), pa.int64()),
+        ],
+        schema=MID,
+    )
+    parts = parts.union(ray.data.from_arrow(seed))
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(parts, MID),
+        ["step_idx"],
+        [("_n", "sum")],
+        out_names=["n_users"],
+    )
+    names = pa.array(list(steps), pa.string())
+    OUT = pa.schema(
+        [
+            ("step_idx", pa.int64()),
+            ("step_type", pa.string()),
+            ("n_users", pa.int64()),
+        ]
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        idx = t.column("step_idx")
+        return pa.Table.from_arrays(
+            [idx, pc.take(names, idx.combine_chunks()), t.column("n_users")],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(label, batch_format="pyarrow"), OUT)

@@ -2120,6 +2120,58 @@ def quantile_normalize(
     )
 
 
+def rrf_fuse(
+    ranked: "list[ray.data.Dataset]",
+    id_col: str,
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Reciprocal-rank fusion of several rankers [Cormack et al. 2009] —
+    each input is an (id, 1-based rank) table; fused score = Σ_rankers
+    10⁶ // (k0 + rank), emitted as top-``k`` ``(id, n_rankers,
+    rrf_micro)`` by (rrf_micro DESC, id). THE standard zero-tuning way to
+    combine lexical and semantic retrieval (BM25 ∪ embedding top-k) for
+    training-data curation — rank-only fusion sidesteps incomparable score
+    scales entirely, and the integer reciprocal keeps it bit-stable.
+
+    Scale shape: stateless per-batch reciprocal map on each ranker, one
+    union, one id-cardinality fastagg, one global top-k sort over ≤
+    Σ ranker sizes rows (rankers are top-N tables, not corpora)."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    if not ranked:
+        raise ValueError("need at least one ranker")
+    id_type = dict(
+        zip(ranked[0].schema().names, ranked[0].schema().types)
+    )[id_col]
+    MID = pa.schema([(id_col, id_type), ("_one", pa.int64()), ("_s", pa.int64())])
+
+    def recip(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        r = t.column(rank_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column(id_col),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pa.array(1_000_000 // (k0 + r), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    parts = ranked[0].map_batches(recip, batch_format="pyarrow")
+    for ds in ranked[1:]:
+        parts = parts.union(ds.map_batches(recip, batch_format="pyarrow"))
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(parts, MID),
+        [id_col],
+        [("_one", "sum"), ("_s", "sum")],
+        out_names=["n_rankers", "rrf_micro"],
+    )
+    return agg.sort(["rrf_micro", id_col], descending=[True, False]).limit(k)
+
+
 def cohens_kappa(
     ds: "ray.data.Dataset",
     col_a: str,
