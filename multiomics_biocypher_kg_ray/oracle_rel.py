@@ -2295,6 +2295,86 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_pk_duplicate_audit() -> str:
+    """Twin of ``q_pk_duplicate_audit``: per-table row / distinct-key /
+    duplicate counts, composite key via a DISTINCT subquery."""
+    singles = [
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+    ]
+    parts = [
+        f"""SELECT '{t}' AS tbl, count(*)::BIGINT AS n_rows,
+       count(DISTINCT {k})::BIGINT AS n_distinct,
+       (count(*) - count(DISTINCT {k}))::BIGINT AS n_dup_rows FROM {t}"""
+        for t, k in singles
+    ]
+    parts.append(
+        """SELECT 'lineitem', count(*)::BIGINT,
+       (SELECT count(*)::BIGINT FROM
+        (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+       (count(*) - (SELECT count(*)::BIGINT FROM
+        (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))::BIGINT
+       FROM lineitem"""
+    )
+    return "\nUNION ALL\n".join(parts)
+
+
+def sql_priority_quota(total: int = 10_000) -> str:
+    """Twin of ``relational.quota_allocate`` over order-priority counts:
+    base = total·w // W, leftover Σrem/W to the largest remainders,
+    (rem DESC, group ASC) tie-break."""
+    return f"""
+WITH gw AS (SELECT o_orderpriority, count(*)::BIGINT AS weight
+            FROM orders GROUP BY 1),
+w AS (SELECT sum(weight)::BIGINT AS tw FROM gw),
+m AS (SELECT o_orderpriority, weight,
+             ({total} * weight) // tw AS base,
+             ({total} * weight) % tw AS rem
+      FROM gw CROSS JOIN w),
+l AS (SELECT (sum(rem) // (SELECT tw FROM w))::BIGINT AS lv FROM m),
+r AS (SELECT o_orderpriority, weight, base,
+             row_number() OVER (ORDER BY rem DESC, o_orderpriority) AS rnk
+      FROM m)
+SELECT o_orderpriority, weight,
+       (base + CASE WHEN rnk <= (SELECT lv FROM l) THEN 1 ELSE 0 END)::BIGINT
+         AS quota
+FROM r"""
+
+
+def sql_purchase_click_did() -> str:
+    """Twin of ``relational.diff_in_diff`` over purchase-vs-click cents:
+    data-midpoint cutoff (min+max)//2 epoch µs, four conditional int64
+    moment cells, the engine finalize's exact double op order."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_type AS grp, epoch_us(ts) AS us, {v} AS cents
+           FROM events WHERE event_type IN ('purchase', 'click')),
+mm AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM e),
+st AS (SELECT
+  sum(CASE WHEN grp = 'purchase' AND us <= cutoff THEN 1 ELSE 0 END)::BIGINT AS ntp,
+  sum(CASE WHEN grp = 'purchase' AND us <= cutoff THEN cents ELSE 0 END)::BIGINT AS stp,
+  sum(CASE WHEN grp = 'purchase' AND us > cutoff THEN 1 ELSE 0 END)::BIGINT AS ntq,
+  sum(CASE WHEN grp = 'purchase' AND us > cutoff THEN cents ELSE 0 END)::BIGINT AS stq,
+  sum(CASE WHEN grp = 'click' AND us <= cutoff THEN 1 ELSE 0 END)::BIGINT AS ncp,
+  sum(CASE WHEN grp = 'click' AND us <= cutoff THEN cents ELSE 0 END)::BIGINT AS scp,
+  sum(CASE WHEN grp = 'click' AND us > cutoff THEN 1 ELSE 0 END)::BIGINT AS ncq,
+  sum(CASE WHEN grp = 'click' AND us > cutoff THEN cents ELSE 0 END)::BIGINT AS scq,
+  (SELECT cutoff FROM mm) AS cutoff
+  FROM e CROSS JOIN mm)
+SELECT ntp AS n_treat_pre, ntq AS n_treat_post,
+       ncp AS n_ctrl_pre, ncq AS n_ctrl_post,
+       cutoff AS cutoff_us,
+       CASE WHEN ntp > 0 AND ntq > 0 AND ncp > 0 AND ncq > 0
+            THEN floor(((stq::DOUBLE / ntq::DOUBLE - stp::DOUBLE / ntp::DOUBLE)
+                        - (scq::DOUBLE / ncq::DOUBLE - scp::DOUBLE / ncp::DOUBLE))
+                       * 1000000.0::DOUBLE)::BIGINT
+            ELSE NULL END AS did_micro
+FROM st"""
+
+
 def sql_bm25_rrf(
     terms: "list[str]", k0: int = 60, keep: int = 50, k: int = 10
 ) -> str:

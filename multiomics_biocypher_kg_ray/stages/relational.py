@@ -2120,6 +2120,252 @@ def quantile_normalize(
     )
 
 
+def quota_allocate(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    weight_col: str,
+    total: int,
+) -> "ray.data.Dataset":
+    """Largest-remainder (Hamilton) apportionment: split an integer budget
+    ``total`` across groups proportionally to their summed int64 weights —
+    ``(group, weight, quota)`` with Σquota = total exactly. THE deterministic
+    way to turn fractional sampling/mixture proportions into integer
+    per-group document quotas (a float-rounded allocation neither sums to
+    the budget nor is reproducible): base_g = total·w_g // W, then the
+    leftover L = Σ(total·w_g mod W) / W (an exact integer by construction)
+    goes to the L largest remainders, ties broken by group ascending.
+
+    Scale shape: one group fastagg over raw weight rows, then everything
+    runs at GROUP cardinality (allocation targets are human-scale — domains,
+    languages, sources): one hot-key-safe ``ranked_over`` by (remainder
+    desc, group asc) and two O(1) driver scalars (W, L) from one-row folds.
+    int64 contract: total·W < 2⁶³."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    gw = sorted_grouped_agg(
+        ds.select_columns([group_col, weight_col]),
+        [group_col],
+        [(weight_col, "sum")],
+        out_names=["weight"],
+    ).materialize()  # consumed by the W fold and the allocation pass
+
+    def _scalar_sum(d, col) -> int:
+        tot = 0
+        for bt in d.map_batches(
+            lambda t: pa.table(
+                {"s": pa.array([int(t.column(col).to_pandas().sum()) if t.num_rows else 0], pa.int64())}
+            )
+            if t.num_columns
+            else pa.table({"s": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            tot += int(bt.column("s").to_pandas().sum())
+        return tot
+
+    W = _scalar_sum(gw, "weight")
+    if W <= 0:
+        raise ValueError("total weight must be positive")
+
+    MID = pa.schema(
+        [
+            (group_col, typ[group_col]),
+            ("weight", pa.int64()),
+            ("_base", pa.int64()),
+            ("_rem", pa.int64()),
+            ("_g", pa.int64()),
+        ]
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.int64)
+        prod = total * w
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                t.column("weight"),
+                pa.array(prod // W, pa.int64()),
+                pa.array(prod % W, pa.int64()),
+                pa.array(np.zeros(t.num_rows, np.int64)),
+            ],
+            schema=MID,
+        )
+
+    mid = drop_empty_blocks(
+        gw.map_batches(split, batch_format="pyarrow"), MID
+    )
+    L = _scalar_sum(mid, "_rem") // W
+    ranked = ranked_over(
+        mid, ["_g"], [("_rem", False), (group_col, True)], rank_col="_rnk"
+    )
+    OUT = pa.schema(
+        [
+            (group_col, typ[group_col]),
+            ("weight", pa.int64()),
+            ("quota", pa.int64()),
+        ]
+    )
+
+    def alloc(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        extra = pc.cast(
+            pc.less_equal(t.column("_rnk"), pa.scalar(L, pa.int64())), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column(group_col),
+                t.column("weight"),
+                pc.add(t.column("_base"), extra),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        ranked.map_batches(alloc, batch_format="pyarrow"), OUT
+    )
+
+
+def diff_in_diff(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    treat_val: str,
+    ctrl_val: str,
+    ts_col: str,
+    value_col: str,
+) -> "ray.data.Dataset":
+    """Difference-in-differences readout — ONE row ``(n_treat_pre,
+    n_treat_post, n_ctrl_pre, n_ctrl_post, cutoff_us, did_micro)``: the
+    treated group's pre→post mean change minus the control group's, the
+    workhorse quasi-experimental estimator. The period cutoff is the data
+    midpoint (min_ts + max_ts) // 2 in epoch µs — deterministic and
+    mirrored in the twin. did_micro = floor(10⁶·((m_tp − m_t_pre) −
+    (m_cp − m_c_pre))) with the four means computed in doubles in the
+    twin's exact op order (the ``welch_t`` discipline); NULL when any of
+    the four cells is empty.
+
+    Scale shape: one min/max fold for the cutoff (O(1) driver scalars),
+    then per-batch conditional moment partials into a 4-cell fastagg —
+    two streaming passes over the input, no shuffle beyond the folds."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    prepped = ds.select_columns([group_col, ts_col, value_col]).materialize()
+
+    def ts_fold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [("_k", pa.int64()), ("_mn", pa.int64()), ("_mx", pa.int64())]
+            ).empty_table()
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "_k": pa.array([0], pa.int64()),
+                "_mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                "_mx": pa.array([pc.max(us).as_py()], pa.int64()),
+            }
+        )
+
+    mm = sorted_grouped_agg(
+        prepped.map_batches(ts_fold, batch_format="pyarrow"),
+        ["_k"],
+        [("_mn", "min"), ("_mx", "max")],
+        out_names=["mn", "mx"],
+    ).take_all()
+    cutoff = (int(mm[0]["mn"]) + int(mm[0]["mx"])) // 2
+
+    MID = pa.schema(
+        [("_k", pa.int64())]
+        + [
+            (f"_{cell}_{m}", pa.int64())
+            for cell in ("tp", "tq", "cp", "cq")
+            for m in ("n", "s")
+        ]
+    )
+    # cell codes: tp = treat pre, tq = treat post, cp = ctrl pre, cq = ctrl post
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        g = t.column(group_col)
+        us = pc.cast(
+            pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        post = us > cutoff
+        treat = pc.equal(g, treat_val).to_numpy(zero_copy_only=False)
+        ctrl = pc.equal(g, ctrl_val).to_numpy(zero_copy_only=False)
+        cols = [pa.array([0], pa.int64())]
+        for mask in (
+            treat & ~post,
+            treat & post,
+            ctrl & ~post,
+            ctrl & post,
+        ):
+            cols.append(pa.array([int(mask.sum())], pa.int64()))
+            cols.append(pa.array([int(v[mask].sum())], pa.int64()))
+        return pa.Table.from_arrays(cols, schema=MID)
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            prepped.map_batches(moments, batch_format="pyarrow"), MID
+        ),
+        ["_k"],
+        [(f, "sum") for f in MID.names[1:]],
+        out_names=list(MID.names[1:]),
+    )
+    OUT = pa.schema(
+        [
+            ("n_treat_pre", pa.int64()),
+            ("n_treat_post", pa.int64()),
+            ("n_ctrl_pre", pa.int64()),
+            ("n_ctrl_post", pa.int64()),
+            ("cutoff_us", pa.int64()),
+            ("did_micro", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+
+        def cell(c):
+            return (
+                int(t.column(f"_{c}_n")[0].as_py()),
+                int(t.column(f"_{c}_s")[0].as_py()),
+            )
+
+        ntp, stp = cell("tp")
+        ntq, stq = cell("tq")
+        ncp, scp = cell("cp")
+        ncq, scq = cell("cq")
+        did = None
+        if min(ntp, ntq, ncp, ncq) > 0:
+            # EXACT double op order of the SQL twin
+            d = (
+                np.float64(stq) / np.float64(ntq)
+                - np.float64(stp) / np.float64(ntp)
+            ) - (
+                np.float64(scq) / np.float64(ncq)
+                - np.float64(scp) / np.float64(ncp)
+            )
+            did = int(np.floor(d * np.float64(1000000.0)))
+        return pa.Table.from_arrays(
+            [
+                pa.array([ntp], pa.int64()),
+                pa.array([ntq], pa.int64()),
+                pa.array([ncp], pa.int64()),
+                pa.array([ncq], pa.int64()),
+                pa.array([cutoff], pa.int64()),
+                pa.array([did], pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
 def rrf_fuse(
     ranked: "list[ray.data.Dataset]",
     id_col: str,
