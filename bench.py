@@ -268,6 +268,24 @@ def run_bench() -> dict:
         q_kg_node_pred_entropy,
         q_doc_token_hhi,
         q_orders_skyline,
+        q_kg_type_rollup,
+        q_kg_schema_audit,
+        q_kg_ppr,
+        q_kg_wpagerank,
+        q_conv_turn_taking,
+        q_purchase_click_welch,
+        q_corpus_heaps_slope,
+        q_event_user_hll,
+        q_blocking_quality,
+        q_doc_lang_kappa,
+        q_event_markov_entropy,
+        q_bm25_rrf,
+        q_funnel_3step,
+        q_pk_duplicate_audit,
+        q_priority_quota,
+        q_purchase_click_did,
+        q_term_cms_audit,
+        q_purchase_value_jackknife,
     )
 
     for name, fn in [
@@ -381,6 +399,27 @@ def run_bench() -> dict:
         ("kg_node_pred_entropy", q_kg_node_pred_entropy),
         ("doc_token_hhi", q_doc_token_hhi),
         ("orders_skyline", q_orders_skyline),
+        # session-15..19 additions: schema census/audit, PPR, turn-taking,
+        # Welch, Heaps, HLL, blocking quality, kappa, Markov entropy,
+        # funnel, RRF, quota, DiD, PK audit
+        ("kg_type_rollup", q_kg_type_rollup),
+        ("kg_schema_audit", q_kg_schema_audit),
+        ("kg_ppr", q_kg_ppr),
+        ("kg_wpagerank", q_kg_wpagerank),
+        ("conv_turn_taking", q_conv_turn_taking),
+        ("purchase_click_welch", q_purchase_click_welch),
+        ("corpus_heaps_slope", q_corpus_heaps_slope),
+        ("event_user_hll", q_event_user_hll),
+        ("blocking_quality", q_blocking_quality),
+        ("doc_lang_kappa", q_doc_lang_kappa),
+        ("event_markov_entropy", q_event_markov_entropy),
+        ("bm25_rrf", q_bm25_rrf),
+        ("funnel_3step", q_funnel_3step),
+        ("pk_duplicate_audit", q_pk_duplicate_audit),
+        ("priority_quota", q_priority_quota),
+        ("purchase_click_did", q_purchase_click_did),
+        ("term_cms_audit", q_term_cms_audit),
+        ("purchase_value_jackknife", q_purchase_value_jackknife),
     ]:
         t = time.time()
         out = fn(SF_DIR)

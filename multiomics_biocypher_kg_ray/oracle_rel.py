@@ -2295,6 +2295,61 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_term_cms_audit(
+    k: int = 20, width: int = 1024, depth: int = 4, salt: str = "cms"
+) -> str:
+    """Twin of ``sampling.cms_estimate`` over corpus terms: identical
+    md5-derived per-row hashes (md5('{salt}<r>:' || term) → 60-bit %
+    width), cells built from the exact count aggregate, min over rows."""
+    h = (
+        f"('0x' || substr(md5('{salt}' || {{r}} || ':' || {{t}}), 1, 15))"
+        f"::UBIGINT % {width}"
+    )
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+tk AS (SELECT term FROM tok WHERE term <> ''),
+cnt AS (SELECT term, count(*)::BIGINT AS n FROM tk GROUP BY 1),
+cells AS (
+  SELECT r, {h.format(r="r", t="term")} AS cell, sum(n)::BIGINT AS cn
+  FROM cnt CROSS JOIN (SELECT unnest(range({depth})) AS r) rr
+  GROUP BY 1, 2
+),
+topk AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT {k})
+SELECT t.term, t.n AS true_n, min(c.cn)::BIGINT AS cms_est
+FROM topk t
+CROSS JOIN (SELECT unnest(range({depth})) AS r2) r2s
+JOIN cells c ON c.r = r2 AND c.cell = {h.format(r="r2", t="t.term")}
+GROUP BY 1, 2"""
+
+
+def sql_purchase_value_jackknife(n_blocks: int = 32) -> str:
+    """Twin of ``relational.block_jackknife`` over user-blocked purchase
+    cents: the same md5 bucket % n_blocks assignment, leave-out means
+    quantized to micro FIRST, exact integer deviation sums."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT user_id, {v} AS cents FROM events
+           WHERE event_type = 'purchase'),
+b AS (SELECT ((('0x' || substr(md5('jk:' || user_id), 1, 8))::UBIGINT
+              % 1000000) % {n_blocks})::BIGINT AS blk, cents FROM e),
+g AS (SELECT blk, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+      FROM b GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS nn, sum(s)::BIGINT AS ss,
+             count(*)::BIGINT AS bb FROM g),
+q AS (SELECT ((1000000 * (ss - s)) // (nn - n))::BIGINT AS qi
+      FROM g CROSS JOIN t),
+mb AS (SELECT (sum(qi) // (SELECT bb FROM t))::BIGINT AS mbar FROM q),
+d AS (SELECT sum((qi - mbar) * (qi - mbar))::BIGINT AS sd
+      FROM q CROSS JOIN mb)
+SELECT (SELECT nn FROM t) AS n_rows, (SELECT bb FROM t) AS n_blocks,
+       ((1000000 * (SELECT ss FROM t)) // (SELECT nn FROM t))::BIGINT
+         AS mean_micro,
+       CASE WHEN (SELECT bb FROM t) >= 2
+            THEN ((((SELECT bb FROM t) - 1) * sd) // (SELECT bb FROM t))::BIGINT
+            ELSE NULL END AS jk_var_micro2
+FROM d"""
+
+
 def sql_pk_duplicate_audit() -> str:
     """Twin of ``q_pk_duplicate_audit``: per-table row / distinct-key /
     duplicate counts, composite key via a DISTINCT subquery."""

@@ -1906,6 +1906,48 @@ _PK_KEYS: list[tuple[str, list[str]]] = [
 ]
 
 
+def q_term_cms_audit(sf_dir: str):
+    """Count-Min-Sketch frequency audit over corpus terms: 4×1024 CMS,
+    top-20 true terms with their (always ≥) sketch estimates — the
+    collision-mass readout that sizes CMS width before a corpus-scale run."""
+    from ..stages import sampling
+    from ..stages.fastagg import drop_empty_blocks
+
+    TOK = pa.schema([("term", pa.string())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TOK.empty_table()
+        ex = t.column("text").to_pandas().str.split(" ").explode()
+        ex = ex[(ex != "") & ex.notna()]
+        return pa.Table.from_arrays(
+            [pa.array(ex.to_numpy().astype(str), pa.string())], schema=TOK
+        )
+
+    toks = drop_empty_blocks(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        TOK,
+    )
+    return sampling.cms_estimate(toks, "term", k=20)
+
+
+def q_purchase_value_jackknife(sf_dir: str):
+    """Cluster-robust (user-blocked) delete-one-block jackknife variance of
+    the mean purchase value — rows of one user share a block, so the SE is
+    honest under within-user correlation; integer micro quantization."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"})
+        .select(["user_id", "cents"])
+        .filter(pc.equal(t.column("event_type"), "purchase")),
+        batch_format="pyarrow",
+    )
+    return relational.block_jackknife(ev, "user_id", "cents", n_blocks=32)
+
+
 def q_pk_duplicate_audit(sf_dir: str):
     """Primary-key uniqueness audit across six tables (composite key for
     lineitem): (tbl, n_rows, n_distinct, n_dup_rows) — the companion gate
@@ -5255,6 +5297,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_purchase_click_did,
             oracle_rel.sql_purchase_click_did(),
         ),
+        "term_cms_audit": (q_term_cms_audit, oracle_rel.sql_term_cms_audit()),
+        "purchase_value_jackknife": (
+            q_purchase_value_jackknife,
+            oracle_rel.sql_purchase_value_jackknife(),
+        ),
         "doc_lang_kappa": (q_doc_lang_kappa, oracle_rel.sql_doc_lang_kappa()),
         "event_markov_entropy": (
             q_event_markov_entropy,
@@ -5269,6 +5316,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "term_cms_audit",
+        "purchase_value_jackknife",
         "pk_duplicate_audit",
         "priority_quota",
         "purchase_click_did",

@@ -2120,6 +2120,93 @@ def quantile_normalize(
     )
 
 
+def block_jackknife(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    n_blocks: int = 32,
+) -> "pa.Table":
+    """Delete-one-block jackknife variance of the mean — ONE row
+    ``(n_rows, n_blocks, mean_micro, jk_var_micro2)``: rows are assigned to
+    ``n_blocks`` pseudo-replicates by the md5 hash of ``key_col`` (so all
+    of one key's rows land in one block — the CLUSTER-robust grouping; a
+    per-row split would pretend correlated rows are independent), and the
+    estimator variance is (B−1)/B · Σ(m₋ᵢ − m̄)² over the leave-one-block-
+    out means. The sampling-error readout every corpus-level mean should
+    ship with; rank-free and model-free.
+
+    Fully integer after the hash: leave-out means are quantized to micro
+    FIRST (qᵢ = 10⁶·(S−sᵢ) // (N−nᵢ)), so the deviation sum of squares is
+    exact int64 and bit-identical to the twin regardless of float-summation
+    order. Contract: value_col ≥ 0 int64 (floor ≡ truncation both engines)
+    and 10⁶·S < 2⁶³.
+
+    Scale shape: per-batch bincount partials → one ≤B-row fastagg → an O(B)
+    driver finalize (B is a constant, default 32). Returns a pa.Table."""
+    from ..stages.sampling import _buckets
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema([("_b", pa.int64()), ("_n", pa.int64()), ("_s", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        b = _buckets(t.column(key_col), "jk") % n_blocks
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(b, minlength=n_blocks).astype(np.int64)
+        # exact int64 block sums (bincount's weights path rounds via float64)
+        s = np.zeros(n_blocks, np.int64)
+        np.add.at(s, b, v)
+        keep = n > 0
+        idx = np.nonzero(keep)[0].astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(idx, pa.int64()), pa.array(n[keep]), pa.array(s[keep])],
+            schema=MID,
+        )
+
+    g = sorted_grouped_agg(
+        drop_empty_blocks(
+            ds.select_columns([key_col, value_col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            MID,
+        ),
+        ["_b"],
+        [("_n", "sum"), ("_s", "sum")],
+        out_names=["n", "s"],
+    ).take_all()  # ≤ n_blocks rows — O(1) driver state by construction
+    OUT = pa.schema(
+        [
+            ("n_rows", pa.int64()),
+            ("n_blocks", pa.int64()),
+            ("mean_micro", pa.int64()),
+            ("jk_var_micro2", pa.int64()),
+        ]
+    )
+    if not g:
+        return OUT.empty_table()
+    ns = [int(r["n"]) for r in g]
+    ss = [int(r["s"]) for r in g]
+    N, S, B = sum(ns), sum(ss), len(g)
+    mean_micro = (1_000_000 * S) // N
+    if B < 2:
+        var = None
+    else:
+        qs = [(1_000_000 * (S - si)) // (N - ni) for ni, si in zip(ns, ss)]
+        mbar = sum(qs) // B
+        sd = sum((q - mbar) * (q - mbar) for q in qs)
+        var = ((B - 1) * sd) // B
+    return pa.Table.from_arrays(
+        [
+            pa.array([N], pa.int64()),
+            pa.array([B], pa.int64()),
+            pa.array([mean_micro], pa.int64()),
+            pa.array([var], pa.int64()),
+        ],
+        schema=OUT,
+    )
+
+
 def quota_allocate(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -626,6 +626,96 @@ def distinct_hll(
     return drop_empty_blocks(agg.map_batches(finish, batch_format="pyarrow"), OUT)
 
 
+def cms_estimate(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    k: int = 20,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+) -> "ray.data.Dataset":
+    """Count-Min-Sketch frequency audit [Cormode & Muthukrishnan 2005] —
+    builds a ``depth``×``width`` CMS over the values of ``value_col`` and
+    reports, for the top-``k`` TRUE values, ``(value, true_n, cms_est)``
+    ordered by (true_n DESC, value): the sketch's one-sided error
+    (cms_est ≥ true_n always; the gap is the collision mass) measured
+    against exact truth. The third sketch family beside KMV and HLL —
+    point-frequency queries in O(depth·width) memory; run this audit at a
+    sample scale to size width before trusting the sketch at corpus scale.
+
+    Hashes are the md5-derived ``_hash60`` with per-row salts
+    ``{salt}{r}`` mod ``width`` — the DuckDB twin computes the identical
+    cells, so the estimates match bit-for-bit.
+
+    Scale shape: exact counts via ONE value-cardinality fastagg; the CMS
+    cells build FROM that aggregate (depth stateless maps + one
+    depth·width-cell fastagg — equivalent to hashing raw rows, cheaper);
+    the finished cell table is ≤ depth·width rows (a constant) and rides
+    the driver once; top-k truth via global sort-limit."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    vt = typ[value_col]
+    CNT = pa.schema([(value_col, vt), ("n", pa.int64())])
+    cnt = sorted_grouped_agg(
+        ds.select_columns([value_col]),
+        [value_col],
+        [(value_col, "count")],
+        out_names=["n"],
+    ).materialize()  # consumed by the cell build AND the top-k
+
+    CELL = pa.schema(
+        [("_row", pa.int64()), ("_cell", pa.int64()), ("_n", pa.int64())]
+    )
+
+    def cells_r(r: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return CELL.empty_table()
+            h = _hash60(t.column(value_col), f"{salt}{r}") % width
+            return pa.Table.from_arrays(
+                [
+                    pa.array(np.full(t.num_rows, r, np.int64)),
+                    pa.array(h, pa.int64()),
+                    pc.cast(t.column("n"), pa.int64()),
+                ],
+                schema=CELL,
+            )
+
+        return fn
+
+    parts = cnt.map_batches(cells_r(0), batch_format="pyarrow")
+    for r in range(1, depth):
+        parts = parts.union(cnt.map_batches(cells_r(r), batch_format="pyarrow"))
+    cells = sorted_grouped_agg(
+        drop_empty_blocks(parts, CELL),
+        ["_row", "_cell"],
+        [("_n", "sum")],
+        out_names=["_n"],
+    ).take_all()  # ≤ depth·width rows — constant-size sketch by definition
+    table = np.zeros((depth, width), dtype=np.int64)
+    for row in cells:
+        table[int(row["_row"]), int(row["_cell"])] = int(row["_n"])
+
+    topk = cnt.sort(["n", value_col], descending=[True, False]).limit(k)
+    OUT = pa.schema([(value_col, vt), ("true_n", pa.int64()), ("cms_est", pa.int64())])
+
+    def estimate(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        est = np.full(t.num_rows, np.iinfo(np.int64).max, np.int64)
+        for r in range(depth):
+            h = _hash60(t.column(value_col), f"{salt}{r}") % width
+            est = np.minimum(est, table[r, h])
+        return pa.Table.from_arrays(
+            [t.column(value_col), pc.cast(t.column("n"), pa.int64()),
+             pa.array(est, pa.int64())],
+            schema=OUT,
+        )
+
+    return topk.map_batches(estimate, batch_format="pyarrow")
+
+
 def importance_sample(
     ds: "ray.data.Dataset",
     key_col: str,
