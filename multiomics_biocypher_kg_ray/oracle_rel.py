@@ -2295,6 +2295,73 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_event_type_anova() -> str:
+    """Twin of ``relational.anova_f`` over event-type cents: per-group
+    exact int64 moments, HUGEINT A = Σ s²//n and B = S²//N floors —
+    bit-identical integer F, no float anywhere."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (SELECT event_type AS g, {v} AS v FROM events),
+st AS (SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+              sum(v * v)::BIGINT AS q FROM e GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS nn, sum(s)::HUGEINT AS ss,
+             sum(q)::HUGEINT AS qq, count(*)::BIGINT AS k,
+             sum((s::HUGEINT * s::HUGEINT) // n)::HUGEINT AS a
+      FROM st)
+SELECT nn AS n_rows, k AS k_groups,
+  CASE WHEN k >= 2 AND nn > k AND (qq - a) > 0
+       THEN ((1000000::HUGEINT * (a - (ss * ss) // nn) * (nn - k))
+             // ((k - 1) * (qq - a)))::BIGINT
+       ELSE NULL END AS f_micro
+FROM t"""
+
+
+def sql_lineitem_weighted_median() -> str:
+    """Twin of ``relational.weighted_median`` over lineitem per return
+    flag: quantity-weighted lower median of extended-price cents —
+    (group, value) weight cells, window cumsum in value order,
+    2·cum ≥ W in pure integers."""
+    v = CENTS.format(col="l_extendedprice")
+    return f"""
+WITH e AS (SELECT l_returnflag, {v} AS v,
+                  CAST(round(l_quantity, 0) AS BIGINT) AS w FROM lineitem),
+c AS (SELECT l_returnflag, v, sum(w)::BIGINT AS w FROM e GROUP BY 1, 2),
+cw AS (SELECT l_returnflag, v, w,
+              sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cw
+       FROM c),
+t AS (SELECT l_returnflag, sum(w)::BIGINT AS total_weight FROM c GROUP BY 1)
+SELECT t.l_returnflag, t.total_weight, min(cw.v)::BIGINT AS wmedian
+FROM cw JOIN t USING (l_returnflag)
+WHERE 2 * cw.cw >= t.total_weight
+GROUP BY 1, 2"""
+
+
+def sql_source_mixture_plan(budget_tokens: int = 100_000) -> str:
+    """Twin of ``q_source_mixture_plan``: per-source whitespace token
+    supply, weight = numeric source suffix + 1, integer need / capped
+    rate_ppm / epochs_milli."""
+    return f"""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tk AS (SELECT source, count(*)::BIGINT AS tokens FROM tok
+       WHERE term <> '' GROUP BY 1),
+w AS (SELECT source, tokens,
+             (substr(source, 4)::BIGINT + 1)::BIGINT AS weight FROM tk),
+t AS (SELECT sum(weight)::BIGINT AS tw FROM w),
+m AS (SELECT source, tokens, weight,
+             (({budget_tokens} * weight) // tw)::BIGINT AS need_tokens
+      FROM w CROSS JOIN t)
+SELECT source, tokens, weight, need_tokens,
+       least(1000000, (need_tokens * 1000000)
+             // (CASE WHEN tokens > 0 THEN tokens ELSE 1 END))::BIGINT
+         AS rate_ppm,
+       ((need_tokens * 1000)
+        // (CASE WHEN tokens > 0 THEN tokens ELSE 1 END))::BIGINT
+         AS epochs_milli
+FROM m"""
+
+
 def sql_term_cms_audit(
     k: int = 20, width: int = 1024, depth: int = 4, salt: str = "cms"
 ) -> str:

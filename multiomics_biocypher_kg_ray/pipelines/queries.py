@@ -1906,6 +1906,141 @@ _PK_KEYS: list[tuple[str, list[str]]] = [
 ]
 
 
+def q_event_type_anova(sf_dir: str):
+    """One-way ANOVA F across all five event types' values — the k-sample
+    "do the means differ at all" gate before pairwise Welch/U tests; fully
+    integer (HUGEINT twin), zero summation-order risk."""
+    ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}).select(
+            ["event_type", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.anova_f(ev, "event_type", "cents")
+
+
+def q_lineitem_weighted_median(sf_dir: str):
+    """Quantity-weighted lower-median extended price per return flag —
+    the exact weighted center (cells + ONE segmented cumsum, never a
+    whole-group sort in one task)."""
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    ).map_batches(
+        lambda t: relational.to_cents(t, {"l_extendedprice": "cents"})
+        .select(["l_returnflag", "cents"])
+        .append_column(
+            "qty",
+            pa.array(
+                np.rint(
+                    t.column("l_quantity").to_numpy(zero_copy_only=False)
+                ).astype(np.int64)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.weighted_median(li, "l_returnflag", "cents", "qty")
+
+
+def q_source_mixture_plan(sf_dir: str, budget_tokens: int = 100_000):
+    """Token-budget mixture planner: per document source, the whitespace
+    token supply, a target weight (derived from the source id — stands in
+    for the human-written mixture table), the needed token count under the
+    budget, the sampling rate (capped at 10⁶ ppm) and the oversampling
+    epochs in millis — the table a weighted corpus sampler executes.
+    Downstream: feed rate_ppm to ``importance_sample`` / quotas to
+    ``quota_allocate``."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    TOK = pa.schema([("source", pa.string()), ("_n", pa.int64())])
+
+    def tokc(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TOK.empty_table()
+        s = t.column("text").to_pandas()
+        ex = s.str.split(" ").explode()
+        src = t.column("source").to_pandas().iloc[ex.index.to_numpy()]
+        keep = (ex != "").to_numpy() & ex.notna().to_numpy()
+        cnt = pd.Series(src.to_numpy()[keep]).value_counts()
+        return pa.Table.from_arrays(
+            [
+                pa.array(cnt.index.to_numpy().astype(str), pa.string()),
+                pa.array(cnt.to_numpy().astype(np.int64), pa.int64()),
+            ],
+            schema=TOK,
+        )
+
+    tk = sorted_grouped_agg(
+        drop_empty_blocks(
+            _read(sf_dir, "documents", ["source", "text"]).map_batches(
+                tokc, batch_format="pyarrow"
+            ),
+            TOK,
+        ),
+        ["source"],
+        [("_n", "sum")],
+        out_names=["tokens"],
+    ).materialize()  # consumed by the weight fold and the plan pass
+
+    WM = pa.schema(
+        [("source", pa.string()), ("tokens", pa.int64()), ("weight", pa.int64())]
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return WM.empty_table()
+        w = pc.add(
+            pc.cast(
+                pc.utf8_slice_codeunits(t.column("source"), 3, 32), pa.int64()
+            ),
+            pa.scalar(1, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [t.column("source"), t.column("tokens"), w], schema=WM
+        )
+
+    weighted = drop_empty_blocks(
+        tk.map_batches(weigh, batch_format="pyarrow"), WM
+    ).materialize()
+    tw = 0
+    for bt in weighted.iter_batches(batch_format="pyarrow"):
+        tw += int(bt.column("weight").to_pandas().sum())
+
+    OUT = pa.schema(
+        [
+            ("source", pa.string()),
+            ("tokens", pa.int64()),
+            ("weight", pa.int64()),
+            ("need_tokens", pa.int64()),
+            ("rate_ppm", pa.int64()),
+            ("epochs_milli", pa.int64()),
+        ]
+    )
+
+    def plan(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        tok = t.column("tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.int64)
+        need = budget_tokens * w // tw
+        rate = np.minimum(1_000_000, need * 1_000_000 // np.maximum(tok, 1))
+        epochs = need * 1000 // np.maximum(tok, 1)
+        return pa.Table.from_arrays(
+            [
+                t.column("source"),
+                t.column("tokens"),
+                t.column("weight"),
+                pa.array(need, pa.int64()),
+                pa.array(rate, pa.int64()),
+                pa.array(epochs, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return weighted.map_batches(plan, batch_format="pyarrow")
+
+
 def q_term_cms_audit(sf_dir: str):
     """Count-Min-Sketch frequency audit over corpus terms: 4×1024 CMS,
     top-20 true terms with their (always ≥) sketch estimates — the
@@ -5298,6 +5433,18 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_purchase_click_did(),
         ),
         "term_cms_audit": (q_term_cms_audit, oracle_rel.sql_term_cms_audit()),
+        "event_type_anova": (
+            q_event_type_anova,
+            oracle_rel.sql_event_type_anova(),
+        ),
+        "lineitem_weighted_median": (
+            q_lineitem_weighted_median,
+            oracle_rel.sql_lineitem_weighted_median(),
+        ),
+        "source_mixture_plan": (
+            q_source_mixture_plan,
+            oracle_rel.sql_source_mixture_plan(),
+        ),
         "purchase_value_jackknife": (
             q_purchase_value_jackknife,
             oracle_rel.sql_purchase_value_jackknife(),
@@ -5316,6 +5463,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "event_type_anova",
+        "lineitem_weighted_median",
+        "source_mixture_plan",
         "term_cms_audit",
         "purchase_value_jackknife",
         "pk_duplicate_audit",

@@ -2120,6 +2120,189 @@ def quantile_normalize(
     )
 
 
+def anova_f(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+) -> "pa.Table":
+    """One-way ANOVA F statistic across ALL groups of ``group_col`` — ONE
+    row ``(n_rows, k_groups, f_micro)``: the k-sample generalization of
+    ``welch_t`` (equal-variance pooled form), answering "do the group means
+    differ at all" before pairwise tests. FULLY integer — no float ever:
+    with per-group exact (n_g, S_g, Q_g), A = Σ S_g²//n_g, B = S²//N,
+    SSB = A − B, SSW = Q − A, and F_micro = 10⁶·SSB·(N−k) // ((k−1)·SSW) —
+    every floor mirrored by the twin's HUGEINT arithmetic, so the statistic
+    is bit-identical with zero summation-order risk (a float Σ S_g²/n_g
+    would differ between engines at the ulp level). NULL when k < 2 or
+    SSW = 0. Contract: values ≥ 0 int64 (cents).
+
+    Scale shape: per-batch moment partials → one group-cardinality fastagg
+    → an O(k) driver finalize in arbitrary-precision Python ints (k =
+    distinct groups, human-scale). Returns a pa.Table."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema(
+        [
+            ("_g", pa.string()),
+            ("_n", pa.int64()),
+            ("_s", pa.int64()),
+            ("_q", pa.int64()),
+        ]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        frame = pd.DataFrame(
+            {
+                "g": t.column(group_col).to_pandas().astype(str),
+                "v": t.column(value_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        frame["q"] = frame["v"] * frame["v"]
+        agg = frame.groupby("g", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), q=("q", "sum")
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(agg.index.to_numpy().astype(str), pa.string()),
+                pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+                pa.array(agg["s"].to_numpy().astype(np.int64), pa.int64()),
+                pa.array(agg["q"].to_numpy().astype(np.int64), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    g = sorted_grouped_agg(
+        drop_empty_blocks(
+            ds.select_columns([group_col, value_col]).map_batches(
+                moments, batch_format="pyarrow"
+            ),
+            MID,
+        ),
+        ["_g"],
+        [("_n", "sum"), ("_s", "sum"), ("_q", "sum")],
+        out_names=["n", "s", "q"],
+    ).take_all()  # k rows — group cardinality is human-scale by contract
+    OUT = pa.schema(
+        [
+            ("n_rows", pa.int64()),
+            ("k_groups", pa.int64()),
+            ("f_micro", pa.int64()),
+        ]
+    )
+    if not g:
+        return OUT.empty_table()
+    ns = [int(r["n"]) for r in g]
+    ss = [int(r["s"]) for r in g]
+    qs = [int(r["q"]) for r in g]
+    N, S, Q, k = sum(ns), sum(ss), sum(qs), len(g)
+    f = None
+    if k >= 2 and N > k:
+        A = sum(si * si // ni for ni, si in zip(ns, ss))
+        B = S * S // N
+        ssb, ssw = A - B, Q - A
+        if ssw > 0:
+            f = (1_000_000 * ssb * (N - k)) // ((k - 1) * ssw)
+    return pa.Table.from_arrays(
+        [
+            pa.array([N], pa.int64()),
+            pa.array([k], pa.int64()),
+            pa.array([f], pa.int64()),
+        ],
+        schema=OUT,
+    )
+
+
+def weighted_median(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> "ray.data.Dataset":
+    """Per-group WEIGHTED lower median: the smallest value v whose
+    cumulative weight (in value order) reaches half the group's total —
+    ``(group, total_weight, wmedian)``. The robust center when rows carry
+    unequal mass (quantity-weighted price medians, token-weighted doc
+    scores); exact, never a sampled sketch.
+
+    Shape: one (group, value) cell fastagg (weight sums collapse repeats
+    before any sort), ONE hot-key-safe segmented ``cumsum_over`` in
+    (group, value) order, a broadcast/hash join against group totals, and
+    a group fastagg min over qualifying values. 2·cum ≥ W in pure integers
+    — no float, no midpoint interpolation (the lower-median convention,
+    mirrored in the twin)."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+    from .window import cumsum_over
+
+    typ = dict(zip(ds.schema().names, ds.schema().types))
+    gt = typ[group_col]
+    CELL = pa.schema(
+        [(group_col, gt), (value_col, pa.int64()), ("_w", pa.int64())]
+    )
+    cells = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns([group_col, value_col, weight_col]).map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        t.column(group_col),
+                        pc.cast(t.column(value_col), pa.int64()),
+                        pc.cast(t.column(weight_col), pa.int64()),
+                    ],
+                    schema=CELL,
+                )
+                if t.num_columns
+                else CELL.empty_table(),
+                batch_format="pyarrow",
+            ),
+            [group_col, value_col],
+            [("_w", "sum")],
+            out_names=["_w"],
+        ),
+        CELL,
+    )
+    cum = cumsum_over(
+        cells, group_col, [value_col], "_w", out_col="_cw", inclusive=True
+    )
+    totals = sorted_grouped_agg(
+        cells, [group_col], [("_w", "sum")], out_names=["total_weight"]
+    )
+    joined = hash_join(
+        drop_empty_blocks(cum),
+        drop_empty_blocks(totals),
+        on=(group_col,),
+    )
+    MID = pa.schema(
+        [(group_col, gt), ("total_weight", pa.int64()), (value_col, pa.int64())]
+    )
+
+    def qualify(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        keep = pc.greater_equal(
+            pc.multiply(t.column("_cw"), pa.scalar(2, pa.int64())),
+            t.column("total_weight"),
+        )
+        t = t.filter(keep)
+        return pa.Table.from_arrays(
+            [t.column(group_col), t.column("total_weight"), t.column(value_col)],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(joined.map_batches(qualify, batch_format="pyarrow"), MID),
+        [group_col],
+        [("total_weight", "min"), (value_col, "min")],
+        out_names=["total_weight", "wmedian"],
+    )
+    return agg
+
+
 def block_jackknife(
     ds: "ray.data.Dataset",
     key_col: str,
