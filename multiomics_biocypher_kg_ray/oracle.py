@@ -626,6 +626,20 @@ SELECT conv_id, n_pairs, n_switches,
 FROM a"""
 
 
+def sql_qa_pairs() -> str:
+    """Twin of ``convo.qa_pairs``: assistant turns joined to the directly
+    preceding user turn on (conv_id, turn_idx − 1)."""
+    return f"""{_kg_prefix()},
+u AS (SELECT conv_id, turn_idx, text FROM transcripts WHERE role = 'user'),
+a AS (SELECT conv_id, turn_idx, text FROM transcripts
+      WHERE role = 'assistant')
+SELECT a.conv_id, a.turn_idx::BIGINT AS turn_idx, u.text AS prompt,
+       a.text AS response,
+       length(u.text)::BIGINT AS prompt_chars,
+       length(a.text)::BIGINT AS response_chars
+FROM a JOIN u ON u.conv_id = a.conv_id AND u.turn_idx = a.turn_idx - 1"""
+
+
 def sql_kg_type_rollup() -> str:
     """Twin of ``q_kg_type_rollup``: the multi-source edge table rolled up
     to (src_type, pred, dst_type) with edge counts and summed weights —

@@ -2295,6 +2295,36 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_embedding_covariance(scale: int = 1000) -> str:
+    """Twin of ``similarity.embedding_covariance``: quantize-first milli
+    ints, exact pairwise product sums via a per-vector dim self-join,
+    floor-corrected (n·Σxy − Σx·Σy) // n on the possibly-negative
+    numerator (DuckDB // truncates toward zero)."""
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}.0) AS BIGINT)
+           AS q
+  FROM embeddings
+),
+g AS (SELECT a.dim::BIGINT AS dim_i, b.dim::BIGINT AS dim_j,
+             sum(a.q * b.q)::BIGINT AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY 1, 2),
+d AS (SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS s
+      FROM ex GROUP BY 1),
+t AS (SELECT max(n)::BIGINT AS nv FROM d)
+SELECT g.dim_i, g.dim_j, t.nv AS n_vecs,
+       ((t.nv * g.sxy - di.s * dj.s) // t.nv
+        - CASE WHEN (t.nv * g.sxy - di.s * dj.s) < 0
+                    AND ((t.nv * g.sxy - di.s * dj.s) % t.nv) <> 0
+               THEN 1 ELSE 0 END)::BIGINT AS cov_m2
+FROM g
+JOIN d di ON di.dim = g.dim_i
+JOIN d dj ON dj.dim = g.dim_j
+CROSS JOIN t"""
+
+
 def sql_event_type_anova() -> str:
     """Twin of ``relational.anova_f`` over event-type cents: per-group
     exact int64 moments, HUGEINT A = Σ s²//n and B = S²//N floors —

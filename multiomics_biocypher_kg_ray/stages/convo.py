@@ -499,3 +499,90 @@ def conv_echo_rate(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return drop_empty_blocks(agg.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
+def qa_pairs(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Instruction-pair extraction: every assistant turn directly preceded
+    by a user turn becomes ``(conv_id, turn_idx, prompt, response,
+    prompt_chars, response_chars)`` — THE supervised-pair constructor an
+    instruction-tuning corpus is built from (reference analog: the
+    extraction adapters turn raw rows into typed training units; here the
+    unit is the dialogue pair itself). Pairs where the previous turn is
+    not a user turn (tool output, assistant self-continuation) are
+    excluded — the same strictness as ``response_latency``.
+
+    Scale shape: one distributed hash join of the assistant stream against
+    the user stream on (conv_id, prev_idx) — both sides row-proportional,
+    text rides the join once, no per-conversation task ever sees a whole
+    conversation."""
+    from .fastagg import drop_empty_blocks
+    from .joins import hash_join
+
+    U = pa.schema([("conv_id", pa.string()), ("_pidx", pa.int64()),
+                   ("prompt", pa.string())])
+    A = pa.schema([("conv_id", pa.string()), ("_pidx", pa.int64()),
+                   ("turn_idx", pa.int64()), ("response", pa.string())])
+
+    def users(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return U.empty_table()
+        t = t.filter(pc.equal(t.column("role"), "user"))
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                pc.cast(t.column("turn_idx"), pa.int64()),
+                pc.fill_null(t.column("text"), ""),
+            ],
+            schema=U,
+        )
+
+    def assts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return A.empty_table()
+        t = t.filter(pc.equal(t.column("role"), "assistant"))
+        idx = pc.cast(t.column("turn_idx"), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                pc.subtract(idx, pa.scalar(1, pa.int64())),
+                idx,
+                pc.fill_null(t.column("text"), ""),
+            ],
+            schema=A,
+        )
+
+    cols = transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+    joined = hash_join(
+        drop_empty_blocks(cols.map_batches(assts, batch_format="pyarrow"), A),
+        drop_empty_blocks(cols.map_batches(users, batch_format="pyarrow"), U),
+        on=("conv_id", "_pidx"),
+    )
+    OUT = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("prompt", pa.string()),
+            ("response", pa.string()),
+            ("prompt_chars", pa.int64()),
+            ("response_chars", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                t.column("turn_idx"),
+                t.column("prompt"),
+                t.column("response"),
+                pc.cast(pc.utf8_length(t.column("prompt")), pa.int64()),
+                pc.cast(pc.utf8_length(t.column("response")), pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        joined.map_batches(finish, batch_format="pyarrow"), OUT
+    )

@@ -942,3 +942,120 @@ def embedding_dim_stats(
         )
 
     return drop_empty_blocks(agg.map_batches(finalize, batch_format="pyarrow"), OUT)
+
+
+def embedding_covariance(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    scale: float = 1000.0,
+) -> "ray.data.Dataset":
+    """Exact upper-triangle covariance matrix of the embedding table —
+    ``(dim_i, dim_j, n_vecs, cov_m2)`` for i ≤ j, cov_m2 = (n·Σxy − Σx·Σy)
+    // n in milli² units: the feature-correlation audit behind whitening /
+    PCA decisions and encoder-regression checks (two dimensions that
+    suddenly correlate signal a collapsed subspace). The matrix sibling of
+    ``embedding_dim_stats``.
+
+    Exactness discipline: elements quantize floor(x·scale) → int64 FIRST;
+    each batch contributes ONE dims×dims integer Gram matrix (numpy int64
+    matmul — the per-batch cost is a vectorized GEMM, not a per-pair loop)
+    plus per-dim sums; a dims²-cardinality fastagg folds batches; the
+    finalize probes the broadcast per-dim sums (dims is a constant).
+    Floor division on the possibly-negative numerator matches the twin's
+    remainder-corrected ``//``. Contract: n·Σxy < 2⁶³ → at |x| ≲ 1 and
+    milli quantization, ~3·10⁹ vectors; rescale coarser beyond."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    G = pa.schema(
+        [("dim_i", pa.int64()), ("dim_j", pa.int64()), ("_sxy", pa.int64())]
+    )
+    D = pa.schema([("dim", pa.int64()), ("_n", pa.int64()), ("_s", pa.int64())])
+
+    def to_matrix(t: pa.Table) -> "np.ndarray | None":
+        if t.num_columns == 0 or t.num_rows == 0:
+            return None
+        lists = t.column(vec_col).combine_chunks()
+        if isinstance(lists, pa.ChunkedArray):
+            if lists.num_chunks == 0:
+                return None
+            lists = lists.chunk(0)
+        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dims = len(flat) // t.num_rows
+        q = np.floor(flat * scale).astype(np.int64)
+        return q.reshape(t.num_rows, dims)
+
+    def gram(t: pa.Table) -> pa.Table:
+        m = to_matrix(t)
+        if m is None:
+            return G.empty_table()
+        g = m.T @ m  # int64 GEMM, exact
+        iu = np.triu_indices(m.shape[1])
+        return pa.Table.from_arrays(
+            [
+                pa.array(iu[0].astype(np.int64), pa.int64()),
+                pa.array(iu[1].astype(np.int64), pa.int64()),
+                pa.array(g[iu], pa.int64()),
+            ],
+            schema=G,
+        )
+
+    def sums(t: pa.Table) -> pa.Table:
+        m = to_matrix(t)
+        if m is None:
+            return D.empty_table()
+        dims = m.shape[1]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.arange(dims, dtype=np.int64), pa.int64()),
+                pa.array(np.full(dims, m.shape[0], np.int64), pa.int64()),
+                pa.array(m.sum(axis=0).astype(np.int64), pa.int64()),
+            ],
+            schema=D,
+        )
+
+    src = ds.select_columns([vec_col]).materialize()  # two passes, read once
+    gsum = sorted_grouped_agg(
+        drop_empty_blocks(src.map_batches(gram, batch_format="pyarrow"), G),
+        ["dim_i", "dim_j"],
+        [("_sxy", "sum")],
+        out_names=["sxy"],
+    )
+    dsum = sorted_grouped_agg(
+        drop_empty_blocks(src.map_batches(sums, batch_format="pyarrow"), D),
+        ["dim"],
+        [("_n", "sum"), ("_s", "sum")],
+        out_names=["n", "s"],
+    ).take_all()  # dims rows — a constant
+    n_vecs = int(dsum[0]["n"]) if dsum else 0
+    svec = np.zeros(max((int(r["dim"]) for r in dsum), default=-1) + 1, np.int64)
+    for r in dsum:
+        svec[int(r["dim"])] = int(r["s"])
+
+    OUT = pa.schema(
+        [
+            ("dim_i", pa.int64()),
+            ("dim_j", pa.int64()),
+            ("n_vecs", pa.int64()),
+            ("cov_m2", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        i = t.column("dim_i").to_numpy(zero_copy_only=False).astype(np.int64)
+        j = t.column("dim_j").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n_vecs * sxy - svec[i] * svec[j]
+        cov = num // n_vecs  # numpy // floors — matches the corrected twin
+        return pa.Table.from_arrays(
+            [
+                t.column("dim_i"),
+                t.column("dim_j"),
+                pa.array(np.full(len(i), n_vecs, np.int64), pa.int64()),
+                pa.array(cov, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return gsum.map_batches(finish, batch_format="pyarrow")
