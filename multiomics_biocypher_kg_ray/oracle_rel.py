@@ -2295,6 +2295,66 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_transition_model_eval() -> str:
+    """Twin of ``q_transition_model_eval``: lag transitions, data-midpoint
+    temporal split, per-state majority model (count desc, type asc) fit on
+    pre-cutoff cells, top-1 accuracy on post-cutoff cells."""
+    return """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+mm AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM e),
+s AS (SELECT user_id, event_type, us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS prev
+      FROM e),
+tr AS (SELECT prev, event_type AS cur,
+              (us > (SELECT cutoff FROM mm)) AS is_eval
+       FROM s WHERE prev IS NOT NULL),
+cells AS (SELECT prev, cur, is_eval, count(*)::BIGINT AS n
+          FROM tr GROUP BY 1, 2, 3),
+train AS (SELECT prev, cur AS pred,
+                 row_number() OVER (PARTITION BY prev
+                                    ORDER BY n DESC, cur) AS rn
+          FROM cells WHERE NOT is_eval),
+model AS (SELECT prev, pred FROM train WHERE rn = 1),
+ev AS (SELECT c.cur, c.n, m.pred FROM cells c
+       LEFT JOIN model m ON m.prev = c.prev WHERE c.is_eval),
+st AS (SELECT
+  (SELECT coalesce(sum(n), 0)::BIGINT FROM cells WHERE NOT is_eval)
+    AS n_train,
+  coalesce(sum(n), 0)::BIGINT AS n_eval,
+  coalesce(sum(CASE WHEN cur = pred THEN n ELSE 0 END), 0)::BIGINT
+    AS n_correct
+  FROM ev)
+SELECT n_train, n_eval, n_correct,
+       CASE WHEN n_eval > 0 THEN (n_correct * 1000000 // n_eval)::BIGINT
+            ELSE NULL END AS accuracy_ppm
+FROM st"""
+
+
+def sql_doc_length_f1() -> str:
+    """Twin of ``q_doc_length_f1``: per-distinct-score positives/totals,
+    descending-score window cumsums, integer F1 = 2·TP·10⁶ // (PP + P),
+    (f1 desc, threshold asc) LIMIT 1."""
+    return """
+WITH d AS (SELECT n_chars::BIGINT AS score, (lang = 'en')::BIGINT AS pos
+           FROM documents),
+c AS (SELECT score, sum(pos)::BIGINT AS p, count(*)::BIGINT AS t
+      FROM d GROUP BY 1),
+cw AS (SELECT score,
+              sum(p) OVER (ORDER BY score DESC
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS tp,
+              sum(t) OVER (ORDER BY score DESC
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS pt
+       FROM c),
+tot AS (SELECT sum(pos)::BIGINT AS pp FROM d)
+SELECT score AS threshold, tp, (pt - tp)::BIGINT AS fp,
+       (pp - tp)::BIGINT AS fn,
+       ((2 * tp * 1000000) // (pt + pp))::BIGINT AS f1_micro
+FROM cw CROSS JOIN tot
+ORDER BY f1_micro DESC, threshold ASC LIMIT 1"""
+
+
 def sql_embedding_covariance(scale: int = 1000) -> str:
     """Twin of ``similarity.embedding_covariance``: quantize-first milli
     ints, exact pairwise product sums via a per-vector dim self-join,

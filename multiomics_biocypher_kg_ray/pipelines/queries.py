@@ -1925,6 +1925,257 @@ _PK_KEYS: list[tuple[str, list[str]]] = [
 ]
 
 
+def q_transition_model_eval(sf_dir: str):
+    """Train/eval split of the behavioral bigram model — ONE row
+    ``(n_train, n_eval, n_correct, accuracy_ppm)``: a majority next-type
+    predictor is FIT on transitions before the data-midpoint cutoff and
+    SCORED on transitions after it (top-1 accuracy). The smallest honest
+    instance of the train→holdout evaluation loop a data-pipeline engine
+    must support: temporal split (no leakage), fit = per-state argmax,
+    eval = join + count — all the same distributed kernels as elsewhere.
+
+    Shape: ONE segmented lag scan over int type codes (the
+    ``event_transitions`` codebook trick), one (prev, cur, period)-cell
+    fastagg (≤ 2·types² rows), then an O(types²) driver finalize.
+    Tie-break for the argmax: (count desc, type asc), mirrored by the twin.
+    """
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.window import lag_over
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    # schema-bounded type codebook (same shape as events.event_transitions)
+    types: set[str] = set()
+    for bt in (
+        ev.select_columns(["event_type"])
+        .map_batches(
+            lambda t: pa.table({"event_type": pc.unique(t.column("event_type"))})
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    ):
+        types.update(bt.column("event_type").to_pylist())
+    codes = sorted(types)
+    code_arr = pa.array(codes, pa.string())
+
+    PACK = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("event_id", pa.int64()),
+            ("code", pa.int64()),
+        ]
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PACK.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("user_id"), pa.int64()),
+                pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+                pc.cast(t.column("event_id"), pa.int64()),
+                pc.cast(
+                    pc.index_in(t.column("event_type"), value_set=code_arr),
+                    pa.int64(),
+                ),
+            ],
+            schema=PACK,
+        )
+
+    packed = ev.map_batches(pack, batch_format="pyarrow").materialize()
+    mm = sorted_grouped_agg(
+        packed.map_batches(
+            lambda t: pa.table(
+                {
+                    "_k": pa.array([0], pa.int64()),
+                    "_mn": pa.array([pc.min(t.column("ts_us")).as_py()], pa.int64()),
+                    "_mx": pa.array([pc.max(t.column("ts_us")).as_py()], pa.int64()),
+                }
+            )
+            if t.num_columns and t.num_rows
+            else pa.schema(
+                [("_k", pa.int64()), ("_mn", pa.int64()), ("_mx", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["_k"],
+        [("_mn", "min"), ("_mx", "max")],
+        out_names=["mn", "mx"],
+    ).take_all()
+    cutoff = (int(mm[0]["mn"]) + int(mm[0]["mx"])) // 2
+
+    lagged = lag_over(
+        packed, "user_id", ["ts_us", "event_id"], "code", out_col="prev_code"
+    )
+    CELL = pa.schema(
+        [
+            ("prev", pa.int64()),
+            ("cur", pa.int64()),
+            ("is_eval", pa.int64()),
+            ("_n", pa.int64()),
+        ]
+    )
+
+    def cells_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CELL.empty_table()
+        t = t.filter(pc.is_valid(t.column("prev_code")))
+        if t.num_rows == 0:
+            return CELL.empty_table()
+        is_eval = pc.cast(
+            pc.greater(t.column("ts_us"), pa.scalar(cutoff, pa.int64())),
+            pa.int64(),
+        )
+        g = pa.Table.from_arrays(
+            [t.column("prev_code"), t.column("code"), is_eval],
+            names=["prev", "cur", "is_eval"],
+        )
+        agg = g.group_by(["prev", "cur", "is_eval"]).aggregate([("prev", "count")])
+        return agg.rename_columns(["prev", "cur", "is_eval", "_n"])
+
+    cells = sorted_grouped_agg(
+        drop_empty_blocks(
+            lagged.map_batches(cells_fn, batch_format="pyarrow"), CELL
+        ),
+        ["prev", "cur", "is_eval"],
+        [("_n", "sum")],
+        out_names=["n"],
+    ).take_all()  # ≤ 2·types² rows — schema-bounded, O(1) driver state
+
+    train: dict[int, tuple[int, int]] = {}  # prev -> (best_n, pred)
+    n_train = 0
+    for r in cells:
+        if int(r["is_eval"]) == 0:
+            n_train += int(r["n"])
+            p, c, n = int(r["prev"]), int(r["cur"]), int(r["n"])
+            best = train.get(p)
+            if best is None or (n, -c) > (best[0], -best[1]):
+                train[p] = (n, c)
+    n_eval = n_correct = 0
+    for r in cells:
+        if int(r["is_eval"]) == 1:
+            n_eval += int(r["n"])
+            best = train.get(int(r["prev"]))
+            if best is not None and best[1] == int(r["cur"]):
+                n_correct += int(r["n"])
+    OUT = pa.schema(
+        [
+            ("n_train", pa.int64()),
+            ("n_eval", pa.int64()),
+            ("n_correct", pa.int64()),
+            ("accuracy_ppm", pa.int64()),
+        ]
+    )
+    acc = n_correct * 1_000_000 // n_eval if n_eval > 0 else None
+    return pa.Table.from_arrays(
+        [
+            pa.array([n_train], pa.int64()),
+            pa.array([n_eval], pa.int64()),
+            pa.array([n_correct], pa.int64()),
+            pa.array([acc], pa.int64()),
+        ],
+        schema=OUT,
+    )
+
+
+def q_doc_length_f1(sf_dir: str):
+    """Best-F1 threshold sweep: using n_chars as a score for the binary
+    label lang = 'en', find the threshold maximizing F1 — ONE row
+    ``(threshold, tp, fp, fn, f1_micro)``. The PR-curve / operating-point
+    kernel every classifier-assisted curation step needs (quality scores,
+    dedup confidences, toxicity screens): sort by score desc, cumulative
+    TP / predicted-positive via ONE segmented cumsum, integer F1, argmax
+    with (f1 desc, threshold asc) tie-break — never a per-threshold pass."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.window import cumsum_over
+
+    CELL = pa.schema(
+        [("_g", pa.int64()), ("_negs", pa.int64()), ("_p", pa.int64()), ("_t", pa.int64())]
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CELL.empty_table()
+        g = (
+            pa.table(
+                {
+                    "_negs": pc.negate_checked(
+                        pc.cast(t.column("n_chars"), pa.int64())
+                    ),
+                    "_p": pc.cast(pc.equal(t.column("lang"), "en"), pa.int64()),
+                }
+            )
+            .group_by(["_negs"])
+            .aggregate([("_p", "sum"), ("_p", "count")])
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.zeros(g.num_rows, np.int64)),
+                g.column("_negs"),
+                pc.cast(g.column("_p_sum"), pa.int64()),
+                pc.cast(g.column("_p_count"), pa.int64()),
+            ],
+            schema=CELL,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            _read(sf_dir, "documents", ["n_chars", "lang"]).map_batches(
+                cells, batch_format="pyarrow"
+            ),
+            CELL,
+        ),
+        ["_g", "_negs"],
+        [("_p", "sum"), ("_t", "sum")],
+        out_names=["_p", "_t"],
+    ).materialize()  # consumed by the P fold and the sweep
+    P = 0
+    for bt in agg.iter_batches(batch_format="pyarrow"):
+        P += int(bt.column("_p").to_pandas().sum())
+
+    cum = cumsum_over(
+        cumsum_over(agg, "_g", ["_negs"], "_p", out_col="tp"),
+        "_g",
+        ["_negs"],
+        "_t",
+        out_col="pt",
+    )
+    OUT = pa.schema(
+        [
+            ("threshold", pa.int64()),
+            ("tp", pa.int64()),
+            ("fp", pa.int64()),
+            ("fn", pa.int64()),
+            ("f1_micro", pa.int64()),
+        ]
+    )
+
+    def f1(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        tp = t.column("tp").to_numpy(zero_copy_only=False).astype(np.int64)
+        pt = t.column("pt").to_numpy(zero_copy_only=False).astype(np.int64)
+        negs = t.column("_negs").to_numpy(zero_copy_only=False).astype(np.int64)
+        f1v = 2 * tp * 1_000_000 // (pt + P)
+        return pa.Table.from_arrays(
+            [
+                pa.array(-negs, pa.int64()),
+                pa.array(tp, pa.int64()),
+                pa.array(pt - tp, pa.int64()),
+                pa.array(P - tp, pa.int64()),
+                pa.array(f1v, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    swept = drop_empty_blocks(cum.map_batches(f1, batch_format="pyarrow"), OUT)
+    return swept.sort(
+        ["f1_micro", "threshold"], descending=[True, False]
+    ).limit(1)
+
+
 def q_event_type_anova(sf_dir: str):
     """One-way ANOVA F across all five event types' values — the k-sample
     "do the means differ at all" gate before pairwise Welch/U tests; fully
@@ -5457,6 +5708,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_event_type_anova(),
         ),
         "qa_pairs": (q_qa_pairs, oracle.sql_qa_pairs()),
+        "transition_model_eval": (
+            q_transition_model_eval,
+            oracle_rel.sql_transition_model_eval(),
+        ),
+        "doc_length_f1": (q_doc_length_f1, oracle_rel.sql_doc_length_f1()),
         "embedding_covariance": (
             q_embedding_covariance,
             oracle_rel.sql_embedding_covariance(),
@@ -5487,6 +5743,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "transition_model_eval",
+        "doc_length_f1",
         "qa_pairs",
         "embedding_covariance",
         "event_type_anova",
