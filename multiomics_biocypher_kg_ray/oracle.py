@@ -626,6 +626,34 @@ SELECT conv_id, n_pairs, n_switches,
 FROM a"""
 
 
+def sql_kg_negative_samples(salt: str = "neg") -> str:
+    """Twin of ``graph.negative_samples`` over the built KG edges: the
+    identical md5 tail pick over row_number-ordered nodes, the same
+    self/original/existing-edge filters, DISTINCT (src, dst_neg)."""
+    esc = salt.replace("'", "''")
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+nl AS (SELECT DISTINCT node FROM
+       (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nodes AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx FROM nl),
+nn AS (SELECT count(*)::BIGINT AS c FROM nodes),
+cand AS (
+  SELECT e.src, e.dst, n2.node AS dst_neg
+  FROM e CROSS JOIN nn
+  JOIN nodes n2 ON n2.idx =
+    ('0x' || substr(md5('{esc}:' || e.src || '|' || e.dst), 1, 15))::UBIGINT
+      % nn.c
+),
+flt AS (
+  SELECT c.src, c.dst_neg
+  FROM cand c
+  LEFT JOIN e e2 ON e2.src = c.src AND e2.dst = c.dst_neg
+  WHERE c.dst_neg <> c.src AND c.dst_neg <> c.dst AND e2.src IS NULL
+)
+SELECT DISTINCT src, dst_neg FROM flt"""
+
+
 def sql_qa_pairs() -> str:
     """Twin of ``convo.qa_pairs``: assistant turns joined to the directly
     preceding user turn on (conv_id, turn_idx − 1)."""

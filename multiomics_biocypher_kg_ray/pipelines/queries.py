@@ -1014,6 +1014,18 @@ def q_kg_ppr(sf_dir: str):
     )
 
 
+def q_kg_negative_samples(sf_dir: str):
+    """Filtered uniform tail corruption over the built KG — the standard
+    link-prediction negative sampler (one md5-picked candidate per positive
+    edge, existing-edge/self/original collisions dropped); distinct
+    (src, dst_neg) training negatives."""
+    from ..stages import graph
+
+    return graph.negative_samples(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl())
+    )
+
+
 def q_kg_wpagerank(sf_dir: str):
     """Evidence-weighted PageRank over the built KG — out-mass split
     proportional to edge weight (mention counts), so a claim corroborated
@@ -5691,6 +5703,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_blocking_quality(),
         ),
         "kg_wpagerank": (q_kg_wpagerank, oracle.sql_kg_wpagerank()),
+        "kg_negative_samples": (
+            q_kg_negative_samples,
+            oracle.sql_kg_negative_samples(),
+        ),
         "bm25_rrf": (q_bm25_rrf, oracle_rel.sql_bm25_rrf(_BM25_TERMS)),
         "funnel_3step": (q_funnel_3step, oracle_rel.sql_funnel_3step()),
         "pk_duplicate_audit": (
@@ -5743,6 +5759,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "kg_negative_samples",
         "transition_model_eval",
         "doc_length_f1",
         "qa_pairs",

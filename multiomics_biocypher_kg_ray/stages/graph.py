@@ -1707,3 +1707,74 @@ def weighted_walk(
         ),
         OUT,
     )
+
+
+def negative_samples(
+    edges: "ray.data.Dataset",
+    salt: str = "neg",
+) -> "ray.data.Dataset":
+    """Filtered uniform corruption for link-prediction training: ONE
+    candidate negative per distinct directed edge — the tail is replaced by
+    ``nodes[md5(src|dst) % n_nodes]`` over the sorted node vocabulary, and
+    candidates that collide with an EXISTING edge, the original tail, or
+    the head itself are DROPPED (filtered Bernoulli corruption — the
+    standard KG-embedding negative sampler [Bordes et al. 2013]; a
+    resample-until-clean loop is sequential and non-deterministic under
+    retries, so collisions cost a sample instead). Emits distinct
+    ``(src, dst_neg)``.
+
+    Determinism / oracle parity: the pick is the md5-derived ``_hash60`` of
+    'src|dst', index = hash % n over row_number-ordered nodes — the DuckDB
+    twin computes the identical picks.
+
+    Scale contract: the node VOCABULARY is broadcast once (sorted list in
+    the task closure) — entity vocabularies are dictionary-bounded here;
+    for corpus-scale node sets pass a sampled vocabulary instead. The
+    positive-collision screen is a distributed left-anti join; nothing
+    else shuffles."""
+    import pyarrow.compute as pc
+
+    from ..stages.sampling import _hash60
+    from .fastagg import drop_empty_blocks, sorted_distinct
+
+    e = drop_empty_blocks(_distinct_edges(edges)).materialize()
+    nodes = sorted(
+        r["node"]
+        for r in sorted_distinct(
+            _node_column(e, "src", "dst"), ["node"]
+        ).take_all()
+    )
+    n = len(nodes)
+    node_arr = pa.array(nodes, pa.string())
+
+    CAND = pa.schema([("src", pa.string()), ("dst_neg", pa.string())])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0 or n == 0:
+            return CAND.empty_table()
+        key = pc.binary_join_element_wise(t.column("src"), t.column("dst"), "|")
+        idx = _hash60(key, salt) % n
+        dst_neg = pc.take(node_arr, pa.array(idx, pa.int64()))
+        out = pa.Table.from_arrays([t.column("src"), dst_neg], schema=CAND)
+        keep = pc.and_(
+            pc.invert(pc.equal(out.column("dst_neg"), t.column("src"))),
+            pc.invert(pc.equal(out.column("dst_neg"), t.column("dst"))),
+        )
+        return out.filter(keep)
+
+    cand = drop_empty_blocks(
+        e.map_batches(corrupt, batch_format="pyarrow"), CAND
+    )
+    if cand.count() == 0:
+        return ray.data.from_arrow(CAND.empty_table())
+    neg = cand.join(
+        e,
+        join_type="left_anti",
+        on=("src", "dst_neg"),
+        right_on=("src", "dst"),
+        num_partitions=default_join_partitions(),
+    )
+    return sorted_distinct(
+        drop_empty_blocks(neg.select_columns(["src", "dst_neg"]), CAND),
+        ["src", "dst_neg"],
+    )
