@@ -2295,6 +2295,38 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_doc_length_calibration(k: int = 10) -> str:
+    """Twin of ``q_doc_length_calibration``: NTILE(k) over (n_chars,
+    doc_id), per-decile positive rate in integer ppm."""
+    return f"""
+WITH d AS (SELECT doc_id, n_chars::BIGINT AS score,
+                  (lang = 'en')::BIGINT AS pos FROM documents),
+t AS (SELECT pos, ntile({k}) OVER (ORDER BY score, doc_id) AS decile FROM d),
+a AS (SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+             sum(pos)::BIGINT AS n_pos FROM t GROUP BY 1)
+SELECT decile, n_docs, n_pos,
+       (n_pos * 1000000 // CASE WHEN n_docs > 0 THEN n_docs ELSE 1 END)::BIGINT
+         AS pos_rate_ppm
+FROM a"""
+
+
+def sql_source_hapax_ratio() -> str:
+    """Twin of ``q_source_hapax_ratio``: per-source distinct-term and
+    within-source hapax counts, integer ppm ratio."""
+    return """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+c AS (SELECT source, term, count(*)::BIGINT AS n FROM tok
+      WHERE term <> '' GROUP BY 1, 2),
+a AS (SELECT source, count(*)::BIGINT AS n_terms,
+             sum((n = 1)::BIGINT)::BIGINT AS n_hapax FROM c GROUP BY 1)
+SELECT source, n_terms, n_hapax,
+       (n_hapax * 1000000
+        // CASE WHEN n_terms > 0 THEN n_terms ELSE 1 END)::BIGINT
+         AS hapax_ppm
+FROM a"""
+
+
 def sql_transition_model_eval() -> str:
     """Twin of ``q_transition_model_eval``: lag transitions, data-midpoint
     temporal split, per-state majority model (count desc, type asc) fit on

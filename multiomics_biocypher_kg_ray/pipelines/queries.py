@@ -2188,6 +2188,196 @@ def q_doc_length_f1(sf_dir: str):
     ).limit(1)
 
 
+def q_doc_length_calibration(sf_dir: str):
+    """Reliability-diagram table for the n_chars → lang='en' score: docs
+    binned into score deciles (exact SQL NTILE semantics via the hot-key-
+    safe ``ntile_over``), per decile the observed positive rate in ppm —
+    the calibration audit that accompanies the best-F1 operating point
+    (``doc_length_f1``): a monotone pos_rate column means the score
+    ranks; a flat one means it is noise."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    PREP = pa.schema(
+        [
+            ("_g", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("score", pa.int64()),
+            ("_p", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.zeros(t.num_rows, np.int64)),
+                pc.cast(t.column("doc_id"), pa.int64()),
+                pc.cast(t.column("n_chars"), pa.int64()),
+                pc.cast(pc.equal(t.column("lang"), "en"), pa.int64()),
+            ],
+            schema=PREP,
+        )
+
+    tiled = relational.ntile_over(
+        drop_empty_blocks(
+            _read(sf_dir, "documents", ["doc_id", "n_chars", "lang"]).map_batches(
+                prep, batch_format="pyarrow"
+            ),
+            PREP,
+        ),
+        ["_g"],
+        [("score", True), ("doc_id", True)],
+        k=10,
+        ntile_col="decile",
+    )
+    MID = pa.schema(
+        [("decile", pa.int64()), ("_n", pa.int64()), ("_p", pa.int64())]
+    )
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            tiled.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        t.column("decile"),
+                        pa.array(np.ones(t.num_rows, np.int64)),
+                        t.column("_p"),
+                    ],
+                    schema=MID,
+                )
+                if t.num_columns
+                else MID.empty_table(),
+                batch_format="pyarrow",
+            ),
+            MID,
+        ),
+        ["decile"],
+        [("_n", "sum"), ("_p", "sum")],
+        out_names=["n_docs", "n_pos"],
+    )
+    OUT = pa.schema(
+        [
+            ("decile", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_pos", pa.int64()),
+            ("pos_rate_ppm", pa.int64()),
+        ]
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t.column("n_pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("decile"),
+                t.column("n_docs"),
+                t.column("n_pos"),
+                pa.array(p * 1_000_000 // np.maximum(n, 1), pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(rate, batch_format="pyarrow"), OUT)
+
+
+def q_source_hapax_ratio(sf_dir: str):
+    """Per-source hapax-legomenon ratio: of the source's distinct terms,
+    the ppm that occur exactly once WITHIN that source — the lexical-tail
+    health gauge (template floods collapse it toward 0; OCR noise inflates
+    it). One (source, term) cell fastagg + one source fastagg."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    TOK = pa.schema(
+        [("source", pa.string()), ("term", pa.string()), ("_c", pa.int64())]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TOK.empty_table()
+        s = t.column("text").to_pandas()
+        ex = s.str.split(" ").explode()
+        src = t.column("source").to_pandas().iloc[ex.index.to_numpy()]
+        keep = (ex != "").to_numpy() & ex.notna().to_numpy()
+        frame = pd.DataFrame(
+            {"source": src.to_numpy()[keep], "term": ex.to_numpy()[keep]}
+        )
+        g = frame.groupby(["source", "term"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(idx["source"].astype(str), pa.string()),
+                pa.array(idx["term"].astype(str), pa.string()),
+                pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            ],
+            schema=TOK,
+        )
+
+    cells = sorted_grouped_agg(
+        drop_empty_blocks(
+            _read(sf_dir, "documents", ["source", "text"]).map_batches(
+                explode, batch_format="pyarrow"
+            ),
+            TOK,
+        ),
+        ["source", "term"],
+        [("_c", "sum")],
+        out_names=["_c"],
+    )
+    MID = pa.schema(
+        [("source", pa.string()), ("_one", pa.int64()), ("_h", pa.int64())]
+    )
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            cells.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        t.column("source"),
+                        pa.array(np.ones(t.num_rows, np.int64)),
+                        pc.cast(pc.equal(t.column("_c"), 1), pa.int64()),
+                    ],
+                    schema=MID,
+                )
+                if t.num_columns
+                else MID.empty_table(),
+                batch_format="pyarrow",
+            ),
+            MID,
+        ),
+        ["source"],
+        [("_one", "sum"), ("_h", "sum")],
+        out_names=["n_terms", "n_hapax"],
+    )
+    OUT = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_terms", pa.int64()),
+            ("n_hapax", pa.int64()),
+            ("hapax_ppm", pa.int64()),
+        ]
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n_terms").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column("n_hapax").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("source"),
+                t.column("n_terms"),
+                t.column("n_hapax"),
+                pa.array(h * 1_000_000 // np.maximum(n, 1), pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(rate, batch_format="pyarrow"), OUT)
+
+
 def q_event_type_anova(sf_dir: str):
     """One-way ANOVA F across all five event types' values — the k-sample
     "do the means differ at all" gate before pairwise Welch/U tests; fully
@@ -5729,6 +5919,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle_rel.sql_transition_model_eval(),
         ),
         "doc_length_f1": (q_doc_length_f1, oracle_rel.sql_doc_length_f1()),
+        "doc_length_calibration": (
+            q_doc_length_calibration,
+            oracle_rel.sql_doc_length_calibration(),
+        ),
+        "source_hapax_ratio": (
+            q_source_hapax_ratio,
+            oracle_rel.sql_source_hapax_ratio(),
+        ),
         "embedding_covariance": (
             q_embedding_covariance,
             oracle_rel.sql_embedding_covariance(),
@@ -5759,6 +5957,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "doc_length_calibration",
+        "source_hapax_ratio",
         "kg_negative_samples",
         "transition_model_eval",
         "doc_length_f1",
