@@ -286,6 +286,16 @@ def run_bench() -> dict:
         q_purchase_click_did,
         q_term_cms_audit,
         q_purchase_value_jackknife,
+        q_qa_pairs,
+        q_embedding_covariance,
+        q_kg_negative_samples,
+        q_event_type_anova,
+        q_lineitem_weighted_median,
+        q_source_mixture_plan,
+        q_transition_model_eval,
+        q_doc_length_f1,
+        q_doc_length_calibration,
+        q_source_hapax_ratio,
     )
 
     for name, fn in [
@@ -420,6 +430,16 @@ def run_bench() -> dict:
         ("purchase_click_did", q_purchase_click_did),
         ("term_cms_audit", q_term_cms_audit),
         ("purchase_value_jackknife", q_purchase_value_jackknife),
+        ("qa_pairs", q_qa_pairs),
+        ("embedding_covariance", q_embedding_covariance),
+        ("kg_negative_samples", q_kg_negative_samples),
+        ("transition_model_eval", q_transition_model_eval),
+        ("doc_length_f1", q_doc_length_f1),
+        ("doc_length_calibration", q_doc_length_calibration),
+        ("source_hapax_ratio", q_source_hapax_ratio),
+        ("event_type_anova", q_event_type_anova),
+        ("lineitem_weighted_median", q_lineitem_weighted_median),
+        ("source_mixture_plan", q_source_mixture_plan),
     ]:
         t = time.time()
         out = fn(SF_DIR)

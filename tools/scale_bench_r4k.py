@@ -85,6 +85,11 @@ def main() -> None:
 
     from multiomics_biocypher_kg_ray.pipelines.queries import (
         q_bm25_rrf,
+        q_doc_length_calibration,
+        q_doc_length_f1,
+        q_kg_negative_samples,
+        q_source_hapax_ratio,
+        q_transition_model_eval,
         q_embedding_covariance,
         q_event_type_anova,
         q_funnel_3step,
@@ -124,7 +129,7 @@ def main() -> None:
         os.makedirs(big_docs, exist_ok=True)
         t = pq.read_table(
             os.path.join(args.sf, "documents.parquet"),
-            columns=["doc_id", "text", "lang", "source"],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
         )
         reps_t = pa.concat_tables(
             [
@@ -145,10 +150,10 @@ def main() -> None:
     cols = pq.ParquetFile(
         os.path.join(big_docs, "documents.parquet")
     ).schema_arrow.names
-    if "source" not in cols:
+    if "source" not in cols or "n_chars" not in cols:
         t = pq.read_table(
             os.path.join(args.sf, "documents.parquet"),
-            columns=["doc_id", "text", "lang", "source"],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
         )
         reps_t = pa.concat_tables(
             [
@@ -176,6 +181,11 @@ def main() -> None:
         ("source_mixture_plan", q_source_mixture_plan, big_docs),
         ("qa_pairs", q_qa_pairs, big_docs),
         ("embedding_covariance", q_embedding_covariance, big),
+        ("kg_negative_samples", q_kg_negative_samples, big_docs),
+        ("transition_model_eval", q_transition_model_eval, big),
+        ("doc_length_f1", q_doc_length_f1, big_docs),
+        ("doc_length_calibration", q_doc_length_calibration, big_docs),
+        ("source_hapax_ratio", q_source_hapax_ratio, big_docs),
     ]:
         if name in skip:
             continue
