@@ -2295,6 +2295,48 @@ SELECT na AS n_a, nb AS n_b,
 FROM m"""
 
 
+def sql_user_churn_labels(
+    feature_window_s: int = 30 * 86400, label_window_s: int = 7 * 86400
+) -> str:
+    """Twin of ``q_user_churn_labels``: data-midpoint cutoff, per-type
+    conditional counts over the trailing feature window, binary
+    purchase-within-label-window label, feature-window-active users only."""
+    fw = feature_window_s * 1_000_000
+    lw = label_window_s * 1_000_000
+    types = ("click", "error", "purchase", "signup", "view")
+    feats = ",\n  ".join(
+        f"sum(CASE WHEN us > cutoff - {fw} AND us <= cutoff"
+        f" AND event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+        for t in types
+    )
+    tot = " + ".join(f"n_{t}" for t in types)
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+mm AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM e),
+a AS (SELECT user_id,
+  {feats},
+  (sum(CASE WHEN us > cutoff AND us <= cutoff + {lw}
+            AND event_type = 'purchase' THEN 1 ELSE 0 END) > 0)::BIGINT
+    AS label
+  FROM e CROSS JOIN mm GROUP BY 1)
+SELECT * FROM a WHERE {tot} > 0"""
+
+
+def sql_doc_hashed_features(n_features: int = 256, salt: str = "fh") -> str:
+    """Twin of ``q_doc_hashed_features``: identical md5 60-bit bucket per
+    term, (doc, feature) cell counts."""
+    esc = salt.replace("'", "''")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tk AS (SELECT doc_id::BIGINT AS doc_id,
+              (('0x' || substr(md5('{esc}:' || term), 1, 15))::UBIGINT
+               % {n_features})::BIGINT AS feature_idx
+       FROM tok WHERE term <> '')
+SELECT doc_id, feature_idx, count(*)::BIGINT AS n
+FROM tk GROUP BY 1, 2"""
+
+
 def sql_doc_length_calibration(k: int = 10) -> str:
     """Twin of ``q_doc_length_calibration``: NTILE(k) over (n_chars,
     doc_id), per-decile positive rate in integer ppm."""

@@ -1937,6 +1937,184 @@ _PK_KEYS: list[tuple[str, list[str]]] = [
 ]
 
 
+_CHURN_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_churn_labels(
+    sf_dir: str, feature_window_s: int = 30 * 86400, label_window_s: int = 7 * 86400
+):
+    """Supervised feature/label table constructor — per user active in the
+    30-day window before the data-midpoint cutoff: one count feature per
+    event type over that window, plus the binary label "purchased within
+    7 days AFTER the cutoff". The leakage-free (features strictly ≤ cutoff,
+    label strictly > cutoff) training-table shape every churn/propensity
+    model consumes; the engine-side point of the operator is that the
+    whole table is ONE conditional-moment pass + ONE user fastagg — no
+    per-user task, no pivot shuffle.
+
+    Emits (user_id, n_click, n_error, n_purchase, n_signup, n_view, label).
+    """
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"]).materialize()
+    mm = sorted_grouped_agg(
+        ev.map_batches(
+            lambda t: pa.table(
+                {
+                    "_k": pa.array([0], pa.int64()),
+                    "_mn": pa.array(
+                        [pc.min(pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())).as_py()],
+                        pa.int64(),
+                    ),
+                    "_mx": pa.array(
+                        [pc.max(pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())).as_py()],
+                        pa.int64(),
+                    ),
+                }
+            )
+            if t.num_columns and t.num_rows
+            else pa.schema(
+                [("_k", pa.int64()), ("_mn", pa.int64()), ("_mx", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["_k"],
+        [("_mn", "min"), ("_mx", "max")],
+        out_names=["mn", "mx"],
+    ).take_all()
+    cutoff = (int(mm[0]["mn"]) + int(mm[0]["mx"])) // 2
+    fw_lo = cutoff - feature_window_s * 1_000_000
+    lw_hi = cutoff + label_window_s * 1_000_000
+
+    cols = [f"n_{t}" for t in _CHURN_TYPES]
+    MID = pa.schema(
+        [("user_id", pa.int64())]
+        + [(c, pa.int64()) for c in cols]
+        + [("_lbl", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        us = pc.cast(
+            pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = t.column("event_type").to_pandas().to_numpy()
+        in_fw = (us > fw_lo) & (us <= cutoff)
+        in_lw = (us > cutoff) & (us <= lw_hi)
+        frame = pd.DataFrame({"user_id": uid})
+        for c, tt in zip(cols, _CHURN_TYPES):
+            frame[c] = (in_fw & (typ == tt)).astype(np.int64)
+        frame["_lbl"] = (in_lw & (typ == "purchase")).astype(np.int64)
+        g = frame.groupby("user_id", sort=False).sum()
+        arrs = [pa.array(g.index.to_numpy().astype(np.int64), pa.int64())] + [
+            pa.array(g[c].to_numpy().astype(np.int64), pa.int64())
+            for c in cols + ["_lbl"]
+        ]
+        return pa.Table.from_arrays(arrs, schema=MID)
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(ev.map_batches(partial, batch_format="pyarrow"), MID),
+        ["user_id"],
+        [(c, "sum") for c in cols] + [("_lbl", "sum")],
+        out_names=cols + ["_lbl"],
+    )
+    OUT = pa.schema(
+        [("user_id", pa.int64())]
+        + [(c, pa.int64()) for c in cols]
+        + [("label", pa.int64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        tot = t.column(cols[0])
+        for c in cols[1:]:
+            tot = pc.add(tot, t.column(c))
+        t = t.filter(pc.greater(tot, 0))  # feature-window-active users only
+        if t.num_rows == 0:
+            return OUT.empty_table()
+        return pa.Table.from_arrays(
+            [t.column("user_id")]
+            + [t.column(c) for c in cols]
+            + [
+                pc.cast(
+                    pc.greater(t.column("_lbl"), 0), pa.int64()
+                )
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
+def q_doc_hashed_features(sf_dir: str, n_features: int = 256):
+    """Hashing-trick featurizer [Weinberger et al. 2009]: every document's
+    whitespace terms hashed into ``n_features`` buckets — the sparse
+    (doc_id, feature_idx, n) matrix a linear quality/topic model trains on
+    with NO vocabulary state (the point of feature hashing at corpus
+    scale: no vocab build, no broadcast, new terms never resize anything).
+    md5-derived bucket (the ``_hash60`` kernel), so the twin is
+    bit-identical. One stateless explode + one cell fastagg."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.sampling import _hash60
+
+    MID = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("feature_idx", pa.int64()),
+            ("_n", pa.int64()),
+        ]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        s = t.column("text").to_pandas()
+        ex = s.str.split(" ").explode()
+        ids = t.column("doc_id").to_pandas().iloc[ex.index.to_numpy()].to_numpy()
+        keep = (ex != "").to_numpy() & ex.notna().to_numpy()
+        if not keep.any():
+            return MID.empty_table()
+        terms = pa.array(ex.to_numpy()[keep].astype(str), pa.string())
+        fidx = _hash60(terms, "fh") % n_features
+        frame = pd.DataFrame(
+            {
+                "doc_id": ids[keep].astype(np.int64),
+                "feature_idx": fidx.astype(np.int64),
+            }
+        )
+        g = frame.groupby(["doc_id", "feature_idx"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(idx["doc_id"].to_numpy().astype(np.int64), pa.int64()),
+                pa.array(
+                    idx["feature_idx"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(
+            _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+                explode, batch_format="pyarrow"
+            ),
+            MID,
+        ),
+        ["doc_id", "feature_idx"],
+        [("_n", "sum")],
+        out_names=["n"],
+    )
+
+
 def q_transition_model_eval(sf_dir: str):
     """Train/eval split of the behavioral bigram model — ONE row
     ``(n_train, n_eval, n_correct, accuracy_ppm)``: a majority next-type
@@ -5923,6 +6101,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_doc_length_calibration,
             oracle_rel.sql_doc_length_calibration(),
         ),
+        "user_churn_labels": (
+            q_user_churn_labels,
+            oracle_rel.sql_user_churn_labels(),
+        ),
+        "doc_hashed_features": (
+            q_doc_hashed_features,
+            oracle_rel.sql_doc_hashed_features(),
+        ),
         "source_hapax_ratio": (
             q_source_hapax_ratio,
             oracle_rel.sql_source_hapax_ratio(),
@@ -5957,6 +6143,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "user_churn_labels",
+        "doc_hashed_features",
         "doc_length_calibration",
         "source_hapax_ratio",
         "kg_negative_samples",
