@@ -2459,6 +2459,42 @@ JOIN d dj ON dj.dim = g.dim_j
 CROSS JOIN t"""
 
 
+def sql_embedding_top_pc(iters: int = 3) -> str:
+    """Twin of ``similarity.embedding_top_pc``: the covariance twin as a
+    subquery, symmetric expansion, ``iters`` unrolled integer power steps —
+    HUGEINT matvec sums (order-free exact), floor-corrected renormalization
+    on the possibly-negative components."""
+    cov = sql_embedding_covariance().strip()
+    parts = [
+        f"cov AS ({cov})",
+        "sym AS (SELECT dim_i AS i, dim_j AS j, cov_m2 AS c FROM cov\n"
+        "        UNION ALL\n"
+        "        SELECT dim_j, dim_i, cov_m2 FROM cov WHERE dim_i <> dim_j)",
+        "v0 AS (SELECT DISTINCT i AS dim, 1000000::HUGEINT AS val FROM sym)",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""w{it} AS (SELECT s.i AS dim,
+        sum(s.c::HUGEINT * v.val)::HUGEINT AS w
+        FROM sym s JOIN v{it - 1} v ON v.dim = s.j GROUP BY 1)"""
+        )
+        parts.append(f"m{it} AS (SELECT max(abs(w))::HUGEINT AS m FROM w{it})")
+        parts.append(
+            f"""v{it} AS (SELECT dim,
+        CASE WHEN m = 0 THEN w
+             ELSE (w * 1000000) // m
+                  - CASE WHEN (w * 1000000) < 0
+                              AND ((w * 1000000) % m) <> 0
+                         THEN 1 ELSE 0 END
+        END::HUGEINT AS val
+        FROM w{it} CROSS JOIN m{it})"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT dim, val::BIGINT AS v_micro FROM v{iters}"
+    )
+
+
 def sql_event_type_anova() -> str:
     """Twin of ``relational.anova_f`` over event-type cents: per-group
     exact int64 moments, HUGEINT A = Σ s²//n and B = S²//N floors —

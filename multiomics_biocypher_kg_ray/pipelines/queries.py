@@ -1298,6 +1298,15 @@ def q_embedding_covariance(sf_dir: str):
     )
 
 
+def q_embedding_top_pc(sf_dir: str):
+    """Top principal direction via integer power iteration over the exact
+    distributed covariance — the dominant-variance-axis audit; O(dims²)
+    driver eigensolve on the constant-size matrix, bit-identical twin."""
+    return similarity.embedding_top_pc(
+        _read(sf_dir, "embeddings", ["embedding"])
+    )
+
+
 def q_conv_turn_taking(sf_dir: str):
     """Per-conversation turn-taking dynamics: role-switch rate and
     turn-length swing over adjacent turn pairs — one packed segmented lag
@@ -6117,6 +6126,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_embedding_covariance,
             oracle_rel.sql_embedding_covariance(),
         ),
+        "embedding_top_pc": (
+            q_embedding_top_pc,
+            oracle_rel.sql_embedding_top_pc(),
+        ),
         "lineitem_weighted_median": (
             q_lineitem_weighted_median,
             oracle_rel.sql_lineitem_weighted_median(),
@@ -6143,6 +6156,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",
         "doc_length_calibration",

@@ -1059,3 +1059,52 @@ def embedding_covariance(
         )
 
     return gsum.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_top_pc(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    scale: float = 1000.0,
+) -> "pa.Table":
+    """Top principal direction of the embedding table via ``iters`` integer
+    power iterations over the EXACT covariance — ``(dim, v_micro)``: the
+    dominant variance axis (whitening / anisotropy / collapsed-encoder
+    audit; the one-vector preview of a PCA). The heavy lifting is the
+    distributed ``embedding_covariance`` (per-batch int64 GEMM partials);
+    the dims×dims eigensolve is O(dims²·iters) on a CONSTANT-size matrix
+    and runs on the driver — the legitimate driver-side step, like the
+    canonical small-rollup finalizers.
+
+    Fully integer, bit-identical twin: v₀ = 10⁶·1; each round v ← C·v
+    (exact int64 products; |C·v| < 2⁶³ for dims ≤ 256 at these scales)
+    then renormalized v ← v·10⁶ // max|v| with FLOOR division on the
+    possibly-negative components (the twin applies the remainder-corrected
+    ``//``). Sign convention: whatever the all-ones start converges to —
+    deterministic, since every step is exact integer arithmetic."""
+    import numpy as _np
+
+    cov_rows = embedding_covariance(ds, vec_col=vec_col, scale=scale).take_all()
+    if not cov_rows:
+        return pa.schema([("dim", pa.int64()), ("v_micro", pa.int64())]).empty_table()
+    dims = max(int(r["dim_j"]) for r in cov_rows) + 1
+    C = [[0] * dims for _ in range(dims)]  # python ints: no overflow anywhere
+    for r in cov_rows:
+        i, j, c = int(r["dim_i"]), int(r["dim_j"]), int(r["cov_m2"])
+        C[i][j] = c
+        C[j][i] = c
+    v = [1_000_000] * dims
+    for _ in range(iters):
+        w = [sum(C[i][k] * v[k] for k in range(dims)) for i in range(dims)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            v = w
+            break
+        v = [x * 1_000_000 // m for x in w]  # python // floors, twin mirrors
+    return pa.Table.from_arrays(
+        [
+            pa.array(list(range(dims)), pa.int64()),
+            pa.array(v, pa.int64()),
+        ],
+        names=["dim", "v_micro"],
+    )

@@ -85,3 +85,32 @@ def test_doc_hashed_features_conservation_and_determinism():
     # identical tokens land in the same bucket -> doc 3 has exactly one row
     assert len(out[out["doc_id"] == 3]) == 1
     assert int(out[out["doc_id"] == 3]["n"].iloc[0]) == 5
+
+
+def test_embedding_top_pc_finds_dominant_axis():
+    import pyarrow as pa
+
+    import ray.data
+    from multiomics_biocypher_kg_ray.stages.similarity import embedding_top_pc
+
+    # dim 1 carries 100x the variance of the others: the power iteration
+    # must converge onto it
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 4).astype(np.float64) * 0.01
+    vecs[:, 1] += rng.randn(200) * 1.0
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                )
+            }
+        )
+    ).repartition(3)
+    out = embedding_top_pc(ds).to_pandas().set_index("dim")["v_micro"]
+    assert abs(out.loc[1]) == out.abs().max()
+    assert out.abs().max() == 1_000_000  # renormalized each round
+    assert out.loc[1] ** 2 > 100 * max(
+        out.loc[d] ** 2 for d in (0, 2, 3)
+    )
