@@ -680,6 +680,21 @@ FROM ({sql_kg_multisource()}) ms
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_metapath_census() -> str:
+    """Twin of ``queries.metapath_census``: typed 2-hop path counts via the
+    naive edge self-join (the factorized per-mid profile product the engine
+    runs is count-identical to counting (e1, e2) edge pairs — here the
+    oracle states the definition directly)."""
+    return f"""
+WITH ms AS ({sql_kg_multisource()})
+SELECT split_part(e1.src, '_', 1) AS src_type, e1.pred AS pred1,
+       split_part(e1.dst, '_', 1) AS mid_type, e2.pred AS pred2,
+       split_part(e2.dst, '_', 1) AS dst_type,
+       count(*)::BIGINT AS n_paths
+FROM ms e1 JOIN ms e2 ON e1.dst = e2.src
+GROUP BY 1, 2, 3, 4, 5"""
+
+
 def sql_kg_schema_audit(
     declared: "tuple[tuple[str, str, str], ...] | None" = None,
 ) -> str:

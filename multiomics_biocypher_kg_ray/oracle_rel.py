@@ -3835,3 +3835,81 @@ w AS (SELECT x, y,
       FROM d)
 SELECT x AS price_cents, (-y)::BIGINT AS order_day
 FROM w WHERE prev IS NULL OR y < prev"""
+
+
+def sql_doc_nb_source(k: int = 512) -> str:
+    """Twin of ``text.nb_source_confusion``: add-one multinomial NB over the
+    top-``k`` vocabulary, integer-quantized weights floor(ln((c+1)/(tot+K))
+    ·10⁶) and priors floor(ln(n_s/N)·10⁶) so the per-doc argmax (ties →
+    source ASC) is bit-stable across engines. Non-feature tokens drop via
+    the feats join — same as the engine's index_in filter."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+cnt_all AS (SELECT term, count(*)::BIGINT AS n FROM tk GROUP BY 1),
+feats AS (SELECT term FROM cnt_all ORDER BY n DESC, term LIMIT {k}),
+nfeat AS (SELECT count(*)::BIGINT AS kk FROM feats),
+dsrc AS (SELECT doc_id, source FROM documents),
+srcs AS (SELECT source, count(*)::BIGINT AS nd FROM dsrc GROUP BY 1),
+totdocs AS (SELECT sum(nd)::BIGINT AS n FROM srcs),
+occ AS (SELECT t.doc_id, t.term FROM tk t JOIN feats f USING (term)),
+cnt AS (SELECT d.source, o.term, count(*)::BIGINT AS c
+        FROM occ o JOIN dsrc d USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT s.source, coalesce(t.tot, 0)::BIGINT AS tot
+        FROM srcs s LEFT JOIN (SELECT source, sum(c)::BIGINT AS tot
+                               FROM cnt GROUP BY 1) t USING (source)),
+w AS (SELECT t2.source, f.term,
+             CAST(floor(ln((coalesce(c.c, 0) + 1)::DOUBLE / (t2.tot + nf.kk))
+                        * 1000000) AS BIGINT) AS w
+      FROM tot t2 CROSS JOIN feats f CROSS JOIN nfeat nf
+      LEFT JOIN cnt c ON c.source = t2.source AND c.term = f.term),
+prior AS (SELECT s.source,
+                 CAST(floor(ln(s.nd::DOUBLE / td.n) * 1000000) AS BIGINT) AS pq
+          FROM srcs s CROSS JOIN totdocs td),
+sc AS (SELECT o.doc_id, w.source, sum(w.w)::BIGINT AS sw
+       FROM occ o JOIN w ON w.term = o.term GROUP BY 1, 2),
+allsc AS (SELECT d.doc_id, d.source AS true_source, p.source AS cand,
+                 (p.pq + coalesce(sc.sw, 0))::BIGINT AS score
+          FROM dsrc d CROSS JOIN prior p
+          LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.source = p.source),
+pred AS (SELECT doc_id, true_source, cand AS pred_source,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand ASC) AS rn
+         FROM allsc)
+SELECT true_source AS source, pred_source, count(*)::BIGINT AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2"""
+
+
+def sql_source_token_kl(k: int = 512) -> str:
+    """Twin of ``text.source_token_kl``: pairwise smoothed KL over the
+    top-``k`` vocabulary, per-term contribution floor(p_a·ln(p_a/p_b)·10⁹)
+    with p = (cnt+1)::DOUBLE/(tot+K) — the identical
+    divide/divide/divide/ln/multiply/multiply/floor chain as numpy."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+cnt_all AS (SELECT term, count(*)::BIGINT AS n FROM tk GROUP BY 1),
+feats AS (SELECT term FROM cnt_all ORDER BY n DESC, term LIMIT {k}),
+nfeat AS (SELECT count(*)::BIGINT AS kk FROM feats),
+dsrc AS (SELECT doc_id, source FROM documents),
+srcs AS (SELECT DISTINCT source FROM dsrc),
+occ AS (SELECT t.doc_id, t.term FROM tk t JOIN feats f USING (term)),
+cnt AS (SELECT d.source, o.term, count(*)::BIGINT AS c
+        FROM occ o JOIN dsrc d USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT s.source, coalesce(t.tot, 0)::BIGINT AS tot
+        FROM srcs s LEFT JOIN (SELECT source, sum(c)::BIGINT AS tot
+                               FROM cnt GROUP BY 1) t USING (source)),
+p AS (SELECT t2.source, f.term,
+             (coalesce(c.c, 0) + 1)::DOUBLE / (t2.tot + nf.kk) AS p
+      FROM tot t2 CROSS JOIN feats f CROSS JOIN nfeat nf
+      LEFT JOIN cnt c ON c.source = t2.source AND c.term = f.term)
+SELECT a.source AS source_a, b.source AS source_b,
+       sum(CAST(floor(a.p * ln(a.p / b.p) * 1000000000) AS BIGINT))::BIGINT
+         AS kl_q,
+       count(*)::BIGINT AS n_terms
+FROM p a JOIN p b ON a.term = b.term AND a.source <> b.source
+GROUP BY 1, 2"""

@@ -358,6 +358,102 @@ def q_kg_schema_audit(sf_dir: str):
     return schema_audit(_multisource_edges(sf_dir))
 
 
+def metapath_census(edges) -> "ray.data.Dataset":
+    """Typed 2-hop meta-path census over a KG edge table: path counts per
+    (src_type, pred1, mid_type, pred2, dst_type) — the Biolink-style schema
+    walk a curator reads to see which label-level relation CHAINS the build
+    actually produced (gene-joins-term-merges_with-gene vs
+    doc-near_dup_of-doc-near_dup_of-doc), the 2-hop generalization of
+    ``type_rollup``'s per-edge census (reference analog: the meta-path
+    rollups of ``post-import.cypher``'s relationship-chain summaries).
+
+    Scale contract: NEVER the edge self-join (|E|² blowup on hub mids).
+    Path count factorizes per mid node: n_paths(st,p1,m,p2,dt) =
+    in_profile(m, st, p1) × out_profile(m, p2, dt), so the census is two
+    fastaggs at (node × label × pred) cardinality, one node-proportional
+    hash join on mid, a vectorized product, and one final fastagg at
+    meta-path-schema cardinality (≤ labels² × preds² — tiny). A hub mid
+    with 10⁶ in- and 10⁶ out-edges costs two profile rows per (label,pred)
+    combo instead of 10¹² joined pairs. Pure int64 counts throughout.
+    """
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    INP = pa.schema(
+        [("mid", pa.string()), ("src_type", pa.string()), ("pred1", pa.string()),
+         ("_one", pa.int64())]
+    )
+    OUTP = pa.schema(
+        [("mid", pa.string()), ("pred2", pa.string()), ("dst_type", pa.string()),
+         ("_one", pa.int64())]
+    )
+
+    def in_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return INP.empty_table()
+        return pa.Table.from_arrays(
+            [t.column("dst"), _node_type(t.column("src")), t.column("pred"),
+             pa.array(np.ones(t.num_rows, np.int64))],
+            schema=INP,
+        )
+
+    def out_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUTP.empty_table()
+        return pa.Table.from_arrays(
+            [t.column("src"), t.column("pred"), _node_type(t.column("dst")),
+             pa.array(np.ones(t.num_rows, np.int64))],
+            schema=OUTP,
+        )
+
+    edges = edges.materialize()  # consumed twice: in- and out-profiles
+    in_prof = sorted_grouped_agg(
+        drop_empty_blocks(edges.map_batches(in_fn, batch_format="pyarrow"), INP),
+        ["mid", "src_type", "pred1"],
+        [("_one", "sum")],
+        out_names=["n_in"],
+    )
+    out_prof = sorted_grouped_agg(
+        drop_empty_blocks(edges.map_batches(out_fn, batch_format="pyarrow"), OUTP),
+        ["mid", "pred2", "dst_type"],
+        [("_one", "sum")],
+        out_names=["n_out"],
+    )
+    j = hash_join(
+        drop_empty_blocks(in_prof), drop_empty_blocks(out_prof), on=("mid",)
+    )
+
+    MID = pa.schema(
+        [("src_type", pa.string()), ("pred1", pa.string()),
+         ("mid_type", pa.string()), ("pred2", pa.string()),
+         ("dst_type", pa.string()), ("_n", pa.int64())]
+    )
+
+    def prod(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        n = pc.multiply(
+            pc.cast(t.column("n_in"), pa.int64()),
+            pc.cast(t.column("n_out"), pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [t.column("src_type"), t.column("pred1"), _node_type(t.column("mid")),
+             t.column("pred2"), t.column("dst_type"), n],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(j.map_batches(prod, batch_format="pyarrow"), MID),
+        ["src_type", "pred1", "mid_type", "pred2", "dst_type"],
+        [("_n", "sum")],
+        out_names=["n_paths"],
+    )
+
+
+def q_kg_metapath_census(sf_dir: str):
+    return metapath_census(_multisource_edges(sf_dir))
+
+
 def q_entity_consensus(sf_dir: str):
     linked = _linked(sf_dir)
 
@@ -2467,6 +2563,23 @@ def q_doc_length_calibration(sf_dir: str):
         )
 
     return drop_empty_blocks(agg.map_batches(rate, batch_format="pyarrow"), OUT)
+
+
+def q_doc_nb_source(sf_dir: str, k: int = 512):
+    """Self-trained Naive-Bayes source classifier confusion matrix — the
+    contamination / style-drift audit (which sources are lexically
+    separable, which bleed together)."""
+    return text.nb_source_confusion(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]), k=k
+    )
+
+
+def q_source_token_kl(sf_dir: str, k: int = 512):
+    """Pairwise source-to-source smoothed KL divergence over the top-k
+    vocabulary — the mixture-drift distance matrix."""
+    return text.source_token_kl(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]), k=k
+    )
 
 
 def q_source_hapax_ratio(sf_dir: str):
@@ -6147,6 +6260,15 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_event_markov_entropy,
             oracle_rel.sql_event_markov_entropy(),
         ),
+        "kg_metapath_census": (
+            q_kg_metapath_census,
+            oracle.sql_kg_metapath_census(),
+        ),
+        "doc_nb_source": (q_doc_nb_source, oracle_rel.sql_doc_nb_source()),
+        "source_token_kl": (
+            q_source_token_kl,
+            oracle_rel.sql_source_token_kl(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -6156,6 +6278,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "kg_metapath_census",
+        "doc_nb_source",
+        "source_token_kl",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

@@ -1503,3 +1503,262 @@ def doc_readability(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def _source_term_matrix(docs: "ray.data.Dataset", k: int):
+    """Shared prep for the NB source classifier and the source-KL audit:
+    the top-``k`` feature terms (global count desc, term asc — the
+    ``vocab_top_terms`` contract) and the dense (source × feature)
+    occurrence-count matrix, plus per-source doc counts.
+
+    Scale contract: the corpus flows twice (global term counts, then
+    feature-filtered (source, term) counts), both through the per-batch
+    combiner + fastagg path; ONLY bounded tables ever reach the driver —
+    feats is ``k`` rows and the count matrix is ``n_sources × k`` (the
+    documented broadcast budget: sources are a handful, k is a config cap).
+    Raw text never shuffles.
+
+    Returns (sources asc list, feats list, C (S, K) int64 counts,
+    n_docs (S,) int64).
+    """
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    feats_tbl = pa.concat_tables(
+        [
+            b
+            for b in vocab_top_terms(docs, k).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if b.num_columns and b.num_rows
+        ]
+    )
+    feats = feats_tbl.column("term").to_pylist()
+    feat_arr = pa.array(feats, pa.string())
+    col_of = {t: i for i, t in enumerate(feats)}
+
+    CNT = pa.schema(
+        [("source", pa.string()), ("term", pa.string()), ("n", pa.int64())]
+    )
+
+    def cnt_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return CNT.empty_table()
+        s = batch.column("text").to_pandas()
+        src = batch.column("source").to_pandas()
+        ex = s.str.split(" ").explode().replace("", None).dropna()
+        if not len(ex):
+            return CNT.empty_table()
+        keep = pc.is_in(pa.array(ex.to_numpy(), pa.string()), value_set=feat_arr)
+        ex = ex[keep.to_numpy(zero_copy_only=False)]
+        if not len(ex):
+            return CNT.empty_table()
+        frame = pd.DataFrame(
+            {"source": src.reindex(ex.index).to_numpy(), "term": ex.to_numpy()}
+        )
+        g = frame.groupby(["source", "term"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "source": pa.array(g["source"].astype(str), pa.string()),
+                "term": pa.array(g["term"].astype(str), pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    counted = sorted_grouped_agg(
+        drop_empty_blocks(
+            docs.select_columns(["source", "text"]).map_batches(
+                cnt_fn, batch_format="pyarrow"
+            ),
+            CNT,
+        ),
+        ["source", "term"],
+        [("n", "sum")],
+        out_names=["n"],
+    )
+    cnt_tbl = pa.concat_tables(
+        [
+            b
+            for b in counted.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns and b.num_rows
+        ]
+    )
+
+    nd = sorted_grouped_agg(
+        docs.select_columns(["source"]),
+        ["source"],
+        [("source", "count")],
+        out_names=["nd"],
+    )
+    nd_tbl = pa.concat_tables(
+        [
+            b
+            for b in nd.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns and b.num_rows
+        ]
+    )
+    sources = sorted(nd_tbl.column("source").to_pylist())
+    row_of = {s: i for i, s in enumerate(sources)}
+    n_docs = np.zeros(len(sources), np.int64)
+    for s, n in zip(nd_tbl.column("source").to_pylist(), nd_tbl.column("nd").to_pylist()):
+        n_docs[row_of[s]] = n
+
+    C = np.zeros((len(sources), len(feats)), np.int64)
+    for s, t, n in zip(
+        cnt_tbl.column("source").to_pylist(),
+        cnt_tbl.column("term").to_pylist(),
+        cnt_tbl.column("n").to_pylist(),
+    ):
+        C[row_of[s], col_of[t]] = n
+    return sources, feats, C, n_docs
+
+
+def nb_source_confusion(
+    docs: "ray.data.Dataset", k: int = 512
+) -> "ray.data.Dataset":
+    """Naive-Bayes source classifier confusion matrix — train an add-one-
+    smoothed multinomial NB on the corpus's own (source, token) counts over
+    the top-``k`` vocabulary, re-classify every document, and emit
+    (source, pred_source, n_docs): the standard contamination / style-drift
+    audit a training-data pipeline runs to see which sources are lexically
+    separable and which bleed into each other (a source whose docs mostly
+    classify as another source is a near-duplicate feed or a mislabeled
+    scrape). The self-trained-classifier shape of CCNet/fastText quality
+    filtering, kept oracle-exact.
+
+    Integer discipline: token weight w(s,t) = floor(ln((cnt+1)/(tot_s+K))
+    · 10⁶) and prior p(s) = floor(ln(n_s/N) · 10⁶) quantize FIRST (single
+    ln per table cell, identical double ops in the SQL twin); per-doc
+    scores are int64 sums of those weights, so argmax (ties → source asc)
+    is bit-stable at any partitioning.
+
+    Scale shape: three streaming corpus passes (global vocab fastagg;
+    feature-filtered (source, term) fastagg; stateless scoring pass with
+    the (S × K) weight matrix + priors broadcast once). Non-feature tokens
+    are ignored (not defaulted) — mirrored in the twin's join-with-feats.
+    The confusion rollup is one fastagg at S² cardinality."""
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    sources, feats, C, n_docs = _source_term_matrix(docs, k)
+    S, K = C.shape
+    tot = C.sum(axis=1)
+    W = np.floor(
+        np.log((C + 1.0) / (tot[:, None] + np.float64(K))) * 1e6
+    ).astype(np.int64)
+    total_docs = int(n_docs.sum())
+    prior = np.floor(
+        np.log(n_docs.astype(np.float64) / np.float64(total_docs)) * 1e6
+    ).astype(np.int64)
+    ref = broadcast(
+        pa.table(
+            {
+                "term": pa.array(feats, pa.string()),
+                # W columns ride as fixed-size list rows? keep flat: one
+                # int64 list column per source would fragment — ship the
+                # matrix as K rows of S-length lists
+                "w": pa.array(W.T.tolist(), pa.list_(pa.int64())),
+            }
+        )
+    )
+    src_arr = pa.array(sources, pa.string())
+
+    MID = pa.schema(
+        [("source", pa.string()), ("pred_source", pa.string()), ("_one", pa.int64())]
+    )
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return MID.empty_table()
+
+        def build():
+            tb = ray.get(ref) if not isinstance(ref, pa.Table) else ref
+            terms = tb.column("term").combine_chunks()
+            w = np.array(tb.column("w").to_pylist(), dtype=np.int64).T  # (S, K)
+            return terms, w
+
+        terms_arr, w_mat = task_state(state_key("nbsrc", ref), build)
+        s = batch.column("text").to_pandas()
+        true_src = batch.column("source").to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        # default: no feature occurrences → argmax over priors alone
+        base_pred = int(np.argmax(prior))
+        pred_idx = np.full(n_rows, base_pred, np.int64)
+        ex = s.str.split(" ").explode().replace("", None).dropna()
+        if len(ex):
+            flat = pa.array(ex.to_numpy(), pa.string())
+            pos = pa.compute.index_in(flat, value_set=terms_arr).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            valid = ~np.isnan(pos)
+            if valid.any():
+                row_of = ex.index.to_numpy()[valid]
+                cols = pos[valid].astype(np.int64)
+                occ_w = w_mat[:, cols]  # (S, n_occ)
+                change = np.ones(len(row_of), dtype=bool)
+                change[1:] = row_of[1:] != row_of[:-1]
+                starts = np.flatnonzero(change)
+                seg = np.add.reduceat(occ_w, starts, axis=1)  # (S, n_seg)
+                scores = seg + prior[:, None]
+                pred_idx[row_of[starts]] = np.argmax(scores, axis=0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(true_src, pa.string()),
+                pa.compute.take(src_arr, pa.array(pred_idx, pa.int64())),
+                pa.array(np.ones(n_rows, np.int64)),
+            ],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(
+            docs.select_columns(["source", "text"]).map_batches(
+                score_fn, batch_format="pyarrow"
+            ),
+            MID,
+        ),
+        ["source", "pred_source"],
+        [("_one", "sum")],
+        out_names=["n_docs"],
+    )
+
+
+def source_token_kl(docs: "ray.data.Dataset", k: int = 512) -> "ray.data.Dataset":
+    """Pairwise source-to-source KL divergence over the top-``k`` vocabulary
+    with add-one smoothing — the mixture-drift audit that ranks how far each
+    source's token distribution sits from every other (feeds the
+    ``source_mixture_plan`` weighting and flags a source whose distribution
+    collapsed after a bad re-crawl). Emits (source_a, source_b, kl_q,
+    n_terms) for every ordered pair a ≠ b.
+
+    Integer discipline: per-term contribution floor(p_a · ln(p_a/p_b) ·
+    10⁹) with p = (cnt+1)/(tot+K) — the PSI quantization pattern
+    (relational.psi_drift) — summed as int64, so the result is partition-
+    and order-free and the DuckDB twin matches bit-for-bit (same
+    divide/divide/divide/ln/multiply/multiply/floor op chain).
+
+    Scale shape: the two fastagg corpus passes of ``_source_term_matrix``;
+    the pair computation itself runs on the driver over the (S × K) count
+    matrix — S² × K cells, bounded by the same broadcast budget as the
+    matrix itself (sources are a handful; NOT corpus-proportional)."""
+    sources, feats, C, _ = _source_term_matrix(docs, k)
+    S, K = C.shape
+    tot = C.sum(axis=1)
+    P = (C + 1.0) / (tot[:, None] + np.float64(K))  # (S, K)
+    a_idx, b_idx, kl_q = [], [], []
+    for i in range(S):
+        for j in range(S):
+            if i == j:
+                continue
+            contrib = np.floor(P[i] * np.log(P[i] / P[j]) * 1e9).astype(np.int64)
+            a_idx.append(sources[i])
+            b_idx.append(sources[j])
+            kl_q.append(int(contrib.sum()))
+    out = pa.table(
+        {
+            "source_a": pa.array(a_idx, pa.string()),
+            "source_b": pa.array(b_idx, pa.string()),
+            "kl_q": pa.array(kl_q, pa.int64()),
+            "n_terms": pa.array([K] * len(a_idx), pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
