@@ -296,6 +296,18 @@ def run_bench() -> dict:
         q_doc_length_f1,
         q_doc_length_calibration,
         q_source_hapax_ratio,
+        q_embedding_top_pc,
+        q_user_churn_labels,
+        q_doc_hashed_features,
+        q_kg_metapath_census,
+        q_doc_nb_source,
+        q_source_token_kl,
+        q_kg_edge_decay,
+        q_chunk_dup_stats,
+        q_order_percent_rank,
+        q_kg_modularity,
+        q_kg_node_lifespan,
+        q_cohort_ltv,
     )
 
     for name, fn in [
@@ -440,6 +452,25 @@ def run_bench() -> dict:
         ("event_type_anova", q_event_type_anova),
         ("lineitem_weighted_median", q_lineitem_weighted_median),
         ("source_mixture_plan", q_source_mixture_plan),
+        # session-27/28 additions: power-iteration top PC, churn labels,
+        # hashing-trick features, meta-path census, NB source confusion,
+        # pairwise source KL
+        ("embedding_top_pc", q_embedding_top_pc),
+        ("user_churn_labels", q_user_churn_labels),
+        ("doc_hashed_features", q_doc_hashed_features),
+        ("kg_metapath_census", q_kg_metapath_census),
+        ("doc_nb_source", q_doc_nb_source),
+        ("source_token_kl", q_source_token_kl),
+        # session-29 additions: recency-decayed edge confidence,
+        # chunk-granularity dedup audit, exact percent_rank ppm
+        ("kg_edge_decay", q_kg_edge_decay),
+        ("chunk_dup_stats", q_chunk_dup_stats),
+        ("order_percent_rank", q_order_percent_rank),
+        # session-30 additions: integer modularity audit, node staleness,
+        # cohort LTV curve
+        ("kg_modularity", q_kg_modularity),
+        ("kg_node_lifespan", q_kg_node_lifespan),
+        ("cohort_ltv", q_cohort_ltv),
     ]:
         t = time.time()
         out = fn(SF_DIR)

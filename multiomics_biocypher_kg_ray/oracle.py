@@ -313,6 +313,28 @@ JOIN transcripts t ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_edge_decay(tau_days: int = 30) -> str:
+    """Twin of ``materialize.edge_decay``: per-mention weight quantizes
+    FIRST — floor(exp(−age_days/τ)·10⁶) over exact integer age_days (µs
+    delta // 86400000000, all non-negative) — then int64 per-edge sums."""
+    return f"""{_kg_prefix(recursive=True)},
+mts AS (
+  SELECT cs.canonical_id AS src, l.pred, co.canonical_id AS dst,
+         epoch_us(t.ts) AS ts_us
+  FROM linked l
+  JOIN canon cs ON l.subj_id = cs.member
+  JOIN canon co ON l.obj_id = co.member
+  JOIN transcripts t ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
+),
+mx AS (SELECT max(ts_us) AS m FROM mts)
+SELECT src, pred, dst, count(*)::BIGINT AS n_mentions,
+       sum(CAST(floor(exp(-(((mx.m - ts_us) // 86400000000)::DOUBLE)
+                          / {tau_days}) * 1000000) AS BIGINT))::BIGINT
+         AS decay_q
+FROM mts CROSS JOIN mx
+GROUP BY 1, 2, 3"""
+
+
 def sql_kg_node_degree() -> str:
     return f"""{_kg_prefix(recursive=True)},
 edges AS ({_edges_select()})
@@ -935,10 +957,9 @@ FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
 GROUP BY 1 HAVING count(*) >= {k}"""
 
 
-def sql_kg_labelprop(rounds: int = 3) -> str:
-    """Twin of ``graph.label_propagation``: the same fixed number of
-    synchronous rounds unrolled one CTE pair per round (messages →
-    deterministic (count desc, label asc) argmax via QUALIFY)."""
+def _labelprop_parts(rounds: int) -> list[str]:
+    """Shared CTE chain of the labelprop / modularity twins: undirected
+    simple graph + ``rounds`` unrolled synchronous LPA updates."""
     parts = [
         "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
         "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
@@ -956,11 +977,60 @@ def sql_kg_labelprop(rounds: int = 3) -> str:
             f"l{r} AS MATERIALIZED (SELECT node, label, c FROM m{r} QUALIFY "
             f"row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1)"
         )
-    body = ",\n".join(parts)
+    return parts
+
+
+def sql_kg_labelprop(rounds: int = 3) -> str:
+    """Twin of ``graph.label_propagation``: the same fixed number of
+    synchronous rounds unrolled one CTE pair per round (messages →
+    deterministic (count desc, label asc) argmax via QUALIFY)."""
+    body = ",\n".join(_labelprop_parts(rounds))
     return f"""{_kg_prefix(recursive=True)},
 edges AS ({_edges_select()}),
 {body}
 SELECT node, label, c AS n_votes FROM l{rounds}"""
+
+
+def sql_kg_modularity(rounds: int = 3) -> str:
+    """Twin of ``graph.modularity_by_label``: per LPA community the
+    fraction-cleared integer modularity contribution q_num = 4·m·e_c −
+    d_c² (denominator 4m²) — pure BIGINT, zero floats."""
+    parts = _labelprop_parts(rounds) + [
+        f"lab AS (SELECT node, label FROM l{rounds})",
+        "mm AS (SELECT count(*)::BIGINT AS m FROM e0)",
+        "intra AS (SELECT la.label AS community, count(*)::BIGINT AS n_intra "
+        "FROM e0 JOIN lab la ON la.node = e0.a JOIN lab lb ON lb.node = e0.b "
+        "WHERE la.label = lb.label GROUP BY 1)",
+        "deg AS (SELECT node, count(*)::BIGINT AS d FROM "
+        "(SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1)",
+        "dsum AS (SELECT l.label AS community, sum(d.d)::BIGINT AS deg_sum "
+        "FROM deg d JOIN lab l ON l.node = d.node GROUP BY 1)",
+    ]
+    body = ",\n".join(parts)
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+{body}
+SELECT ds.community, coalesce(i.n_intra, 0)::BIGINT AS n_intra, ds.deg_sum,
+       (4 * mm.m * coalesce(i.n_intra, 0) - ds.deg_sum * ds.deg_sum)::BIGINT
+         AS q_num
+FROM dsum ds LEFT JOIN intra i USING (community) CROSS JOIN mm"""
+
+
+def sql_kg_node_lifespan() -> str:
+    """Twin of ``materialize.node_lifespan``: the edge-decay mention CTE,
+    exploded to both endpoints, count/min/max per canonical node."""
+    return f"""{_kg_prefix(recursive=True)},
+mts AS (
+  SELECT cs.canonical_id AS src, co.canonical_id AS dst, t.ts
+  FROM linked l
+  JOIN canon cs ON l.subj_id = cs.member
+  JOIN canon co ON l.obj_id = co.member
+  JOIN transcripts t ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
+)
+SELECT id, count(*)::BIGINT AS n_mentions,
+       min(ts) AS first_seen, max(ts) AS last_seen
+FROM (SELECT src AS id, ts FROM mts UNION ALL SELECT dst, ts FROM mts)
+GROUP BY 1"""
 
 
 def sql_kg_assortativity() -> str:

@@ -3913,3 +3913,61 @@ SELECT a.source AS source_a, b.source AS source_b,
        count(*)::BIGINT AS n_terms
 FROM p a JOIN p b ON a.term = b.term AND a.source <> b.source
 GROUP BY 1, 2"""
+
+
+def sql_chunk_dup_stats(chunk: int = 16, overlap: int = 4) -> str:
+    """Twin of ``corpus.chunk_dup_stats``: the ``sql_doc_chunks`` window
+    CTE, the ``_hash60`` md5 fingerprint expression, pair-then-hash
+    grouping, duplicates only."""
+    return f"""
+WITH ch AS ({sql_doc_chunks(chunk, overlap)}),
+h AS (SELECT doc_id::BIGINT AS doc_id,
+             ('0x' || substr(md5('chunk:' || chunk_text), 1, 15))::UBIGINT::BIGINT
+               AS chunk_hash
+      FROM ch),
+pairs AS (SELECT chunk_hash, doc_id, count(*)::BIGINT AS n
+          FROM h GROUP BY 1, 2)
+SELECT chunk_hash, sum(n)::BIGINT AS n_occ, count(*)::BIGINT AS n_docs
+FROM pairs GROUP BY 1 HAVING sum(n) > 1"""
+
+
+def sql_order_percent_rank() -> str:
+    """Twin of ``q_order_percent_rank``: deterministic row_number over
+    (cents, o_orderkey) per priority; pr_ppm = (rn−1)·10⁶ // (n−1) — all
+    non-negative integers, so // truncation == floor on both engines."""
+    v = CENTS.format(col="o_totalprice")
+    return f"""
+WITH o AS (SELECT o_orderkey::BIGINT AS o_orderkey, o_orderpriority,
+                  {v} AS cents FROM orders),
+r AS (SELECT o_orderkey, o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents, o_orderkey)::BIGINT AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority)::BIGINT AS n
+      FROM o)
+SELECT o_orderkey, o_orderpriority, cents,
+       (CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1)
+             ELSE 0 END)::BIGINT AS pr_ppm
+FROM r"""
+
+
+def sql_cohort_ltv() -> str:
+    """Twin of ``events.cohort_ltv``: integer month keys, per-(user, month)
+    cents partials, cohort min join, (cohort × offset) rollup, running
+    cumulative via the window sum."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH mv AS (
+  SELECT user_id::BIGINT AS u,
+         (date_part('year', ts)::BIGINT * 12 + date_part('month', ts)::BIGINT)
+           AS ym,
+         sum({v})::BIGINT AS v
+  FROM events GROUP BY 1, 2
+),
+c AS (SELECT u, min(ym) AS cohort_ym FROM mv GROUP BY 1),
+g AS (SELECT c.cohort_ym, (mv.ym - c.cohort_ym)::BIGINT AS month_offset,
+             count(*)::BIGINT AS n_users, sum(mv.v)::BIGINT AS ltv_cents
+      FROM mv JOIN c USING (u) GROUP BY 1, 2)
+SELECT cohort_ym, month_offset, n_users, ltv_cents,
+       sum(ltv_cents) OVER (PARTITION BY cohort_ym
+                            ORDER BY month_offset)::BIGINT AS cum_cents
+FROM g"""

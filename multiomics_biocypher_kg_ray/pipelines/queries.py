@@ -1062,6 +1062,15 @@ def q_kg_edge_lifespan(sf_dir: str):
     )
 
 
+def q_kg_edge_decay(sf_dir: str):
+    """Temporal KG: recency-weighted edge confidence — per-mention integer
+    exp-decay weights (age in days from the newest asserting turn) summed
+    per edge. The living-KG staleness demotion signal."""
+    return materialize.edge_decay(
+        _linked(sf_dir), _canon_tbl(), transcripts_dataset(sf_dir)
+    )
+
+
 def q_kg_kcore(sf_dir: str):
     """Bounded 2-core peel of the KG (4 rounds): the dense backbone after
     stripping leaf chains."""
@@ -4114,6 +4123,65 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_chunk_dup_stats(sf_dir: str):
+    """Context-window-granularity dedup audit: duplicated 16-token chunks
+    (md5 fingerprint) with occurrence and distinct-doc counts — catches
+    boilerplate that repeats INSIDE otherwise-unique documents."""
+    from ..stages.corpus import chunk_dup_stats
+
+    return chunk_dup_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=16, overlap=4
+    )
+
+
+def q_order_percent_rank(sf_dir: str):
+    """Per-priority percent_rank of order value in exact integer ppm:
+    (row_number − 1)·10⁶ // (n − 1) over the deterministic (cents,
+    o_orderkey) order — the per-row percentile feature a ranking model
+    trains on. One hot-key-safe global-sort ``ranked_over`` with its
+    group-size channel; no per-group task ever sees a whole group."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    prepped = orders.map_batches(
+        lambda t: relational.to_cents(t, {"o_totalprice": "cents"}).select(
+            ["o_orderkey", "o_orderpriority", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = relational.ranked_over(
+        prepped,
+        ["o_orderpriority"],
+        [("cents", True), ("o_orderkey", True)],
+        rank_col="_rn",
+        with_group_size=True,
+    )
+    OUT = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_orderpriority", pa.string()),
+            ("cents", pa.int64()),
+            ("pr_ppm", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        rn = t.column("_rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("_gn").to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = np.where(n > 1, ((rn - 1) * 1_000_000) // np.maximum(n - 1, 1), 0)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("o_orderkey"), pa.int64()),
+                t.column("o_orderpriority"),
+                pc.cast(t.column("cents"), pa.int64()),
+                pa.array(pr, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
 def q_doc_pack_assign(sf_dir: str):
     from ..stages.corpus import pack_sequences
 
@@ -4441,6 +4509,33 @@ def q_kg_labelprop(sf_dir: str):
 
     return graph.label_propagation(
         materialize.build_edges(_linked(sf_dir), _canon_tbl()), rounds=3
+    )
+
+
+def q_kg_modularity(sf_dir: str):
+    """Integer-exact modularity contributions (q_num = 4·m·e_c − d_c² over
+    denominator 4m²) of the 3-round label-propagation partition — the
+    did-the-clustering-find-anything audit."""
+    from ..stages import graph
+
+    return graph.modularity_by_label(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()), rounds=3
+    )
+
+
+def q_kg_node_lifespan(sf_dir: str):
+    """Temporal KG: per canonical node, mention count + first/last
+    asserting-turn timestamp — the node-level staleness audit."""
+    return materialize.node_lifespan(
+        _linked(sf_dir), _canon_tbl(), transcripts_dataset(sf_dir)
+    )
+
+
+def q_cohort_ltv(sf_dir: str):
+    """Cohort LTV curve: per (cohort month, month offset) active users,
+    monthly value and running cumulative value in integer cents."""
+    return events.cohort_ltv(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
     )
 
 
@@ -6269,6 +6364,21 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_source_token_kl,
             oracle_rel.sql_source_token_kl(),
         ),
+        "kg_edge_decay": (q_kg_edge_decay, oracle.sql_kg_edge_decay()),
+        "chunk_dup_stats": (
+            q_chunk_dup_stats,
+            oracle_rel.sql_chunk_dup_stats(),
+        ),
+        "order_percent_rank": (
+            q_order_percent_rank,
+            oracle_rel.sql_order_percent_rank(),
+        ),
+        "kg_modularity": (q_kg_modularity, oracle.sql_kg_modularity()),
+        "kg_node_lifespan": (
+            q_kg_node_lifespan,
+            oracle.sql_kg_node_lifespan(),
+        ),
+        "cohort_ltv": (q_cohort_ltv, oracle_rel.sql_cohort_ltv()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -6281,6 +6391,12 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_metapath_census",
         "doc_nb_source",
         "source_token_kl",
+        "kg_edge_decay",
+        "chunk_dup_stats",
+        "order_percent_rank",
+        "kg_modularity",
+        "kg_node_lifespan",
+        "cohort_ltv",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

@@ -557,3 +557,71 @@ def doc_repetition_stats(
         )
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def chunk_dup_stats(
+    docs: "ray.data.Dataset", chunk_tokens: int = 16, overlap: int = 4
+) -> "ray.data.Dataset":
+    """Context-window-granularity dedup audit: chunk every document with
+    ``chunk_documents``, fingerprint each chunk (md5 60-bit — the
+    ``_hash60`` kernel, bit-identical in the twin), and emit every
+    duplicated chunk as (chunk_hash, n_occ, n_docs). Whole-doc dedup
+    (``dedup.exact``/minhash) misses boilerplate that repeats INSIDE
+    otherwise-unique documents — headers, license blocks, navigation —
+    which is exactly what leaks into training windows after packing; this
+    is the audit that finds it (the RefinedWeb/Gopher line-dedup shape at
+    window granularity).
+
+    Scale shape: chunking is a stateless flat map; one (hash, doc) fastagg
+    collapses within-doc repeats; one hash-cardinality fastagg derives
+    BOTH totals (n_occ = Σ pair counts, n_docs = pair rows) — two shuffle
+    waves over pre-combined cells, no raw chunk text past the hash."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .sampling import _hash60
+
+    H = pa.schema([("chunk_hash", pa.int64()), ("doc_id", pa.int64()), ("_one", pa.int64())])
+
+    def hash_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return H.empty_table()
+        h = _hash60(t.column("chunk_text"), "chunk")
+        return pa.Table.from_arrays(
+            [
+                pa.array(h, pa.int64()),
+                pc.cast(t.column("doc_id"), pa.int64()),
+                pa.array(np.ones(t.num_rows, np.int64)),
+            ],
+            schema=H,
+        )
+
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=overlap)
+    pairs = sorted_grouped_agg(
+        drop_empty_blocks(chunks.map_batches(hash_fn, batch_format="pyarrow"), H),
+        ["chunk_hash", "doc_id"],
+        [("_one", "sum")],
+        out_names=["n"],
+    )
+    agg = sorted_grouped_agg(
+        pairs,
+        ["chunk_hash"],
+        [("n", "sum"), ("n", "count")],
+        out_names=["n_occ", "n_docs"],
+    )
+    OUT = pa.schema(
+        [("chunk_hash", pa.int64()), ("n_occ", pa.int64()), ("n_docs", pa.int64())]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        t = t.filter(pc.greater(t.column("n_occ"), 1))
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("chunk_hash"), pa.int64()),
+                pc.cast(t.column("n_occ"), pa.int64()),
+                pc.cast(t.column("n_docs"), pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(final, batch_format="pyarrow"), OUT)

@@ -1961,3 +1961,90 @@ def funnel_ksteps(
         )
 
     return drop_empty_blocks(agg.map_batches(label, batch_format="pyarrow"), OUT)
+
+
+def cohort_ltv(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Cohort LTV curve: per (cohort_ym, month_offset), distinct active
+    users, that month's summed value (cents) and the RUNNING cumulative
+    value — ``cohort_retention``'s revenue sibling and the classic
+    lifetime-value table (how much has the March cohort spent by month 3).
+    Integer month keys (ym = year·12 + month) and integer cents throughout,
+    so the twin matches bit-for-bit.
+
+    Scale shape: per-(user, month) value partials run through the per-batch
+    combiner + fastagg path (hot users collapse before the shuffle); the
+    cohort min attaches via one user-cardinality hash join; the final
+    rollup is one (cohort × offset)-cardinality fastagg; the running sum
+    rides ``window.cumsum_over``'s segmented scan (never a whole cohort in
+    one task)."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+    from .relational import to_cents
+    from .window import cumsum_over
+
+    YMV = pa.schema([("u", pa.int64()), ("ym", pa.int64()), ("v", pa.int64())])
+
+    def months(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return YMV.empty_table()
+        t = to_cents(t, {"value": "_cents"})
+        ts = t.column("ts")
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(ts), pa.int64()), 12),
+            pc.cast(pc.month(ts), pa.int64()),
+        )
+        return pa.table(
+            {
+                "u": pc.cast(t.column("user_id"), pa.int64()),
+                "ym": ym,
+                "v": t.column("_cents"),
+            }
+        )
+
+    mv = sorted_grouped_agg(
+        drop_empty_blocks(
+            events.map_batches(months, batch_format="pyarrow"), YMV
+        ),
+        ["u", "ym"],
+        [("v", "sum")],
+        out_names=["v"],
+    ).materialize()  # consumed twice: cohort min + activity join
+
+    cohort = sorted_grouped_agg(
+        mv, ["u"], [("ym", "min")], out_names=["cohort_ym"]
+    )
+    joined = hash_join(
+        drop_empty_blocks(mv), drop_empty_blocks(cohort), on=("u",)
+    )
+
+    MID = pa.schema(
+        [
+            ("cohort_ym", pa.int64()),
+            ("month_offset", pa.int64()),
+            ("_one", pa.int64()),
+            ("v", pa.int64()),
+        ]
+    )
+
+    def offs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("cohort_ym"), pa.int64()),
+                pc.cast(pc.subtract(t.column("ym"), t.column("cohort_ym")), pa.int64()),
+                pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                pc.cast(t.column("v"), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    g = sorted_grouped_agg(
+        drop_empty_blocks(joined.map_batches(offs, batch_format="pyarrow"), MID),
+        ["cohort_ym", "month_offset"],
+        [("_one", "sum"), ("v", "sum")],
+        out_names=["n_users", "ltv_cents"],
+    )
+    return cumsum_over(
+        g, "cohort_ym", ["month_offset"], "ltv_cents", out_col="cum_cents"
+    )

@@ -1778,3 +1778,152 @@ def negative_samples(
         drop_empty_blocks(neg.select_columns(["src", "dst_neg"]), CAND),
         ["src", "dst_neg"],
     )
+
+
+def modularity_by_label(
+    edges: "ray.data.Dataset", rounds: int = 3
+) -> "ray.data.Dataset":
+    """Partition quality of the ``label_propagation`` communities — per
+    community, the EXACT integer modularity contribution: q_num =
+    4·m·e_c − d_c² over the common denominator 4m² (Newman modularity
+    Q = Σ_c (e_c/m − (d_c/2m)²) cleared of fractions), where e_c =
+    intra-community edges, d_c = the community's degree sum, m = |und
+    edges|. The did-the-clustering-find-anything audit a curator runs
+    after LPA: Σ q_num ≤ 0 means the partition is no better than random.
+    Zero floats anywhere — pure int64 (documented range: overflows only if
+    a community's degree sum exceeds ~3·10⁹; at that scale switch the
+    final map to object ints).
+
+    Scale shape: one undirected-distinct dedup, the fixed-round LPA
+    (edge-proportional joins + majority_vote), two label joins against the
+    node-proportional label table, one degree fastagg, two
+    community-cardinality fastaggs and a left join of intra counts onto
+    degree sums (communities with zero intra edges still appear)."""
+    from ..tuning import default_join_partitions
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+
+    UND = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def und_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return UND.empty_table()
+        src, dst = t.column("src"), t.column("dst")
+        lt = pc.less(src, dst)
+        tbl = pa.table(
+            {"a": pc.if_else(lt, src, dst), "b": pc.if_else(lt, dst, src)}
+        )
+        return tbl.filter(pc.invert(pc.equal(tbl.column("a"), tbl.column("b"))))
+
+    edges = edges.materialize()  # consumed by LPA and the und dedup
+    e0 = drop_empty_blocks(
+        sorted_distinct(
+            edges.map_batches(und_fn, batch_format="pyarrow"), ["a", "b"]
+        ),
+        UND,
+    ).materialize()  # consumed three times: m, intra joins, degrees
+    m = e0.count()
+
+    labels = drop_empty_blocks(
+        label_propagation(edges, rounds=rounds).select_columns(["node", "label"])
+    ).materialize()  # probed three times (a-side, b-side, degree side)
+
+    np_ = default_join_partitions()
+    ja = drop_empty_blocks(
+        e0.join(
+            labels, join_type="inner", num_partitions=np_,
+            on=("a",), right_on=("node",),
+        ).map_batches(
+            lambda t: t.rename_columns(["a", "b", "la"]) if t.num_columns else t,
+            batch_format="pyarrow",
+        )
+    )
+    jb = drop_empty_blocks(
+        ja.join(
+            labels, join_type="inner", num_partitions=np_,
+            on=("b",), right_on=("node",),
+        ).map_batches(
+            lambda t: t.rename_columns(["a", "b", "la", "lb"])
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+    )
+
+    INTRA = pa.schema([("community", pa.string()), ("_one", pa.int64())])
+
+    def intra_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return INTRA.empty_table()
+        t = t.filter(pc.equal(t.column("la"), t.column("lb")))
+        return pa.Table.from_arrays(
+            [t.column("la"), pa.array(np.ones(t.num_rows, np.int64))],
+            schema=INTRA,
+        )
+
+    intra = sorted_grouped_agg(
+        drop_empty_blocks(jb.map_batches(intra_fn, batch_format="pyarrow"), INTRA),
+        ["community"],
+        [("_one", "sum")],
+        out_names=["n_intra"],
+    )
+
+    deg = sorted_grouped_agg(
+        _node_column(e0, "a", "b"), ["node"], [("node", "count")], out_names=["d"]
+    )
+    dj = drop_empty_blocks(
+        drop_empty_blocks(deg).join(
+            labels, join_type="inner", num_partitions=np_,
+            on=("node",), right_on=("node",),
+        )
+    )
+    dsum = sorted_grouped_agg(
+        dj.map_batches(
+            lambda t: pa.table(
+                {"community": t.column("label"), "d": pc.cast(t.column("d"), pa.int64())}
+            )
+            if t.num_columns and t.num_rows
+            else pa.schema(
+                [("community", pa.string()), ("d", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["community"],
+        [("d", "sum")],
+        out_names=["deg_sum"],
+    )
+
+    j = drop_empty_blocks(dsum).join(
+        drop_empty_blocks(intra),
+        join_type="left_outer",
+        num_partitions=np_,
+        on=("community",),
+    )
+
+    OUT = pa.schema(
+        [
+            ("community", pa.string()),
+            ("n_intra", pa.int64()),
+            ("deg_sum", pa.int64()),
+            ("q_num", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        ni = pc.fill_null(pc.cast(t.column("n_intra"), pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        ds_ = t.column("deg_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = 4 * np.int64(m) * ni - ds_ * ds_
+        return pa.Table.from_arrays(
+            [
+                t.column("community"),
+                pa.array(ni, pa.int64()),
+                pa.array(ds_, pa.int64()),
+                pa.array(q, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(j.map_batches(final, batch_format="pyarrow"), OUT)

@@ -1014,27 +1014,20 @@ def cooccurrence_pmi(
     return pair_counts.map_batches(score, batch_format="pyarrow")
 
 
-def edge_lifespan(
+def _edge_mention_ts(
     linked: "ray.data.Dataset",
     canon: "pa.Table | pd.DataFrame",
     transcripts: "ray.data.Dataset",
 ) -> "ray.data.Dataset":
-    """Temporal KG: per deduplicated edge (src, pred, dst), the evidence
-    validity interval — ``n_mentions``, ``first_seen``, ``last_seen`` from
-    the TIMESTAMPS of the turns that asserted it. The freshness/staleness
-    audit a continuously-ingested KG needs (is this edge still being
-    asserted, or last seen months ago?) and the input to SCD2-style edge
-    expiry; complements ``scd2_intervals`` (attribute history) with
-    assertion history.
-
-    Scale shape: mention rows resolve src/dst through ONE broadcast canon
-    probe (Arrow ``index_in``/``take``, node-bounded map — same contract as
-    ``build_graph_tables``'s broadcast path); the (conv_id, turn_idx) →
-    ts attachment is a distributed hash join against the transcript key
-    table (both sides row-proportional, minimum column set rides the
-    shuffle); the rollup is one edge-cardinality fastagg of count/min/max
-    over int64 µs. No driver state beyond the canon map."""
-    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    """Per-mention (src, pred, dst, ts_us) rows: mention rows resolve
+    src/dst through ONE broadcast canon probe (Arrow ``index_in``/``take``,
+    node-bounded map — same contract as ``build_graph_tables``'s broadcast
+    path); the (conv_id, turn_idx) → ts attachment is a distributed hash
+    join against the transcript key table (both sides row-proportional,
+    minimum column set rides the shuffle). Shared plumbing of
+    ``edge_lifespan`` / ``edge_decay``; no driver state beyond the canon
+    map."""
+    from .fastagg import drop_empty_blocks
     from .joins import hash_join
 
     if isinstance(canon, pa.Table):
@@ -1101,11 +1094,31 @@ def edge_lifespan(
         transcripts.map_batches(ts_key, batch_format="pyarrow"), TS
     )
     j = hash_join(em, tk, on=("conv_id", "turn_idx"))
+    return drop_empty_blocks(
+        j, pa.schema(list(EM) + [pa.field("ts_us", pa.int64())])
+    )
+
+
+def edge_lifespan(
+    linked: "ray.data.Dataset",
+    canon: "pa.Table | pd.DataFrame",
+    transcripts: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Temporal KG: per deduplicated edge (src, pred, dst), the evidence
+    validity interval — ``n_mentions``, ``first_seen``, ``last_seen`` from
+    the TIMESTAMPS of the turns that asserted it. The freshness/staleness
+    audit a continuously-ingested KG needs (is this edge still being
+    asserted, or last seen months ago?) and the input to SCD2-style edge
+    expiry; complements ``scd2_intervals`` (attribute history) with
+    assertion history.
+
+    Scale shape: the ``_edge_mention_ts`` broadcast-probe + distributed-join
+    plumbing, then one edge-cardinality fastagg of count/min/max over int64
+    µs."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
 
     agg = sorted_grouped_agg(
-        drop_empty_blocks(
-            j, pa.schema(list(EM) + [pa.field("ts_us", pa.int64())])
-        ),
+        _edge_mention_ts(linked, canon, transcripts),
         ["src", "pred", "dst"],
         [("ts_us", "count"), ("ts_us", "min"), ("ts_us", "max")],
         out_names=["n_mentions", "first_us", "last_us"],
@@ -1130,6 +1143,137 @@ def edge_lifespan(
                 t.column("src"),
                 t.column("pred"),
                 t.column("dst"),
+                pc.cast(t.column("n_mentions"), pa.int64()),
+                pc.cast(t.column("first_us"), pa.timestamp("us")),
+                pc.cast(t.column("last_us"), pa.timestamp("us")),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(final, batch_format="pyarrow"), OUT)
+
+
+def edge_decay(
+    linked: "ray.data.Dataset",
+    canon: "pa.Table | pd.DataFrame",
+    transcripts: "ray.data.Dataset",
+    tau_days: int = 30,
+) -> "ray.data.Dataset":
+    """Temporal KG: recency-weighted edge confidence — per deduplicated
+    edge, n_mentions and decay_q = Σ_mentions floor(exp(−age_days/τ)·10⁶)
+    where age_days counts back from the newest asserting turn. The
+    continuously-ingested-KG ranking signal: an edge asserted 500 times
+    last year scores below one asserted 5 times this week, which is how a
+    living KG demotes stale facts without deleting them (complements
+    ``edge_lifespan``'s raw first/last interval with an aggregate score).
+
+    Integer discipline: age_days is exact int64 floor division of µs
+    deltas (all non-negative, trunc == floor both engines); the decay
+    weight quantizes FIRST per mention — exp() sees only exact integer
+    ages, the identical double op chain as the twin — and per-edge sums
+    are int64, so the result is partition- and order-free.
+
+    Scale shape: one tiny max-ts aggregate over the transcript keys
+    (scalar broadcast), then the shared ``_edge_mention_ts`` plumbing and
+    one edge-cardinality fastagg. τ is integer days to keep the twin's
+    ``/ {tau}`` arithmetic bit-identical."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    US_PER_DAY = 86_400_000_000
+    mts = _edge_mention_ts(linked, canon, transcripts).materialize()
+    mx = mts.max("ts_us")
+
+    MID = pa.schema(
+        [
+            ("src", pa.string()),
+            ("pred", pa.string()),
+            ("dst", pa.string()),
+            ("_one", pa.int64()),
+            ("_w", pa.int64()),
+        ]
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        age = (np.int64(mx) - ts) // US_PER_DAY
+        w = np.floor(
+            np.exp(-(age.astype(np.float64)) / float(tau_days)) * 1e6
+        ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("src"),
+                t.column("pred"),
+                t.column("dst"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pa.array(w, pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(mts.map_batches(weigh, batch_format="pyarrow"), MID),
+        ["src", "pred", "dst"],
+        [("_one", "sum"), ("_w", "sum")],
+        out_names=["n_mentions", "decay_q"],
+    )
+
+
+def node_lifespan(
+    linked: "ray.data.Dataset",
+    canon: "pa.Table | pd.DataFrame",
+    transcripts: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Temporal KG: per canonical NODE, mention count + first/last
+    asserting-turn timestamp — the node-level staleness audit
+    (``edge_lifespan``'s sibling: an entity nobody has mentioned in months
+    is a retirement candidate even if some old edges still reference it).
+
+    Scale shape: the shared ``_edge_mention_ts`` plumbing, a stateless
+    two-sided explode (src + dst rows), one node-cardinality fastagg."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    NT = pa.schema([("id", pa.string()), ("ts_us", pa.int64())])
+
+    def sides(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return NT.empty_table()
+        ts = pc.cast(t.column("ts_us"), pa.int64())
+        return pa.concat_tables(
+            [
+                pa.Table.from_arrays([t.column("src"), ts], schema=NT),
+                pa.Table.from_arrays([t.column("dst"), ts], schema=NT),
+            ]
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            _edge_mention_ts(linked, canon, transcripts).map_batches(
+                sides, batch_format="pyarrow"
+            ),
+            NT,
+        ),
+        ["id"],
+        [("ts_us", "count"), ("ts_us", "min"), ("ts_us", "max")],
+        out_names=["n_mentions", "first_us", "last_us"],
+    )
+
+    OUT = pa.schema(
+        [
+            ("id", pa.string()),
+            ("n_mentions", pa.int64()),
+            ("first_seen", pa.timestamp("us")),
+            ("last_seen", pa.timestamp("us")),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("id"),
                 pc.cast(t.column("n_mentions"), pa.int64()),
                 pc.cast(t.column("first_us"), pa.timestamp("us")),
                 pc.cast(t.column("last_us"), pa.timestamp("us")),
