@@ -308,6 +308,9 @@ def run_bench() -> dict:
         q_kg_modularity,
         q_kg_node_lifespan,
         q_cohort_ltv,
+        q_embedding_label_margin,
+        q_session_type_rules,
+        q_kg_growth_curve,
     )
 
     for name, fn in [
@@ -471,6 +474,11 @@ def run_bench() -> dict:
         ("kg_modularity", q_kg_modularity),
         ("kg_node_lifespan", q_kg_node_lifespan),
         ("cohort_ltv", q_cohort_ltv),
+        # session-31 additions: label-margin audit, session association
+        # rules, KG growth curve
+        ("embedding_label_margin", q_embedding_label_margin),
+        ("session_type_rules", q_session_type_rules),
+        ("kg_growth_curve", q_kg_growth_curve),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -335,6 +335,29 @@ FROM mts CROSS JOIN mx
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_growth_curve() -> str:
+    """Twin of ``q_kg_growth_curve``: first-seen epoch-week (µs //
+    604800000000, non-negative) per edge and per node, counted by week."""
+    return f"""{_kg_prefix(recursive=True)},
+mts AS (
+  SELECT cs.canonical_id AS src, l.pred, co.canonical_id AS dst,
+         epoch_us(t.ts) AS ts_us
+  FROM linked l
+  JOIN canon cs ON l.subj_id = cs.member
+  JOIN canon co ON l.obj_id = co.member
+  JOIN transcripts t ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
+),
+ew AS (SELECT min(ts_us) // 604800000000 AS week
+       FROM mts GROUP BY src, pred, dst),
+nw AS (SELECT min(ts_us) // 604800000000 AS week FROM
+       (SELECT src AS id, ts_us FROM mts UNION ALL SELECT dst, ts_us FROM mts)
+       GROUP BY id)
+SELECT week::BIGINT AS week, 'edge' AS kind, count(*)::BIGINT AS n_new
+FROM ew GROUP BY 1
+UNION ALL
+SELECT week::BIGINT, 'node', count(*)::BIGINT FROM nw GROUP BY 1"""
+
+
 def sql_kg_node_degree() -> str:
     return f"""{_kg_prefix(recursive=True)},
 edges AS ({_edges_select()})

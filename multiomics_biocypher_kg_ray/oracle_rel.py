@@ -3971,3 +3971,75 @@ SELECT cohort_ym, month_offset, n_users, ltv_cents,
        sum(ltv_cents) OVER (PARTITION BY cohort_ym
                             ORDER BY month_offset)::BIGINT AS cum_cents
 FROM g"""
+
+
+def sql_embedding_label_margin() -> str:
+    """Twin of ``similarity.embedding_label_margin``: quantize-first ppm
+    elements, TRUE-floor centroid division (the remainder-corrected CASE —
+    sums go negative, DuckDB // truncates toward zero, numpy floors),
+    exact int64 squared distances, nearest-other tie-break (d2, label)."""
+    return """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS ppm
+  FROM embeddings
+),
+cs AS (SELECT label, dim, sum(ppm)::BIGINT AS s, count(*)::BIGINT AS n
+       FROM ex GROUP BY 1, 2),
+cent AS (SELECT label, dim,
+                (s // n - CASE WHEN s < 0 AND (s % n) <> 0
+                               THEN 1 ELSE 0 END)::BIGINT AS c
+         FROM cs),
+d2 AS (SELECT e.vec_id, e.label AS own, c.label AS cand,
+              sum((e.ppm - c.c) * (e.ppm - c.c))::BIGINT AS d2
+       FROM ex e JOIN cent c ON c.dim = e.dim
+       GROUP BY 1, 2, 3),
+own AS (SELECT vec_id, own AS label, d2 AS d2_own FROM d2 WHERE own = cand),
+oth AS (SELECT vec_id, cand AS other_label, d2 AS d2_other,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+        FROM d2 WHERE own <> cand)
+SELECT o.vec_id, w.label, w.d2_own, o.d2_other, o.other_label,
+       (o.d2_other - w.d2_own)::BIGINT AS margin
+FROM own w JOIN oth o ON o.vec_id = w.vec_id AND o.rn = 1"""
+
+
+def sql_session_type_rules(gap_minutes: int = 30) -> str:
+    """Twin of ``events.session_type_rules``: the sessionize lag/cumsum CTE
+    chain, distinct (user, session, type) baskets, a < b pair counts
+    mirrored to both directions, integer ppm confidence and lift."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+),
+b AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+na AS (SELECT event_type, count(*)::BIGINT AS n FROM b GROUP BY 1),
+ns AS (SELECT count(*)::BIGINT AS n FROM
+       (SELECT DISTINCT user_id, sess FROM b)),
+p AS (SELECT x.event_type AS ta, y.event_type AS tb, count(*)::BIGINT AS n_ab
+      FROM b x JOIN b y
+        ON x.user_id = y.user_id AND x.sess = y.sess
+       AND x.event_type < y.event_type
+      GROUP BY 1, 2),
+u AS (SELECT ta, tb, n_ab FROM p UNION ALL SELECT tb, ta, n_ab FROM p)
+SELECT u.ta AS type_a, u.tb AS type_b, u.n_ab, a.n AS n_a, bb.n AS n_b,
+       ((u.n_ab * 1000000) // a.n)::BIGINT AS conf_ppm,
+       ((u.n_ab * ns.n * 1000000) // (a.n * bb.n))::BIGINT AS lift_ppm
+FROM u JOIN na a ON a.event_type = u.ta
+JOIN na bb ON bb.event_type = u.tb CROSS JOIN ns"""

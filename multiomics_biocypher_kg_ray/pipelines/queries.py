@@ -1221,6 +1221,14 @@ def q_embedding_centroids(sf_dir: str):
     return similarity.label_centroids(emb)
 
 
+def q_embedding_label_margin(sf_dir: str):
+    """Per-vector separation margin vs the integer label centroids —
+    mislabeled/boundary-point audit; exact int64 distances, nearest-other
+    tie-break (d2, label)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    return similarity.embedding_label_margin(emb)
+
+
 def q_embedding_inertia(sf_dir: str):
     """Within-label dispersion of the embedding table (n x scaled SSE as an
     exact integer) — the cluster-quality audit."""
@@ -4539,6 +4547,56 @@ def q_cohort_ltv(sf_dir: str):
     )
 
 
+def q_kg_growth_curve(sf_dir: str):
+    """KG ingestion growth curve: per epoch-week, how many edges and nodes
+    were asserted for the FIRST time — the is-the-graph-still-growing
+    operations chart. Composes the lifespan rollups (epoch-week = first_us
+    // 604800000000, pure integer) into one (week, kind, n_new) table."""
+    WEEK_US = 604_800_000_000
+
+    def weekly(ds, kind: str):
+        MID = pa.schema([("week", pa.int64()), ("kind", pa.string()), ("_one", pa.int64())])
+
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return MID.empty_table()
+            us = pc.cast(pc.cast(t.column("first_seen"), pa.timestamp("us")), pa.int64())
+            wk = pc.divide(us, WEEK_US)  # non-negative: trunc == floor
+            return pa.Table.from_arrays(
+                [
+                    pc.cast(wk, pa.int64()),
+                    pa.array([kind] * t.num_rows, pa.string()),
+                    pa.array(np.ones(t.num_rows, np.int64)),
+                ],
+                schema=MID,
+            )
+
+        from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+        return sorted_grouped_agg(
+            drop_empty_blocks(ds.map_batches(fn, batch_format="pyarrow"), MID),
+            ["week", "kind"],
+            [("_one", "sum")],
+            out_names=["n_new"],
+        )
+
+    linked, canon, tr = _linked(sf_dir), _canon_tbl(), transcripts_dataset(sf_dir)
+    e = weekly(materialize.edge_lifespan(linked, canon, tr), "edge")
+    n = weekly(
+        materialize.node_lifespan(_linked(sf_dir), canon, transcripts_dataset(sf_dir)),
+        "node",
+    )
+    return e.union(n)
+
+
+def q_session_type_rules(sf_dir: str):
+    """Session-basket association rules over event types (support /
+    confidence / lift in integer ppm at 30-min-gap session granularity)."""
+    return events.session_type_rules(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    )
+
+
 def q_purchase_type_at_ts(sf_dir: str):
     """Point-in-time join: each purchase event gets the user's SCD2
     event_type version valid at its timestamp. The mutation log is deduped
@@ -6379,6 +6437,15 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             oracle.sql_kg_node_lifespan(),
         ),
         "cohort_ltv": (q_cohort_ltv, oracle_rel.sql_cohort_ltv()),
+        "embedding_label_margin": (
+            q_embedding_label_margin,
+            oracle_rel.sql_embedding_label_margin(),
+        ),
+        "kg_growth_curve": (q_kg_growth_curve, oracle.sql_kg_growth_curve()),
+        "session_type_rules": (
+            q_session_type_rules,
+            oracle_rel.sql_session_type_rules(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -6397,6 +6464,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_modularity",
         "kg_node_lifespan",
         "cohort_ltv",
+        "embedding_label_margin",
+        "kg_growth_curve",
+        "session_type_rules",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

@@ -2048,3 +2048,138 @@ def cohort_ltv(events: "ray.data.Dataset") -> "ray.data.Dataset":
     return cumsum_over(
         g, "cohort_ym", ["month_offset"], "ltv_cents", out_col="cum_cents"
     )
+
+
+def session_type_rules(
+    events: "ray.data.Dataset", gap_minutes: int = 30
+) -> "ray.data.Dataset":
+    """Session-basket association rules over event types: for every ordered
+    type pair (a → b), the sessions containing both (n_ab), each side's
+    session count, confidence ppm = n_ab·10⁶ // n_a and lift ppm =
+    n_ab·N·10⁶ // (n_a·n_b) — the market-basket census at 30-min-gap
+    session granularity (``user_type_lift``'s user-level cousin, where
+    co-occurrence must happen within one sitting to count).
+
+    Scale shape: per-event session ids come from the hot-key-safe
+    ``window.lag_over`` + ``cumsum_over`` segmented scans (a user with 10⁹
+    events never lands in one task); baskets dedup via sorted_distinct;
+    pair emission rides the segmented ``bucket_pairs`` kernel keyed on
+    (user, session); every aggregate past the pair pass is type-cardinality
+    bounded (the event-type codebook is schema-sized, not
+    data-proportional), so the final rule table assembles on the driver
+    from tiny aggregates. Pure integer confidence/lift (all non-negative —
+    // is floor on both engines)."""
+    from .dedup import bucket_pairs
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .window import cumsum_over, lag_over
+
+    gap_us = gap_minutes * 60_000_000
+    PREP = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts_us", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("user_id"), pa.int64()),
+                pc.cast(t.column("event_id"), pa.int64()),
+                t.column("event_type"),
+                pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+            ],
+            schema=PREP,
+        )
+
+    ds = drop_empty_blocks(events.map_batches(prep, batch_format="pyarrow"), PREP)
+    lagged = lag_over(ds, "user_id", ["ts_us", "event_id"], "ts_us", out_col="_prev")
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        gap = pc.subtract(t.column("ts_us"), t.column("_prev"))
+        new_s = pc.cast(
+            pc.fill_null(pc.greater(gap, gap_us), True), pa.int64()
+        )
+        return t.drop_columns(["_prev"]).append_column("_new", new_s)
+
+    flagged = lagged.map_batches(flag, batch_format="pyarrow")
+    sess = cumsum_over(
+        flagged, "user_id", ["ts_us", "event_id"], "_new", out_col="_sess"
+    )
+    b = sorted_distinct(
+        sess.select_columns(["user_id", "_sess", "event_type"]),
+        ["user_id", "_sess", "event_type"],
+    ).materialize()  # consumed three times: na, N, pairs
+
+    na_ds = sorted_grouped_agg(
+        b, ["event_type"], [("event_type", "count")], out_names=["n"]
+    )
+    na_parts = [
+        x
+        for x in na_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if x.num_columns and x.num_rows
+    ]
+    na_tbl = (
+        pa.concat_tables(na_parts)
+        if na_parts
+        else pa.schema([("event_type", pa.string()), ("n", pa.int64())]).empty_table()
+    )
+    na = dict(
+        zip(na_tbl.column("event_type").to_pylist(), na_tbl.column("n").to_pylist())
+    )
+    n_sessions = sorted_distinct(
+        b.select_columns(["user_id", "_sess"]), ["user_id", "_sess"]
+    ).count()
+
+    pairs = bucket_pairs(
+        b, ["user_id", "_sess"], id_col="event_type", cap=None
+    )
+    nab_ds = sorted_grouped_agg(
+        pairs, ["doc_a", "doc_b"], [("doc_a", "count")], out_names=["n_ab"]
+    )
+    nab_parts = [
+        x
+        for x in nab_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if x.num_columns and x.num_rows
+    ]
+    nab_tbl = (
+        pa.concat_tables(nab_parts)
+        if nab_parts
+        else pa.schema(
+            [("doc_a", pa.string()), ("doc_b", pa.string()), ("n_ab", pa.int64())]
+        ).empty_table()
+    )
+
+    ta, tb, nab = [], [], []
+    for a, bb, n in zip(
+        nab_tbl.column("doc_a").to_pylist(),
+        nab_tbl.column("doc_b").to_pylist(),
+        nab_tbl.column("n_ab").to_pylist(),
+    ):
+        ta += [a, bb]
+        tb += [bb, a]
+        nab += [n, n]
+    n_a = [na[x] for x in ta]
+    n_b = [na[x] for x in tb]
+    conf = [x * 1_000_000 // y for x, y in zip(nab, n_a)]
+    lift = [
+        x * n_sessions * 1_000_000 // (y * z) for x, y, z in zip(nab, n_a, n_b)
+    ]
+    out = pa.table(
+        {
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb, pa.string()),
+            "n_ab": pa.array(nab, pa.int64()),
+            "n_a": pa.array(n_a, pa.int64()),
+            "n_b": pa.array(n_b, pa.int64()),
+            "conf_ppm": pa.array(conf, pa.int64()),
+            "lift_ppm": pa.array(lift, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -562,21 +562,21 @@ def _bf_scorer_fn(batch: pa.Table, queries_ref, k: int) -> pa.Table:
 # -------------------------------------------------- embedding aggregation
 
 
-def label_centroids(
+def _label_dim_sums(
     ds: "ray.data.Dataset",
     label_col: str = "label",
     vec_col: str = "embedding",
     scale: float = 1_000_000.0,
-) -> "ray.data.Dataset":
-    """Per-label mean embedding, exploded to (label, dim, n_vecs, mean_ppm).
+):
+    """Exact integer (label, dim) → (sum_ppm, n_vecs) aggregate — the shared
+    base of ``label_centroids`` / ``embedding_label_margin``.
 
     Exactness discipline (same as the cents convention): each float32
     element is quantized FIRST — ``floor(x * scale)`` as int64 — and the
-    integer sums are associative, so the grouped mean is bit-identical to
-    the DuckDB ``unnest``/``generate_subscripts`` oracle at any block
-    partitioning (double division of identical exact ints). A per-batch
-    combiner emits ≤ labels×dims rows, so the shuffle moves partials,
-    never vectors."""
+    integer sums are associative, so every derived statistic is
+    bit-identical to the DuckDB ``unnest``/``generate_subscripts`` oracle at
+    any block partitioning. A per-batch combiner emits ≤ labels×dims rows,
+    so the shuffle moves partials, never vectors."""
     from .fastagg import sorted_grouped_agg
 
     def partial(t: pa.Table) -> pa.Table:
@@ -619,6 +619,19 @@ def label_centroids(
         [("sum_ppm", "sum"), ("n_vecs", "sum")],
         out_names=["sum_ppm", "n_vecs"],
     )
+    return agg
+
+
+def label_centroids(
+    ds: "ray.data.Dataset",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> "ray.data.Dataset":
+    """Per-label mean embedding, exploded to (label, dim, n_vecs, mean_ppm).
+    Finalizes ``_label_dim_sums``'s exact integer sums with one double
+    division of identical exact ints — bit-identical at any partitioning."""
+    agg = _label_dim_sums(ds, label_col, vec_col, scale)
 
     def mean(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
@@ -1107,4 +1120,119 @@ def embedding_top_pc(
             pa.array(v, pa.int64()),
         ],
         names=["dim", "v_micro"],
+    )
+
+
+def embedding_label_margin(
+    ds: "ray.data.Dataset",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1_000_000.0,
+) -> "ray.data.Dataset":
+    """Per-vector separation margin against the label centroids: for every
+    vector, the exact integer squared L2 distance to its OWN label's
+    centroid (d2_own), the nearest OTHER label's centroid (d2_other, ties →
+    smallest label), and margin = d2_other − d2_own. The
+    is-this-labeling-geometrically-real audit (margin ≤ 0 flags vectors
+    sitting closer to a foreign class than their own — mislabeled points,
+    boundary noise, or a collapsed embedding space) — the per-point
+    companion of ``label_centroids`` / ``embedding_inertia``.
+
+    Exactness: vector elements quantize FIRST (floor(x·10⁶) int64 — the
+    ``_label_dim_sums`` discipline); centroids are integer floor-divided
+    means c = sum_ppm // n (exact, both engines); distances are pure int64
+    sums of squared int differences (|q|,|c| ≤ ~10⁶ ⇒ per-dim ≤ 4·10¹²,
+    safely inside int64 up to ~10⁶ dims). Zero float ops after
+    quantization.
+
+    Scale shape: one ``_label_dim_sums`` fastagg (labels × dims partials);
+    the (L × D) centroid table is constant-bounded and broadcast once; the
+    margin pass is a stateless map with an int64 matmul per batch —
+    vectors never shuffle."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from ..state.broadcast import broadcast, state_key, task_state
+    from .fastagg import drop_empty_blocks
+
+    sums = _label_dim_sums(ds, label_col, vec_col, scale)
+    tbl = pa.concat_tables(
+        [
+            b
+            for b in sums.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_columns and b.num_rows
+        ]
+    ).combine_chunks()
+    labels_np = tbl.column(label_col).to_numpy(zero_copy_only=False)
+    dims_np = tbl.column("dim").to_numpy(zero_copy_only=False)
+    s_np = tbl.column("sum_ppm").to_numpy(zero_copy_only=False)
+    n_np = tbl.column("n_vecs").to_numpy(zero_copy_only=False)
+    uniq = np.sort(np.unique(labels_np))
+    d = int(dims_np.max()) + 1 if len(dims_np) else 0
+    C = np.zeros((len(uniq), d), dtype=np.int64)
+    li = {v: i for i, v in enumerate(uniq.tolist())}
+    rows = np.fromiter((li[v] for v in labels_np.tolist()), np.int64, len(labels_np))
+    C[rows, dims_np] = s_np // n_np  # floor division: exact both engines
+    cref = broadcast(pa.table({"flat": pa.array(C.reshape(-1), pa.int64())}))
+    label_ty = tbl.schema.field(label_col).type
+    uniq_arr = uniq  # sorted — searchsorted maps labels to centroid rows
+
+    OUT = pa.schema(
+        [
+            (id_col, pa.int64()),
+            (label_col, label_ty),
+            ("d2_own", pa.int64()),
+            ("d2_other", pa.int64()),
+            ("other_label", label_ty),
+            ("margin", pa.int64()),
+        ]
+    )
+    uniq_list = uniq.tolist()
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+
+        def build():
+            tb = _ray.get(cref) if not isinstance(cref, pa.Table) else cref
+            return tb.column("flat").to_numpy(zero_copy_only=False).reshape(
+                len(uniq_list), d
+            )
+
+        Cm = task_state(state_key("lblmargin", cref), build)
+        lists = t.column(vec_col).combine_chunks()
+        flat = lists.flatten() if not isinstance(lists, pa.ChunkedArray) else lists.chunk(0).flatten()
+        q = np.floor(
+            flat.to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64).reshape(t.num_rows, d)
+        # d2[i, l] = |q_i|^2 + |c_l|^2 - 2 q_i . c_l  (all int64)
+        d2 = (
+            (q * q).sum(axis=1)[:, None]
+            + (Cm * Cm).sum(axis=1)[None, :]
+            - 2 * (q @ Cm.T)
+        )
+        labs = t.column(label_col).to_numpy(zero_copy_only=False)
+        own_idx = np.searchsorted(uniq_arr, labs)  # uniq is sorted
+        r = np.arange(t.num_rows)
+        d2_own = d2[r, own_idx]
+        d2m = d2.copy()
+        d2m[r, own_idx] = np.iinfo(np.int64).max
+        other_idx = np.argmin(d2m, axis=1)  # first min → smallest label
+        d2_other = d2m[r, other_idx]
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column(id_col), pa.int64()),
+                t.column(label_col),
+                pa.array(d2_own, pa.int64()),
+                pa.array(d2_other, pa.int64()),
+                pc.cast(pa.array(uniq_arr[other_idx]), label_ty),
+                pa.array(d2_other - d2_own, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(
+        ds.map_batches(score, batch_format="pyarrow"), OUT
     )

@@ -102,8 +102,11 @@ def main() -> None:
         q_cohort_ltv,
         q_doc_hashed_features,
         q_doc_nb_source,
+        q_embedding_label_margin,
         q_embedding_top_pc,
         q_kg_edge_decay,
+        q_kg_growth_curve,
+        q_session_type_rules,
         q_kg_metapath_census,
         q_kg_modularity,
         q_kg_node_lifespan,
@@ -149,6 +152,10 @@ def main() -> None:
         ("kg_modularity", q_kg_modularity, big_docs),
         ("kg_node_lifespan", q_kg_node_lifespan, big_docs),
         ("cohort_ltv", q_cohort_ltv, big),
+        # session-31
+        ("embedding_label_margin", q_embedding_label_margin, big),
+        ("session_type_rules", q_session_type_rules, big),
+        ("kg_growth_curve", q_kg_growth_curve, big_docs),
     ]:
         if name in skip:
             continue
