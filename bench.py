@@ -311,6 +311,8 @@ def run_bench() -> dict:
         q_embedding_label_margin,
         q_session_type_rules,
         q_kg_growth_curve,
+        q_last_touch_attribution,
+        q_source_eval_sample,
     )
 
     for name, fn in [
@@ -479,6 +481,9 @@ def run_bench() -> dict:
         ("embedding_label_margin", q_embedding_label_margin),
         ("session_type_rules", q_session_type_rules),
         ("kg_growth_curve", q_kg_growth_curve),
+        # session-32 additions: last-touch attribution, per-group hash sample
+        ("last_touch_attribution", q_last_touch_attribution),
+        ("source_eval_sample", q_source_eval_sample),
     ]:
         t = time.time()
         out = fn(SF_DIR)

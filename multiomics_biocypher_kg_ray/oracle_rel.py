@@ -4043,3 +4043,49 @@ SELECT u.ta AS type_a, u.tb AS type_b, u.n_ab, a.n AS n_a, bb.n AS n_b,
        ((u.n_ab * ns.n * 1000000) // (a.n * bb.n))::BIGINT AS lift_ppm
 FROM u JOIN na a ON a.event_type = u.ta
 JOIN na bb ON bb.event_type = u.tb CROSS JOIN ns"""
+
+
+def sql_last_touch_attribution(
+    target_type: str = "purchase", window_us: int = 86_400_000_000
+) -> str:
+    """Twin of ``events.last_touch_attribution``: the identical
+    ts_us·64+code encoding (alphabetical codes over non-target types), an
+    inclusive preceding-window max, window check, '(none)' bucket."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH codes AS (
+  SELECT event_type, (row_number() OVER (ORDER BY event_type) - 1)::BIGINT
+           AS code
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE event_type <> '{target_type}')
+),
+e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             {v} AS cents FROM events),
+enc AS (SELECT e.*, CASE WHEN e.event_type <> '{target_type}'
+                         THEN e.ts_us * 64 + c.code ELSE -1 END AS ev
+        FROM e LEFT JOIN codes c USING (event_type)),
+m AS (SELECT *, max(ev) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS attr
+      FROM enc),
+p AS (SELECT CASE WHEN attr >= 0 AND ts_us - (attr // 64) <= {window_us}
+                  THEN attr % 64 ELSE -1 END AS code, cents
+      FROM m WHERE event_type = '{target_type}')
+SELECT coalesce(c.event_type, '(none)') AS attributed_type,
+       count(*)::BIGINT AS n_purchases, sum(p.cents)::BIGINT AS value_cents
+FROM p LEFT JOIN codes c USING (code) GROUP BY 1"""
+
+
+def sql_source_eval_sample(k: int = 10, salt: str = "evalsample") -> str:
+    """Twin of ``sampling.group_sample_k`` over documents: row_number per
+    source ordered by the identical md5 60-bit hash, then doc_id."""
+    esc = salt.replace("'", "''")
+    return f"""
+WITH h AS (
+  SELECT doc_id::BIGINT AS doc_id, source,
+         ('0x' || substr(md5('{esc}:' || doc_id), 1, 15))::UBIGINT::BIGINT
+           AS hh
+  FROM documents
+)
+SELECT doc_id, source FROM h
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) <= {k}"""

@@ -4589,6 +4589,25 @@ def q_kg_growth_curve(sf_dir: str):
     return e.union(n)
 
 
+def q_last_touch_attribution(sf_dir: str):
+    """Last-touch credit rollup: purchases credit the latest preceding
+    same-user event within 24 h (encoded-cummax as-of carry); credits sum
+    to (attributed_type, n_purchases, value_cents)."""
+    return events.last_touch_attribution(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+    )
+
+
+def q_source_eval_sample(sf_dir: str, k: int = 10):
+    """Deterministic per-source eval sample: the k docs with smallest
+    (md5 hash, id) per source — zero-RNG reservoir replacement."""
+    from ..stages import sampling
+
+    return sampling.group_sample_k(
+        _read(sf_dir, "documents", ["doc_id", "source"]), "source", "doc_id", k=k
+    )
+
+
 def q_session_type_rules(sf_dir: str):
     """Session-basket association rules over event types (support /
     confidence / lift in integer ppm at 30-min-gap session granularity)."""
@@ -6446,6 +6465,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_session_type_rules,
             oracle_rel.sql_session_type_rules(),
         ),
+        "last_touch_attribution": (
+            q_last_touch_attribution,
+            oracle_rel.sql_last_touch_attribution(),
+        ),
+        "source_eval_sample": (
+            q_source_eval_sample,
+            oracle_rel.sql_source_eval_sample(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -6467,6 +6494,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "embedding_label_margin",
         "kg_growth_curve",
         "session_type_rules",
+        "last_touch_attribution",
+        "source_eval_sample",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

@@ -2183,3 +2183,144 @@ def session_type_rules(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def last_touch_attribution(
+    events: "ray.data.Dataset",
+    target_type: str = "purchase",
+    window_us: int = 86_400_000_000,
+) -> "ray.data.Dataset":
+    """Last-touch attribution: every ``target_type`` event credits the most
+    recent PRECEDING event of any other type by the same user within
+    ``window_us``; credits roll up to (attributed_type, n_purchases,
+    value_cents), with '(none)' for unattributed targets — the standard
+    marketing/causal credit table.
+
+    Determinism contract (mirrored bit-for-bit in the twin): the carried
+    marker is the max of the ENCODED value ts_us·64 + type_code over the
+    preceding window — the engine rides the EXCLUSIVE ``cummax_over`` and
+    the twin an inclusive frame, which agree here because targets encode
+    −1 (the current row can never win its own attribution). Two markers at
+    the same µs resolve by type code, not arrival order.
+    The type codebook is schema-bounded (alphabetical codes, < 64 types —
+    asserted) and collected once.
+
+    Scale shape: one codebook fastagg; one hot-key-safe
+    ``window.cummax_over`` segmented scan (a user with 10⁹ events never
+    lands in one task); one stateless decode + type-cardinality fastagg.
+    Pure int64 end to end."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .relational import to_cents
+    from .window import cummax_over
+
+    types_ds = sorted_grouped_agg(
+        events.select_columns(["event_type"]),
+        ["event_type"],
+        [("event_type", "count")],
+        out_names=["_n"],
+    )
+    tparts = [
+        x
+        for x in types_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if x.num_columns and x.num_rows
+    ]
+    all_types = sorted(
+        t
+        for t in (
+            pa.concat_tables(tparts).column("event_type").to_pylist()
+            if tparts
+            else []
+        )
+        if t != target_type
+    )
+    if len(all_types) >= 64:
+        raise ValueError("type codebook exceeds the 6-bit encoding budget")
+    code_of = {t: i for i, t in enumerate(all_types)}
+
+    PREP = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("_is_target", pa.bool_()),
+            ("cents", pa.int64()),
+            ("_enc", pa.int64()),
+        ]
+    )
+    codes_arr = pa.array(all_types, pa.string())
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        t = to_cents(t, {"value": "_cents"})
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        # the ts*64+code encoding (and its // 64 decode) requires ts >= 0;
+        # pre-epoch timestamps would flip the max ordering — fail loudly
+        mn = pc.min(ts).as_py()
+        if mn is not None and mn < 0:
+            raise ValueError("last_touch_attribution requires ts >= epoch")
+        ty = t.column("event_type")
+        is_t = pc.equal(ty, target_type)
+        code = pc.cast(
+            pc.fill_null(pc.index_in(ty, value_set=codes_arr), 0), pa.int64()
+        )
+        enc = pc.if_else(
+            is_t,
+            pa.scalar(-1, pa.int64()),
+            pc.add(pc.multiply(ts, 64), code),
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("user_id"), pa.int64()),
+                pc.cast(t.column("event_id"), pa.int64()),
+                ts,
+                is_t,
+                t.column("_cents"),
+                enc,
+            ],
+            schema=PREP,
+        )
+
+    ds = drop_empty_blocks(events.map_batches(prep, batch_format="pyarrow"), PREP)
+    carried = cummax_over(
+        ds, "user_id", ["ts_us", "event_id"], "_enc", out_col="_attr"
+    )
+
+    MID = pa.schema(
+        [("attributed_type", pa.string()), ("_one", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        t = t.filter(t.column("_is_target"))
+        if t.num_rows == 0:
+            return MID.empty_table()
+        # fill nulls (the exclusive cummax's first-row-of-part) while still
+        # int64 — a null-bearing to_numpy degrades to float64, which cannot
+        # represent the ts·64+code encoding (> 2^53) and corrupts the code
+        # bits on the way back
+        attr = (
+            pc.fill_null(pc.cast(t.column("_attr"), pa.int64()), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (attr >= 0) & (ts - (attr // 64) <= window_us)
+        code = np.where(ok, attr % 64, -1)
+        names = np.array(all_types + ["(none)"], dtype=object)
+        return pa.Table.from_arrays(
+            [
+                pa.array(names[np.where(ok, code, len(all_types))], pa.string()),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.cast(t.column("cents"), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(carried.map_batches(decode, batch_format="pyarrow"), MID),
+        ["attributed_type"],
+        [("_one", "sum"), ("cents", "sum")],
+        out_names=["n_purchases", "value_cents"],
+    )

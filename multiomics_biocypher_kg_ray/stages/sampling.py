@@ -856,3 +856,45 @@ def split_balance_audit(
         )
 
     return drop_empty_blocks(j.map_batches(score, batch_format="pyarrow"), OUT)
+
+
+def group_sample_k(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    k: int = 10,
+    salt: str = "evalsample",
+) -> "ray.data.Dataset":
+    """Deterministic per-group sample: the ``k`` rows with the smallest
+    (md5-hash, id) per group — the zero-RNG reservoir replacement for
+    carving fixed-size per-source eval sets (key-stable: a group's sample
+    only changes where membership changes, never with partitioning or
+    arrival order).
+
+    Scale shape: one ``_hash60`` per row (embedded-DuckDB vectorized), then
+    the hot-key-safe global-sort ``ranked_over`` — a group with 10⁹ rows
+    never lands in one task. Twin: row_number() over the identical md5
+    expression."""
+    import pyarrow.compute as pc
+
+    from .fastagg import drop_empty_blocks
+    from .relational import ranked_over
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        h = _hash60(t.column(id_col), salt)
+        return t.append_column("_h", pa.array(h, pa.int64()))
+
+    hashed = drop_empty_blocks(ds.map_batches(with_hash, batch_format="pyarrow"))
+    ranked = ranked_over(
+        hashed, [group_col], [("_h", True), (id_col, True)], rank_col="_rk"
+    )
+    return ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("_rk"), k)).drop_columns(
+            ["_rk", "_h"]
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )

@@ -110,7 +110,9 @@ def main() -> None:
         q_kg_metapath_census,
         q_kg_modularity,
         q_kg_node_lifespan,
+        q_last_touch_attribution,
         q_order_percent_rank,
+        q_source_eval_sample,
         q_source_token_kl,
         q_user_churn_labels,
     )
@@ -156,6 +158,9 @@ def main() -> None:
         ("embedding_label_margin", q_embedding_label_margin, big),
         ("session_type_rules", q_session_type_rules, big),
         ("kg_growth_curve", q_kg_growth_curve, big_docs),
+        # session-32
+        ("last_touch_attribution", q_last_touch_attribution, big),
+        ("source_eval_sample", q_source_eval_sample, big_docs),
     ]:
         if name in skip:
             continue
