@@ -313,6 +313,8 @@ def run_bench() -> dict:
         q_kg_growth_curve,
         q_last_touch_attribution,
         q_source_eval_sample,
+        q_kg_walk_corpus,
+        q_source_retention_funnel,
     )
 
     for name, fn in [
@@ -484,6 +486,9 @@ def run_bench() -> dict:
         # session-32 additions: last-touch attribution, per-group hash sample
         ("last_touch_attribution", q_last_touch_attribution),
         ("source_eval_sample", q_source_eval_sample),
+        # session-33 additions: deterministic walk corpus, retention funnel
+        ("kg_walk_corpus", q_kg_walk_corpus),
+        ("source_retention_funnel", q_source_retention_funnel),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -1056,6 +1056,38 @@ FROM (SELECT src AS id, ts FROM mts UNION ALL SELECT dst, ts FROM mts)
 GROUP BY 1"""
 
 
+def sql_kg_walk_corpus(steps: int = 3) -> str:
+    """Twin of ``graph.walk_corpus``: per-step next-hop = the out-edge with
+    the smallest md5('walk:src:step:dst') 60-bit hash (ties → dst), walks
+    unrolled one CTE pair per step, step-0 rows included."""
+    parts = [
+        "e AS (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "w0 AS (SELECT node AS start, node FROM nodes)",
+    ]
+    for r in range(1, steps + 1):
+        parts.append(
+            f"n{r} AS (SELECT src, dst FROM ("
+            f"SELECT src, dst, ('0x' || substr(md5('walk:' || src || ':{r}:' "
+            f"|| dst), 1, 15))::UBIGINT::BIGINT AS h FROM e) "
+            f"QUALIFY row_number() OVER (PARTITION BY src ORDER BY h, dst) = 1)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT w.start, n.dst AS node "
+            f"FROM w{r - 1} w JOIN n{r} n ON n.src = w.node)"
+        )
+    body = ",\n".join(parts)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT start, {r}::BIGINT AS step, node FROM w{r}"
+        for r in range(steps + 1)
+    )
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+{body}
+{sel}"""
+
+
 def sql_kg_assortativity() -> str:
     """Twin of ``graph.degree_assortativity`` — undirected simple graph,
     each edge counted in both orientations, Pearson r between endpoint

@@ -4089,3 +4089,28 @@ WITH h AS (
 )
 SELECT doc_id, source FROM h
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) <= {k}"""
+
+
+def sql_source_retention_funnel(
+    k: int = 3, min_jaccard: float = 0.5, cap: int = 1000
+) -> str:
+    """Twin of ``q_source_retention_funnel``: the quality / exact-dedup /
+    near-dup twins' verdicts joined onto (doc, source), per-source sums —
+    each audit evaluated over the FULL corpus independently."""
+    return f"""
+WITH q AS ({sql_doc_quality_filter()}),
+e AS ({sql_dedup_exact()}),
+nd AS ({sql_near_dup_clusters(k, min_jaccard, cap)}),
+d AS (SELECT doc_id::BIGINT AS doc_id, source FROM documents)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN q.keep THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       sum(CASE WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_exact_keep,
+       sum(CASE WHEN nd.is_canonical THEN 1 ELSE 0 END)::BIGINT
+         AS n_neardup_keep
+FROM d
+JOIN q ON q.doc_id = d.doc_id
+JOIN nd ON nd.doc_id = d.doc_id
+LEFT JOIN (SELECT DISTINCT keep_doc_id::BIGINT AS doc_id FROM e) ek
+  ON ek.doc_id = d.doc_id
+GROUP BY 1"""

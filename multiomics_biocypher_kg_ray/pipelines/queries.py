@@ -4109,6 +4109,106 @@ def q_doc_quality_filter(sf_dir: str):
     return text.quality_filter(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_source_retention_funnel(sf_dir: str):
+    """Per-source corpus-curation dashboard: how many docs each source
+    contributes and how many survive EACH audit independently — the quality
+    gate, exact dedup (min-id keeper), near-dup clustering (canonical per
+    cluster). The observability table a corpus owner reads before blaming a
+    source for shrinkage (cumulative filtering composes these same ops;
+    the independent counts localize WHICH audit bites).
+
+    Scale shape: the three audits are the existing streaming operators;
+    their doc-keyed verdicts attach to the (doc, source) table via
+    doc-proportional distributed hash joins; the rollup is one
+    source-cardinality fastagg."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import hash_join
+    from ..tuning import default_join_partitions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "source": t.column("source"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    q = text.quality_filter(_read(sf_dir, "documents", ["doc_id", "text"])).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "_q": pc.cast(t.column("keep"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ek = dedup.exact_dedup_groups(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("keep_doc_id"), pa.int64()),
+                "_e": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nd_pairs = dedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_jaccard=0.5
+    )
+    nd = dedup.near_dup_clusters(
+        _read(sf_dir, "documents", ["doc_id"]), nd_pairs
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "_n": pc.cast(t.column("is_canonical"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(drop_empty_blocks(docs), drop_empty_blocks(q), on=("doc_id",))
+    j = hash_join(drop_empty_blocks(j), drop_empty_blocks(nd), on=("doc_id",))
+    j = drop_empty_blocks(j).join(
+        drop_empty_blocks(ek),
+        join_type="left_outer",
+        num_partitions=default_join_partitions(),
+        on=("doc_id",),
+    )
+
+    MID = pa.schema(
+        [
+            ("source", pa.string()),
+            ("_one", pa.int64()),
+            ("_q", pa.int64()),
+            ("_e", pa.int64()),
+            ("_n", pa.int64()),
+        ]
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("source"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.cast(t.column("_q"), pa.int64()),
+                pc.fill_null(pc.cast(t.column("_e"), pa.int64()), 0),
+                pc.cast(t.column("_n"), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(j.map_batches(flags, batch_format="pyarrow"), MID),
+        ["source"],
+        [("_one", "sum"), ("_q", "sum"), ("_e", "sum"), ("_n", "sum")],
+        out_names=["n_docs", "n_quality", "n_exact_keep", "n_neardup_keep"],
+    )
+
+
 def q_doc_tfidf_top_terms(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -4517,6 +4617,17 @@ def q_kg_labelprop(sf_dir: str):
 
     return graph.label_propagation(
         materialize.build_edges(_linked(sf_dir), _canon_tbl()), rounds=3
+    )
+
+
+def q_kg_walk_corpus(sf_dir: str):
+    """Deterministic DeepWalk corpus over the built KG: one hash-seeded
+    3-step walk per node — the node-sequence training data for KG
+    embeddings, zero RNG."""
+    from ..stages import graph
+
+    return graph.walk_corpus(
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()), steps=3
     )
 
 
@@ -6473,6 +6584,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_source_eval_sample,
             oracle_rel.sql_source_eval_sample(),
         ),
+        "kg_walk_corpus": (q_kg_walk_corpus, oracle.sql_kg_walk_corpus()),
+        "source_retention_funnel": (
+            q_source_retention_funnel,
+            oracle_rel.sql_source_retention_funnel(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -6496,6 +6612,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "session_type_rules",
         "last_touch_attribution",
         "source_eval_sample",
+        "kg_walk_corpus",
+        "source_retention_funnel",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

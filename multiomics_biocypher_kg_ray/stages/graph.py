@@ -1927,3 +1927,110 @@ def modularity_by_label(
         )
 
     return drop_empty_blocks(j.map_batches(final, batch_format="pyarrow"), OUT)
+
+
+def walk_corpus(
+    edges: "ray.data.Dataset", steps: int = 3
+) -> "ray.data.Dataset":
+    """Deterministic DeepWalk corpus over the KG: one walk per node, each
+    step following the out-edge with the smallest md5 hash of
+    'walk:src:step:dst' (ties → dst asc) — the node-sequence training data
+    a KG-embedding run (DeepWalk/node2vec) consumes, with ZERO RNG so the
+    corpus is bit-identical across engines, partitionings and reruns
+    (hash-seeded per (node, step), so consecutive steps at the same node
+    still diversify). Walkers at sink nodes stop early. Emits
+    (start, step 0..steps, node).
+
+    Scale shape per step: the next-hop choice depends only on (node, step)
+    — computed ONCE per node via the hot-key-safe ``ranked_over`` (never
+    per walker), then one node-proportional hash join advances every
+    walker; per-step materialize bounds lineage depth. The md5 ranking
+    hash is the embedded-DuckDB ``_hash60`` kernel (bit-identical twin
+    expression)."""
+    from ..tuning import default_join_partitions
+    from .fastagg import drop_empty_blocks, sorted_distinct
+    from .relational import ranked_over
+    from .sampling import _hash60
+
+    E = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    e = drop_empty_blocks(
+        sorted_distinct(
+            edges.map_batches(
+                lambda t: t.select(["src", "dst"]) if t.num_columns else t,
+                batch_format="pyarrow",
+            ),
+            ["src", "dst"],
+        ),
+        E,
+    ).materialize()  # consumed once per step + the node universe
+
+    W = pa.schema([("start", pa.string()), ("step", pa.int64()), ("node", pa.string())])
+
+    nodes = sorted_distinct(_node_column(e, "src", "dst"), ["node"])
+    state = drop_empty_blocks(
+        nodes.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("node"), pa.array(np.zeros(t.num_rows, np.int64)), t.column("node")],
+                schema=W,
+            )
+            if t.num_columns and t.num_rows
+            else W.empty_table(),
+            batch_format="pyarrow",
+        ),
+        W,
+    ).materialize()
+    out_parts = [state]
+
+    np_ = default_join_partitions()
+    for r in range(1, steps + 1):
+        def hashed(t: pa.Table, _r=r) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.schema(
+                    [("src", pa.string()), ("dst", pa.string()), ("h", pa.int64())]
+                ).empty_table()
+            key = pc.binary_join_element_wise(
+                t.column("src"), str(_r), t.column("dst"), ":"
+            )
+            h = _hash60(key, "walk")
+            return t.append_column("h", pa.array(h, pa.int64()))
+
+        nxt = ranked_over(
+            drop_empty_blocks(e.map_batches(hashed, batch_format="pyarrow")),
+            ["src"],
+            [("h", True), ("dst", True)],
+            rank_col="_rk",
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t.column("_rk"), 1)).select(["src", "dst"])
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        adv = drop_empty_blocks(state.select_columns(["start", "node"])).join(
+            drop_empty_blocks(nxt),
+            join_type="inner",
+            num_partitions=np_,
+            on=("node",),
+            right_on=("src",),
+        )
+        state = drop_empty_blocks(
+            adv.map_batches(
+                lambda t, _r=r: pa.Table.from_arrays(
+                    [
+                        t.column("start"),
+                        pa.array(np.full(t.num_rows, _r, np.int64)),
+                        t.column("dst"),
+                    ],
+                    schema=W,
+                )
+                if t.num_columns and t.num_rows
+                else W.empty_table(),
+                batch_format="pyarrow",
+            ),
+            W,
+        ).materialize()
+        out_parts.append(state)
+
+    res = out_parts[0]
+    for p in out_parts[1:]:
+        res = res.union(p)
+    return res

@@ -110,6 +110,8 @@ def main() -> None:
         q_kg_metapath_census,
         q_kg_modularity,
         q_kg_node_lifespan,
+        q_kg_walk_corpus,
+        q_source_retention_funnel,
         q_last_touch_attribution,
         q_order_percent_rank,
         q_source_eval_sample,
@@ -161,6 +163,9 @@ def main() -> None:
         # session-32
         ("last_touch_attribution", q_last_touch_attribution, big),
         ("source_eval_sample", q_source_eval_sample, big_docs),
+        # session-33
+        ("kg_walk_corpus", q_kg_walk_corpus, big_docs),
+        ("source_retention_funnel", q_source_retention_funnel, big_docs),
     ]:
         if name in skip:
             continue
