@@ -315,6 +315,8 @@ def run_bench() -> dict:
         q_source_eval_sample,
         q_kg_walk_corpus,
         q_source_retention_funnel,
+        q_kg_snapshot_diff,
+        q_vocab_oov_rate,
     )
 
     for name, fn in [
@@ -489,6 +491,9 @@ def run_bench() -> dict:
         # session-33 additions: deterministic walk corpus, retention funnel
         ("kg_walk_corpus", q_kg_walk_corpus),
         ("source_retention_funnel", q_source_retention_funnel),
+        # session-34 additions: KG snapshot diff, vocab OOV audit
+        ("kg_snapshot_diff", q_kg_snapshot_diff),
+        ("vocab_oov_rate", q_vocab_oov_rate),
     ]:
         t = time.time()
         out = fn(SF_DIR)

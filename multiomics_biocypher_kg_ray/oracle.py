@@ -335,6 +335,33 @@ FROM mts CROSS JOIN mx
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_snapshot_diff() -> str:
+    """Twin of ``q_kg_snapshot_diff``: the base snapshot is the linked
+    stream restricted to the md5-split 'a' half (the identical
+    ``_split_case`` CASE as ``sampling.hash_split``), re-aggregated to
+    edges; diff = full-build edges left-joined to base, adds + weight
+    changes only."""
+    from .oracle_rel import _split_case
+
+    case = _split_case("l.conv_id", (("a", 0.5), ("b", 0.5)), "split")
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+base AS (
+  SELECT cs.canonical_id AS src, l.pred, co.canonical_id AS dst,
+         count(*)::BIGINT AS weight
+  FROM linked l
+  JOIN canon cs ON l.subj_id = cs.member
+  JOIN canon co ON l.obj_id = co.member
+  WHERE {case} = 'a'
+  GROUP BY 1, 2, 3
+)
+SELECT e.src, e.pred, e.dst, b.weight AS w_base, e.weight AS w_new,
+       CASE WHEN b.weight IS NULL THEN 'added'
+            ELSE 'weight_changed' END AS status
+FROM edges e LEFT JOIN base b USING (src, pred, dst)
+WHERE b.weight IS NULL OR b.weight <> e.weight"""
+
+
 def sql_kg_growth_curve() -> str:
     """Twin of ``q_kg_growth_curve``: first-seen epoch-week (µs //
     604800000000, non-negative) per edge and per node, counted by week."""

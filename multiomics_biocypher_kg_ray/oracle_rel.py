@@ -4114,3 +4114,25 @@ JOIN nd ON nd.doc_id = d.doc_id
 LEFT JOIN (SELECT DISTINCT keep_doc_id::BIGINT AS doc_id FROM e) ek
   ON ek.doc_id = d.doc_id
 GROUP BY 1"""
+
+
+def sql_vocab_oov_rate(k: int = 512) -> str:
+    """Twin of ``text.vocab_oov_rate``: top-``k`` vocabulary (count desc,
+    term asc), per-source total vs covered occurrences, integer ppm."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+cnt_all AS (SELECT term, count(*)::BIGINT AS n FROM tk GROUP BY 1),
+feats AS (SELECT term FROM cnt_all ORDER BY n DESC, term LIMIT {k}),
+d AS (SELECT doc_id, source FROM documents),
+tot AS (SELECT d.source, count(*)::BIGINT AS n_tokens
+        FROM tk t JOIN d USING (doc_id) GROUP BY 1),
+inv AS (SELECT d.source, count(*)::BIGINT AS n_in
+        FROM tk t JOIN feats USING (term) JOIN d USING (doc_id) GROUP BY 1)
+SELECT t.source, t.n_tokens,
+       coalesce(i.n_in, 0)::BIGINT AS n_in_vocab,
+       (((t.n_tokens - coalesce(i.n_in, 0)) * 1000000)
+        // greatest(t.n_tokens, 1))::BIGINT AS oov_ppm
+FROM tot t LEFT JOIN inv i USING (source)"""

@@ -1351,6 +1351,96 @@ def q_kg_edges_incremental(sf_dir: str):
     return merge_edges(halves["a"], halves["b"])
 
 
+def q_kg_snapshot_diff(sf_dir: str):
+    """Build-to-build KG regression diff: edges present in the FULL build
+    vs the base snapshot (the deterministic 'a' half of conversations) —
+    every edge that is 'added' or whose weight changed, with both weights.
+    The review table a KG owner reads after an ingest or rule change
+    (orders_snapshot_diff's graph sibling; base ⊆ full here, so removals
+    cannot occur and the diff is adds + weight growth).
+
+    Scale shape: two streaming builds (the base over the hash-split half —
+    same md5 split as the twin's CASE expression), one edge-cardinality
+    left join, a stateless status screen."""
+    from ..stages import sampling
+    from ..stages.fastagg import drop_empty_blocks
+    from ..tuning import default_join_partitions
+
+    split = sampling.hash_split(
+        transcripts_dataset(sf_dir), "conv_id", [("a", 0.5), ("b", 0.5)]
+    )
+    base_tr = split.map_batches(
+        lambda t: t.filter(pc.equal(t.column("split"), "a")).drop_columns(
+            ["split"]
+        ),
+        batch_format="pyarrow",
+    )
+    idx_ref = ray.put(AliasIndex(default_alias_dictionary()))
+    base = materialize.build_edges(
+        link_mentions(extract_mentions(base_tr), idx_ref), _canon_tbl()
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "pred": t.column("pred"),
+                "dst": t.column("dst"),
+                "w_base": pc.cast(t.column("weight"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    new = materialize.build_edges(_linked(sf_dir), _canon_tbl()).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "pred": t.column("pred"),
+                "dst": t.column("dst"),
+                "w_new": pc.cast(t.column("weight"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = drop_empty_blocks(new).join(
+        drop_empty_blocks(base),
+        join_type="left_outer",
+        num_partitions=default_join_partitions(),
+        on=("src", "pred", "dst"),
+    )
+
+    OUT = pa.schema(
+        [
+            ("src", pa.string()),
+            ("pred", pa.string()),
+            ("dst", pa.string()),
+            ("w_base", pa.int64()),
+            ("w_new", pa.int64()),
+            ("status", pa.string()),
+        ]
+    )
+
+    def screen(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        wb = t.column("w_base")
+        wn = t.column("w_new")
+        added = pc.is_null(wb)
+        keep = pc.or_kleene(added, pc.not_equal(pc.fill_null(wb, -1), wn))
+        t2 = pa.Table.from_arrays(
+            [
+                t.column("src"),
+                t.column("pred"),
+                t.column("dst"),
+                pc.cast(wb, pa.int64()),
+                pc.cast(wn, pa.int64()),
+                pc.if_else(added, "added", "weight_changed"),
+            ],
+            schema=OUT,
+        )
+        return t2.filter(pc.fill_null(keep, True))
+
+    return drop_empty_blocks(j.map_batches(screen, batch_format="pyarrow"), OUT)
+
+
 def q_events_zscore(sf_dir: str):
     """Per-type z-score feature scaling of cents, micro-quantized; NULL for
     zero-variance groups."""
@@ -2595,6 +2685,14 @@ def q_source_token_kl(sf_dir: str, k: int = 512):
     """Pairwise source-to-source smoothed KL divergence over the top-k
     vocabulary — the mixture-drift distance matrix."""
     return text.source_token_kl(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]), k=k
+    )
+
+
+def q_vocab_oov_rate(sf_dir: str, k: int = 512):
+    """Tokenizer-coverage audit: per-source OOV rate (ppm) under the global
+    top-k vocabulary."""
+    return text.vocab_oov_rate(
         _read(sf_dir, "documents", ["doc_id", "source", "text"]), k=k
     )
 
@@ -6589,6 +6687,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_source_retention_funnel,
             oracle_rel.sql_source_retention_funnel(),
         ),
+        "kg_snapshot_diff": (q_kg_snapshot_diff, oracle.sql_kg_snapshot_diff()),
+        "vocab_oov_rate": (q_vocab_oov_rate, oracle_rel.sql_vocab_oov_rate()),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -6614,6 +6714,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "source_eval_sample",
         "kg_walk_corpus",
         "source_retention_funnel",
+        "kg_snapshot_diff",
+        "vocab_oov_rate",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

@@ -1762,3 +1762,79 @@ def source_token_kl(docs: "ray.data.Dataset", k: int = 512) -> "ray.data.Dataset
         }
     )
     return ray.data.from_arrow(out)
+
+
+def vocab_oov_rate(docs: "ray.data.Dataset", k: int = 512) -> "ray.data.Dataset":
+    """Tokenizer-coverage audit: per source, total whitespace tokens, the
+    occurrences covered by the global top-``k`` vocabulary, and the
+    out-of-vocabulary rate in integer ppm — the what-would-a-K-entry-vocab
+    miss table (a source with a high OOV rate under the shared vocabulary
+    is jargon-heavy, noisy, or a different language and will fragment into
+    long byte-fallback token sequences).
+
+    Scale shape: the two ``_source_term_matrix`` fastagg passes (in-vocab
+    occurrence counts land in the S × K matrix) plus one per-source total
+    token fastagg; everything the driver touches is source-cardinality
+    bounded. Pure integers (oov_ppm = (tot − in)·10⁶ // tot)."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    sources, feats, C, _ = _source_term_matrix(docs, k)
+    in_vocab = {s: int(n) for s, n in zip(sources, C.sum(axis=1))}
+
+    TOT = pa.schema([("source", pa.string()), ("_n", pa.int64())])
+
+    def tot_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return TOT.empty_table()
+        s = batch.column("text").to_pandas()
+        src = batch.column("source").to_pandas()
+        ex = s.str.split(" ").explode().replace("", None).dropna()
+        if not len(ex):
+            return TOT.empty_table()
+        g = src.reindex(ex.index).value_counts()
+        return pa.table(
+            {
+                "source": pa.array(g.index.astype(str), pa.string()),
+                "_n": pa.array(g.to_numpy(), pa.int64()),
+            }
+        )
+
+    tot = sorted_grouped_agg(
+        drop_empty_blocks(
+            docs.select_columns(["source", "text"]).map_batches(
+                tot_fn, batch_format="pyarrow"
+            ),
+            TOT,
+        ),
+        ["source"],
+        [("_n", "sum")],
+        out_names=["n_tokens"],
+    )
+
+    OUT = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("n_in_vocab", pa.int64()),
+            ("oov_ppm", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        srcs = t.column("source").to_pylist()
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        ni = np.array([in_vocab.get(s, 0) for s in srcs], np.int64)
+        oov = ((nt - ni) * 1_000_000) // np.maximum(nt, 1)
+        return pa.Table.from_arrays(
+            [
+                t.column("source"),
+                pa.array(nt, pa.int64()),
+                pa.array(ni, pa.int64()),
+                pa.array(oov, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(tot.map_batches(final, batch_format="pyarrow"), OUT)

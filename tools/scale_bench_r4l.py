@@ -112,6 +112,8 @@ def main() -> None:
         q_kg_node_lifespan,
         q_kg_walk_corpus,
         q_source_retention_funnel,
+        q_kg_snapshot_diff,
+        q_vocab_oov_rate,
         q_last_touch_attribution,
         q_order_percent_rank,
         q_source_eval_sample,
@@ -166,6 +168,9 @@ def main() -> None:
         # session-33
         ("kg_walk_corpus", q_kg_walk_corpus, big_docs),
         ("source_retention_funnel", q_source_retention_funnel, big_docs),
+        # session-34
+        ("kg_snapshot_diff", q_kg_snapshot_diff, big_docs),
+        ("vocab_oov_rate", q_vocab_oov_rate, big_docs),
     ]:
         if name in skip:
             continue
