@@ -317,6 +317,8 @@ def run_bench() -> dict:
         q_source_retention_funnel,
         q_kg_snapshot_diff,
         q_vocab_oov_rate,
+        q_kg_pred_synonyms,
+        q_kg_functional_audit,
     )
 
     for name, fn in [
@@ -494,6 +496,9 @@ def run_bench() -> dict:
         # session-34 additions: KG snapshot diff, vocab OOV audit
         ("kg_snapshot_diff", q_kg_snapshot_diff),
         ("vocab_oov_rate", q_vocab_oov_rate),
+        # session-35 additions: predicate synonym / functional-property QA
+        ("kg_pred_synonyms", q_kg_pred_synonyms),
+        ("kg_functional_audit", q_kg_functional_audit),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -335,6 +335,38 @@ FROM mts CROSS JOIN mx
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_pred_synonyms() -> str:
+    """Twin of ``q_kg_pred_synonyms``: distinct (src, dst, pred) triples,
+    same-(src, dst) predicate pairs (a < b), jaccard ppm over per-pred
+    edge-set sizes."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+trip AS (SELECT DISTINCT src, dst, pred FROM edges),
+nsz AS (SELECT pred, count(*)::BIGINT AS n FROM trip GROUP BY 1),
+p AS (SELECT x.pred AS pred_a, y.pred AS pred_b, count(*)::BIGINT AS n_shared
+      FROM trip x JOIN trip y
+        ON x.src = y.src AND x.dst = y.dst AND x.pred < y.pred
+      GROUP BY 1, 2)
+SELECT p.pred_a, p.pred_b, p.n_shared, a.n AS n_a, b.n AS n_b,
+       ((p.n_shared * 1000000) // (a.n + b.n - p.n_shared))::BIGINT
+         AS jaccard_ppm
+FROM p JOIN nsz a ON a.pred = p.pred_a JOIN nsz b ON b.pred = p.pred_b"""
+
+
+def sql_kg_functional_audit() -> str:
+    """Twin of ``q_kg_functional_audit``: per-(pred, src) distinct-object
+    counts, per-pred violation rollup in ppm."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+trip AS (SELECT DISTINCT pred, src, dst FROM edges),
+ps AS (SELECT pred, src, count(*)::BIGINT AS n_obj FROM trip GROUP BY 1, 2)
+SELECT pred, count(*)::BIGINT AS n_subjects,
+       sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       ((sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END) * 1000000)
+        // greatest(count(*), 1))::BIGINT AS violation_ppm
+FROM ps GROUP BY 1"""
+
+
 def sql_kg_snapshot_diff() -> str:
     """Twin of ``q_kg_snapshot_diff``: the base snapshot is the linked
     stream restricted to the md5-split 'a' half (the identical

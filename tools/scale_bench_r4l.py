@@ -114,6 +114,8 @@ def main() -> None:
         q_source_retention_funnel,
         q_kg_snapshot_diff,
         q_vocab_oov_rate,
+        q_kg_pred_synonyms,
+        q_kg_functional_audit,
         q_last_touch_attribution,
         q_order_percent_rank,
         q_source_eval_sample,
@@ -171,6 +173,9 @@ def main() -> None:
         # session-34
         ("kg_snapshot_diff", q_kg_snapshot_diff, big_docs),
         ("vocab_oov_rate", q_vocab_oov_rate, big_docs),
+        # session-35
+        ("kg_pred_synonyms", q_kg_pred_synonyms, big_docs),
+        ("kg_functional_audit", q_kg_functional_audit, big_docs),
     ]:
         if name in skip:
             continue
