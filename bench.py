@@ -319,6 +319,7 @@ def run_bench() -> dict:
         q_vocab_oov_rate,
         q_kg_pred_synonyms,
         q_kg_functional_audit,
+        q_embedding_dedup_clusters,
     )
 
     for name, fn in [
@@ -499,6 +500,8 @@ def run_bench() -> dict:
         # session-35 additions: predicate synonym / functional-property QA
         ("kg_pred_synonyms", q_kg_pred_synonyms),
         ("kg_functional_audit", q_kg_functional_audit),
+        # session-36: semantic dedup clusters
+        ("embedding_dedup_clusters", q_embedding_dedup_clusters),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -4136,3 +4136,30 @@ SELECT t.source, t.n_tokens,
        (((t.n_tokens - coalesce(i.n_in, 0)) * 1000000)
         // greatest(t.n_tokens, 1))::BIGINT AS oov_ppm
 FROM tot t LEFT JOIN inv i USING (source)"""
+
+
+def sql_embedding_dedup_clusters(threshold: float = 0.3) -> str:
+    """Twin of ``q_embedding_dedup_clusters``: exact cosine pairs feed the
+    same recursive transitive closure + min-id labeling as the jaccard
+    near-dup twin; singletons label themselves."""
+    return f"""
+WITH RECURSIVE
+jp AS (SELECT a.vec_id AS da, b.vec_id AS db
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding)
+             >= {threshold}),
+edges AS (SELECT da AS a, db AS b FROM jp UNION SELECT db, da FROM jp),
+reach AS (
+  SELECT a AS node, b AS peer FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer
+),
+lab AS (SELECT node, least(node, min(peer))::BIGINT AS cluster_id
+        FROM reach GROUP BY 1),
+base AS (SELECT v.vec_id::BIGINT AS vec_id,
+                coalesce(l.cluster_id, v.vec_id)::BIGINT AS cluster_id
+         FROM embeddings v LEFT JOIN lab l ON l.node = v.vec_id)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+       (vec_id = cluster_id) AS is_canonical
+FROM base"""

@@ -4649,6 +4649,23 @@ def q_embedding_near_dups(sf_dir: str):
     return similarity.embedding_near_dup_pairs_blocked(ds, threshold=0.3)
 
 
+def q_embedding_dedup_clusters(sf_dir: str, threshold: float = 0.3):
+    """SEMANTIC dedup: cosine-threshold near-dup pairs → connected
+    components → one canonical vector per cluster — the embedding-space
+    counterpart of ``near_dup_clusters`` (SemDeDup-style semantic
+    deduplication, deterministic: exact pair join + min-id CC labels, no
+    sampling). Composes the block-pair triangle join with the generic
+    pair→CC→canonical machinery."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = similarity.embedding_near_dup_pairs_blocked(ds, threshold=threshold)
+    return dedup.near_dup_clusters(
+        _read(sf_dir, "embeddings", ["vec_id"]),
+        pairs,
+        id_col="vec_id",
+        pair_cols=("id_a", "id_b"),
+    )
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -6842,6 +6859,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_kg_functional_audit,
             oracle.sql_kg_functional_audit(),
         ),
+        "embedding_dedup_clusters": (
+            q_embedding_dedup_clusters,
+            oracle_rel.sql_embedding_dedup_clusters(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -6871,6 +6892,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "vocab_oov_rate",
         "kg_pred_synonyms",
         "kg_functional_audit",
+        "embedding_dedup_clusters",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

@@ -143,10 +143,25 @@ def embedding_near_dup_pairs_blocked(
             )
         return pa.concat_tables(parts)
 
+    EMPTY = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
     def score_pair(g: pd.DataFrame) -> pd.DataFrame:
         pair = int(g["pair"].iloc[0])
         i, j = pair // n_blocks, pair % n_blocks
         a = g[g["blk"] == i].drop_duplicates("vec_id")
+        # sparse corpora can leave one side of a block pair empty (a group
+        # forms when EITHER block contributes rows); norms over a 0-row
+        # matrix axis-error, and no pair can qualify anyway
+        if len(a) == 0 or (i == j and len(a) < 2):
+            return EMPTY
+        if i != j and len(g[g["blk"] == j].drop_duplicates("vec_id")) == 0:
+            return EMPTY
         ids_a = a["vec_id"].to_numpy()
         ma = _normalize(np.asarray(list(a["embedding"]), dtype=np.float64))
         if i == j:

@@ -102,6 +102,7 @@ def main() -> None:
         q_cohort_ltv,
         q_doc_hashed_features,
         q_doc_nb_source,
+        q_embedding_dedup_clusters,
         q_embedding_label_margin,
         q_embedding_top_pc,
         q_kg_edge_decay,
@@ -176,6 +177,8 @@ def main() -> None:
         # session-35
         ("kg_pred_synonyms", q_kg_pred_synonyms, big_docs),
         ("kg_functional_audit", q_kg_functional_audit, big_docs),
+        # session-36
+        ("embedding_dedup_clusters", q_embedding_dedup_clusters, big),
     ]:
         if name in skip:
             continue
