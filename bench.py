@@ -320,6 +320,7 @@ def run_bench() -> dict:
         q_kg_pred_synonyms,
         q_kg_functional_audit,
         q_embedding_dedup_clusters,
+        q_kg_entity_profile,
     )
 
     for name, fn in [
@@ -502,6 +503,8 @@ def run_bench() -> dict:
         ("kg_functional_audit", q_kg_functional_audit),
         # session-36: semantic dedup clusters
         ("embedding_dedup_clusters", q_embedding_dedup_clusters),
+        # session-37: entity profile card
+        ("kg_entity_profile", q_kg_entity_profile),
     ]:
         t = time.time()
         out = fn(SF_DIR)

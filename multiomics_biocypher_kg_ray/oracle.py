@@ -335,6 +335,46 @@ FROM mts CROSS JOIN mx
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_entity_profile(quantum: int = 1000) -> str:
+    """Twin of ``q_kg_entity_profile``: degree + predicate entropy + top
+    out-neighbor + mention lifespan left-joined onto the node universe."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+deg AS (SELECT node AS id, count(*)::BIGINT AS degree,
+               sum(weight)::BIGINT AS weighted_degree
+        FROM (SELECT src AS node, weight FROM edges
+              UNION ALL SELECT dst, weight FROM edges)
+        GROUP BY 1),
+c AS (SELECT src, pred, count(*)::BIGINT AS c FROM edges GROUP BY 1, 2),
+a AS (SELECT src, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_items,
+             sum(c * floor(ln(c::DOUBLE) * {quantum}.0)::BIGINT)::BIGINT AS s
+      FROM c GROUP BY 1),
+pe AS (SELECT src, n_items AS n_preds,
+              ((n * floor(ln(n::DOUBLE) * {quantum}.0)::BIGINT - s)
+               // n)::BIGINT AS pred_entropy_milli
+       FROM a),
+topn AS (SELECT src, dst AS top_neighbor, weight::BIGINT AS top_w FROM edges
+         QUALIFY row_number() OVER (PARTITION BY src
+                                    ORDER BY weight DESC, dst) = 1),
+mts AS (
+  SELECT cs.canonical_id AS src, co.canonical_id AS dst, t.ts
+  FROM linked l
+  JOIN canon cs ON l.subj_id = cs.member
+  JOIN canon co ON l.obj_id = co.member
+  JOIN transcripts t ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
+),
+nl AS (SELECT id, count(*)::BIGINT AS n_mentions,
+              min(ts) AS first_seen, max(ts) AS last_seen
+       FROM (SELECT src AS id, ts FROM mts UNION ALL SELECT dst, ts FROM mts)
+       GROUP BY 1)
+SELECT d.id, d.degree, d.weighted_degree, pe.n_preds, pe.pred_entropy_milli,
+       t.top_neighbor, t.top_w, nl.n_mentions, nl.first_seen, nl.last_seen
+FROM deg d
+LEFT JOIN pe ON pe.src = d.id
+LEFT JOIN topn t ON t.src = d.id
+LEFT JOIN nl ON nl.id = d.id"""
+
+
 def sql_kg_pred_synonyms() -> str:
     """Twin of ``q_kg_pred_synonyms``: distinct (src, dst, pred) triples,
     same-(src, dst) predicate pairs (a < b), jaccard ppm over per-pred

@@ -4746,6 +4746,116 @@ def q_kg_walk_corpus(sf_dir: str):
     )
 
 
+def q_kg_entity_profile(sf_dir: str):
+    """Per-entity profile card — the 'entity page' every KG product serves:
+    degree + weighted degree, outgoing-predicate diversity (quantized-log
+    entropy), mention lifespan (count, first/last asserting turn), and the
+    strongest out-neighbor (max weight, ties → dst asc). One row per node;
+    src-only signals are NULL for pure-object nodes.
+
+    Scale shape: the edge table is built once and reused by three
+    node-proportional aggregates (degree fastagg, entropy fastagg,
+    ranked_over top-1); lifespans ride the shared mention-ts plumbing; the
+    final assembly is three left joins at node cardinality."""
+    from ..stages.fastagg import drop_empty_blocks
+    from ..tuning import default_join_partitions
+
+    edges = materialize.build_edges(_linked(sf_dir), _canon_tbl()).materialize()
+    deg = materialize.node_degree(edges)
+    pe = relational.group_entropy(
+        edges.select_columns(["src", "pred"]), "src", "pred"
+    ).map_batches(
+        lambda t: t.rename_columns(["src", "n_pred_edges", "n_preds", "pred_entropy_milli"])
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+    nl = materialize.node_lifespan(
+        _linked(sf_dir), _canon_tbl(), transcripts_dataset(sf_dir)
+    )
+    top = relational.ranked_over(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src"),
+                    "top_neighbor": t.column("dst"),
+                    "top_w": pc.cast(t.column("weight"), pa.int64()),
+                }
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ),
+        ["src"],
+        [("top_w", False), ("top_neighbor", True)],
+        rank_col="_rk",
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("_rk"), 1)).drop_columns(["_rk"])
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+
+    np_ = default_join_partitions()
+    j = drop_empty_blocks(deg).join(
+        drop_empty_blocks(pe),
+        join_type="left_outer",
+        num_partitions=np_,
+        on=("id",),
+        right_on=("src",),
+    )
+    j = drop_empty_blocks(j).join(
+        drop_empty_blocks(top),
+        join_type="left_outer",
+        num_partitions=np_,
+        on=("id",),
+        right_on=("src",),
+    )
+    j = drop_empty_blocks(j).join(
+        drop_empty_blocks(nl),
+        join_type="left_outer",
+        num_partitions=np_,
+        on=("id",),
+        right_on=("id",),
+    )
+
+    OUT = pa.schema(
+        [
+            ("id", pa.string()),
+            ("degree", pa.int64()),
+            ("weighted_degree", pa.int64()),
+            ("n_preds", pa.int64()),
+            ("pred_entropy_milli", pa.int64()),
+            ("top_neighbor", pa.string()),
+            ("top_w", pa.int64()),
+            ("n_mentions", pa.int64()),
+            ("first_seen", pa.timestamp("us")),
+            ("last_seen", pa.timestamp("us")),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("id"),
+                pc.cast(t.column("degree"), pa.int64()),
+                pc.cast(t.column("weighted_degree"), pa.int64()),
+                pc.cast(t.column("n_preds"), pa.int64()),
+                pc.cast(t.column("pred_entropy_milli"), pa.int64()),
+                t.column("top_neighbor"),
+                pc.cast(t.column("top_w"), pa.int64()),
+                pc.cast(t.column("n_mentions"), pa.int64()),
+                pc.cast(t.column("first_seen"), pa.timestamp("us")),
+                pc.cast(t.column("last_seen"), pa.timestamp("us")),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(j.map_batches(final, batch_format="pyarrow"), OUT)
+
+
 def q_kg_pred_synonyms(sf_dir: str):
     """Predicate-level redundancy audit: for every predicate pair, the
     jaccard (ppm) of their (src, dst) edge-pair sets — two predicates whose
@@ -6863,6 +6973,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_embedding_dedup_clusters,
             oracle_rel.sql_embedding_dedup_clusters(),
         ),
+        "kg_entity_profile": (
+            q_kg_entity_profile,
+            oracle.sql_kg_entity_profile(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -6893,6 +7007,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_pred_synonyms",
         "kg_functional_audit",
         "embedding_dedup_clusters",
+        "kg_entity_profile",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

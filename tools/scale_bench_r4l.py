@@ -106,6 +106,7 @@ def main() -> None:
         q_embedding_label_margin,
         q_embedding_top_pc,
         q_kg_edge_decay,
+        q_kg_entity_profile,
         q_kg_growth_curve,
         q_session_type_rules,
         q_kg_metapath_census,
@@ -179,6 +180,8 @@ def main() -> None:
         ("kg_functional_audit", q_kg_functional_audit, big_docs),
         # session-36
         ("embedding_dedup_clusters", q_embedding_dedup_clusters, big),
+        # session-37
+        ("kg_entity_profile", q_kg_entity_profile, big_docs),
     ]:
         if name in skip:
             continue
