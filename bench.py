@@ -321,6 +321,8 @@ def run_bench() -> dict:
         q_kg_functional_audit,
         q_embedding_dedup_clusters,
         q_kg_entity_profile,
+        q_kg_degree_gini,
+        q_events_order_audit,
     )
 
     for name, fn in [
@@ -505,6 +507,9 @@ def run_bench() -> dict:
         ("embedding_dedup_clusters", q_embedding_dedup_clusters),
         # session-37: entity profile card
         ("kg_entity_profile", q_kg_entity_profile),
+        # session-38: degree Gini, stream-ordering audit
+        ("kg_degree_gini", q_kg_degree_gini),
+        ("events_order_audit", q_events_order_audit),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -335,6 +335,34 @@ FROM mts CROSS JOIN mx
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_degree_gini() -> str:
+    """Twin of ``q_kg_degree_gini``: the doubled-midrank exact-integer Gini
+    over the node-degree distribution, constant group."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        GROUP BY 1),
+e AS (SELECT 'all' AS g, degree AS v FROM deg),
+r AS (
+  SELECT g, v,
+         (2 * rank() OVER (PARTITION BY g ORDER BY v)
+            + count(*) OVER (PARTITION BY g, v) - 1)::BIGINT AS m
+  FROM e
+),
+st AS (
+  SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+         sum(v * m)::BIGINT AS vm
+  FROM r GROUP BY 1
+)
+SELECT g, n, s AS total,
+       CASE WHEN s > 0
+            THEN floor(((vm - (n + 1) * s)::DOUBLE * 1000000.0::DOUBLE)
+                       / (n::DOUBLE * s::DOUBLE))::BIGINT
+            ELSE NULL END AS gini_ppm
+FROM st"""
+
+
 def sql_kg_entity_profile(quantum: int = 1000) -> str:
     """Twin of ``q_kg_entity_profile``: degree + predicate entropy + top
     out-neighbor + mention lifespan left-joined onto the node universe."""

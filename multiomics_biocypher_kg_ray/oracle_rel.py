@@ -4163,3 +4163,24 @@ SELECT vec_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
        (vec_id = cluster_id) AS is_canonical
 FROM base"""
+
+
+def sql_events_order_audit() -> str:
+    """Twin of ``q_events_order_audit``: lag(ts) over arrival (event_id)
+    order per user, adjacent inversion counts, integer ppm."""
+    return """
+WITH o AS (
+  SELECT user_id::BIGINT AS user_id, event_id,
+         epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev
+  FROM events
+),
+a AS (SELECT user_id, count(*)::BIGINT AS n_events,
+             sum(CASE WHEN prev > ts_us THEN 1 ELSE 0 END)::BIGINT
+               AS n_inversions
+      FROM o GROUP BY 1)
+SELECT user_id, n_events, n_inversions,
+       ((n_inversions * 1000000) // greatest(n_events, 1))::BIGINT
+         AS inversion_ppm
+FROM a"""

@@ -100,6 +100,8 @@ def main() -> None:
     from multiomics_biocypher_kg_ray.pipelines.queries import (
         q_chunk_dup_stats,
         q_cohort_ltv,
+        q_events_order_audit,
+        q_kg_degree_gini,
         q_doc_hashed_features,
         q_doc_nb_source,
         q_embedding_dedup_clusters,
@@ -182,6 +184,9 @@ def main() -> None:
         ("embedding_dedup_clusters", q_embedding_dedup_clusters, big),
         # session-37
         ("kg_entity_profile", q_kg_entity_profile, big_docs),
+        # session-38
+        ("kg_degree_gini", q_kg_degree_gini, big_docs),
+        ("events_order_audit", q_events_order_audit, big),
     ]:
         if name in skip:
             continue
