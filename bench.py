@@ -323,6 +323,8 @@ def run_bench() -> dict:
         q_kg_entity_profile,
         q_kg_degree_gini,
         q_events_order_audit,
+        q_char_pair_merge_candidates,
+        q_doc_compression_ratio,
     )
 
     for name, fn in [
@@ -510,6 +512,9 @@ def run_bench() -> dict:
         # session-38: degree Gini, stream-ordering audit
         ("kg_degree_gini", q_kg_degree_gini),
         ("events_order_audit", q_events_order_audit),
+        # session-39: byte-pair mining, compression-ratio signal
+        ("char_pair_merge_candidates", q_char_pair_merge_candidates),
+        ("doc_compression_ratio", q_doc_compression_ratio),
     ]:
         t = time.time()
         out = fn(SF_DIR)

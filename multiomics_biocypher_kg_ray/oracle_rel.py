@@ -4184,3 +4184,20 @@ SELECT user_id, n_events, n_inversions,
        ((n_inversions * 1000000) // greatest(n_events, 1))::BIGINT
          AS inversion_ppm
 FROM a"""
+
+
+def sql_char_pair_merge_candidates(k: int = 50) -> str:
+    """Twin of ``text.char_pair_merge_candidates`` — exact for single-byte
+    (ASCII) corpora, where DuckDB's character substr equals the engine's
+    byte scan; space-adjacent pairs excluded, (count desc, pair asc)."""
+    return f"""
+WITH pos AS (
+  SELECT text, unnest(range(1, length(text))) AS i
+  FROM documents WHERE length(text) >= 2
+),
+p AS (SELECT substr(text, i::INT, 1) AS c1,
+             substr(text, (i + 1)::INT, 1) AS c2
+      FROM pos),
+f AS (SELECT c1 || c2 AS pair, count(*)::BIGINT AS n
+      FROM p WHERE c1 <> ' ' AND c2 <> ' ' GROUP BY 1)
+SELECT pair, n FROM f ORDER BY n DESC, pair LIMIT {k}"""

@@ -2689,6 +2689,22 @@ def q_source_token_kl(sf_dir: str, k: int = 512):
     )
 
 
+def q_char_pair_merge_candidates(sf_dir: str, k: int = 50):
+    """Byte-BPE round-one merge table: top-k adjacent byte pairs (space
+    pairs excluded) across the corpus."""
+    return text.char_pair_merge_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=k
+    )
+
+
+def q_doc_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (ppm) — Gopher-style repetition /
+    noise screen. ROWS-ONLY by design (no SQL zlib)."""
+    return text.doc_compression_ratio(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
 def q_vocab_oov_rate(sf_dir: str, k: int = 512):
     """Tokenizer-coverage audit: per-source OOV rate (ppm) under the global
     top-k vocabulary."""
@@ -7083,6 +7099,12 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_events_order_audit,
             oracle_rel.sql_events_order_audit(),
         ),
+        "char_pair_merge_candidates": (
+            q_char_pair_merge_candidates,
+            oracle_rel.sql_char_pair_merge_candidates(),
+        ),
+        # rows-only by design: no SQL zlib exists (same contract as knn_lsh)
+        "doc_compression_ratio": (q_doc_compression_ratio, None),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -7116,6 +7138,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_entity_profile",
         "kg_degree_gini",
         "events_order_audit",
+        "char_pair_merge_candidates",
+        "doc_compression_ratio",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

@@ -1838,3 +1838,120 @@ def vocab_oov_rate(docs: "ray.data.Dataset", k: int = 512) -> "ray.data.Dataset"
         )
 
     return drop_empty_blocks(tot.map_batches(final, batch_format="pyarrow"), OUT)
+
+
+def char_pair_merge_candidates(
+    docs: "ray.data.Dataset", k: int = 50
+) -> "ray.data.Dataset":
+    """Subword-vocab induction, round one: the top-``k`` adjacent BYTE pairs
+    across the corpus (space-adjacent pairs excluded) ordered (count desc,
+    pair asc) — the first merge table a byte-level BPE trainer produces,
+    run as a corpus op so vocabulary work scales with the data pipeline
+    instead of a single-machine tokenizer trainer.
+
+    Byte-level contract (that IS what byte-BPE counts): the engine scans
+    UTF-8 bytes; the DuckDB twin's substr() is character-based, so the twin
+    is exact for single-byte (ASCII) corpora — stated here, not hidden.
+
+    Scale shape: per batch, ALL texts concatenate with NUL separators into
+    ONE numpy buffer (no per-row Python), pair codes are a*256+b ints,
+    per-batch bincount partials shrink the shuffle to ≤ 64K distinct codes;
+    one fastagg + one tiny top-k sort."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema([("code", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return MID.empty_table()
+        texts = batch.column("text").to_pylist()
+        buf = np.frombuffer(
+            "\x00".join(t or "" for t in texts).encode("utf-8"), dtype=np.uint8
+        )
+        if len(buf) < 2:
+            return MID.empty_table()
+        a = buf[:-1].astype(np.int64)
+        b = buf[1:].astype(np.int64)
+        mask = (a != 32) & (b != 32) & (a != 0) & (b != 0)
+        if not mask.any():
+            return MID.empty_table()
+        codes = a[mask] * 256 + b[mask]
+        uniq, cnt = np.unique(codes, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64()), pa.array(cnt.astype(np.int64))],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            docs.select_columns(["text"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            MID,
+        ),
+        ["code"],
+        [("n", "sum")],
+        out_names=["n"],
+    )
+    OUT = pa.schema([("pair", pa.string()), ("n", pa.int64())])
+
+    def to_pair(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        codes = t.column("code").to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = [chr(c // 256) + chr(c % 256) for c in codes]  # k-bounded
+        return pa.Table.from_arrays(
+            [pa.array(pairs, pa.string()), pc.cast(t.column("n"), pa.int64())],
+            schema=OUT,
+        )
+
+    top = agg.sort(["n", "code"], descending=[True, False]).limit(k)
+    return drop_empty_blocks(top.map_batches(to_pair, batch_format="pyarrow"), OUT)
+
+
+def doc_compression_ratio(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Compression-ratio quality signal (zlib level 6): ratio_ppm =
+    compressed_bytes·10⁶ // raw_bytes per document — the Gopher-style
+    repetition/noise screen (boilerplate floods compress far below normal
+    prose; encrypted/binary junk barely compresses). No SQL twin exists for
+    zlib, so this op is registered ROWS-ONLY by design; determinism comes
+    from the pinned zlib level and is covered by tests, not the oracle.
+
+    Scale shape: stateless per-batch map; zlib is C-speed per doc (the
+    Python loop is the documented cost — compression is inherently
+    per-payload, same contract as the media decode pool)."""
+    import zlib
+
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("raw_bytes", pa.int64()),
+            ("compressed_bytes", pa.int64()),
+            ("ratio_ppm", pa.int64()),
+        ]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return OUT.empty_table()
+        texts = batch.column("text").to_pylist()
+        raw, comp = [], []
+        for t in texts:
+            bs = (t or "").encode("utf-8")
+            raw.append(len(bs))
+            comp.append(len(zlib.compress(bs, 6)))
+        raw_a = np.array(raw, np.int64)
+        comp_a = np.array(comp, np.int64)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("doc_id"), pa.int64()),
+                pa.array(raw_a),
+                pa.array(comp_a),
+                pa.array(comp_a * 1_000_000 // np.maximum(raw_a, 1)),
+            ],
+            schema=OUT,
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -98,7 +98,9 @@ def main() -> None:
             pq.write_table(reps_t, emb_big)
 
     from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_char_pair_merge_candidates,
         q_chunk_dup_stats,
+        q_doc_compression_ratio,
         q_cohort_ltv,
         q_events_order_audit,
         q_kg_degree_gini,
@@ -187,6 +189,9 @@ def main() -> None:
         # session-38
         ("kg_degree_gini", q_kg_degree_gini, big_docs),
         ("events_order_audit", q_events_order_audit, big),
+        # session-39
+        ("char_pair_merge_candidates", q_char_pair_merge_candidates, big_docs),
+        ("doc_compression_ratio", q_doc_compression_ratio, big_docs),
     ]:
         if name in skip:
             continue
