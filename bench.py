@@ -325,6 +325,8 @@ def run_bench() -> dict:
         q_events_order_audit,
         q_char_pair_merge_candidates,
         q_doc_compression_ratio,
+        q_kg_provenance_mix,
+        q_supplier_slow_ship,
     )
 
     for name, fn in [
@@ -515,6 +517,9 @@ def run_bench() -> dict:
         # session-39: byte-pair mining, compression-ratio signal
         ("char_pair_merge_candidates", q_char_pair_merge_candidates),
         ("doc_compression_ratio", q_doc_compression_ratio),
+        # session-40: provenance mix, supplier SLA wilson
+        ("kg_provenance_mix", q_kg_provenance_mix),
+        ("supplier_slow_ship", q_supplier_slow_ship),
     ]:
         t = time.time()
         out = fn(SF_DIR)

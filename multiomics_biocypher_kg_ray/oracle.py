@@ -335,6 +335,21 @@ FROM mts CROSS JOIN mx
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_provenance_mix() -> str:
+    """Twin of ``q_kg_provenance_mix``: substring classification of the
+    evidence union over the multi-source edge table."""
+    return f"""
+WITH ms AS ({sql_kg_multisource()})
+SELECT pred,
+       CASE WHEN contains(evidence, 'doc:')
+                 AND contains(evidence, 'transcript:') THEN 'both'
+            WHEN contains(evidence, 'doc:') THEN 'doc_only'
+            WHEN contains(evidence, 'transcript:') THEN 'transcript_only'
+            ELSE 'other' END AS provenance,
+       count(*)::BIGINT AS n_edges
+FROM ms GROUP BY 1, 2"""
+
+
 def sql_kg_degree_gini() -> str:
     """Twin of ``q_kg_degree_gini``: the doubled-midrank exact-integer Gini
     over the node-degree distribution, constant group."""

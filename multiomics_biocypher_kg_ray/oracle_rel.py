@@ -4201,3 +4201,31 @@ p AS (SELECT substr(text, i::INT, 1) AS c1,
 f AS (SELECT c1 || c2 AS pair, count(*)::BIGINT AS n
       FROM p WHERE c1 <> ' ' AND c2 <> ' ' GROUP BY 1)
 SELECT pair, n FROM f ORDER BY n DESC, pair LIMIT {k}"""
+
+
+def sql_supplier_slow_ship(late_days: int = 60) -> str:
+    """Twin of ``q_supplier_slow_ship``: lineitem⋈orders, µs date delta vs
+    the late threshold, per-supplier (k, n), the identical Wilson z=2
+    expression as ``sql_part_return_wilson``."""
+    late_us = late_days * 86_400_000_000
+    return f"""
+WITH j AS (
+  SELECT l.l_suppkey::BIGINT AS l_suppkey,
+         (epoch_us(l.l_shipdate::TIMESTAMP)
+          - epoch_us(o.o_orderdate::TIMESTAMP)) AS delta_us
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+a AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n,
+         sum(CASE WHEN delta_us > {late_us} THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM j GROUP BY 1
+)
+SELECT l_suppkey, n, k,
+       floor((((k::DOUBLE / n::DOUBLE) + 2.0::DOUBLE / n::DOUBLE)
+              - 2.0::DOUBLE * sqrt((k::DOUBLE / n::DOUBLE)
+                                   * (1.0::DOUBLE - k::DOUBLE / n::DOUBLE)
+                                   / n::DOUBLE
+                                   + 1.0::DOUBLE / (n::DOUBLE * n::DOUBLE)))
+             / (1.0::DOUBLE + 4.0::DOUBLE / n::DOUBLE)
+             * 1000000.0::DOUBLE)::BIGINT AS wilson_low_ppm
+FROM a"""

@@ -116,7 +116,9 @@ def main() -> None:
         q_kg_metapath_census,
         q_kg_modularity,
         q_kg_node_lifespan,
+        q_kg_provenance_mix,
         q_kg_walk_corpus,
+        q_supplier_slow_ship,
         q_source_retention_funnel,
         q_kg_snapshot_diff,
         q_vocab_oov_rate,
@@ -192,6 +194,9 @@ def main() -> None:
         # session-39
         ("char_pair_merge_candidates", q_char_pair_merge_candidates, big_docs),
         ("doc_compression_ratio", q_doc_compression_ratio, big_docs),
+        # session-40
+        ("kg_provenance_mix", q_kg_provenance_mix, big_docs),
+        ("supplier_slow_ship", q_supplier_slow_ship, big),
     ]:
         if name in skip:
             continue
