@@ -327,6 +327,8 @@ def run_bench() -> dict:
         q_doc_compression_ratio,
         q_kg_provenance_mix,
         q_supplier_slow_ship,
+        q_kg_mention_contexts,
+        q_event_daily_anomaly,
     )
 
     for name, fn in [
@@ -520,6 +522,9 @@ def run_bench() -> dict:
         # session-40: provenance mix, supplier SLA wilson
         ("kg_provenance_mix", q_kg_provenance_mix),
         ("supplier_slow_ship", q_supplier_slow_ship),
+        # session-41: mention context windows, daily volume anomaly
+        ("kg_mention_contexts", q_kg_mention_contexts),
+        ("event_daily_anomaly", q_event_daily_anomaly),
     ]:
         t = time.time()
         out = fn(SF_DIR)

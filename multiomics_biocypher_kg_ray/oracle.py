@@ -335,6 +335,22 @@ FROM mts CROSS JOIN mx
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_mention_contexts() -> str:
+    """Twin of ``q_kg_mention_contexts``: mentions joined to their turn and
+    ±1-turn neighbors (NULL at conversation boundaries)."""
+    return f"""{_kg_prefix()}
+SELECT m.conv_id, m.turn_idx::BIGINT AS turn_idx, m.pred,
+       m.subj_text, m.obj_text,
+       tp.text AS prev_text, t0.text AS text, tn.text AS next_text
+FROM mentions m
+JOIN transcripts t0
+  ON t0.conv_id = m.conv_id AND t0.turn_idx = m.turn_idx
+LEFT JOIN transcripts tp
+  ON tp.conv_id = m.conv_id AND tp.turn_idx = m.turn_idx - 1
+LEFT JOIN transcripts tn
+  ON tn.conv_id = m.conv_id AND tn.turn_idx = m.turn_idx + 1"""
+
+
 def sql_kg_provenance_mix() -> str:
     """Twin of ``q_kg_provenance_mix``: substring classification of the
     evidence union over the multi-source edge table."""

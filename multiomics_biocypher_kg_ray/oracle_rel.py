@@ -4229,3 +4229,25 @@ SELECT l_suppkey, n, k,
              / (1.0::DOUBLE + 4.0::DOUBLE / n::DOUBLE)
              * 1000000.0::DOUBLE)::BIGINT AS wilson_low_ppm
 FROM a"""
+
+
+def sql_event_daily_anomaly() -> str:
+    """Twin of ``q_event_daily_anomaly``: epoch-day counts per type, the
+    integer-sum z rearrangement (bit-exact, NULL zero-variance)."""
+    return """
+WITH c AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, count(*)::BIGINT AS cnt, sum(n)::BIGINT AS s,
+         sum(n * n)::BIGINT AS s2
+  FROM c GROUP BY 1
+)
+SELECT c.event_type, c.day, c.n,
+       CASE WHEN (cnt::DOUBLE * s2 - s::DOUBLE * s) > 0.0::DOUBLE
+            THEN floor(((cnt * c.n - s) * 1000000.0::DOUBLE)
+                       / sqrt(cnt::DOUBLE * s2 - s::DOUBLE * s))::BIGINT
+            ELSE NULL END AS zscore_ppm
+FROM c JOIN st USING (event_type)"""

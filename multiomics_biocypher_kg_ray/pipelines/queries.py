@@ -4872,6 +4872,146 @@ def q_kg_entity_profile(sf_dir: str):
     return drop_empty_blocks(j.map_batches(final, batch_format="pyarrow"), OUT)
 
 
+def q_kg_mention_contexts(sf_dir: str):
+    """Distant-supervision training rows: every extracted mention with its
+    ±1-turn conversational context — the (entity-pair, context window)
+    table a relation-extraction model trains on, emitted straight from the
+    KG pipeline instead of a separate corpus pass. Three row-proportional
+    hash joins against the (conv, turn) key table; boundary turns get NULL
+    context."""
+    from ..stages.fastagg import drop_empty_blocks
+    from ..tuning import default_join_partitions
+
+    m = extract_mentions(transcripts_dataset(sf_dir)).map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                "pred": t.column("pred"),
+                "subj_text": t.column("subj_text"),
+                "obj_text": t.column("obj_text"),
+            }
+        )
+        if t.num_columns and t.num_rows
+        else t,
+        batch_format="pyarrow",
+    )
+
+    def tx_shift(shift: int, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.schema(
+                    [("conv_id", pa.string()), ("turn_idx", pa.int64()), (out, pa.string())]
+                ).empty_table()
+            return pa.table(
+                {
+                    "conv_id": t.column("conv_id"),
+                    "turn_idx": pc.cast(
+                        pc.add(pc.cast(t.column("turn_idx"), pa.int64()), shift),
+                        pa.int64(),
+                    ),
+                    out: t.column("text"),
+                }
+            )
+
+        return drop_empty_blocks(
+            transcripts_dataset(sf_dir)
+            .select_columns(["conv_id", "turn_idx", "text"])
+            .map_batches(fn, batch_format="pyarrow")
+        )
+
+    np_ = default_join_partitions()
+    j = drop_empty_blocks(m).join(
+        tx_shift(0, "text"),
+        join_type="inner",
+        num_partitions=np_,
+        on=("conv_id", "turn_idx"),
+    )
+    j = drop_empty_blocks(j).join(
+        tx_shift(1, "prev_text"),
+        join_type="left_outer",
+        num_partitions=np_,
+        on=("conv_id", "turn_idx"),
+    )
+    j = drop_empty_blocks(j).join(
+        tx_shift(-1, "next_text"),
+        join_type="left_outer",
+        num_partitions=np_,
+        on=("conv_id", "turn_idx"),
+    )
+    OUT = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("pred", pa.string()),
+            ("subj_text", pa.string()),
+            ("obj_text", pa.string()),
+            ("prev_text", pa.string()),
+            ("text", pa.string()),
+            ("next_text", pa.string()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        return pa.Table.from_arrays(
+            [t.column(c) for c in OUT.names], schema=OUT
+        )
+
+    return drop_empty_blocks(j.map_batches(final, batch_format="pyarrow"), OUT)
+
+
+def q_event_daily_anomaly(sf_dir: str):
+    """Per-(event_type, day) volume z-score: daily counts normalized within
+    their type via the exact integer-sum z rearrangement — the
+    volume-anomaly screen an ingest monitor alerts on. One day-cardinality
+    fastagg + ``group_zscore``'s bit-exact kernel (NULL for zero-variance
+    types)."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema(
+        [("event_type", pa.string()), ("day", pa.int64()), ("_one", pa.int64())]
+    )
+
+    def days(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t.column("event_type"),
+                pc.cast(pc.divide(us, 86_400_000_000), pa.int64()),
+                pa.array(np.ones(t.num_rows, np.int64)),
+            ],
+            schema=MID,
+        )
+
+    counts = sorted_grouped_agg(
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+                days, batch_format="pyarrow"
+            ),
+            MID,
+        ),
+        ["event_type", "day"],
+        [("_one", "sum")],
+        out_names=["n"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.cast(t.column("day"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+        if t.num_columns and t.num_rows
+        else t,
+        batch_format="pyarrow",
+    )
+    return relational.group_zscore(counts, ["event_type"], "n")
+
+
 def q_kg_provenance_mix(sf_dir: str):
     """Cross-source corroboration census over the multi-source KG: per
     (pred, provenance) where provenance classifies each edge's evidence
@@ -7247,6 +7387,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_supplier_slow_ship,
             oracle_rel.sql_supplier_slow_ship(),
         ),
+        "kg_mention_contexts": (
+            q_kg_mention_contexts,
+            oracle.sql_kg_mention_contexts(),
+        ),
+        "event_daily_anomaly": (
+            q_event_daily_anomaly,
+            oracle_rel.sql_event_daily_anomaly(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -7284,6 +7432,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "doc_compression_ratio",
         "kg_provenance_mix",
         "supplier_slow_ship",
+        "kg_mention_contexts",
+        "event_daily_anomaly",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

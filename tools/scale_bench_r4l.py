@@ -102,8 +102,10 @@ def main() -> None:
         q_chunk_dup_stats,
         q_doc_compression_ratio,
         q_cohort_ltv,
+        q_event_daily_anomaly,
         q_events_order_audit,
         q_kg_degree_gini,
+        q_kg_mention_contexts,
         q_doc_hashed_features,
         q_doc_nb_source,
         q_embedding_dedup_clusters,
@@ -197,6 +199,9 @@ def main() -> None:
         # session-40
         ("kg_provenance_mix", q_kg_provenance_mix, big_docs),
         ("supplier_slow_ship", q_supplier_slow_ship, big),
+        # session-41
+        ("kg_mention_contexts", q_kg_mention_contexts, big_docs),
+        ("event_daily_anomaly", q_event_daily_anomaly, big),
     ]:
         if name in skip:
             continue
