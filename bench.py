@@ -329,6 +329,8 @@ def run_bench() -> dict:
         q_supplier_slow_ship,
         q_kg_mention_contexts,
         q_event_daily_anomaly,
+        q_kg_rule_yield,
+        q_pack_efficiency,
     )
 
     for name, fn in [
@@ -525,6 +527,9 @@ def run_bench() -> dict:
         # session-41: mention context windows, daily volume anomaly
         ("kg_mention_contexts", q_kg_mention_contexts),
         ("event_daily_anomaly", q_event_daily_anomaly),
+        # session-42: rule yield, packing efficiency
+        ("kg_rule_yield", q_kg_rule_yield),
+        ("pack_efficiency", q_pack_efficiency),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -335,6 +335,19 @@ FROM mts CROSS JOIN mx
 GROUP BY 1, 2, 3"""
 
 
+def sql_kg_rule_yield() -> str:
+    """Twin of ``q_kg_rule_yield``: per-rule mention and both-sides-linked
+    counts over the linked stream, integer ppm."""
+    return f"""{_kg_prefix()}
+SELECT rule_id, count(*)::BIGINT AS n_mentions,
+       sum(CASE WHEN subj_id IS NOT NULL AND obj_id IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_linked,
+       ((sum(CASE WHEN subj_id IS NOT NULL AND obj_id IS NOT NULL
+                  THEN 1 ELSE 0 END) * 1000000)
+        // greatest(count(*), 1))::BIGINT AS linked_ppm
+FROM linked GROUP BY 1"""
+
+
 def sql_kg_mention_contexts() -> str:
     """Twin of ``q_kg_mention_contexts``: mentions joined to their turn and
     ±1-turn neighbors (NULL at conversation boundaries)."""

@@ -4251,3 +4251,14 @@ SELECT c.event_type, c.day, c.n,
                        / sqrt(cnt::DOUBLE * s2 - s::DOUBLE * s))::BIGINT
             ELSE NULL END AS zscore_ppm
 FROM c JOIN st USING (event_type)"""
+
+
+def sql_pack_efficiency(budget: int = 512, n_shards: int = 8) -> str:
+    """Twin of ``q_pack_efficiency``: the pack-assign window CTE grouped to
+    (shard, pack bin) with integer fill ppm."""
+    return f"""
+WITH p AS ({sql_doc_pack_assign(budget, n_shards)})
+SELECT shard, pack_idx, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS used_tokens,
+       ((sum(n_tokens) * 1000000) // {budget})::BIGINT AS fill_ppm
+FROM p GROUP BY 1, 2"""

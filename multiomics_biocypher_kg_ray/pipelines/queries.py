@@ -4414,6 +4414,137 @@ def q_doc_pack_assign(sf_dir: str):
     )
 
 
+def q_kg_rule_yield(sf_dir: str):
+    """Extraction-rule quality dashboard: per rule_id, mentions produced,
+    mentions with BOTH sides resolved, and the fully-linked rate in ppm —
+    which regex rules pull their weight and which spray unresolvable noise
+    (the rule-curation view; per-METHOD stats live in kg_link_stats). One
+    rule-cardinality fastagg over the linked stream."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema(
+        [("rule_id", pa.string()), ("_one", pa.int64()), ("_ok", pa.int64())]
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        ok = pc.and_(
+            pc.is_valid(t.column("subj_id")), pc.is_valid(t.column("obj_id"))
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column("rule_id"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.cast(ok, pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            _linked(sf_dir).map_batches(flags, batch_format="pyarrow"), MID
+        ),
+        ["rule_id"],
+        [("_one", "sum"), ("_ok", "sum")],
+        out_names=["n_mentions", "n_linked"],
+    )
+    OUT = pa.schema(
+        [
+            ("rule_id", pa.string()),
+            ("n_mentions", pa.int64()),
+            ("n_linked", pa.int64()),
+            ("linked_ppm", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n = t.column("n_mentions").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t.column("n_linked").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("rule_id"),
+                pa.array(n, pa.int64()),
+                pa.array(k, pa.int64()),
+                pa.array(k * 1_000_000 // np.maximum(n, 1), pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(final, batch_format="pyarrow"), OUT)
+
+
+def q_pack_efficiency(sf_dir: str, budget: int = 512, n_shards: int = 8):
+    """Sequence-packing efficiency audit: per (shard, pack bin), document
+    count, used tokens, and fill ppm vs the token budget — the padding-
+    waste dashboard a pretraining data owner reads after packing. One
+    bin-cardinality fastagg over the ``pack_sequences`` assignment."""
+    from ..stages.corpus import pack_sequences
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    packed = pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        budget_tokens=budget,
+        n_shards=n_shards,
+    )
+    MID = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("pack_idx", pa.int64()),
+            ("_one", pa.int64()),
+            ("_tok", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("shard"), pa.int64()),
+                pc.cast(t.column("pack_idx"), pa.int64()),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.cast(t.column("n_tokens"), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(packed.map_batches(prep, batch_format="pyarrow"), MID),
+        ["shard", "pack_idx"],
+        [("_one", "sum"), ("_tok", "sum")],
+        out_names=["n_docs", "used_tokens"],
+    )
+    OUT = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("pack_idx", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("used_tokens", pa.int64()),
+            ("fill_ppm", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        used = t.column("used_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("shard"), pa.int64()),
+                pc.cast(t.column("pack_idx"), pa.int64()),
+                pc.cast(t.column("n_docs"), pa.int64()),
+                pa.array(used, pa.int64()),
+                pa.array(used * 1_000_000 // budget, pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return drop_empty_blocks(agg.map_batches(final, batch_format="pyarrow"), OUT)
+
+
 def q_doc_redact(sf_dir: str):
     """Pattern redaction with audit counts over adversarial text: the corpus
     is word soup, so a deterministic PII-shaped suffix (email, long digit
@@ -7395,6 +7526,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_event_daily_anomaly,
             oracle_rel.sql_event_daily_anomaly(),
         ),
+        "kg_rule_yield": (q_kg_rule_yield, oracle.sql_kg_rule_yield()),
+        "pack_efficiency": (
+            q_pack_efficiency,
+            oracle_rel.sql_pack_efficiency(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -7434,6 +7570,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "supplier_slow_ship",
         "kg_mention_contexts",
         "event_daily_anomaly",
+        "kg_rule_yield",
+        "pack_efficiency",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

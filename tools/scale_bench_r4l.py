@@ -119,7 +119,9 @@ def main() -> None:
         q_kg_modularity,
         q_kg_node_lifespan,
         q_kg_provenance_mix,
+        q_kg_rule_yield,
         q_kg_walk_corpus,
+        q_pack_efficiency,
         q_supplier_slow_ship,
         q_source_retention_funnel,
         q_kg_snapshot_diff,
@@ -202,6 +204,9 @@ def main() -> None:
         # session-41
         ("kg_mention_contexts", q_kg_mention_contexts, big_docs),
         ("event_daily_anomaly", q_event_daily_anomaly, big),
+        # session-42
+        ("kg_rule_yield", q_kg_rule_yield, big_docs),
+        ("pack_efficiency", q_pack_efficiency, big_docs),
     ]:
         if name in skip:
             continue
