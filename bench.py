@@ -331,6 +331,7 @@ def run_bench() -> dict:
         q_event_daily_anomaly,
         q_kg_rule_yield,
         q_pack_efficiency,
+        q_dup_source_matrix,
     )
 
     for name, fn in [
@@ -530,6 +531,8 @@ def run_bench() -> dict:
         # session-42: rule yield, packing efficiency
         ("kg_rule_yield", q_kg_rule_yield),
         ("pack_efficiency", q_pack_efficiency),
+        # session-43: cross-source duplication matrix
+        ("dup_source_matrix", q_dup_source_matrix),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -4262,3 +4262,36 @@ SELECT shard, pack_idx, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS used_tokens,
        ((sum(n_tokens) * 1000000) // {budget})::BIGINT AS fill_ppm
 FROM p GROUP BY 1, 2"""
+
+
+def sql_dup_source_matrix(
+    k: int = 3, min_jaccard: float = 0.5, cap: int = 1000
+) -> str:
+    """Twin of ``q_dup_source_matrix``: the capped shingle pair CTE with the
+    jaccard threshold, endpoint sources attached, unordered cell rollup."""
+    return f"""
+WITH {_shingle_cte(where="", k=k)},
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+capped AS (
+  SELECT doc_id, shingle,
+         row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+  FROM sh
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  WHERE n_shared::DOUBLE / (sa.sz + sb.sz - n_shared)::DOUBLE > {min_jaccard}
+),
+dsrc AS (SELECT doc_id::BIGINT AS doc_id, source FROM documents)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM jp JOIN dsrc da ON da.doc_id = jp.doc_a
+JOIN dsrc db ON db.doc_id = jp.doc_b
+GROUP BY 1, 2"""

@@ -4545,6 +4545,65 @@ def q_pack_efficiency(sf_dir: str, budget: int = 512, n_shards: int = 8):
     return drop_empty_blocks(agg.map_batches(final, batch_format="pyarrow"), OUT)
 
 
+def q_dup_source_matrix(sf_dir: str, min_jaccard: float = 0.5):
+    """Cross-source duplication matrix: verified near-dup pairs rolled up
+    to unordered (source, source) cells — which FEEDS overlap (the
+    vendor-contamination audit: two 'independent' sources sharing many
+    near-dups are one scrape twice). Pair edges attach their endpoints'
+    sources via two doc-proportional hash joins; the matrix fastagg is
+    source²-bounded."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_jaccard=min_jaccard
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": pc.cast(t.column("doc_a"), pa.int64()),
+                "doc_b": pc.cast(t.column("doc_b"), pa.int64()),
+            }
+        )
+        if t.num_columns and t.num_rows
+        else pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+
+    def src_tbl(key: str, out: str):
+        return drop_empty_blocks(
+            _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+                lambda t, k=key, o=out: pa.table(
+                    {k: pc.cast(t.column("doc_id"), pa.int64()), o: t.column("source")}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    j = hash_join(drop_empty_blocks(pairs), src_tbl("doc_a", "_sa"), on=("doc_a",))
+    j = hash_join(drop_empty_blocks(j), src_tbl("doc_b", "_sb"), on=("doc_b",))
+
+    MID = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()), ("_one", pa.int64())]
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        sa, sb = t.column("_sa"), t.column("_sb")
+        lo = pc.min_element_wise(sa, sb)
+        hi = pc.max_element_wise(sa, sb)
+        return pa.Table.from_arrays(
+            [lo, hi, pa.array(np.ones(t.num_rows, np.int64))], schema=MID
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(j.map_batches(norm, batch_format="pyarrow"), MID),
+        ["source_a", "source_b"],
+        [("_one", "sum")],
+        out_names=["n_pairs"],
+    )
+
+
 def q_doc_redact(sf_dir: str):
     """Pattern redaction with audit counts over adversarial text: the corpus
     is word soup, so a deterministic PII-shaped suffix (email, long digit
@@ -7531,6 +7590,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_pack_efficiency,
             oracle_rel.sql_pack_efficiency(),
         ),
+        "dup_source_matrix": (
+            q_dup_source_matrix,
+            oracle_rel.sql_dup_source_matrix(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -7572,6 +7635,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "event_daily_anomaly",
         "kg_rule_yield",
         "pack_efficiency",
+        "dup_source_matrix",
         "embedding_top_pc",
         "user_churn_labels",
         "doc_hashed_features",

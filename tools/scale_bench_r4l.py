@@ -101,6 +101,7 @@ def main() -> None:
         q_char_pair_merge_candidates,
         q_chunk_dup_stats,
         q_doc_compression_ratio,
+        q_dup_source_matrix,
         q_cohort_ltv,
         q_event_daily_anomaly,
         q_events_order_audit,
@@ -207,6 +208,8 @@ def main() -> None:
         # session-42
         ("kg_rule_yield", q_kg_rule_yield, big_docs),
         ("pack_efficiency", q_pack_efficiency, big_docs),
+        # session-43
+        ("dup_source_matrix", q_dup_source_matrix, big_docs),
     ]:
         if name in skip:
             continue
