@@ -4295,3 +4295,99 @@ SELECT least(da.source, db.source) AS source_a,
 FROM jp JOIN dsrc da ON da.doc_id = jp.doc_a
 JOIN dsrc db ON db.doc_id = jp.doc_b
 GROUP BY 1, 2"""
+
+
+def sql_user_twap() -> str:
+    """Twin of ``q_user_twap``: lead() per user in (ts, event_id) order, ms
+    holding intervals, exact integer partials, one mirrored float division."""
+    return """
+WITH e AS (
+  SELECT user_id::BIGINT AS u, epoch_us(ts::TIMESTAMP) AS t,
+         event_id::BIGINT AS eid,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+w AS (
+  SELECT u, c, t,
+         lead(t) OVER (PARTITION BY u ORDER BY t, eid) AS nt
+  FROM e
+),
+i AS (SELECT u, c, (nt - t) // 1000 AS dms FROM w WHERE nt IS NOT NULL),
+a AS (
+  SELECT u AS user_id, count(*)::BIGINT AS n_intervals,
+         sum(c * dms)::BIGINT AS num, sum(dms)::BIGINT AS span_ms
+  FROM i GROUP BY 1
+)
+SELECT user_id, n_intervals, span_ms,
+       CAST(floor(num::DOUBLE / span_ms::DOUBLE) AS BIGINT) AS twap_cents
+FROM a WHERE span_ms > 0"""
+
+
+def sql_daily_revenue_runs() -> str:
+    """Twin of ``q_daily_revenue_runs``: day cents rollup, two lag()
+    windows (previous revenue, previous sign), zero deltas dropped, the
+    identical Wald–Wolfowitz z parenthesization milli-quantized."""
+    return """
+WITH d AS (
+  SELECT epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS rev
+  FROM orders GROUP BY 1
+),
+l AS (SELECT day, rev, lag(rev) OVER (ORDER BY day) AS prev FROM d),
+s AS (
+  SELECT day, CASE WHEN rev > prev THEN 1 ELSE -1 END::BIGINT AS sgn
+  FROM l WHERE prev IS NOT NULL AND rev <> prev
+),
+p AS (SELECT day, sgn, lag(sgn) OVER (ORDER BY day) AS prev_sgn FROM s),
+t AS (
+  SELECT sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_plus,
+         sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_minus,
+         sum(CASE WHEN prev_sgn IS NULL OR prev_sgn <> sgn THEN 1 ELSE 0 END)::BIGINT AS runs
+  FROM p
+)
+SELECT (n_plus + n_minus) AS n_signs, n_plus, n_minus, runs,
+       CAST(floor(
+         CASE WHEN (2.0::DOUBLE * n_plus::DOUBLE * n_minus::DOUBLE
+                    * (2.0::DOUBLE * n_plus::DOUBLE * n_minus::DOUBLE
+                       - n_plus::DOUBLE - n_minus::DOUBLE)
+                    / ((n_plus + n_minus)::DOUBLE * (n_plus + n_minus)::DOUBLE
+                       * ((n_plus + n_minus)::DOUBLE - 1.0::DOUBLE))) > 0.0::DOUBLE
+         THEN (runs::DOUBLE
+               - (2.0::DOUBLE * n_plus::DOUBLE * n_minus::DOUBLE
+                  / (n_plus + n_minus)::DOUBLE + 1.0::DOUBLE))
+              / sqrt(2.0::DOUBLE * n_plus::DOUBLE * n_minus::DOUBLE
+                     * (2.0::DOUBLE * n_plus::DOUBLE * n_minus::DOUBLE
+                        - n_plus::DOUBLE - n_minus::DOUBLE)
+                     / ((n_plus + n_minus)::DOUBLE * (n_plus + n_minus)::DOUBLE
+                        * ((n_plus + n_minus)::DOUBLE - 1.0::DOUBLE)))
+         ELSE 0.0::DOUBLE END * 1000.0::DOUBLE) AS BIGINT) AS z_milli
+FROM t"""
+
+
+def sql_event_hazard_rate(bucket_s: int = 3600, max_bucket: int = 48) -> str:
+    """Twin of ``q_event_hazard_rate``: per-user lead() gaps, capped hour
+    buckets, suffix at-risk sums via a descending window, exact integer
+    hazard ppm."""
+    bucket_us = bucket_s * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id::BIGINT AS u, epoch_us(ts::TIMESTAMP) AS t,
+         event_id::BIGINT AS eid
+  FROM events
+),
+w AS (SELECT u, t, lead(t) OVER (PARTITION BY u ORDER BY t, eid) AS nt FROM e),
+g AS (
+  SELECT least((nt - t) // {bucket_us}, {max_bucket})::BIGINT AS bucket_h
+  FROM w WHERE nt IS NOT NULL
+),
+h AS (SELECT bucket_h, count(*)::BIGINT AS n_gaps FROM g GROUP BY 1),
+r AS (
+  SELECT bucket_h, n_gaps,
+         sum(n_gaps) OVER (ORDER BY bucket_h DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          )::BIGINT AS at_risk
+  FROM h
+)
+SELECT bucket_h, n_gaps, at_risk,
+       ((n_gaps * 1000000) // at_risk)::BIGINT AS hazard_ppm
+FROM r"""

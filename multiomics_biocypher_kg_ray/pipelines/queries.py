@@ -6930,6 +6930,373 @@ def q_orders_skyline(sf_dir: str):
     )
 
 
+def q_user_twap(sf_dir: str):
+    """Per-user TIME-weighted average event value (TWAP): each event's value
+    holds until the user's next event, so twap = Σ cents·Δms / Σ Δms over the
+    holding intervals (a user's last event opens no interval). The
+    time-integral center — a row-mean over-weights bursts of cheap events;
+    this is the metric a billing/engagement pipeline actually wants.
+
+    Shape: ONE segmented ``lead_over`` scan in (ts, event_id) order per user
+    (hot users cost their sorted-block share, never one task), one user
+    fastagg over exact int64 partials (cents ≤ 10⁷ × span ≤ year-in-ms keeps
+    Σ cents·Δms ≪ 2⁶³), and ONE mirrored float division for the final cents
+    value. Users whose intervals all have zero width (or with a single
+    event) are dropped on both sides (span_ms > 0)."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.window import lead_over
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    PREP = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("_ts_us", pa.int64()),
+            ("_eid", pa.int64()),
+            ("_cents", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        t2 = relational.to_cents(t, {"value": "_cents"})
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t2.column("user_id"), pa.int64()),
+                pc.cast(pc.cast(t2.column("ts"), pa.timestamp("us")), pa.int64()),
+                pc.cast(t2.column("event_id"), pa.int64()),
+                t2.column("_cents"),
+            ],
+            schema=PREP,
+        )
+
+    led = lead_over(
+        drop_empty_blocks(ev.map_batches(prep, batch_format="pyarrow"), PREP),
+        "user_id",
+        ["_ts_us", "_eid"],
+        "_ts_us",
+        out_col="_next_us",
+    )
+    MID = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("_num", pa.int64()),
+            ("_dms", pa.int64()),
+            ("_one", pa.int64()),
+        ]
+    )
+
+    def interval(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        t = t.filter(pc.is_valid(t.column("_next_us")))
+        if t.num_rows == 0:
+            return MID.empty_table()
+        # non-negative by the sort order, so trunc == floor == SQL //
+        dms = pc.divide(
+            pc.subtract(t.column("_next_us"), t.column("_ts_us")), 1000
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column("user_id"),
+                pc.multiply_checked(t.column("_cents"), dms),
+                dms,
+                pa.array(np.ones(t.num_rows, np.int64)),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(led.map_batches(interval, batch_format="pyarrow"), MID),
+        ["user_id"],
+        [("_num", "sum"), ("_dms", "sum"), ("_one", "sum")],
+        out_names=["num", "span_ms", "n_intervals"],
+    )
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_intervals", pa.int64()),
+            ("span_ms", pa.int64()),
+            ("twap_cents", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        t = t.filter(pc.greater(t.column("span_ms"), 0))
+        if t.num_rows == 0:
+            return OUT.empty_table()
+        num = t.column("num").to_numpy(zero_copy_only=False).astype(np.float64)
+        den = t.column("span_ms").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_arrays(
+            [
+                t.column("user_id"),
+                t.column("n_intervals"),
+                t.column("span_ms"),
+                pa.array(np.floor(num / den).astype(np.int64)),
+            ],
+            schema=OUT,
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def q_daily_revenue_runs(sf_dir: str):
+    """Wald–Wolfowitz runs test on the SIGN of day-over-day total-order
+    revenue deltas: too few runs means momentum/trend, too many means
+    oscillation — the classic randomness screen for a daily KPI series.
+    Zero deltas are dropped (the standard convention) and the first day has
+    no delta.
+
+    Shape: one day fastagg over cents partials (day cardinality is
+    human-bounded), two segmented ``lag_over`` scans at day cardinality
+    (previous revenue, then previous sign), one global fold to
+    (n_plus, n_minus, runs), and ONE mirrored float expression for the
+    normal-approximation z (milli-quantized)."""
+    from ..arrow_util import floor_div_i64
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.window import lag_over
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    PREP = pa.schema([("_day", pa.int64()), ("_cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        t2 = relational.to_cents(t, {"o_totalprice": "_cents"})
+        day = floor_div_i64(
+            pc.cast(
+                pc.cast(t2.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+            ),
+            86_400_000_000,
+        )
+        return pa.Table.from_arrays([day, t2.column("_cents")], schema=PREP)
+
+    daily = sorted_grouped_agg(
+        drop_empty_blocks(orders.map_batches(prep, batch_format="pyarrow"), PREP),
+        ["_day"],
+        [("_cents", "sum")],
+        out_names=["rev"],
+    )
+
+    def add_const(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    lagged = lag_over(
+        daily.map_batches(add_const, batch_format="pyarrow"),
+        "_k",
+        ["_day"],
+        "rev",
+        out_col="_prev_rev",
+    )
+    SIGN = pa.schema([("_k", pa.int64()), ("_day", pa.int64()), ("_s", pa.int64())])
+
+    def to_sign(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return SIGN.empty_table()
+        t = t.filter(pc.is_valid(t.column("_prev_rev")))
+        if t.num_rows == 0:
+            return SIGN.empty_table()
+        d = pc.subtract(t.column("rev"), t.column("_prev_rev"))
+        t = t.append_column("_s", pc.cast(pc.sign(d), pa.int64()))
+        t = t.filter(pc.not_equal(t.column("_s"), 0))
+        if t.num_rows == 0:
+            return SIGN.empty_table()
+        return pa.Table.from_arrays(
+            [t.column("_k"), t.column("_day"), t.column("_s")], schema=SIGN
+        )
+
+    signed = lag_over(
+        drop_empty_blocks(
+            lagged.map_batches(to_sign, batch_format="pyarrow"), SIGN
+        ),
+        "_k",
+        ["_day"],
+        "_s",
+        out_col="_prev_s",
+    )
+    MID = pa.schema(
+        [
+            ("_k", pa.int64()),
+            ("_plus", pa.int64()),
+            ("_minus", pa.int64()),
+            ("_run_start", pa.int64()),
+        ]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        s = t.column("_s").to_numpy(zero_copy_only=False)
+        prev = t.column("_prev_s").to_numpy(zero_copy_only=False)
+        # a run starts where there is no predecessor or the sign flips
+        start = np.where(np.isnan(prev.astype(np.float64)), 1, (prev != s).astype(np.int64))
+        return pa.Table.from_arrays(
+            [
+                t.column("_k"),
+                pc.cast(pc.equal(t.column("_s"), 1), pa.int64()),
+                pc.cast(pc.equal(t.column("_s"), -1), pa.int64()),
+                pa.array(start.astype(np.int64)),
+            ],
+            schema=MID,
+        )
+
+    tot = sorted_grouped_agg(
+        drop_empty_blocks(signed.map_batches(fold, batch_format="pyarrow"), MID),
+        ["_k"],
+        [("_plus", "sum"), ("_minus", "sum"), ("_run_start", "sum")],
+        out_names=["n_plus", "n_minus", "runs"],
+    )
+    OUT = pa.schema(
+        [
+            ("n_signs", pa.int64()),
+            ("n_plus", pa.int64()),
+            ("n_minus", pa.int64()),
+            ("runs", pa.int64()),
+            ("z_milli", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        n1 = float(t.column("n_plus")[0].as_py())
+        n2 = float(t.column("n_minus")[0].as_py())
+        r = float(t.column("runs")[0].as_py())
+        n = n1 + n2
+        # identical parenthesization as the SQL twin
+        mu = 2.0 * n1 * n2 / n + 1.0
+        # n <= 1 makes the variance expression NULL in the twin (double/0
+        # is NULL in DuckDB) -> CASE ELSE 0; mirror that here
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1.0))
+            if n > 1.0
+            else 0.0
+        )
+        z = (r - mu) / np.sqrt(var) if var > 0.0 else 0.0
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(n)], pa.int64()),
+                pa.array([int(n1)], pa.int64()),
+                pa.array([int(n2)], pa.int64()),
+                pa.array([int(r)], pa.int64()),
+                pa.array([int(np.floor(z * 1000.0))], pa.int64()),
+            ],
+            schema=OUT,
+        )
+
+    return tot.map_batches(final, batch_format="pyarrow")
+
+
+def q_event_hazard_rate(sf_dir: str, bucket_s: int = 3600, max_bucket: int = 48):
+    """Discrete-time hazard of the NEXT event: over all per-user
+    interarrival gaps, hazard(k) = P(next event arrives in hour-bucket k |
+    it hasn't arrived before k) = n_k / Σ_{j≥k} n_j — the conditional
+    re-engagement curve that Kaplan–Meier (``user_retention_km``)
+    complements from the survival side. Gaps ≥ ``max_bucket`` hours pool in
+    the terminal bucket.
+
+    Shape: one segmented ``lead_over`` per user for the gaps, one
+    bucket fastagg (≤ ``max_bucket``+1 rows), then the at-risk suffix sums
+    via ONE ``cumsum_over`` in descending-bucket order on the bounded
+    histogram. hazard_ppm is exact integer (n_k·10⁶ // at_risk)."""
+    from ..arrow_util import floor_div_i64
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.window import cumsum_over
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    PREP = pa.schema(
+        [("user_id", pa.int64()), ("_ts_us", pa.int64()), ("_eid", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("user_id"), pa.int64()),
+                pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+                pc.cast(t.column("event_id"), pa.int64()),
+            ],
+            schema=PREP,
+        )
+
+    from ..stages.window import lead_over
+
+    led = lead_over(
+        drop_empty_blocks(ev.map_batches(prep, batch_format="pyarrow"), PREP),
+        "user_id",
+        ["_ts_us", "_eid"],
+        "_ts_us",
+        out_col="_next_us",
+    )
+    MID = pa.schema([("bucket_h", pa.int64()), ("_one", pa.int64())])
+    bucket_us = bucket_s * 1_000_000
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        t = t.filter(pc.is_valid(t.column("_next_us")))
+        if t.num_rows == 0:
+            return MID.empty_table()
+        gap = pc.subtract(t.column("_next_us"), t.column("_ts_us"))
+        b = pc.min_element_wise(
+            floor_div_i64(gap.combine_chunks(), bucket_us),
+            pa.scalar(max_bucket, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [b, pa.array(np.ones(t.num_rows, np.int64))], schema=MID
+        )
+
+    hist = sorted_grouped_agg(
+        drop_empty_blocks(led.map_batches(to_bucket, batch_format="pyarrow"), MID),
+        ["bucket_h"],
+        [("_one", "sum")],
+        out_names=["n_gaps"],
+    )
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        t = t.append_column("_k", pa.array(np.zeros(t.num_rows, np.int64)))
+        return t.append_column(
+            "_negb", pc.negate_checked(t.column("bucket_h"))
+        )
+
+    risk = cumsum_over(
+        hist.map_batches(add_keys, batch_format="pyarrow"),
+        "_k",
+        ["_negb"],
+        "n_gaps",
+        out_col="at_risk",
+    )
+    OUT = pa.schema(
+        [
+            ("bucket_h", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("at_risk", pa.int64()),
+            ("hazard_ppm", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("bucket_h"),
+                t.column("n_gaps"),
+                t.column("at_risk"),
+                pc.divide(
+                    pc.multiply_checked(t.column("n_gaps"), 1_000_000),
+                    t.column("at_risk"),
+                ),
+            ],
+            schema=OUT,
+        )
+
+    return risk.map_batches(final, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -7594,6 +7961,15 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_dup_source_matrix,
             oracle_rel.sql_dup_source_matrix(),
         ),
+        "user_twap": (q_user_twap, oracle_rel.sql_user_twap()),
+        "daily_revenue_runs": (
+            q_daily_revenue_runs,
+            oracle_rel.sql_daily_revenue_runs(),
+        ),
+        "event_hazard_rate": (
+            q_event_hazard_rate,
+            oracle_rel.sql_event_hazard_rate(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -7603,6 +7979,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "user_twap",
+        "daily_revenue_runs",
+        "event_hazard_rate",
         "kg_metapath_census",
         "doc_nb_source",
         "source_token_kl",
