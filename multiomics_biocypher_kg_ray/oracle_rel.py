@@ -4391,3 +4391,134 @@ r AS (
 SELECT bucket_h, n_gaps, at_risk,
        ((n_gaps * 1000000) // at_risk)::BIGINT AS hazard_ppm
 FROM r"""
+
+
+def sql_event_type_kruskal() -> str:
+    """Twin of ``q_event_type_kruskal``: value-cell doubled midranks via one
+    exclusive window, per-group HUGEINT rank sums, micro-floored per-group
+    Σ R²/n terms, the true-floor negative-division CASE on the final
+    tie-corrected statistic."""
+    return """
+WITH v AS (
+  SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+cv AS (SELECT c, count(*)::HUGEINT AS cnt FROM v GROUP BY 1),
+mr AS (
+  SELECT c, cnt,
+         2 * coalesce(sum(cnt) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) + cnt + 1 AS mid2
+  FROM cv
+),
+gv AS (SELECT g, c, count(*)::HUGEINT AS cg FROM v GROUP BY 1, 2),
+r AS (
+  SELECT g, sum(cg)::HUGEINT AS n, sum(cg * mid2)::HUGEINT AS r2
+  FROM gv JOIN mr USING (c) GROUP BY 1
+),
+a AS (
+  SELECT count(*)::BIGINT AS k, sum(n)::HUGEINT AS n,
+         sum((1000000::HUGEINT * r2 * r2) // n)::HUGEINT AS s1
+  FROM r
+),
+t AS (SELECT coalesce(sum(cnt * cnt * cnt - cnt), 0)::HUGEINT AS tie FROM cv)
+SELECT a.n::BIGINT AS n_rows, a.k AS k_groups, t.tie::BIGINT AS tie_sum,
+       CASE WHEN a.k >= 2 AND a.n >= 2
+                 AND (1000000::HUGEINT * ((a.n * a.n * a.n - a.n) - t.tie)) > 0
+            THEN ((3 * (a.n - 1)
+                   * (a.s1 - 1000000::HUGEINT * a.n * (a.n + 1) * (a.n + 1))
+                   * 1000)
+                  // (1000000::HUGEINT * ((a.n * a.n * a.n - a.n) - t.tie))
+                  -- true FLOOR: the numerator can be negative near H = 0
+                  - CASE WHEN (3 * (a.n - 1)
+                               * (a.s1 - 1000000::HUGEINT * a.n * (a.n + 1) * (a.n + 1))
+                               * 1000) < 0
+                              AND ((3 * (a.n - 1)
+                                    * (a.s1 - 1000000::HUGEINT * a.n * (a.n + 1) * (a.n + 1))
+                                    * 1000)
+                                   % (1000000::HUGEINT * ((a.n * a.n * a.n - a.n) - t.tie))) <> 0
+                         THEN 1 ELSE 0 END)::BIGINT
+            ELSE NULL END AS h_milli
+FROM a, t"""
+
+
+def sql_neyman_allocation(total: int = 10_000) -> str:
+    """Twin of ``q_neyman_allocation``: HUGEINT stratum moments, the
+    floor(sqrt(n·Σc² − (Σc)²)) weight, the largest-remainder CTE from
+    ``sql_priority_quota`` with (rem DESC, stratum ASC) tie-break."""
+    return f"""
+WITH v AS (
+  SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT g, count(*)::HUGEINT AS n, sum(c)::HUGEINT AS s,
+         sum(c::HUGEINT * c)::HUGEINT AS q
+  FROM v GROUP BY 1
+),
+gw AS (
+  SELECT g, n,
+         CAST(floor(sqrt((n * q - s * s)::DOUBLE)) AS BIGINT) AS weight
+  FROM m
+),
+w AS (SELECT sum(weight)::BIGINT AS tw FROM gw),
+mm AS (
+  SELECT g, n, weight,
+         ({total} * weight) // tw AS base,
+         ({total} * weight) % tw AS rem
+  FROM gw CROSS JOIN w
+),
+l AS (SELECT (sum(rem) // (SELECT tw FROM w))::BIGINT AS lv FROM mm),
+r AS (
+  SELECT g, n, weight, base,
+         row_number() OVER (ORDER BY rem DESC, g) AS rnk
+  FROM mm
+)
+SELECT g AS stratum, n::BIGINT AS n_rows, weight,
+       (base + CASE WHEN rnk <= (SELECT lv FROM l) THEN 1 ELSE 0 END)::BIGINT
+         AS alloc
+FROM r"""
+
+
+def sql_part_theil_sen() -> str:
+    """Twin of ``q_part_theil_sen``: per-size lower weighted median via the
+    2·cum ≥ W cell scan (``weighted_median`` convention), size-pair slopes
+    with the true-floor negative-division CASE, lower median of slopes."""
+    return """
+WITH c AS (
+  SELECT p_size::BIGINT AS s,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS v,
+         count(*)::BIGINT AS w
+  FROM part GROUP BY 1, 2
+),
+tw AS (SELECT s, sum(w)::BIGINT AS wt FROM c GROUP BY 1),
+cum AS (
+  SELECT s, v,
+         sum(w) OVER (PARTITION BY s ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM c
+),
+med AS (
+  SELECT cum.s, min(v)::BIGINT AS m
+  FROM cum JOIN tw USING (s) WHERE 2 * cw >= wt GROUP BY cum.s
+),
+pr AS (
+  SELECT a.s AS sa, a.m AS ma, b.s AS sb, b.m AS mb
+  FROM med a JOIN med b ON a.s < b.s
+),
+sl AS (
+  SELECT ((mb - ma) * 1000000) // (sb - sa)
+         - CASE WHEN ((mb - ma) * 1000000) < 0
+                     AND (((mb - ma) * 1000000) % (sb - sa)) <> 0
+                THEN 1 ELSE 0 END AS slope
+  FROM pr
+),
+o AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+         count(*) OVER () AS cnt
+  FROM sl
+)
+SELECT (SELECT count(*) FROM med)::BIGINT AS n_sizes,
+       (SELECT count(*) FROM sl)::BIGINT AS n_pairs,
+       (SELECT slope FROM o WHERE 2 * rn >= cnt
+        ORDER BY slope LIMIT 1)::BIGINT AS ts_slope_ppm"""

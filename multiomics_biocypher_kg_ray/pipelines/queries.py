@@ -7297,6 +7297,179 @@ def q_event_hazard_rate(sf_dir: str, bucket_s: int = 3600, max_bucket: int = 48)
     return risk.map_batches(final, batch_format="pyarrow")
 
 
+def q_event_type_kruskal(sf_dir: str):
+    """Kruskal-Wallis H across ALL event types on event value (cents) — the
+    k-sample nonparametric location screen (``purchase_click_utest``
+    generalized the way ``event_type_anova`` generalizes ``welch_t``).
+    Tie-corrected, micro-floored per-group terms, exact integer statistic
+    (discipline in ``relational.kruskal_wallis``)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "cents"}).select(
+            ["event_type", "cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.kruskal_wallis(ev, "event_type", "cents")
+
+
+def q_neyman_allocation(sf_dir: str, total: int = 10_000):
+    """Neyman-optimal stratified sample allocation across event types: a
+    budget of ``total`` sample rows split proportionally to N_h·σ_h (strata
+    that are big AND noisy get more), the variance-minimizing allocation —
+    the principled upgrade over proportional sampling for survey/eval-set
+    construction. N_h·σ_h collapses to ONE mirrored expression
+    floor(sqrt(n·Σc² − (Σc)²)) on exact integer moments, then the
+    largest-remainder (Hamilton) rounding from ``relational.quota_allocate``
+    makes the integer allocations sum to the budget exactly.
+
+    Shape: per-batch moment partials → one stratum fastagg → an O(k)
+    arbitrary-precision driver finalize (k = event types, human-scale)."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema(
+        [("_g", pa.string()), ("_n", pa.int64()), ("_s", pa.int64()), ("_q", pa.int64())]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        t = relational.to_cents(t, {"value": "_c"})
+        frame = pd.DataFrame(
+            {
+                "g": t.column("event_type").to_pandas().astype(str),
+                "v": t.column("_c").to_numpy(zero_copy_only=False),
+            }
+        )
+        frame["q"] = frame["v"] * frame["v"]
+        agg = frame.groupby("g", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), q=("q", "sum")
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(agg.index.to_numpy().astype(str), pa.string()),
+                pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+                pa.array(agg["s"].to_numpy().astype(np.int64), pa.int64()),
+                pa.array(agg["q"].to_numpy().astype(np.int64), pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    rows = sorted_grouped_agg(
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+                moments, batch_format="pyarrow"
+            ),
+            MID,
+        ),
+        ["_g"],
+        [("_n", "sum"), ("_s", "sum"), ("_q", "sum")],
+        out_names=["n", "s", "q"],
+    ).take_all()  # k rows — stratum cardinality is human-scale
+
+    import math
+
+    per = []
+    for r in rows:
+        n, sm, q = int(r["n"]), int(r["s"]), int(r["q"])
+        # N_h·σ_h = sqrt(n·Σc² − (Σc)²) exactly; ONE mirrored float sqrt
+        w = int(math.floor(math.sqrt(float(n * q - sm * sm))))
+        per.append([str(r["_g"]), n, w])
+    W = sum(p[2] for p in per)
+    if W > 0:
+        base = {g: (total * w) // W for g, _, w in per}
+        rem = {g: (total * w) % W for g, _, w in per}
+        leftover = sum(rem.values()) // W
+        order = sorted(per, key=lambda p: (-rem[p[0]], p[0]))
+        bonus = {p[0]: 1 if i < leftover else 0 for i, p in enumerate(order)}
+        allocs = {g: base[g] + bonus[g] for g, _, _ in per}
+    else:
+        allocs = {g: None for g, _, _ in per}
+    per.sort(key=lambda p: p[0])
+    OUT = pa.schema(
+        [
+            ("stratum", pa.string()),
+            ("n_rows", pa.int64()),
+            ("weight", pa.int64()),
+            ("alloc", pa.int64()),
+        ]
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array([p[0] for p in per], pa.string()),
+            pa.array([p[1] for p in per], pa.int64()),
+            pa.array([p[2] for p in per], pa.int64()),
+            pa.array([allocs[p[0]] for p in per], pa.int64()),
+        ],
+        schema=OUT,
+    )
+
+
+def q_part_theil_sen(sf_dir: str):
+    """Aggregated Theil–Sen: the median-of-pairwise-slopes robust trend of
+    part retail price against part size, computed over the PER-SIZE lower
+    weighted medians (the standard aggregation that keeps Theil–Sen
+    meaningful on discrete covariates and bounds the pair set at
+    size-cardinality², never row²). Slopes are ppm-quantized with true
+    floor division (they go negative); the final estimate is the lower
+    median of the pair slopes.
+
+    Shape: one ``relational.weighted_median`` per size (cells + one
+    segmented cumsum, distributed), then an O(sizes²) exact Python-int
+    driver finalize — sizes are catalog-bounded (≤ ~50)."""
+    from ..stages.fastagg import drop_empty_blocks
+
+    CELLS = pa.schema(
+        [("p_size", pa.int64()), ("cents", pa.int64()), ("_w", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CELLS.empty_table()
+        t2 = relational.to_cents(t, {"p_retailprice": "cents"})
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t2.column("p_size"), pa.int64()),
+                t2.column("cents"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+            ],
+            schema=CELLS,
+        )
+
+    part = drop_empty_blocks(
+        _read(sf_dir, "part", ["p_size", "p_retailprice"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        CELLS,
+    )
+    med = relational.weighted_median(part, "p_size", "cents", "_w").take_all()
+    pts = sorted((int(r["p_size"]), int(r["wmedian"])) for r in med)
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            num = (pts[j][1] - pts[i][1]) * 1_000_000
+            den = pts[j][0] - pts[i][0]
+            slopes.append(num // den)  # Python // floors, like the twin CASE
+    slopes.sort()
+    slope = slopes[(len(slopes) - 1) // 2] if slopes else None
+    OUT = pa.schema(
+        [
+            ("n_sizes", pa.int64()),
+            ("n_pairs", pa.int64()),
+            ("ts_slope_ppm", pa.int64()),
+        ]
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array([len(pts)], pa.int64()),
+            pa.array([len(slopes)], pa.int64()),
+            pa.array([slope], pa.int64()),
+        ],
+        schema=OUT,
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -7970,6 +8143,18 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_event_hazard_rate,
             oracle_rel.sql_event_hazard_rate(),
         ),
+        "event_type_kruskal": (
+            q_event_type_kruskal,
+            oracle_rel.sql_event_type_kruskal(),
+        ),
+        "neyman_allocation": (
+            q_neyman_allocation,
+            oracle_rel.sql_neyman_allocation(),
+        ),
+        "part_theil_sen": (
+            q_part_theil_sen,
+            oracle_rel.sql_part_theil_sen(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -7979,6 +8164,9 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "part_theil_sen",
+        "neyman_allocation",
+        "event_type_kruskal",
         "user_twap",
         "daily_revenue_runs",
         "event_hazard_rate",

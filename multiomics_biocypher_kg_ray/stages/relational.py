@@ -4850,3 +4850,188 @@ def skyline_2d(
     return drop_empty_blocks(
         scanned.map_batches(keep, batch_format="pyarrow"), OUT
     )
+
+
+def kruskal_wallis(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+) -> "pa.Table":
+    """Kruskal–Wallis H across ALL groups of ``group_col`` over int64
+    ``value_col`` — ONE row ``(n_rows, k_groups, tie_sum, h_milli)``: the
+    k-sample generalization of ``mann_whitney_u`` (as ``anova_f`` is of
+    ``welch_t``), answering "does ANY group's location differ" without the
+    normality assumption the heavy-tailed event values break. Tie-corrected:
+    H / (1 − ΣT/(N³−N)), T_v = c_v³ − c_v.
+
+    Numeric discipline: the doubled-midrank identity from ``mann_whitney_u``
+    keeps every per-group rank sum R2_g = Σ c_gv·mid2_v an exact int64; the
+    one non-integer piece, Σ R_g²/n_g, is floored PER GROUP at micro
+    precision (A'_g = 10⁶·R2_g² // n_g = 10⁶·4R_g²/n_g floored, identical on both engines) so
+    the final statistic is a single integer expression
+    h_milli = 3(N−1)·(ΣA'_g − 10⁶·N(N+1)²)·1000 // (10⁶·(N³−N−ΣT)) — exact
+    arbitrary-precision Python ints here, HUGEINT with the true-floor
+    negative-division CASE in the twin. NULL when k < 2 or the tie-corrected
+    denominator is 0 (all values identical). Contract: the twin is exact to
+    N ≈ 10⁷ rows (HUGEINT bound on 10⁶·R2²); per-batch tie partials Σ(c³−c)
+    must fit int64 (max value multiplicity ≲ 2·10⁶).
+
+    Scale shape: two fastaggs at value/cell cardinality, one hot-key-safe
+    segmented exclusive ``cumsum_over`` for the midranks, one
+    value-proportional hash join, then an O(k) driver finalize."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .joins import hash_join
+    from .window import cumsum_over
+
+    CV = pa.schema([(value_col, pa.int64()), ("_c", pa.int64())])
+    cv = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns([value_col]), [value_col], [(value_col, "count")],
+            out_names=["_c"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t.column(value_col), pa.int64()),
+                 pc.cast(t.column("_c"), pa.int64())],
+                schema=CV,
+            )
+            if t.num_columns
+            else CV.empty_table(),
+            batch_format="pyarrow",
+        ),
+        CV,
+    ).materialize()  # consumed thrice: midranks, tie partials, total N
+
+    withg = cv.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
+        if t.num_columns
+        else pa.schema(list(CV) + [("_g", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    nless = cumsum_over(
+        withg, "_g", [value_col], "_c", out_col="_nless", inclusive=False
+    )
+    MR = pa.schema([(value_col, pa.int64()), ("_mid2", pa.int64())])
+    mr = drop_empty_blocks(
+        nless.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column(value_col),
+                    pc.add(
+                        pc.add(
+                            pc.multiply(t.column("_nless"), pa.scalar(2, pa.int64())),
+                            t.column("_c"),
+                        ),
+                        pa.scalar(1, pa.int64()),
+                    ),
+                ],
+                schema=MR,
+            )
+            if t.num_columns
+            else MR.empty_table(),
+            batch_format="pyarrow",
+        ),
+        MR,
+    )
+    GV = pa.schema(
+        [("_grp", pa.string()), (value_col, pa.int64()), ("_cg", pa.int64())]
+    )
+    gv = drop_empty_blocks(
+        sorted_grouped_agg(
+            ds.select_columns([group_col, value_col]).map_batches(
+                lambda t: pa.table(
+                    {
+                        "_grp": pc.cast(t.column(group_col), pa.string()),
+                        value_col: pc.cast(t.column(value_col), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["_grp", value_col],
+            [(value_col, "count")],
+            out_names=["_cg"],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("_grp"),
+                    pc.cast(t.column(value_col), pa.int64()),
+                    pc.cast(t.column("_cg"), pa.int64()),
+                ],
+                schema=GV,
+            )
+            if t.num_columns
+            else GV.empty_table(),
+            batch_format="pyarrow",
+        ),
+        GV,
+    )
+    j = hash_join(gv, mr, on=(value_col,))
+    P = pa.schema([("_grp", pa.string()), ("_n", pa.int64()), ("_r2", pa.int64())])
+    prod = drop_empty_blocks(
+        j.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.column("_grp"),
+                    t.column("_cg"),
+                    pc.multiply_checked(t.column("_cg"), t.column("_mid2")),
+                ],
+                schema=P,
+            )
+            if t.num_columns
+            else P.empty_table(),
+            batch_format="pyarrow",
+        ),
+        P,
+    )
+    stats = sorted_grouped_agg(
+        prod, ["_grp"], [("_n", "sum"), ("_r2", "sum")], out_names=["n", "r2"]
+    ).take_all()  # k rows — group cardinality is human-scale by contract
+
+    # tie partials: per-batch exact Python-int fold over the value cells,
+    # emitted as one int64 partial per batch (contract above)
+    TIE = pa.schema([("_k", pa.int64()), ("_t", pa.int64())])
+
+    def tie_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TIE.empty_table()
+        c = t.column("_c").to_numpy(zero_copy_only=False)
+        part = sum(int(x) ** 3 - int(x) for x in c)
+        return pa.Table.from_arrays(
+            [pa.array([0], pa.int64()), pa.array([part], pa.int64())], schema=TIE
+        )
+
+    tie_rows = (
+        drop_empty_blocks(
+            cv.map_batches(tie_partial, batch_format="pyarrow"), TIE
+        )
+        .take_all()
+    )
+    tie = sum(int(r["_t"]) for r in tie_rows)
+
+    n_total = sum(int(r["n"]) for r in stats)
+    k = len(stats)
+    OUT = pa.schema(
+        [
+            ("n_rows", pa.int64()),
+            ("k_groups", pa.int64()),
+            ("tie_sum", pa.int64()),
+            ("h_milli", pa.int64()),
+        ]
+    )
+    h_milli = None
+    if k >= 2 and n_total >= 2:
+        s1 = sum(
+            (10**6 * int(r["r2"]) ** 2) // int(r["n"]) for r in stats
+        )
+        den = 10**6 * ((n_total**3 - n_total) - tie)
+        if den > 0:
+            num = 3 * (n_total - 1) * (s1 - 10**6 * n_total * (n_total + 1) ** 2) * 1000
+            h_milli = num // den  # Python // floors, matching the twin's CASE
+    return pa.Table.from_arrays(
+        [
+            pa.array([n_total], pa.int64()),
+            pa.array([k], pa.int64()),
+            pa.array([tie], pa.int64()),
+            pa.array([h_milli], pa.int64()),
+        ],
+        schema=OUT,
+    )

@@ -133,3 +133,113 @@ def test_event_hazard_rate_hand_values():
     assert out.loc[0, "hazard_ppm"] == 333_333
     assert out.loc[2, "hazard_ppm"] == 500_000
     assert out.loc[48, "hazard_ppm"] == 1_000_000
+
+
+def test_event_type_kruskal_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_event_type_kruskal,
+    )
+
+    # a: 1,2,3  b: 4,5,6 (cents 100..600, no ties)
+    # ranks 1..6 -> R_a=6, R_b=15; H = 12/(6*7)*(36/3+225/3) - 3*7 = 27/7
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "ts": pd.to_datetime("2024-01-01"),
+            "value": [r[1] for r in rows],
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = q_event_type_kruskal(d).to_pandas()
+    row = out.iloc[0]
+    assert row["n_rows"] == 6
+    assert row["k_groups"] == 2
+    assert row["tie_sum"] == 0
+    assert row["h_milli"] == 3857  # floor(27/7 * 1000)
+
+
+def test_event_type_kruskal_ties():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_event_type_kruskal,
+    )
+
+    # a: 1,1  b: 2,2 -> midranks 1.5,1.5,3.5,3.5; R_a=3, R_b=7; N=4
+    # H = 12/20*(9/2+49/2) - 15 = 2.4; ties T = 2*(8-2) = 12
+    # H_c = 2.4 / (1 - 12/60) = 3.0
+    rows = [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)]
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "ts": pd.to_datetime("2024-01-01"),
+            "value": [r[1] for r in rows],
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = q_event_type_kruskal(d).to_pandas()
+    row = out.iloc[0]
+    assert row["tie_sum"] == 12
+    assert row["h_milli"] == 3000
+
+
+def test_neyman_allocation_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_neyman_allocation,
+    )
+
+    # stratum a: cents 100,300 -> n=2, s=400, q=100^2+300^2=100000
+    #   w = floor(sqrt(2*100000 - 160000)) = floor(sqrt(40000)) = 200
+    # stratum b: cents 100,100 -> zero variance, w = 0
+    rows = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 1.0)]
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "ts": pd.to_datetime("2024-01-01"),
+            "value": [r[1] for r in rows],
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = (
+            q_neyman_allocation(d).to_pandas().set_index("stratum").sort_index()
+        )
+    assert out.loc["a", "weight"] == 200
+    assert out.loc["b", "weight"] == 0
+    assert out.loc["a", "alloc"] == 10_000
+    assert out.loc["b", "alloc"] == 0
+    assert out["alloc"].sum() == 10_000
+
+
+def test_part_theil_sen_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import q_part_theil_sen
+
+    # sizes 1,2,3 with per-size medians 100c, 300c, 400c
+    # (size 2 has values [2,3,4] -> lower median 300c)
+    rows = [(1, 1.0), (2, 2.0), (2, 3.0), (2, 4.0), (3, 4.0)]
+    df = pd.DataFrame(
+        {
+            "p_partkey": range(len(rows)),
+            "p_size": [r[0] for r in rows],
+            "p_retailprice": [r[1] for r in rows],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "part.parquet"))
+        out = q_part_theil_sen(d).to_pandas()
+    row = out.iloc[0]
+    # slopes: (300-100)/1=200, (400-100)/2=150, (400-300)/1=100 (ppm*1e6/c)
+    # sorted [100, 150, 200] ppm*1e6 -> lower median 150 c/size
+    assert row["n_sizes"] == 3
+    assert row["n_pairs"] == 3
+    assert row["ts_slope_ppm"] == 150_000_000
