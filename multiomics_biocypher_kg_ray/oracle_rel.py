@@ -4522,3 +4522,123 @@ SELECT (SELECT count(*) FROM med)::BIGINT AS n_sizes,
        (SELECT count(*) FROM sl)::BIGINT AS n_pairs,
        (SELECT slope FROM o WHERE 2 * rn >= cnt
         ORDER BY slope LIMIT 1)::BIGINT AS ts_slope_ppm"""
+
+
+def sql_minhash_estimate_audit(
+    k: int = 3, num_hashes: int = 8, band_size: int = 2, cap: int = 1000
+) -> str:
+    """Twin of ``dedup.minhash_estimate_audit``: the band/candidate CTEs of
+    ``sql_lsh_candidate_pairs``, per-seed component matches, the capped
+    shingle intersection RESTRICTED to candidate docs (row_number after the
+    restriction, exactly as the engine's semi-join-first exact tier)."""
+    n_bands = num_hashes // band_size
+    band_expr = "md5(" + " || '|' || ".join(
+        f"sig[band_idx * {band_size} + {j + 1}]" for j in range(band_size)
+    ) + ")"
+    return f"""
+WITH {_shingle_cte(k=k)},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range({num_hashes})) AS seed) s
+  GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+band AS (
+  SELECT doc_id, band_idx::BIGINT AS band_idx, {band_expr} AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(range({n_bands})) AS band_idx) b
+),
+cb AS (
+  SELECT doc_id, band_idx, band_hash,
+         row_number() OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS rn
+  FROM band
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cb a JOIN cb b ON a.band_idx = b.band_idx
+                     AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS m
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+  GROUP BY 1, 2
+),
+cd AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cd USING (doc_id)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+capped AS (
+  SELECT doc_id, shingle,
+         row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+  FROM shr
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS ns
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT i.doc_a, i.doc_b,
+         ((ns * 1000000) // (sa.sz + sb.sz - ns))::BIGINT AS exact_ppm
+  FROM inter i
+  JOIN sz sa ON i.doc_a = sa.doc_id
+  JOIN sz sb ON i.doc_b = sb.doc_id
+)
+SELECT e.doc_a, e.doc_b,
+       ((e.m * 1000000) // {num_hashes})::BIGINT AS est_ppm,
+       ex.exact_ppm,
+       ((e.m * 1000000) // {num_hashes} - ex.exact_ppm)::BIGINT AS err_ppm
+FROM est e JOIN ex ON e.doc_a = ex.doc_a AND e.doc_b = ex.doc_b"""
+
+
+def sql_embedding_rp_distortion(k: int = 8, scale: int = 1000) -> str:
+    """Twin of ``similarity.rp_distortion``: milli-quantized unnest, the
+    md5 first-nibble Rademacher sign matrix, per-pair exact integer
+    distance sums, NULL ratio on zero original distance."""
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}.0) AS BIGINT)
+           AS q
+  FROM embeddings
+),
+dims AS (SELECT DISTINCT dim FROM ex),
+signs AS (
+  SELECT dim, j,
+         CASE WHEN substr(md5(dim::VARCHAR || ':' || j::VARCHAR), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END::BIGINT AS s
+  FROM dims CROSS JOIN (SELECT unnest(range({k})) AS j) jj
+),
+proj AS (
+  SELECT e.vec_id, s.j, sum(s.s * e.q)::BIGINT AS y
+  FROM ex e JOIN signs s ON s.dim = e.dim GROUP BY 1, 2
+),
+pr AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+),
+od AS (
+  SELECT p.vec_a, p.vec_b, sum((ea.q - eb.q) * (ea.q - eb.q))::BIGINT AS d2_orig
+  FROM pr p
+  JOIN ex ea ON ea.vec_id = p.vec_a
+  JOIN ex eb ON eb.vec_id = p.vec_b AND eb.dim = ea.dim
+  GROUP BY 1, 2
+),
+pd AS (
+  SELECT p.vec_a, p.vec_b, sum((ya.y - yb.y) * (ya.y - yb.y))::BIGINT AS d2_proj
+  FROM pr p
+  JOIN proj ya ON ya.vec_id = p.vec_a
+  JOIN proj yb ON yb.vec_id = p.vec_b AND yb.j = ya.j
+  GROUP BY 1, 2
+)
+SELECT od.vec_a, od.vec_b, od.d2_orig, pd.d2_proj,
+       CASE WHEN od.d2_orig > 0
+            THEN ((pd.d2_proj * 1000000) // ({k} * od.d2_orig))::BIGINT
+            ELSE NULL END AS ratio_ppm
+FROM od JOIN pd ON od.vec_a = pd.vec_a AND od.vec_b = pd.vec_b"""

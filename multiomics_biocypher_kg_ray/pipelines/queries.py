@@ -7470,6 +7470,25 @@ def q_part_theil_sen(sf_dir: str):
     )
 
 
+def q_minhash_estimate_audit(sf_dir: str):
+    """MinHash sketch calibration audit over the documents table: per LSH
+    candidate pair, the k=8 signature's Jaccard estimate vs the exact
+    shingle Jaccard with signed error (``dedup.minhash_estimate_audit``) —
+    the run-before-you-trust-the-sketch check for banded dedup."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_estimate_audit(docs)
+
+
+def q_embedding_rp_distortion(sf_dir: str):
+    """JL random-projection distortion audit on the embeddings table:
+    consecutive-id pairs compare exact squared distance before vs after the
+    deterministic md5-Rademacher projection to 8 dims
+    (``similarity.rp_distortion``) — the go/no-go for using a cheap k-dim
+    sketch as an ANN/dedup pre-screen."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.rp_distortion(emb)
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -8155,6 +8174,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_part_theil_sen,
             oracle_rel.sql_part_theil_sen(),
         ),
+        "minhash_estimate_audit": (
+            q_minhash_estimate_audit,
+            oracle_rel.sql_minhash_estimate_audit(),
+        ),
+        "embedding_rp_distortion": (
+            q_embedding_rp_distortion,
+            oracle_rel.sql_embedding_rp_distortion(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -8164,6 +8191,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "embedding_rp_distortion",
+        "minhash_estimate_audit",
         "part_theil_sen",
         "neyman_allocation",
         "event_type_kruskal",

@@ -1228,3 +1228,206 @@ def blocking_quality(
         )
 
     return drop_empty_blocks(agg.map_batches(finish, batch_format="pyarrow"), OUT)
+
+
+def minhash_estimate_audit(
+    docs: "ray.data.Dataset",
+    k_shingle: int = 3,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+    cap: int = LSH_BUCKET_CAP,
+) -> "ray.data.Dataset":
+    """Estimation-accuracy audit of the MinHash sketch: for every LSH
+    candidate pair, the sketch's Jaccard estimate (matching signature
+    components / ``num_hashes``) against the EXACT shingle-set Jaccard —
+    ``(doc_a, doc_b, est_ppm, exact_ppm, err_ppm)``. This is the calibration
+    check a dedup pipeline runs before trusting banded MinHash at scale:
+    err_ppm quantifies how much the k=8 sketch over/under-shoots on the
+    pairs it actually surfaces (the same audit shape as ``cms_estimate`` /
+    ``blocking_quality``).
+
+    Scale shape: signature components are ``num_hashes`` rows per doc (one
+    distributed pass, materialized once, joined twice against the candidate
+    pairs); the exact tier runs the capped shingle pair kernel RESTRICTED to
+    docs appearing in a candidate pair (semi-join first — the full-corpus
+    self-join of ``ngram_jaccard_pairs`` is never paid), with the cap's
+    doc_id ordering applied after the restriction, mirrored by the twin."""
+    import pyarrow.compute as pc
+
+    from ..functions.textfn import minhash_signature, normalize_ws_lower, shingles
+    from .fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from .joins import hash_join
+
+    COMP = pa.schema(
+        [("doc_id", pa.int64()), ("_seed", pa.int64()), ("_mh", pa.string())]
+    )
+
+    def comp_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return COMP.empty_table()
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = normalize_ws_lower(batch.column("text")).to_pylist()
+        o_doc, o_seed, o_mh = [], [], []
+        for d, t in zip(doc_ids, texts):
+            sh = sorted(set(shingles((t or "").split(" "), k_shingle)))
+            if not sh:
+                continue
+            for seed, mh in enumerate(minhash_signature(sh, num_hashes)):
+                o_doc.append(d)
+                o_seed.append(seed)
+                o_mh.append(mh)
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_doc, pa.int64()),
+                pa.array(o_seed, pa.int64()),
+                pa.array(o_mh, pa.string()),
+            ],
+            schema=COMP,
+        )
+
+    comp = drop_empty_blocks(
+        docs.map_batches(comp_fn, batch_format="pyarrow"), COMP
+    ).materialize()  # consumed twice (doc_a side, doc_b side)
+
+    cand = drop_empty_blocks(
+        lsh_candidate_pairs(
+            minhash_bands(
+                docs,
+                k_shingle=k_shingle,
+                num_hashes=num_hashes,
+                band_size=band_size,
+            ),
+            cap=cap,
+        ).select_columns(["doc_a", "doc_b"])
+    ).materialize()  # consumed twice (est join, candidate-doc restriction)
+
+    comp_a = comp.map_batches(
+        lambda t: t.rename_columns(["doc_a", "_seed", "_mh_a"]),
+        batch_format="pyarrow",
+    )
+    comp_b = comp.map_batches(
+        lambda t: t.rename_columns(["doc_b", "_seed", "_mh_b"]),
+        batch_format="pyarrow",
+    )
+    j1 = drop_empty_blocks(hash_join(cand, comp_a, on=("doc_a",)))
+    j2 = hash_join(j1, comp_b, on=("doc_b", "_seed"))
+    EQ = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("_eq", pa.int64())]
+    )
+    est = sorted_grouped_agg(
+        drop_empty_blocks(
+            j2.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        pc.cast(t.column("doc_a"), pa.int64()),
+                        pc.cast(t.column("doc_b"), pa.int64()),
+                        pc.cast(
+                            pc.equal(t.column("_mh_a"), t.column("_mh_b")),
+                            pa.int64(),
+                        ),
+                    ],
+                    schema=EQ,
+                )
+                if t.num_columns
+                else EQ.empty_table(),
+                batch_format="pyarrow",
+            ),
+            EQ,
+        ),
+        ["doc_a", "doc_b"],
+        [("_eq", "sum")],
+        out_names=["matches"],
+    )
+
+    # exact tier over the candidate-doc universe only
+    ID = pa.schema([("doc_id", pa.int64())])
+    cand_docs = sorted_distinct(
+        cand.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pa.concat_arrays(
+                        [
+                            pc.cast(t.column("doc_a"), pa.int64()).combine_chunks(),
+                            pc.cast(t.column("doc_b"), pa.int64()).combine_chunks(),
+                        ]
+                    )
+                ],
+                schema=ID,
+            )
+            if t.num_columns
+            else ID.empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+    )
+    exploded = _shingle_explode(docs, k_shingle, None, with_size=True)
+    exploded_sem = drop_empty_blocks(
+        hash_join(
+            drop_empty_blocks(exploded),
+            drop_empty_blocks(cand_docs, ID),
+            on=("doc_id",),
+        )
+    )
+    with_b = sorted_grouped_agg(
+        bucket_pairs(
+            exploded_sem, ["shingle"], "doc_id", payload_cols=("set_size",), cap=cap
+        ),
+        ["doc_a", "doc_b"],
+        [("doc_a", "count"), ("set_size_a", "min"), ("set_size_b", "min")],
+        out_names=["n_shared", "size_a", "size_b"],
+    )
+    EX = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("exact_ppm", pa.int64())]
+    )
+    exact = drop_empty_blocks(
+        with_b.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.cast(t.column("doc_a"), pa.int64()),
+                    pc.cast(t.column("doc_b"), pa.int64()),
+                    pc.divide(
+                        pc.multiply_checked(t.column("n_shared"), 1_000_000),
+                        pc.subtract(
+                            pc.add(t.column("size_a"), t.column("size_b")),
+                            t.column("n_shared"),
+                        ),
+                    ),
+                ],
+                schema=EX,
+            )
+            if t.num_columns
+            else EX.empty_table(),
+            batch_format="pyarrow",
+        ),
+        EX,
+    )
+    joined = hash_join(drop_empty_blocks(est), exact, on=("doc_a", "doc_b"))
+    OUT = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("est_ppm", pa.int64()),
+            ("exact_ppm", pa.int64()),
+            ("err_ppm", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        est_ppm = pc.divide(
+            pc.multiply_checked(t.column("matches"), 1_000_000),
+            pa.scalar(num_hashes, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_a"),
+                t.column("doc_b"),
+                est_ppm,
+                t.column("exact_ppm"),
+                pc.subtract(est_ppm, t.column("exact_ppm")),
+            ],
+            schema=OUT,
+        )
+
+    return joined.map_batches(final, batch_format="pyarrow")

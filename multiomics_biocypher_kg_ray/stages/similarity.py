@@ -1251,3 +1251,131 @@ def embedding_label_margin(
     return drop_empty_blocks(
         ds.map_batches(score, batch_format="pyarrow"), OUT
     )
+
+
+def _rp_signs(dims: int, k: int) -> np.ndarray:
+    """Deterministic ±1 Rademacher projection matrix (dims × k): sign(i, j)
+    = +1 iff the first hex nibble of md5(f"{i}:{j}") is < 8 — the
+    SQL-reproducible coin flip (same convention family as the minhash md5
+    twins)."""
+    import hashlib
+
+    s = np.empty((dims, k), dtype=np.int64)
+    for i in range(dims):
+        for j in range(k):
+            h = hashlib.md5(f"{i}:{j}".encode("utf-8")).hexdigest()
+            s[i, j] = 1 if int(h[0], 16) < 8 else -1
+    return s
+
+
+def rp_distortion(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    scale: float = 1000.0,
+) -> "ray.data.Dataset":
+    """Johnson–Lindenstrauss distortion audit of a ±1 random projection:
+    embeddings are milli-quantized (the ``embedding_covariance``
+    discipline), projected to ``k`` dims through the deterministic
+    md5-Rademacher matrix, and consecutive-id pairs (2t, 2t+1) compare the
+    exact squared distance before vs after —
+    ``(vec_a, vec_b, d2_orig, d2_proj, ratio_ppm)`` with
+    ratio_ppm = d2_proj·10⁶ // (k·d2_orig) (1e6 = distortion-free, since
+    E[d2_proj] = k·d2_orig for Rademacher projections). The go/no-go check
+    before using a cheap k-dim sketch as a dedup/ANN pre-screen.
+
+    Scale shape: projection is one int64 GEMM per batch (signs built once
+    per worker, dims×k); pairs ride ONE hash join keyed on pair_id with a
+    (dims+k)-int packed payload; distances are vectorized subtractions.
+    Exact int64 end to end (|q| ≤ scale, y ≤ dims·scale)."""
+    import pyarrow.compute as pc
+
+    from ..state.broadcast import task_state
+    from .fastagg import drop_empty_blocks
+    from .joins import hash_join
+
+    # the packed payload rides the join as raw little-endian int64 bytes —
+    # Ray Data's hash join does not accept list-typed non-key fields
+    SIDE = pa.schema(
+        [("_pid", pa.int64()), (id_col, pa.int64()), ("_qy", pa.binary())]
+    )
+
+    def project(t: pa.Table, side: int) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return SIDE.empty_table()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids % 2) == side
+        if not keep.any():
+            return SIDE.empty_table()
+        t = t.filter(pa.array(keep))
+        ids = ids[keep]
+        lists = t.column(vec_col).combine_chunks()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dims = len(flat) // t.num_rows
+        q = np.floor(flat * scale).astype(np.int64).reshape(t.num_rows, dims)
+        signs = task_state(("rp_signs", dims, k), lambda: _rp_signs(dims, k))
+        y = q @ signs  # exact int64 GEMM
+        qy = np.ascontiguousarray(np.concatenate([q, y], axis=1))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids // 2, pa.int64()),
+                pa.array(ids, pa.int64()),
+                pa.array([row.tobytes() for row in qy], pa.binary()),
+            ],
+            schema=SIDE,
+        )
+
+    a = drop_empty_blocks(
+        ds.map_batches(project, fn_kwargs={"side": 0}, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["_pid", "vec_a", "_qy_a"]),
+            batch_format="pyarrow",
+        )
+    )
+    b = drop_empty_blocks(
+        ds.map_batches(project, fn_kwargs={"side": 1}, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["_pid", "vec_b", "_qy_b"]),
+            batch_format="pyarrow",
+        )
+    )
+    j = hash_join(a, b, on=("_pid",))
+    OUT = pa.schema(
+        [
+            ("vec_a", pa.int64()),
+            ("vec_b", pa.int64()),
+            ("d2_orig", pa.int64()),
+            ("d2_proj", pa.int64()),
+            ("ratio_ppm", pa.int64()),
+        ]
+    )
+
+    def dist(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+
+        def mat(col):
+            rows = t.column(col).to_pylist()
+            flat = np.frombuffer(b"".join(rows), dtype="<i8")
+            return flat.reshape(t.num_rows, len(flat) // t.num_rows)
+
+        qa, qb = mat("_qy_a"), mat("_qy_b")
+        d = qa - qb
+        d2o = (d[:, :-k] ** 2).sum(axis=1)
+        d2p = (d[:, -k:] ** 2).sum(axis=1)
+        ratio = np.where(d2o > 0, (d2p * 1_000_000) // (k * np.maximum(d2o, 1)), 0)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("vec_a"), pa.int64()),
+                pc.cast(t.column("vec_b"), pa.int64()),
+                pa.array(d2o, pa.int64()),
+                pa.array(d2p, pa.int64()),
+                pa.array(ratio, pa.int64(), mask=~(d2o > 0)),
+            ],
+            schema=OUT,
+        )
+
+    return j.map_batches(dist, batch_format="pyarrow")

@@ -243,3 +243,67 @@ def test_part_theil_sen_hand_values():
     assert row["n_sizes"] == 3
     assert row["n_pairs"] == 3
     assert row["ts_slope_ppm"] == 150_000_000
+
+
+def test_minhash_estimate_audit_exact_dups():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_minhash_estimate_audit,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    uniq = " ".join(f"tok{i}" for i in range(30))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [dup, dup, dup, uniq],
+            "lang": "en",
+            "source": "a",
+            "n_chars": 1,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        out = q_minhash_estimate_audit(d).to_pandas()
+    # the three identical docs form 3 candidate pairs; the unique doc none
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+    assert (out["est_ppm"] == 1_000_000).all()
+    assert (out["exact_ppm"] == 1_000_000).all()
+    assert (out["err_ppm"] == 0).all()
+
+
+def test_embedding_rp_distortion_single_axis():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_embedding_rp_distortion,
+    )
+
+    # pair (0,1): differs by 1.0 in ONE dim -> d = (1000,0,0,0);
+    # every projected coordinate is (1000·s)² = 10⁶, so d2_proj = 8·10⁶
+    # and ratio_ppm = 10⁶ exactly, independent of the sign draws.
+    # pair (2,3): identical vectors -> d2_orig = 0, ratio NULL.
+    df = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [
+                [1.0, 0.0, 0.0, 0.0],
+                [0.0, 0.0, 0.0, 0.0],
+                [0.5, 0.5, 0.5, 0.5],
+                [0.5, 0.5, 0.5, 0.5],
+            ],
+            "label": 0,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "embeddings.parquet"))
+        out = (
+            q_embedding_rp_distortion(d)
+            .to_pandas()
+            .set_index("vec_a")
+            .sort_index()
+        )
+    assert out.index.tolist() == [0, 2]
+    assert out.loc[0, "d2_orig"] == 1_000_000
+    assert out.loc[0, "d2_proj"] == 8_000_000
+    assert out.loc[0, "ratio_ppm"] == 1_000_000
+    assert out.loc[2, "d2_orig"] == 0
+    assert pd.isna(out.loc[2, "ratio_ppm"])
