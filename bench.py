@@ -332,6 +332,14 @@ def run_bench() -> dict:
         q_kg_rule_yield,
         q_pack_efficiency,
         q_dup_source_matrix,
+        q_user_twap,
+        q_daily_revenue_runs,
+        q_event_hazard_rate,
+        q_event_type_kruskal,
+        q_neyman_allocation,
+        q_part_theil_sen,
+        q_minhash_estimate_audit,
+        q_embedding_rp_distortion,
     )
 
     for name, fn in [
@@ -533,6 +541,15 @@ def run_bench() -> dict:
         ("pack_efficiency", q_pack_efficiency),
         # session-43: cross-source duplication matrix
         ("dup_source_matrix", q_dup_source_matrix),
+        # session-44: time-integral/order-stat family + sketch audits
+        ("user_twap", q_user_twap),
+        ("daily_revenue_runs", q_daily_revenue_runs),
+        ("event_hazard_rate", q_event_hazard_rate),
+        ("event_type_kruskal", q_event_type_kruskal),
+        ("neyman_allocation", q_neyman_allocation),
+        ("part_theil_sen", q_part_theil_sen),
+        ("minhash_estimate_audit", q_minhash_estimate_audit),
+        ("embedding_rp_distortion", q_embedding_rp_distortion),
     ]:
         t = time.time()
         out = fn(SF_DIR)
