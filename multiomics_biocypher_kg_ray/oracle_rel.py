@@ -4642,3 +4642,49 @@ SELECT od.vec_a, od.vec_b, od.d2_orig, pd.d2_proj,
             THEN ((pd.d2_proj * 1000000) // ({k} * od.d2_orig))::BIGINT
             ELSE NULL END AS ratio_ppm
 FROM od JOIN pd ON od.vec_a = pd.vec_a AND od.vec_b = pd.vec_b"""
+
+
+def sql_orders_seasonal_strength() -> str:
+    """Twin of ``q_orders_seasonal_strength``: HUGEINT day moments, day%7
+    weekday classes, the ``anova_f``-style per-group floors (A − B over
+    Q − B), ppm-quantized eta²."""
+    return """
+WITH d AS (
+  SELECT epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::HUGEINT AS rev
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT day % 7 AS w, count(*)::HUGEINT AS n, sum(rev)::HUGEINT AS s
+  FROM d GROUP BY 1
+),
+t AS (
+  SELECT (SELECT count(*)::HUGEINT FROM d) AS nd,
+         (SELECT count(*)::BIGINT FROM g) AS k,
+         (SELECT sum(rev)::HUGEINT FROM d) AS st,
+         (SELECT sum(rev * rev)::HUGEINT FROM d) AS q,
+         (SELECT sum((s * s) // n)::HUGEINT FROM g) AS a
+)
+SELECT nd::BIGINT AS n_days, k AS k_weekdays,
+       CASE WHEN nd >= 2 AND (q - (st * st) // nd) > 0
+            -- true FLOOR: per-group flooring can push A below B near eta=0
+            THEN ((1000000 * (a - (st * st) // nd))
+                  // (q - (st * st) // nd)
+                  - CASE WHEN (1000000 * (a - (st * st) // nd)) < 0
+                              AND ((1000000 * (a - (st * st) // nd))
+                                   % (q - (st * st) // nd)) <> 0
+                         THEN 1 ELSE 0 END)::BIGINT
+            ELSE NULL END AS eta2_ppm
+FROM t"""
+
+
+def sql_near_dup_threshold_curve() -> str:
+    """Twin of ``q_near_dup_threshold_curve``: the full MinHash-audit twin
+    as a CTE, exact-ppm deciles, integer mean |error| per decile."""
+    inner = sql_minhash_estimate_audit().strip()
+    return f"""
+WITH audit AS ({inner})
+SELECT (exact_ppm // 100000)::BIGINT AS decile,
+       count(*)::BIGINT AS n_pairs,
+       (sum(abs(err_ppm)) // count(*))::BIGINT AS mean_abs_err_ppm
+FROM audit GROUP BY 1"""

@@ -7489,6 +7489,137 @@ def q_embedding_rp_distortion(sf_dir: str):
     return similarity.rp_distortion(emb)
 
 
+def q_orders_seasonal_strength(sf_dir: str):
+    """Weekday seasonality strength of daily order revenue: eta² =
+    between-weekday sum of squares / total sum of squares over the daily
+    cents series, ppm-quantized — "how much of my revenue variance is
+    day-of-week" in one number (the variance-decomposition companion of
+    ``orders_weekday_profile``, which shows the profile but not its
+    explanatory power).
+
+    Shape: ONE day-cardinality fastagg over cents partials, then the whole
+    series (human-bounded: one row per calendar day) folds in an
+    arbitrary-precision Python finalize — day revenues squared exceed int64
+    at sf0.1 already, so the squares never touch the distributed path.
+    Twin mirrors with HUGEINT and the ``anova_f``-style per-group floors."""
+    from ..arrow_util import floor_div_i64
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    PREP = pa.schema([("_day", pa.int64()), ("_cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        t2 = relational.to_cents(t, {"o_totalprice": "_cents"})
+        day = floor_div_i64(
+            pc.cast(
+                pc.cast(t2.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+            ),
+            86_400_000_000,
+        )
+        return pa.Table.from_arrays([day, t2.column("_cents")], schema=PREP)
+
+    daily = sorted_grouped_agg(
+        drop_empty_blocks(orders.map_batches(prep, batch_format="pyarrow"), PREP),
+        ["_day"],
+        [("_cents", "sum")],
+        out_names=["rev"],
+    ).take_all()  # one row per calendar day — human-bounded
+
+    from collections import defaultdict
+
+    n_w: dict = defaultdict(int)
+    s_w: dict = defaultdict(int)
+    S = Q = N = 0
+    for r in daily:
+        d, rev = int(r["_day"]), int(r["rev"])
+        w = d % 7
+        n_w[w] += 1
+        s_w[w] += rev
+        S += rev
+        Q += rev * rev
+        N += 1
+    OUT = pa.schema(
+        [
+            ("n_days", pa.int64()),
+            ("k_weekdays", pa.int64()),
+            ("eta2_ppm", pa.int64()),
+        ]
+    )
+    eta = None
+    if N >= 2:
+        A = sum((v * v) // n_w[w] for w, v in s_w.items())
+        B = (S * S) // N
+        sst = Q - B
+        if sst > 0:
+            eta = (1_000_000 * (A - B)) // sst
+    return pa.Table.from_arrays(
+        [
+            pa.array([N], pa.int64()),
+            pa.array([len(n_w)], pa.int64()),
+            pa.array([eta], pa.int64()),
+        ],
+        schema=OUT,
+    )
+
+
+def q_near_dup_threshold_curve(sf_dir: str):
+    """Dedup threshold calibration curve: the MinHash-audit pairs bucketed
+    by exact-Jaccard decile, with pair counts and the sketch's mean
+    |error| per bucket — the table you read to pick the LSH verify
+    threshold (where does the pair mass sit, and how trustworthy is the
+    sketch in each band). One decile fastagg over
+    ``dedup.minhash_estimate_audit``."""
+    from ..arrow_util import floor_div_i64
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    audit = q_minhash_estimate_audit(sf_dir)
+    MID = pa.schema(
+        [("decile", pa.int64()), ("_one", pa.int64()), ("_abs_err", pa.int64())]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        dec = floor_div_i64(t.column("exact_ppm").combine_chunks(), 100_000)
+        return pa.Table.from_arrays(
+            [
+                dec,
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.abs(t.column("err_ppm")),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(audit.map_batches(bucket, batch_format="pyarrow"), MID),
+        ["decile"],
+        [("_one", "sum"), ("_abs_err", "sum")],
+        out_names=["n_pairs", "sum_abs_err"],
+    )
+    OUT = pa.schema(
+        [
+            ("decile", pa.int64()),
+            ("n_pairs", pa.int64()),
+            ("mean_abs_err_ppm", pa.int64()),
+        ]
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("decile"),
+                t.column("n_pairs"),
+                pc.divide(t.column("sum_abs_err"), t.column("n_pairs")),
+            ],
+            schema=OUT,
+        )
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -8182,6 +8313,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_embedding_rp_distortion,
             oracle_rel.sql_embedding_rp_distortion(),
         ),
+        "orders_seasonal_strength": (
+            q_orders_seasonal_strength,
+            oracle_rel.sql_orders_seasonal_strength(),
+        ),
+        "near_dup_threshold_curve": (
+            q_near_dup_threshold_curve,
+            oracle_rel.sql_near_dup_threshold_curve(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -8191,6 +8330,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "orders_seasonal_strength",
+        "near_dup_threshold_curve",
         "embedding_rp_distortion",
         "minhash_estimate_audit",
         "part_theil_sen",

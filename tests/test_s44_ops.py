@@ -307,3 +307,51 @@ def test_embedding_rp_distortion_single_axis():
     assert out.loc[0, "ratio_ppm"] == 1_000_000
     assert out.loc[2, "d2_orig"] == 0
     assert pd.isna(out.loc[2, "ratio_ppm"])
+
+
+def test_orders_seasonal_strength_pure_weekday_signal():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_orders_seasonal_strength,
+    )
+
+    # 14 days, two weeks: revenue depends ONLY on weekday -> eta2 = 1
+    days = pd.date_range("2024-01-01", periods=14, freq="D")
+    rev = [float(d.dayofweek + 1) for d in days]
+    df = pd.DataFrame(
+        {
+            "o_orderkey": range(14),
+            "o_orderdate": days,
+            "o_totalprice": rev,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "orders.parquet"))
+        out = q_orders_seasonal_strength(d).to_pandas()
+    row = out.iloc[0]
+    assert row["n_days"] == 14
+    assert row["k_weekdays"] == 7
+    assert row["eta2_ppm"] == 1_000_000
+
+
+def test_near_dup_threshold_curve_exact_dups():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_near_dup_threshold_curve,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [dup, dup, dup],
+            "lang": "en",
+            "source": "a",
+            "n_chars": 1,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        out = q_near_dup_threshold_curve(d).to_pandas()
+    # all three pairs are exact dups: decile 10 (ppm 1e6), zero error
+    assert out["decile"].tolist() == [10]
+    assert out.iloc[0]["n_pairs"] == 3
+    assert out.iloc[0]["mean_abs_err_ppm"] == 0
