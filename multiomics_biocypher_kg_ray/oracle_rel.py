@@ -4688,3 +4688,80 @@ SELECT (exact_ppm // 100000)::BIGINT AS decile,
        count(*)::BIGINT AS n_pairs,
        (sum(abs(err_ppm)) // count(*))::BIGINT AS mean_abs_err_ppm
 FROM audit GROUP BY 1"""
+
+
+def sql_event_tail_hill(quantum: int = 1000) -> str:
+    """Twin of ``q_event_tail_hill``: cents cells, inclusive cumulative
+    window for the integer p90 (10·cum ≥ 9·n), strict exceedances with
+    floor(ln·quantum) logs, integer mean in micro units."""
+    return f"""
+WITH e AS (
+  SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+),
+c AS (SELECT g, v, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+n AS (SELECT g, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+cum AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM c
+),
+u AS (
+  SELECT cum.g, min(v)::BIGINT AS u
+  FROM cum JOIN n USING (g) WHERE 10 * cw >= 9 * n GROUP BY cum.g
+),
+tail AS (
+  SELECT c.g, u.u, c.c,
+         CAST(floor(ln(c.v::DOUBLE) * {quantum}.0) AS BIGINT)
+         - CAST(floor(ln(u.u::DOUBLE) * {quantum}.0) AS BIGINT) AS dl
+  FROM c JOIN u USING (g) WHERE c.v > u.u AND u.u >= 1
+)
+SELECT g AS event_type, min(u)::BIGINT AS u_cents,
+       sum(c)::BIGINT AS k_tail,
+       ((sum(c * dl) * 1000) // sum(c))::BIGINT AS hill_inv_alpha_micro
+FROM tail GROUP BY 1"""
+
+
+def sql_user_value_sax_motifs() -> str:
+    """Twin of ``q_user_value_sax_motifs``: per-user discrete quartiles via
+    the 4·cum ≥ k·n cell scan, 0-3 symbol coding, two lead() windows in
+    (ts, event_id) order, 3-symbol motif codes, global census."""
+    return """
+WITH e AS (
+  SELECT user_id::BIGINT AS u, epoch_us(ts::TIMESTAMP) AS t,
+         event_id::BIGINT AS eid,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+),
+c AS (SELECT u, v, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+n AS (SELECT u, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+cum AS (
+  SELECT u, v, c,
+         sum(c) OVER (PARTITION BY u ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM c
+),
+q AS (
+  SELECT cum.u,
+         min(CASE WHEN 4 * cw >= 1 * n THEN v END)::BIGINT AS q1,
+         min(CASE WHEN 4 * cw >= 2 * n THEN v END)::BIGINT AS q2,
+         min(CASE WHEN 4 * cw >= 3 * n THEN v END)::BIGINT AS q3
+  FROM cum JOIN n USING (u) GROUP BY cum.u
+),
+s AS (
+  SELECT e.u, e.t, e.eid,
+         ((CASE WHEN e.v > q.q1 THEN 1 ELSE 0 END)
+          + (CASE WHEN e.v > q.q2 THEN 1 ELSE 0 END)
+          + (CASE WHEN e.v > q.q3 THEN 1 ELSE 0 END))::BIGINT AS s
+  FROM e JOIN q ON q.u = e.u
+),
+w AS (
+  SELECT u, s,
+         lead(s, 1) OVER (PARTITION BY u ORDER BY t, eid) AS s1,
+         lead(s, 2) OVER (PARTITION BY u ORDER BY t, eid) AS s2
+  FROM s
+)
+SELECT (s * 16 + s1 * 4 + s2)::BIGINT AS motif_code, count(*)::BIGINT AS n
+FROM w WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+GROUP BY 1"""

@@ -7620,6 +7620,342 @@ def q_near_dup_threshold_curve(sf_dir: str):
     )
 
 
+def q_event_tail_hill(sf_dir: str, quantum: int = 1000):
+    """Hill tail-index estimate per event type over value cents: u = the
+    type's exact p90 cell (smallest value whose inclusive cell-cumulative
+    reaches 90% of the type count, integer 10·cum ≥ 9·n), exceedances
+    v > u, and 1/α = mean(ln v − ln u) over them — the heavy-tail gauge
+    that says whether a type's spend distribution even HAS a finite mean/
+    variance (the principled follow-up to ``user_event_skew`` /
+    ``event_type_burstiness``). Fully integer: logs are
+    floor(ln·quantum)-quantized first (the ``group_entropy`` discipline),
+    hill_inv_alpha_micro = (Σ c·(L(v) − L(u)) · 1000) // k. Types whose
+    p90 is below 1 cent (log undefined) or with no exceedance are omitted
+    on both sides.
+
+    Shape: one (type, cents) cell fastagg, one hot-key-safe segmented
+    ``cumsum_over`` in (type, value) order, two broadcast-scale joins at
+    cell/type cardinality, one type fastagg."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import hash_join
+    from ..stages.window import cumsum_over
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "_v"}).select(
+            ["event_type", "_v"]
+        ),
+        batch_format="pyarrow",
+    )
+    CELL = pa.schema(
+        [("event_type", pa.string()), ("_v", pa.int64()), ("_c", pa.int64())]
+    )
+    cells = drop_empty_blocks(
+        sorted_grouped_agg(
+            ev, ["event_type", "_v"], [("_v", "count")], out_names=["_c"]
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.cast(t.column("event_type"), pa.string()),
+                    pc.cast(t.column("_v"), pa.int64()),
+                    pc.cast(t.column("_c"), pa.int64()),
+                ],
+                schema=CELL,
+            )
+            if t.num_columns
+            else CELL.empty_table(),
+            batch_format="pyarrow",
+        ),
+        CELL,
+    ).materialize()  # consumed twice: the p90 scan and the exceedance tier
+    totals = sorted_grouped_agg(
+        cells, ["event_type"], [("_c", "sum")], out_names=["n"]
+    )
+    cum = cumsum_over(cells, "event_type", ["_v"], "_c", out_col="_cum")
+    qual = hash_join(
+        drop_empty_blocks(cum), drop_empty_blocks(totals), on=("event_type",)
+    )
+    U = pa.schema([("event_type", pa.string()), ("u", pa.int64())])
+    QV = pa.schema([("event_type", pa.string()), ("_v", pa.int64())])
+
+    def p90_qualifiers(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return QV.empty_table()
+        keep = pc.greater_equal(
+            pc.multiply(pc.cast(t.column("_cum"), pa.int64()), 10),
+            pc.multiply(pc.cast(t.column("n"), pa.int64()), 9),
+        )
+        t = t.filter(keep)
+        return pa.Table.from_arrays(
+            [t.column("event_type"), pc.cast(t.column("_v"), pa.int64())],
+            schema=QV,
+        )
+
+    u = sorted_grouped_agg(
+        drop_empty_blocks(
+            qual.map_batches(p90_qualifiers, batch_format="pyarrow"), QV
+        ),
+        ["event_type"],
+        [("_v", "min")],
+        out_names=["u"],
+    )
+    tail = hash_join(cells, drop_empty_blocks(u, U), on=("event_type",))
+    MID = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("u", pa.int64()),
+            ("_k", pa.int64()),
+            ("_s", pa.int64()),
+        ]
+    )
+
+    def exceed(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        t = t.filter(
+            pc.and_(
+                pc.greater(t.column("_v"), t.column("u")),
+                pc.greater_equal(t.column("u"), 1),
+            )
+        )
+        if t.num_rows == 0:
+            return MID.empty_table()
+        v = t.column("_v").to_numpy(zero_copy_only=False).astype(np.float64)
+        uu = t.column("u").to_numpy(zero_copy_only=False).astype(np.float64)
+        lv = np.floor(np.log(v) * float(quantum)).astype(np.int64)
+        lu = np.floor(np.log(uu) * float(quantum)).astype(np.int64)
+        c = t.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("event_type"),
+                t.column("u"),
+                pa.array(c),
+                pa.array(c * (lv - lu)),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(tail.map_batches(exceed, batch_format="pyarrow"), MID),
+        ["event_type"],
+        [("u", "min"), ("_k", "sum"), ("_s", "sum")],
+        out_names=["u_cents", "k_tail", "s_qlog"],
+    )
+    OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("u_cents", pa.int64()),
+            ("k_tail", pa.int64()),
+            ("hill_inv_alpha_micro", pa.int64()),
+        ]
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("event_type"),
+                t.column("u_cents"),
+                t.column("k_tail"),
+                pc.divide(
+                    pc.multiply_checked(t.column("s_qlog"), 1000),
+                    t.column("k_tail"),
+                ),
+            ],
+            schema=OUT,
+        )
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def q_user_value_sax_motifs(sf_dir: str):
+    """SAX-lite symbolic motif census over per-user spend series: each event
+    value is coded 0-3 against the USER's own exact quartile breakpoints
+    (discrete quantiles, 4·cum ≥ k·n on value cells — the per-user alphabet
+    that z-score SAX approximates), and every 3 consecutive symbols in
+    (ts, event_id) order form a motif; output is the global
+    ``(motif_code, n)`` census (code = s₀·16 + s₁·4 + s₂ ≤ 63) — the
+    symbolic-dynamics screen for recurring spend shapes (ramps 012/123,
+    spikes 030, plateaus 222) that value histograms can't see.
+
+    Shape: one (user, cents) cell fastagg, one segmented ``cumsum_over``
+    for the quartile scan, quartiles packed to one row per user via a
+    sentinel-min fastagg (no pivot joins), one broadcast-pattern hash join
+    back to events, two segmented ``lead_over`` scans for the trigram, one
+    64-row fastagg. Everything integer; hot users cost sorted-block
+    shares."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import hash_join
+    from ..stages.window import cumsum_over, lead_over
+
+    BIG = 1 << 62
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    PREP = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("_ts_us", pa.int64()),
+            ("_eid", pa.int64()),
+            ("_v", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        t2 = relational.to_cents(t, {"value": "_v"})
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t2.column("user_id"), pa.int64()),
+                pc.cast(pc.cast(t2.column("ts"), pa.timestamp("us")), pa.int64()),
+                pc.cast(t2.column("event_id"), pa.int64()),
+                t2.column("_v"),
+            ],
+            schema=PREP,
+        )
+
+    rows = drop_empty_blocks(
+        ev.map_batches(prep, batch_format="pyarrow"), PREP
+    ).materialize()  # consumed twice: quartile build + symbol join
+
+    cells = sorted_grouped_agg(
+        rows.select_columns(["user_id", "_v"]),
+        ["user_id", "_v"],
+        [("_v", "count")],
+        out_names=["_c"],
+    )
+    totals = sorted_grouped_agg(
+        cells, ["user_id"], [("_c", "sum")], out_names=["n"]
+    )
+    cum = cumsum_over(
+        drop_empty_blocks(cells), "user_id", ["_v"], "_c", out_col="_cum"
+    )
+    qual = hash_join(
+        drop_empty_blocks(cum), drop_empty_blocks(totals), on=("user_id",)
+    )
+    QS = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("_q1", pa.int64()),
+            ("_q2", pa.int64()),
+            ("_q3", pa.int64()),
+        ]
+    )
+
+    def qcand(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return QS.empty_table()
+        cum4 = pc.multiply(pc.cast(t.column("_cum"), pa.int64()), 4)
+        n = pc.cast(t.column("n"), pa.int64())
+        v = pc.cast(t.column("_v"), pa.int64())
+        cols = []
+        for k in (1, 2, 3):
+            ok = pc.greater_equal(cum4, pc.multiply(n, k))
+            cols.append(pc.if_else(ok, v, pa.scalar(BIG, pa.int64())))
+        return pa.Table.from_arrays([t.column("user_id")] + cols, schema=QS)
+
+    quart = sorted_grouped_agg(
+        drop_empty_blocks(qual.map_batches(qcand, batch_format="pyarrow"), QS),
+        ["user_id"],
+        [("_q1", "min"), ("_q2", "min"), ("_q3", "min")],
+        out_names=["q1", "q2", "q3"],
+    )
+    sym_in = hash_join(rows, drop_empty_blocks(quart), on=("user_id",))
+    SYM = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("_ts_us", pa.int64()),
+            ("_eid", pa.int64()),
+            ("_s", pa.int64()),
+        ]
+    )
+
+    def to_sym(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return SYM.empty_table()
+        v = t.column("_v")
+        s = pc.add(
+            pc.add(
+                pc.cast(pc.greater(v, t.column("q1")), pa.int64()),
+                pc.cast(pc.greater(v, t.column("q2")), pa.int64()),
+            ),
+            pc.cast(pc.greater(v, t.column("q3")), pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [t.column("user_id"), t.column("_ts_us"), t.column("_eid"), s],
+            schema=SYM,
+        )
+
+    sym = drop_empty_blocks(
+        sym_in.map_batches(to_sym, batch_format="pyarrow"), SYM
+    )
+    s1 = lead_over(sym, "user_id", ["_ts_us", "_eid"], "_s", out_col="_s1")
+    # the second lead rides the SAME ordering; _s1 already carries nulls at
+    # each user's last row, so lead(_s1) needs null-safe handling: encode
+    # null as BIG before the scan, decode after
+    ENC = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("_ts_us", pa.int64()),
+            ("_eid", pa.int64()),
+            ("_s", pa.int64()),
+            ("_s1e", pa.int64()),
+        ]
+    )
+    enc = s1.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("user_id"),
+                t.column("_ts_us"),
+                t.column("_eid"),
+                t.column("_s"),
+                pc.fill_null(t.column("_s1"), BIG),
+            ],
+            schema=ENC,
+        )
+        if t.num_columns
+        else ENC.empty_table(),
+        batch_format="pyarrow",
+    )
+    s2 = lead_over(
+        drop_empty_blocks(enc, ENC),
+        "user_id",
+        ["_ts_us", "_eid"],
+        "_s1e",
+        out_col="_s2e",
+    )
+    MID = pa.schema([("motif_code", pa.int64()), ("_one", pa.int64())])
+
+    def motif(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        ok = pc.and_(
+            pc.and_(
+                pc.is_valid(t.column("_s2e")),
+                pc.not_equal(pc.fill_null(t.column("_s2e"), BIG), BIG),
+            ),
+            pc.not_equal(t.column("_s1e"), BIG),
+        )
+        t = t.filter(ok)
+        if t.num_rows == 0:
+            return MID.empty_table()
+        code = pc.add(
+            pc.add(
+                pc.multiply(t.column("_s"), 16),
+                pc.multiply(t.column("_s1e"), 4),
+            ),
+            t.column("_s2e"),
+        )
+        return pa.Table.from_arrays(
+            [code, pa.array(np.ones(t.num_rows, np.int64))], schema=MID
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(s2.map_batches(motif, batch_format="pyarrow"), MID),
+        ["motif_code"],
+        [("_one", "sum")],
+        out_names=["n"],
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -8321,6 +8657,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_near_dup_threshold_curve,
             oracle_rel.sql_near_dup_threshold_curve(),
         ),
+        "event_tail_hill": (
+            q_event_tail_hill,
+            oracle_rel.sql_event_tail_hill(),
+        ),
+        "user_value_sax_motifs": (
+            q_user_value_sax_motifs,
+            oracle_rel.sql_user_value_sax_motifs(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -8330,6 +8674,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "user_value_sax_motifs",
+        "event_tail_hill",
         "orders_seasonal_strength",
         "near_dup_threshold_curve",
         "embedding_rp_distortion",

@@ -1,0 +1,92 @@
+"""Round-4 session-45 — Hill tail index (quantized-log exceedance mean)."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pandas as pd
+
+
+def _events(rows):
+    # rows: (event_type, value)
+    return pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "ts": pd.to_datetime("2024-01-01"),
+            "value": [r[1] for r in rows],
+            "props": "",
+        }
+    )
+
+
+def test_event_tail_hill_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import q_event_tail_hill
+
+    # type a: cents 1..9 and 100 -> n=10, p90 cell u=9 (10*cum>=9*n at v=9),
+    # one exceedance v=100: dl = floor(ln(100)*1000) - floor(ln(9)*1000)
+    rows = [("a", i / 100.0) for i in range(1, 10)] + [("a", 1.00)]
+    # type b: all zeros -> u=0, log undefined, omitted
+    rows += [("b", 0.0)] * 5
+    df = _events(rows)
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = q_event_tail_hill(d).to_pandas()
+    assert out["event_type"].tolist() == ["a"]
+    row = out.iloc[0]
+    assert row["u_cents"] == 9
+    assert row["k_tail"] == 1
+    dl = math.floor(math.log(100) * 1000) - math.floor(math.log(9) * 1000)
+    assert row["hill_inv_alpha_micro"] == dl * 1000
+
+
+def test_event_tail_hill_weighted_mean():
+    from multiomics_biocypher_kg_ray.pipelines.queries import q_event_tail_hill
+
+    # 18 copies of 1 cent, then 50 and 100: n=20, cum(1)=18 -> 180>=180,
+    # u=1; exceedances 50 (x1) and 100 (x1)
+    rows = [("a", 0.01)] * 18 + [("a", 0.50), ("a", 1.00)]
+    df = _events(rows)
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = q_event_tail_hill(d).to_pandas()
+    row = out.iloc[0]
+    assert row["u_cents"] == 1
+    assert row["k_tail"] == 2
+    l = lambda x: math.floor(math.log(x) * 1000)  # noqa: E731
+    s = (l(50) - l(1)) + (l(100) - l(1))
+    assert row["hill_inv_alpha_micro"] == (s * 1000) // 2
+
+
+def test_user_value_sax_motifs_ramp():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_user_value_sax_motifs,
+    )
+
+    # user 1 spends 1,2,3,4 cents: per-user quartiles q1=1,q2=2,q3=3 ->
+    # symbols 0,1,2,3 -> motifs 012 (code 6) and 123 (code 27)
+    df = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "user_id": 1,
+            "event_type": "click",
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:01",
+                 "2024-01-01 00:00:02", "2024-01-01 00:00:03"]
+            ),
+            "value": [0.01, 0.02, 0.03, 0.04],
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = (
+            q_user_value_sax_motifs(d)
+            .to_pandas()
+            .set_index("motif_code")["n"]
+            .to_dict()
+        )
+    assert out == {6: 1, 27: 1}
