@@ -1536,3 +1536,19 @@ SELECT src, n, n_items,
        ((n * floor(ln(n::DOUBLE) * {quantum}.0)::BIGINT - s) // n)::BIGINT
          AS entropy_milli
 FROM a"""
+
+
+def sql_tool_latency() -> str:
+    """Twin of ``convo.tool_latency``: lead(ts) per conversation in turn
+    order, tool-bearing turns only, per-tool integer latency rollup."""
+    return f"""{_kg_prefix()}
+, led AS (
+  SELECT tool, lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               - epoch_us(ts) AS lat
+  FROM transcripts
+)
+SELECT tool, count(*)::BIGINT AS n_calls,
+       sum(lat)::BIGINT AS total_latency_us,
+       max(lat)::BIGINT AS max_latency_us
+FROM led WHERE tool <> '' AND lat IS NOT NULL
+GROUP BY 1"""

@@ -4765,3 +4765,32 @@ w AS (
 SELECT (s * 16 + s1 * 4 + s2)::BIGINT AS motif_code, count(*)::BIGINT AS n
 FROM w WHERE s1 IS NOT NULL AND s2 IS NOT NULL
 GROUP BY 1"""
+
+
+def sql_customer_abc_mobility() -> str:
+    """Twin of ``q_customer_abc_mobility``: data-midpoint cutoff, the
+    ``sql_customer_abc`` window per half, FULL OUTER JOIN, 'none' fill."""
+    v = CENTS.format(col="o_totalprice")
+    half = """
+  SELECT c_custkey, CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                         WHEN cum * 100 <= total * 95 THEN 'B'
+                         ELSE 'C' END AS cls
+  FROM (SELECT c_custkey, v,
+               sum(v) OVER (ORDER BY v DESC, c_custkey
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+               (sum(v) OVER ())::BIGINT AS total
+        FROM (SELECT o_custkey AS c_custkey, sum({v})::BIGINT AS v
+              FROM o WHERE {cond} GROUP BY 1))"""
+    return f"""
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate::TIMESTAMP) AS us, o_totalprice
+  FROM orders
+),
+mm AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM o),
+h1 AS ({half.format(v=v, cond="us <= (SELECT cutoff FROM mm)")}),
+h2 AS ({half.format(v=v, cond="us > (SELECT cutoff FROM mm)")})
+SELECT coalesce(h1.cls, 'none') AS class_h1,
+       coalesce(h2.cls, 'none') AS class_h2,
+       count(*)::BIGINT AS n_customers
+FROM h1 FULL OUTER JOIN h2 USING (c_custkey)
+GROUP BY 1, 2"""

@@ -7956,6 +7956,141 @@ def q_user_value_sax_motifs(sf_dir: str):
     )
 
 
+def q_tool_latency(sf_dir: str):
+    """Per-tool call latency leaderboard over agent transcripts (time from
+    the tool-bearing turn to the next turn): ``convo.tool_latency`` — the
+    stalled-tool detector for transcript curation."""
+    from ..stages import convo
+
+    return convo.tool_latency(transcripts_dataset(sf_dir))
+
+
+def q_customer_abc_mobility(sf_dir: str):
+    """ABC-class mobility matrix: customers Pareto-classified on spend in
+    the FIRST half of the order date range vs the SECOND half (data-
+    midpoint cutoff, the ``purchase_click_did`` convention), with 'none'
+    for customers absent from a half — the churn/upgrade flow behind a
+    static ABC snapshot (how much of last period's A-class slid to C or
+    left entirely). Output: (class_h1, class_h2, n_customers).
+
+    Shape: two half-filtered spend fastaggs → two ``pareto_class`` scans
+    (each ONE segmented cumsum) → one FULL OUTER hash join at customer
+    cardinality → a 16-cell fastagg."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    PREP = pa.schema(
+        [("c_custkey", pa.int64()), ("_us", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        t2 = relational.to_cents(t, {"o_totalprice": "cents"})
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t2.column("o_custkey"), pa.int64()),
+                pc.cast(
+                    pc.cast(t2.column("o_orderdate"), pa.timestamp("us")),
+                    pa.int64(),
+                ),
+                t2.column("cents"),
+            ],
+            schema=PREP,
+        )
+
+    rows = drop_empty_blocks(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow"),
+        PREP,
+    ).materialize()  # consumed thrice: cutoff fold + two halves
+
+    MM = pa.schema([("_k", pa.int64()), ("_mn", pa.int64()), ("_mx", pa.int64())])
+    mm = sorted_grouped_agg(
+        rows.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pa.array(np.zeros(t.num_rows, np.int64)),
+                    t.column("_us"),
+                    t.column("_us"),
+                ],
+                schema=MM,
+            )
+            if t.num_columns
+            else MM.empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["_k"],
+        [("_mn", "min"), ("_mx", "max")],
+        out_names=["mn", "mx"],
+    ).take_all()
+    cutoff = (int(mm[0]["mn"]) + int(mm[0]["mx"])) // 2 if mm else 0
+
+    def half_classes(first_half: bool, out_name: str):
+        def pick(t: pa.Table) -> pa.Table:
+            keep = (
+                pc.less_equal(t.column("_us"), cutoff)
+                if first_half
+                else pc.greater(t.column("_us"), cutoff)
+            )
+            return t.filter(keep).select(["c_custkey", "cents"])
+
+        spend = sorted_grouped_agg(
+            drop_empty_blocks(
+                rows.map_batches(pick, batch_format="pyarrow"),
+                pa.schema([("c_custkey", pa.int64()), ("cents", pa.int64())]),
+            ),
+            ["c_custkey"],
+            [("cents", "sum")],
+            out_names=["v"],
+        )
+        CLS = pa.schema([("c_custkey", pa.int64()), (out_name, pa.string())])
+        return drop_empty_blocks(
+            relational.pareto_class(spend, "c_custkey", "v").map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        pc.cast(t.column("c_custkey"), pa.int64()),
+                        t.column("abc_class"),
+                    ],
+                    schema=CLS,
+                )
+                if t.num_columns
+                else CLS.empty_table(),
+                batch_format="pyarrow",
+            ),
+            CLS,
+        )
+
+    j = hash_join(
+        half_classes(True, "class_h1"),
+        half_classes(False, "class_h2"),
+        on=("c_custkey",),
+        how="full_outer",
+    )
+    MID = pa.schema(
+        [("class_h1", pa.string()), ("class_h2", pa.string()), ("_one", pa.int64())]
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        return pa.Table.from_arrays(
+            [
+                pc.fill_null(t.column("class_h1"), "none"),
+                pc.fill_null(t.column("class_h2"), "none"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+            ],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(j.map_batches(cells, batch_format="pyarrow"), MID),
+        ["class_h1", "class_h2"],
+        [("_one", "sum")],
+        out_names=["n_customers"],
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -8665,6 +8800,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_user_value_sax_motifs,
             oracle_rel.sql_user_value_sax_motifs(),
         ),
+        "tool_latency": (q_tool_latency, oracle.sql_tool_latency()),
+        "customer_abc_mobility": (
+            q_customer_abc_mobility,
+            oracle_rel.sql_customer_abc_mobility(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -8674,6 +8814,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "tool_latency",
+        "customer_abc_mobility",
         "user_value_sax_motifs",
         "event_tail_hill",
         "orders_seasonal_strength",

@@ -586,3 +586,82 @@ def qa_pairs(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     return drop_empty_blocks(
         joined.map_batches(finish, batch_format="pyarrow"), OUT
     )
+
+
+def tool_latency(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-TOOL call latency over agent transcripts: for every turn that
+    carries a tool call, latency = next turn's ts − this turn's ts (the
+    wall the conversation waited on that tool before anything else
+    happened); emits ``(tool, n_calls, total_latency_us, max_latency_us)``.
+    The tool-health leaderboard an agent-transcript pipeline curates
+    against — a stalled retriever shows up here long before it shows up in
+    loss curves. A conversation's final turn has no successor and drops
+    out (mirrored in the twin).
+
+    Scale shape: ONE segmented lead scan (``window.lead_over``) on ts per
+    conversation in turn order, then one tool-cardinality fastagg."""
+    from .fastagg import drop_empty_blocks, sorted_grouped_agg
+    from .window import lead_over
+
+    PREP = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("_ti", pa.int64()),
+            ("tool", pa.string()),
+            ("_ts_us", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                pc.cast(t.column("turn_idx"), pa.int64()),
+                pc.fill_null(t.column("tool"), ""),
+                pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+            ],
+            schema=PREP,
+        )
+
+    led = lead_over(
+        drop_empty_blocks(
+            transcripts.map_batches(prep, batch_format="pyarrow"), PREP
+        ),
+        "conv_id",
+        ["_ti"],
+        "_ts_us",
+        out_col="_next_us",
+    )
+    MID = pa.schema(
+        [("tool", pa.string()), ("_one", pa.int64()), ("_lat", pa.int64())]
+    )
+
+    def lat(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("_next_us")),
+                pc.not_equal(t.column("tool"), ""),
+            )
+        )
+        if t.num_rows == 0:
+            return MID.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("tool"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.subtract(t.column("_next_us"), t.column("_ts_us")),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(led.map_batches(lat, batch_format="pyarrow"), MID),
+        ["tool"],
+        [("_one", "sum"), ("_lat", "sum"), ("_lat", "max")],
+        out_names=["n_calls", "total_latency_us", "max_latency_us"],
+    )
+    return agg

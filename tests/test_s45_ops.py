@@ -90,3 +90,72 @@ def test_user_value_sax_motifs_ramp():
             .to_dict()
         )
     assert out == {6: 1, 27: 1}
+
+
+def test_customer_abc_mobility_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_customer_abc_mobility,
+    )
+
+    # date range 2024-01-01..2024-12-31 -> cutoff ~ July 1
+    # H1: cust 1 spends 80, cust 2 spends 15, cust 3 spends 5
+    #   -> cum shares 80/95/100 -> A, B, C
+    # H2: cust 1 spends 5, cust 2 spends 95 -> cust 2 cum 95% -> B,
+    #   cust 1 cum 100% -> C; cust 3 absent -> none
+    rows = [
+        (1, "2024-01-01", 80.0),
+        (2, "2024-02-01", 15.0),
+        (3, "2024-03-01", 5.0),
+        (1, "2024-10-01", 5.0),
+        (2, "2024-11-01", 95.0),
+    ]
+    df = pd.DataFrame(
+        {
+            "o_orderkey": range(len(rows)),
+            "o_custkey": [r[0] for r in rows],
+            "o_orderdate": pd.to_datetime([r[1] for r in rows]),
+            "o_totalprice": [r[2] for r in rows],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "orders.parquet"))
+        out = (
+            q_customer_abc_mobility(d)
+            .to_pandas()
+            .set_index(["class_h1", "class_h2"])["n_customers"]
+            .to_dict()
+        )
+    assert out == {("A", "C"): 1, ("B", "B"): 1, ("C", "none"): 1}
+
+
+def test_tool_latency_hand_values():
+    from multiomics_biocypher_kg_ray.stages.convo import tool_latency
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table(
+        {
+            "conv_id": ["c1"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "role": ["user", "assistant", "assistant", "user"],
+            "text": [""] * 4,
+            "tool": ["", "", "search", ""],
+            "ts": pa.array(
+                pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:00",
+                        "2024-01-01 00:00:01",
+                        "2024-01-01 00:00:03",
+                        "2024-01-01 00:00:10",
+                    ]
+                ),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = tool_latency(ray.data.from_arrow(t)).to_pandas()
+    assert out["tool"].tolist() == ["search"]
+    row = out.iloc[0]
+    assert row["n_calls"] == 1
+    assert row["total_latency_us"] == 7_000_000
+    assert row["max_latency_us"] == 7_000_000
