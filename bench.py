@@ -340,6 +340,12 @@ def run_bench() -> dict:
         q_part_theil_sen,
         q_minhash_estimate_audit,
         q_embedding_rp_distortion,
+        q_orders_seasonal_strength,
+        q_near_dup_threshold_curve,
+        q_event_tail_hill,
+        q_user_value_sax_motifs,
+        q_tool_latency,
+        q_customer_abc_mobility,
     )
 
     for name, fn in [
@@ -550,6 +556,14 @@ def run_bench() -> dict:
         ("part_theil_sen", q_part_theil_sen),
         ("minhash_estimate_audit", q_minhash_estimate_audit),
         ("embedding_rp_distortion", q_embedding_rp_distortion),
+        # session-45/46: seasonality strength, dedup calibration curve,
+        # tail index, SAX motifs, tool latency, ABC mobility
+        ("orders_seasonal_strength", q_orders_seasonal_strength),
+        ("near_dup_threshold_curve", q_near_dup_threshold_curve),
+        ("event_tail_hill", q_event_tail_hill),
+        ("user_value_sax_motifs", q_user_value_sax_motifs),
+        ("tool_latency", q_tool_latency),
+        ("customer_abc_mobility", q_customer_abc_mobility),
     ]:
         t = time.time()
         out = fn(SF_DIR)

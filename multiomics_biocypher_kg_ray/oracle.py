@@ -1552,3 +1552,30 @@ SELECT tool, count(*)::BIGINT AS n_calls,
        max(lat)::BIGINT AS max_latency_us
 FROM led WHERE tool <> '' AND lat IS NOT NULL
 GROUP BY 1"""
+
+
+def sql_kg_curated_edges(func_thr_ppm: int = 100_000, min_weight: int = 2) -> str:
+    """Twin of ``q_kg_curated_edges``: the edges CTE, the functional-audit
+    rollup, the (weight DESC, dst) row_number keep-one on near-functional
+    predicates, support filter, union."""
+    return f"""{_kg_prefix(recursive=True)},
+edges AS ({_edges_select()}),
+ps AS (
+  SELECT pred, src, count(DISTINCT dst)::BIGINT AS n_obj
+  FROM edges GROUP BY 1, 2
+),
+fp AS (
+  SELECT pred FROM ps GROUP BY pred
+  HAVING (sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END) * 1000000)
+         // greatest(count(*), 1) <= {func_thr_ppm}
+),
+sup AS (SELECT src, pred, dst, weight FROM edges WHERE weight >= {min_weight}),
+nf AS (SELECT s.* FROM sup s WHERE s.pred NOT IN (SELECT pred FROM fp)),
+fr AS (
+  SELECT s.*, row_number() OVER (PARTITION BY s.pred, s.src
+                                 ORDER BY s.weight DESC, s.dst) AS rk
+  FROM sup s WHERE s.pred IN (SELECT pred FROM fp)
+)
+SELECT src, pred, dst, weight FROM nf
+UNION ALL
+SELECT src, pred, dst, weight FROM fr WHERE rk = 1"""
