@@ -1579,3 +1579,22 @@ fr AS (
 SELECT src, pred, dst, weight FROM nf
 UNION ALL
 SELECT src, pred, dst, weight FROM fr WHERE rk = 1"""
+
+
+def sql_kg_confidence_calibration(max_bucket: int = 10) -> str:
+    """Twin of ``q_kg_confidence_calibration``: weight buckets capped at
+    ``max_bucket`` over the multi-source edge table, integer corroboration
+    ppm."""
+    return f"""
+WITH ms AS ({sql_kg_multisource()}),
+b AS (
+  SELECT least(weight, {max_bucket})::BIGINT AS weight_bucket,
+         CASE WHEN contains(evidence, 'doc:')
+                   AND contains(evidence, 'transcript:') THEN 1
+              ELSE 0 END::BIGINT AS is_corr
+  FROM ms
+)
+SELECT weight_bucket, count(*)::BIGINT AS n_edges,
+       sum(is_corr)::BIGINT AS n_corroborated,
+       ((sum(is_corr) * 1000000) // count(*))::BIGINT AS corroborated_ppm
+FROM b GROUP BY 1"""

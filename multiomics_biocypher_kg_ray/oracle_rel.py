@@ -4794,3 +4794,31 @@ SELECT coalesce(h1.cls, 'none') AS class_h1,
        count(*)::BIGINT AS n_customers
 FROM h1 FULL OUTER JOIN h2 USING (c_custkey)
 GROUP BY 1, 2"""
+
+
+def sql_part_affinity_lift(min_support: int = 2, cap: int = 1000) -> str:
+    """Twin of ``q_part_affinity_lift``: distinct (order, part) baskets,
+    capped intra-basket pairs (the ``bucket_pairs`` contract), supports,
+    integer lift ppm."""
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey::BIGINT AS o, l_partkey::BIGINT AS p
+  FROM lineitem
+),
+capped AS (
+  SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn FROM op
+),
+pr AS (
+  SELECT a.p AS part_a, b.p AS part_b, count(*)::BIGINT AS n_ab
+  FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+),
+sup AS (SELECT p, count(*)::BIGINT AS n FROM op GROUP BY 1),
+t AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM op)
+SELECT pr.part_a, pr.part_b, pr.n_ab, sa.n AS n_a, sb.n AS n_b,
+       ((pr.n_ab::HUGEINT * t.n_orders * 1000000)
+        // (sa.n::HUGEINT * sb.n))::BIGINT AS lift_ppm
+FROM pr JOIN sup sa ON sa.p = pr.part_a
+JOIN sup sb ON sb.p = pr.part_b
+CROSS JOIN t"""

@@ -8217,6 +8217,192 @@ def q_kg_curated_edges(sf_dir: str, func_thr_ppm: int = 100_000, min_weight: int
     return nf.union(best)
 
 
+def q_part_affinity_lift(sf_dir: str, min_support: int = 2):
+    """Market-basket affinity over lineitems: part pairs co-ordered in the
+    same order, with lift vs independence — lift_ppm = (n_ab · N_orders ·
+    10⁶) // (n_a · n_b) for pairs with support ≥ ``min_support``. The
+    ``session_type_rules`` shape moved to the WIDE input (every order is a
+    basket): cross-sell candidates and substitution screens come straight
+    off this table.
+
+    Shape: distinct (order, part) rows → the segmented ``bucket_pairs``
+    kernel keyed on orderkey (baskets are ≤ 7 lineitems — tiny buckets, no
+    cap pressure) → one pair fastagg → two part-support hash joins at pair
+    cardinality → one vectorized lift map. Contract: n_ab·N·10⁶ < 2⁶³
+    (fine to ~10⁹ orders with bounded pair support; HUGEINT in the twin)."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    OP = pa.schema([("l_orderkey", pa.int64()), ("part", pa.int64())])
+    op = sorted_distinct(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.cast(t.column("l_orderkey"), pa.int64()),
+                    pc.cast(t.column("l_partkey"), pa.int64()),
+                ],
+                schema=OP,
+            )
+            if t.num_columns
+            else OP.empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["l_orderkey", "part"],
+    ).materialize()  # consumed thrice: pairs, part supports, order count
+
+    pairs = sorted_grouped_agg(
+        dedup.bucket_pairs(op, ["l_orderkey"], "part"),
+        ["doc_a", "doc_b"],
+        [("doc_a", "count")],
+        out_names=["n_ab"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_ab"), min_support))
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+    sup = sorted_grouped_agg(
+        op.select_columns(["part"]), ["part"], [("part", "count")], out_names=["n"]
+    ).materialize()  # joined twice (a-side, b-side)
+    SUPA = pa.schema([("doc_a", pa.int64()), ("n_a", pa.int64())])
+    SUPB = pa.schema([("doc_b", pa.int64()), ("n_b", pa.int64())])
+    sup_a = drop_empty_blocks(
+        sup.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t.column("part"), pa.int64()),
+                 pc.cast(t.column("n"), pa.int64())],
+                schema=SUPA,
+            )
+            if t.num_columns
+            else SUPA.empty_table(),
+            batch_format="pyarrow",
+        ),
+        SUPA,
+    )
+    sup_b = drop_empty_blocks(
+        sup.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t.column("part"), pa.int64()),
+                 pc.cast(t.column("n"), pa.int64())],
+                schema=SUPB,
+            )
+            if t.num_columns
+            else SUPB.empty_table(),
+            batch_format="pyarrow",
+        ),
+        SUPB,
+    )
+    n_orders = sorted_distinct(op.select_columns(["l_orderkey"]), ["l_orderkey"]).count()
+    j = hash_join(
+        hash_join(drop_empty_blocks(pairs), sup_a, on=("doc_a",)),
+        sup_b,
+        on=("doc_b",),
+    )
+    OUT = pa.schema(
+        [
+            ("part_a", pa.int64()),
+            ("part_b", pa.int64()),
+            ("n_ab", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("lift_ppm", pa.int64()),
+        ]
+    )
+
+    def lift(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        num = pc.multiply_checked(
+            pc.multiply_checked(pc.cast(t.column("n_ab"), pa.int64()), n_orders),
+            1_000_000,
+        )
+        den = pc.multiply_checked(t.column("n_a"), t.column("n_b"))
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("doc_a"), pa.int64()),
+                pc.cast(t.column("doc_b"), pa.int64()),
+                pc.cast(t.column("n_ab"), pa.int64()),
+                t.column("n_a"),
+                t.column("n_b"),
+                pc.divide(num, den),
+            ],
+            schema=OUT,
+        )
+
+    return j.map_batches(lift, batch_format="pyarrow")
+
+
+def q_kg_confidence_calibration(sf_dir: str, max_bucket: int = 10):
+    """Does edge weight actually predict cross-source corroboration? Over
+    the multi-source KG: per weight bucket (weight capped at
+    ``max_bucket``), the fraction of edges whose evidence union carries
+    BOTH a doc- and a transcript-source rule — the calibration table that
+    justifies (or kills) using weight as an edge-confidence score
+    downstream. One stateless screen + one ≤ ``max_bucket``-row fastagg
+    over the composed ``kg_multisource`` build."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema(
+        [("weight_bucket", pa.int64()), ("_one", pa.int64()), ("_both", pa.int64())]
+    )
+
+    def screen(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        ev = pc.fill_null(t.column("evidence"), "")
+        both = pc.and_(
+            pc.match_substring(ev, "doc:"),
+            pc.match_substring(ev, "transcript:"),
+        )
+        b = pc.min_element_wise(
+            pc.cast(t.column("weight"), pa.int64()),
+            pa.scalar(max_bucket, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [
+                b,
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.cast(both, pa.int64()),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            _multisource_edges(sf_dir).map_batches(screen, batch_format="pyarrow"),
+            MID,
+        ),
+        ["weight_bucket"],
+        [("_one", "sum"), ("_both", "sum")],
+        out_names=["n_edges", "n_corroborated"],
+    )
+    OUT = pa.schema(
+        [
+            ("weight_bucket", pa.int64()),
+            ("n_edges", pa.int64()),
+            ("n_corroborated", pa.int64()),
+            ("corroborated_ppm", pa.int64()),
+        ]
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("weight_bucket"),
+                t.column("n_edges"),
+                t.column("n_corroborated"),
+                pc.divide(
+                    pc.multiply_checked(t.column("n_corroborated"), 1_000_000),
+                    t.column("n_edges"),
+                ),
+            ],
+            schema=OUT,
+        )
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -8935,6 +9121,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_kg_curated_edges,
             oracle.sql_kg_curated_edges(),
         ),
+        "part_affinity_lift": (
+            q_part_affinity_lift,
+            oracle_rel.sql_part_affinity_lift(),
+        ),
+        "kg_confidence_calibration": (
+            q_kg_confidence_calibration,
+            oracle.sql_kg_confidence_calibration(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -8944,6 +9138,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "part_affinity_lift",
+        "kg_confidence_calibration",
         "kg_curated_edges",
         "tool_latency",
         "customer_abc_mobility",

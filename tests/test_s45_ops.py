@@ -188,3 +188,35 @@ def test_kg_curated_edges_functional_keep_one(tmp_path):
     )
     fsub = out[out["pred"].isin(functional)]
     assert fsub.groupby(["pred", "src"]).size().max() in (1, None) or len(fsub) == 0
+
+
+def test_part_affinity_lift_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_part_affinity_lift,
+    )
+
+    # 4 orders: parts (1,2) together twice, (1,3) once, 3 alone once
+    rows = [
+        (100, 1), (100, 2),
+        (101, 1), (101, 2),
+        (102, 1), (102, 3),
+        (103, 3),
+    ]
+    df = pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+            "l_suppkey": 1,
+            "l_quantity": 1.0,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "lineitem.parquet"))
+        out = q_part_affinity_lift(d).to_pandas()
+    # only (1,2) reaches min_support 2; lift = n_ab*N/(n_a*n_b)
+    # = 2*4/(3*2) = 4/3 -> 1_333_333 ppm
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["part_a"], row["part_b"]) == (1, 2)
+    assert row["n_ab"] == 2 and row["n_a"] == 3 and row["n_b"] == 2
+    assert row["lift_ppm"] == 1_333_333
