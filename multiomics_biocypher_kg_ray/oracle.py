@@ -1598,3 +1598,56 @@ SELECT weight_bucket, count(*)::BIGINT AS n_edges,
        sum(is_corr)::BIGINT AS n_corroborated,
        ((sum(is_corr) * 1000000) // count(*))::BIGINT AS corroborated_ppm
 FROM b GROUP BY 1"""
+
+
+def sql_kg_merge_preview(
+    cap: int = 200, min_common: int = 2, min_jaccard_ppm: int = 500_000
+) -> str:
+    """Twin of ``q_kg_merge_preview``: the ``sql_kg_neighbor_jaccard``
+    candidate CTEs, recursive min-label closure over the candidate graph,
+    LEFT-join endpoint remap with pass-through, per-pred distinct-triple
+    counts before/after."""
+    return f"""{_kg_prefix(recursive=True)},
+edges0 AS ({_edges_select()}),
+edges AS (SELECT DISTINCT pred, src, dst FROM edges0),
+ue AS (SELECT src AS m, dst AS nb FROM edges WHERE src <> dst
+       UNION ALL SELECT dst, src FROM edges WHERE src <> dst),
+und AS (SELECT DISTINCT m, nb FROM ue),
+deg AS (SELECT m, count(*)::BIGINT AS d FROM und GROUP BY 1),
+cp AS (SELECT m, nb FROM (
+         SELECT m, nb, row_number() OVER (PARTITION BY m ORDER BY nb) AS rn
+         FROM und) WHERE rn <= {cap}),
+p AS (SELECT a.nb AS node_a, b.nb AS node_b
+      FROM cp a JOIN cp b ON a.m = b.m AND a.nb < b.nb),
+cnt AS (SELECT node_a, node_b, count(*)::BIGINT AS n_common
+        FROM p GROUP BY 1, 2 HAVING count(*) >= {min_common}),
+cand AS (
+  SELECT node_a AS a, node_b AS b FROM cnt
+  JOIN deg da ON node_a = da.m JOIN deg db ON node_b = db.m
+  WHERE (n_common * 1000000) // greatest(da.d + db.d - n_common, 1)
+          >= {min_jaccard_ppm}
+),
+msym AS (
+  SELECT a, b FROM cand UNION SELECT b, a FROM cand
+  UNION SELECT a, a FROM cand UNION SELECT b, b FROM cand
+),
+mreach(src, dst) AS (
+  SELECT a, b FROM msym
+  UNION
+  SELECT r.src, s.b FROM mreach r JOIN msym s ON r.dst = s.a
+),
+mcomp AS (SELECT src AS member, min(dst) AS component_key
+          FROM mreach GROUP BY src),
+mapped AS (
+  SELECT DISTINCT e.pred,
+         coalesce(cs.component_key, e.src) AS s,
+         coalesce(cd.component_key, e.dst) AS d
+  FROM edges e
+  LEFT JOIN mcomp cs ON cs.member = e.src
+  LEFT JOIN mcomp cd ON cd.member = e.dst
+),
+bef AS (SELECT pred, count(*)::BIGINT AS n_before FROM edges GROUP BY 1),
+aft AS (SELECT pred, count(*)::BIGINT AS n_after FROM mapped GROUP BY 1)
+SELECT bef.pred, bef.n_before, aft.n_after,
+       (bef.n_before - aft.n_after)::BIGINT AS n_merged
+FROM bef JOIN aft USING (pred)"""

@@ -8403,6 +8403,133 @@ def q_kg_confidence_calibration(sf_dir: str, max_bucket: int = 10):
     )
 
 
+def q_kg_merge_preview(
+    sf_dir: str, min_common: int = 2, min_jaccard_ppm: int = 500_000
+):
+    """Entity-merge impact preview: take the structural alias candidates
+    from ``kg_neighbor_jaccard`` (neighbor-set Jaccard ≥ threshold), close
+    them into merge groups (connected components), and report PER PREDICATE
+    how many distinct triples the merged graph would keep —
+    (pred, n_before, n_after, n_merged). The what-if report an entity-
+    resolution owner reads before committing a merge rule; the reference's
+    dedup/constraint preview role from ``post-import.cypher`` as a
+    streaming op.
+
+    Shape: one edge build (materialized, consumed three times), the
+    candidate tier's bounded pair scan, distributed min-label CC over the
+    CANDIDATE graph only (merge graphs are a tiny fraction of nodes), two
+    LEFT joins to remap endpoints (unmerged nodes pass through), two
+    pred-cardinality fastaggs."""
+    from ..stages import canonicalize, graph
+    from ..stages.fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    TRIP = pa.schema(
+        [("pred", pa.string()), ("src", pa.string()), ("dst", pa.string())]
+    )
+    edges = drop_empty_blocks(
+        sorted_distinct(
+            materialize.build_edges(_linked(sf_dir), _canon_tbl()).map_batches(
+                lambda t: t.select(["pred", "src", "dst"]) if t.num_columns else t,
+                batch_format="pyarrow",
+            ),
+            ["pred", "src", "dst"],
+        ),
+        TRIP,
+    ).materialize()  # consumed thrice: candidates, before-counts, remap
+
+    AB = pa.schema([("a", pa.string()), ("b", pa.string())])
+    cands = drop_empty_blocks(
+        graph.neighbor_jaccard(
+            edges, min_common=min_common, min_jaccard_ppm=min_jaccard_ppm
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("node_a"), t.column("node_b")], schema=AB
+            )
+            if t.num_columns
+            else AB.empty_table(),
+            batch_format="pyarrow",
+        ),
+        AB,
+    )
+    comp = canonicalize.connected_components(cands, force_distributed=True)
+    CM = pa.schema([("member", pa.string()), ("component_key", pa.string())])
+    comp = drop_empty_blocks(comp, CM).materialize()  # joined twice
+
+    def remap_side(col: str, out: str):
+        M = pa.schema([(col, pa.string()), (out, pa.string())])
+        return drop_empty_blocks(
+            comp.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("member"), t.column("component_key")], schema=M
+                )
+                if t.num_columns
+                else M.empty_table(),
+                batch_format="pyarrow",
+            ),
+            M,
+        )
+
+    j1 = hash_join(edges, remap_side("src", "_csrc"), on=("src",), how="left_outer")
+    j2 = hash_join(
+        drop_empty_blocks(j1), remap_side("dst", "_cdst"), on=("dst",), how="left_outer"
+    )
+    MAPPED = pa.schema(
+        [("pred", pa.string()), ("_s", pa.string()), ("_d", pa.string())]
+    )
+    mapped = sorted_distinct(
+        drop_empty_blocks(
+            j2.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        t.column("pred"),
+                        pc.coalesce(t.column("_csrc"), t.column("src")),
+                        pc.coalesce(t.column("_cdst"), t.column("dst")),
+                    ],
+                    schema=MAPPED,
+                )
+                if t.num_columns
+                else MAPPED.empty_table(),
+                batch_format="pyarrow",
+            ),
+            MAPPED,
+        ),
+        ["pred", "_s", "_d"],
+    )
+    before = sorted_grouped_agg(
+        edges, ["pred"], [("src", "count")], out_names=["n_before"]
+    )
+    after = sorted_grouped_agg(
+        mapped, ["pred"], [("_s", "count")], out_names=["n_after"]
+    )
+    j = hash_join(drop_empty_blocks(before), drop_empty_blocks(after), on=("pred",))
+    OUT = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("n_before", pa.int64()),
+            ("n_after", pa.int64()),
+            ("n_merged", pa.int64()),
+        ]
+    )
+    return j.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("pred"),
+                pc.cast(t.column("n_before"), pa.int64()),
+                pc.cast(t.column("n_after"), pa.int64()),
+                pc.subtract(
+                    pc.cast(t.column("n_before"), pa.int64()),
+                    pc.cast(t.column("n_after"), pa.int64()),
+                ),
+            ],
+            schema=OUT,
+        )
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -9129,6 +9256,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_kg_confidence_calibration,
             oracle.sql_kg_confidence_calibration(),
         ),
+        "kg_merge_preview": (
+            q_kg_merge_preview,
+            oracle.sql_kg_merge_preview(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -9138,6 +9269,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "kg_merge_preview",
         "part_affinity_lift",
         "kg_confidence_calibration",
         "kg_curated_edges",

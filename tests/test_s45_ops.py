@@ -220,3 +220,25 @@ def test_part_affinity_lift_hand_values():
     assert (row["part_a"], row["part_b"]) == (1, 2)
     assert row["n_ab"] == 2 and row["n_a"] == 3 and row["n_b"] == 2
     assert row["lift_ppm"] == 1_333_333
+
+
+def test_kg_merge_preview_invariants():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_kg_edges,
+        q_kg_merge_preview,
+    )
+
+    out = q_kg_merge_preview("/root/testdata/sf0.001").to_pandas()
+    assert (out["n_after"] <= out["n_before"]).all()
+    assert (out["n_merged"] >= 0).all()
+    # before-counts must equal the published edge table's per-pred
+    # distinct-triple counts
+    edges = q_kg_edges("/root/testdata/sf0.001").to_pandas()
+    per_pred = (
+        edges.drop_duplicates(["pred", "src", "dst"])
+        .groupby("pred")
+        .size()
+        .to_dict()
+    )
+    got = out.set_index("pred")["n_before"].to_dict()
+    assert got == per_pred
