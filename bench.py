@@ -346,6 +346,11 @@ def run_bench() -> dict:
         q_user_value_sax_motifs,
         q_tool_latency,
         q_customer_abc_mobility,
+        q_kg_curated_edges,
+        q_part_affinity_lift,
+        q_kg_confidence_calibration,
+        q_kg_merge_preview,
+        q_nation_trade_matrix,
     )
 
     for name, fn in [
@@ -564,6 +569,13 @@ def run_bench() -> dict:
         ("user_value_sax_motifs", q_user_value_sax_motifs),
         ("tool_latency", q_tool_latency),
         ("customer_abc_mobility", q_customer_abc_mobility),
+        # session-47/48: curated KG gate, basket affinity, confidence
+        # calibration, merge preview, Q7 trade matrix
+        ("kg_curated_edges", q_kg_curated_edges),
+        ("part_affinity_lift", q_part_affinity_lift),
+        ("kg_confidence_calibration", q_kg_confidence_calibration),
+        ("kg_merge_preview", q_kg_merge_preview),
+        ("nation_trade_matrix", q_nation_trade_matrix),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -4822,3 +4822,22 @@ SELECT pr.part_a, pr.part_b, pr.n_ab, sa.n AS n_a, sb.n AS n_b,
 FROM pr JOIN sup sa ON sa.p = pr.part_a
 JOIN sup sb ON sb.p = pr.part_b
 CROSS JOIN t"""
+
+
+def sql_nation_trade_matrix() -> str:
+    """Twin of ``q_nation_trade_matrix``: the Q7-style four-way join with
+    the exact e4 revenue convention, nation²×year rollup."""
+    p = CENTS.format(col="l_extendedprice")
+    d = CENTS.format(col="l_discount")
+    return f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(o.o_orderdate::TIMESTAMP) AS BIGINT) AS o_year,
+       count(*)::BIGINT AS n_items,
+       sum({p} * (100 - {d}))::BIGINT AS revenue_e4
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+GROUP BY 1, 2, 3"""

@@ -242,3 +242,41 @@ def test_kg_merge_preview_invariants():
     )
     got = out.set_index("pred")["n_before"].to_dict()
     assert got == per_pred
+
+
+def test_nation_trade_matrix_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_nation_trade_matrix,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {"n_nationkey": [0, 1], "n_name": ["ALPHA", "BETA"],
+             "n_regionkey": [0, 0]}
+        ).to_parquet(os.path.join(d, "nation.parquet"))
+        pd.DataFrame(
+            {"s_suppkey": [10], "s_name": ["s"], "s_nationkey": [0],
+             "s_acctbal": [0.0]}
+        ).to_parquet(os.path.join(d, "supplier.parquet"))
+        pd.DataFrame(
+            {"c_custkey": [20], "c_nationkey": [1]}
+        ).to_parquet(os.path.join(d, "customer.parquet"))
+        pd.DataFrame(
+            {"o_orderkey": [30], "o_custkey": [20],
+             "o_orderdate": pd.to_datetime(["2024-03-01"])}
+        ).to_parquet(os.path.join(d, "orders.parquet"))
+        pd.DataFrame(
+            {
+                "l_orderkey": [30, 30],
+                "l_suppkey": [10, 10],
+                "l_extendedprice": [10.0, 20.0],
+                "l_discount": [0.05, 0.0],
+            }
+        ).to_parquet(os.path.join(d, "lineitem.parquet"))
+        out = q_nation_trade_matrix(d).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["supp_nation"] == "ALPHA" and row["cust_nation"] == "BETA"
+    assert row["o_year"] == 2024 and row["n_items"] == 2
+    # rev = 1000*(100-5) + 2000*100 = 95000 + 200000
+    assert row["revenue_e4"] == 295_000
