@@ -1651,3 +1651,49 @@ aft AS (SELECT pred, count(*)::BIGINT AS n_after FROM mapped GROUP BY 1)
 SELECT bef.pred, bef.n_before, aft.n_after,
        (bef.n_before - aft.n_after)::BIGINT AS n_merged
 FROM bef JOIN aft USING (pred)"""
+
+
+def sql_conv_topic_drift() -> str:
+    """Twin of ``q_conv_topic_drift``: per-conv turn counts, first/second
+    half split at 2·turn_idx ≥ n, distinct (conv, half, token), both-halves
+    presence via count = 2, integer Jaccard ppm."""
+    return f"""{_kg_prefix()}
+, nt AS (SELECT conv_id, count(*)::BIGINT AS n FROM transcripts GROUP BY 1),
+tok AS (
+  SELECT t.conv_id,
+         CASE WHEN 2 * t.turn_idx >= nt.n THEN 1 ELSE 0 END AS half,
+         unnest(string_split(t.text, ' ')) AS tk
+  FROM transcripts t JOIN nt USING (conv_id)
+  WHERE nt.n >= 2
+),
+dist AS (SELECT DISTINCT conv_id, half, tk FROM tok),
+pt AS (SELECT conv_id, tk, count(*)::BIGINT AS nh FROM dist GROUP BY 1, 2),
+a AS (
+  SELECT conv_id, count(*)::BIGINT AS n_union,
+         sum(CASE WHEN nh = 2 THEN 1 ELSE 0 END)::BIGINT AS n_common
+  FROM pt GROUP BY 1
+)
+SELECT conv_id, n_union, n_common,
+       ((n_common * 1000000) // n_union)::BIGINT AS jaccard_ppm
+FROM a"""
+
+
+def sql_conv_verbosity_trend() -> str:
+    """Twin of ``q_conv_verbosity_trend``: assistant turns only, OLS slope
+    of text length on turn index (the ``sql_user_value_trend`` expression),
+    NULL on zero x-variance."""
+    return f"""{_kg_prefix()}
+, e AS (
+  SELECT conv_id, turn_idx::BIGINT AS x, length(text)::BIGINT AS y
+  FROM transcripts WHERE role = 'assistant'
+),
+st AS (SELECT conv_id, count(*)::BIGINT AS n,
+              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+              sum(x*x)::BIGINT AS sxx, sum(x*y)::BIGINT AS sxy
+       FROM e GROUP BY 1)
+SELECT conv_id, n,
+       CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0.0::DOUBLE
+            THEN floor(((n::DOUBLE * sxy - sx::DOUBLE * sy) * 1000000.0::DOUBLE)
+                       / (n::DOUBLE * sxx - sx::DOUBLE * sx))::BIGINT
+            ELSE NULL END AS slope_q
+FROM st"""

@@ -8679,6 +8679,182 @@ def q_nation_trade_matrix(sf_dir: str):
     )
 
 
+def q_conv_topic_drift(sf_dir: str):
+    """Within-conversation topic drift: the token-set Jaccard between a
+    conversation's FIRST half of turns and its SECOND half (integer ppm) —
+    low overlap means the conversation wandered; the long-range complement
+    of ``conv_echo_rate``'s adjacent-turn overlap. Output
+    (conv_id, n_union, n_common, jaccard_ppm); single-turn conversations
+    drop (no second half).
+
+    Shape: one conversation-cardinality turn-count fastagg joined back
+    once, one distinct (conv, half, token) fastagg, one per-(conv, token)
+    half-presence fold, one conversation fastagg. All integer."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    turns = transcripts_dataset(sf_dir)
+    NT = pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64())])
+    nt = sorted_grouped_agg(
+        turns.select_columns(["conv_id"]),
+        ["conv_id"],
+        [("conv_id", "count")],
+        out_names=["n_turns"],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("conv_id"), pc.cast(t.column("n_turns"), pa.int64())],
+            schema=NT,
+        )
+        if t.num_columns
+        else NT.empty_table(),
+        batch_format="pyarrow",
+    )
+    TOK = pa.schema(
+        [("conv_id", pa.string()), ("_ti", pa.int64()), ("_tok", pa.string())]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TOK.empty_table()
+        toks = pc.split_pattern(
+            pc.fill_null(t.column("text"), ""), " "
+        ).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(len(lens), dtype=np.int64), lens))
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id").take(idx),
+                pc.cast(t.column("turn_idx"), pa.int64()).take(idx),
+                toks.flatten(),
+            ],
+            schema=TOK,
+        )
+
+    tok = drop_empty_blocks(
+        turns.map_batches(explode, batch_format="pyarrow"), TOK
+    )
+    j = hash_join(tok, drop_empty_blocks(nt, NT), on=("conv_id",))
+    HALF = pa.schema(
+        [("conv_id", pa.string()), ("_half", pa.int64()), ("_tok", pa.string())]
+    )
+
+    def halves(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return HALF.empty_table()
+        # only conversations with >= 2 turns can have a second half
+        t = t.filter(pc.greater_equal(t.column("n_turns"), 2))
+        if t.num_rows == 0:
+            return HALF.empty_table()
+        h = pc.cast(
+            pc.greater_equal(
+                pc.multiply(t.column("_ti"), 2), t.column("n_turns")
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [t.column("conv_id"), h, t.column("_tok")], schema=HALF
+        )
+
+    dist = sorted_distinct(
+        drop_empty_blocks(j.map_batches(halves, batch_format="pyarrow"), HALF),
+        ["conv_id", "_half", "_tok"],
+    )
+    # per (conv, token): presence in both halves <=> count of half rows == 2
+    per_tok = sorted_grouped_agg(
+        dist, ["conv_id", "_tok"], [("_half", "count")], out_names=["_nh"]
+    )
+    MID = pa.schema(
+        [("conv_id", pa.string()), ("_one", pa.int64()), ("_both", pa.int64())]
+    )
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            per_tok.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        t.column("conv_id"),
+                        pa.array(np.ones(t.num_rows, np.int64)),
+                        pc.cast(pc.equal(t.column("_nh"), 2), pa.int64()),
+                    ],
+                    schema=MID,
+                )
+                if t.num_columns
+                else MID.empty_table(),
+                batch_format="pyarrow",
+            ),
+            MID,
+        ),
+        ["conv_id"],
+        [("_one", "sum"), ("_both", "sum")],
+        out_names=["n_union", "n_common"],
+    )
+    OUT = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_union", pa.int64()),
+            ("n_common", pa.int64()),
+            ("jaccard_ppm", pa.int64()),
+        ]
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                t.column("n_union"),
+                t.column("n_common"),
+                pc.divide(
+                    pc.multiply_checked(t.column("n_common"), 1_000_000),
+                    t.column("n_union"),
+                ),
+            ],
+            schema=OUT,
+        )
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def q_conv_verbosity_trend(sf_dir: str):
+    """Per-conversation assistant verbosity trend: the OLS slope of
+    assistant-turn text length (chars) on turn index, micro-quantized
+    (``relational.group_slope``) — does the assistant ramble more as the
+    conversation goes on? A training-data curation signal for agent
+    transcripts (runaway verbosity and truncation-collapse both show up as
+    extreme slopes)."""
+    turns = transcripts_dataset(sf_dir)
+    PREP = pa.schema(
+        [("conv_id", pa.string()), ("x", pa.int64()), ("y", pa.int64())]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        t = t.filter(pc.equal(t.column("role"), "assistant"))
+        if t.num_rows == 0:
+            return PREP.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("conv_id"),
+                pc.cast(t.column("turn_idx"), pa.int64()),
+                pc.cast(
+                    pc.utf8_length(pc.fill_null(t.column("text"), "")),
+                    pa.int64(),
+                ),
+            ],
+            schema=PREP,
+        )
+
+    from ..stages.fastagg import drop_empty_blocks
+
+    return relational.group_slope(
+        drop_empty_blocks(turns.map_batches(prep, batch_format="pyarrow"), PREP),
+        ["conv_id"],
+        "x",
+        "y",
+        out_col="slope_q",
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -9413,6 +9589,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_nation_trade_matrix,
             oracle_rel.sql_nation_trade_matrix(),
         ),
+        "conv_topic_drift": (
+            q_conv_topic_drift,
+            oracle.sql_conv_topic_drift(),
+        ),
+        "conv_verbosity_trend": (
+            q_conv_verbosity_trend,
+            oracle.sql_conv_verbosity_trend(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -9422,6 +9606,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "conv_topic_drift",
+        "conv_verbosity_trend",
         "nation_trade_matrix",
         "kg_merge_preview",
         "part_affinity_lift",

@@ -280,3 +280,74 @@ def test_nation_trade_matrix_hand_values():
     assert row["o_year"] == 2024 and row["n_items"] == 2
     # rev = 1000*(100-5) + 2000*100 = 95000 + 200000
     assert row["revenue_e4"] == 295_000
+
+
+def _turns_table(rows):
+    import pyarrow as pa
+
+    # rows: (conv_id, turn_idx, role, text)
+    return pa.table(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": [r[1] for r in rows],
+            "role": [r[2] for r in rows],
+            "text": [r[3] for r in rows],
+            "tool": [""] * len(rows),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-01"] * len(rows)),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+
+
+def test_conv_topic_drift_hand_values(monkeypatch):
+    import ray.data
+
+    import multiomics_biocypher_kg_ray.pipelines.queries as Q
+
+    t = _turns_table(
+        [
+            # conv c1: 4 turns; halves = turns 0-1 vs 2-3
+            # tokens H1: {a, b, c}; H2: {b, c, d} -> common {b,c}, union
+            # {a,b,c,d} -> jaccard 500000 ppm
+            ("c1", 0, "user", "a b"),
+            ("c1", 1, "assistant", "c"),
+            ("c1", 2, "user", "b d"),
+            ("c1", 3, "assistant", "c"),
+            # conv c2: single turn -> dropped
+            ("c2", 0, "user", "x"),
+        ]
+    )
+    monkeypatch.setattr(
+        Q, "transcripts_dataset", lambda sf: ray.data.from_arrow(t)
+    )
+    out = Q.q_conv_topic_drift("ignored").to_pandas()
+    assert out["conv_id"].tolist() == ["c1"]
+    row = out.iloc[0]
+    assert row["n_union"] == 4
+    assert row["n_common"] == 2
+    assert row["jaccard_ppm"] == 500_000
+
+
+def test_conv_verbosity_trend_hand_values(monkeypatch):
+    import ray.data
+
+    import multiomics_biocypher_kg_ray.pipelines.queries as Q
+
+    # assistant turns at x=1,3 with lengths 2 and 6 -> slope 2 chars/turn
+    t = _turns_table(
+        [
+            ("c1", 0, "user", "ignore this"),
+            ("c1", 1, "assistant", "ab"),
+            ("c1", 2, "user", "ignore"),
+            ("c1", 3, "assistant", "abcdef"),
+        ]
+    )
+    monkeypatch.setattr(
+        Q, "transcripts_dataset", lambda sf: ray.data.from_arrow(t)
+    )
+    out = Q.q_conv_verbosity_trend("ignored").to_pandas()
+    row = out.iloc[0]
+    assert row["n"] == 2
+    assert row["slope_q"] == 2_000_000

@@ -94,6 +94,22 @@ def main() -> None:
     nat_big = os.path.join(big, "nation.parquet")
     if not os.path.exists(nat_big):
         pq.write_table(pq.read_table(os.path.join(args.sf, "nation.parquet")), nat_big)
+    # the multisource build (confidence calibration) needs embeddings next
+    # to the verbatim docs
+    emb_v = os.path.join(big_docs, "embeddings.parquet")
+    if not os.path.exists(emb_v):
+        t = pq.read_table(os.path.join(args.sf, "embeddings.parquet"))
+        reps_t = pa.concat_tables(
+            [
+                t.set_column(
+                    t.schema.get_field_index("vec_id"),
+                    "vec_id",
+                    pc.add(t.column("vec_id"), r * 100_000_000),
+                )
+                for r in range(args.reps)
+            ]
+        )
+        pq.write_table(reps_t, emb_v)
     print(json.dumps({"gen_sec": round(time.time() - t0, 1), "dir": big}))
 
     from multiomics_biocypher_kg_ray.pipelines.queries import (
