@@ -351,6 +351,9 @@ def run_bench() -> dict:
         q_kg_confidence_calibration,
         q_kg_merge_preview,
         q_nation_trade_matrix,
+        q_conv_topic_drift,
+        q_conv_verbosity_trend,
+        q_dedup_incoming_verdicts,
     )
 
     for name, fn in [
@@ -576,6 +579,10 @@ def run_bench() -> dict:
         ("kg_confidence_calibration", q_kg_confidence_calibration),
         ("kg_merge_preview", q_kg_merge_preview),
         ("nation_trade_matrix", q_nation_trade_matrix),
+        # session-49/50: conversation drift/verbosity, incremental dedup
+        ("conv_topic_drift", q_conv_topic_drift),
+        ("conv_verbosity_trend", q_conv_verbosity_trend),
+        ("dedup_incoming_verdicts", q_dedup_incoming_verdicts),
     ]:
         t = time.time()
         out = fn(SF_DIR)

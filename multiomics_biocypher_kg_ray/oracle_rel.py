@@ -4841,3 +4841,42 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation nc ON c.c_nationkey = nc.n_nationkey
 GROUP BY 1, 2, 3"""
+
+
+def sql_dedup_incoming_verdicts(cap: int = 1000) -> str:
+    """Twin of ``q_dedup_incoming_verdicts``: even/odd corpus split, md5
+    fingerprint membership for the exact tier, the ``sql_cross_corpus_lsh``
+    candidate CTEs for the near tier, LEFT-join verdict CASE."""
+    inner = sql_minhash_bands().strip()
+    return f"""
+WITH band AS ({inner}),
+sided AS (
+  SELECT doc_id, band_idx, band_hash, (doc_id % 2)::BIGINT AS side FROM band
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+                               ORDER BY doc_id) AS rn
+  FROM sided
+),
+xp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a
+  JOIN capped b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id AND a.side <> b.side
+  WHERE a.rn <= {cap} AND b.rn <= {cap}
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_id,
+         count(*)::BIGINT AS n_near
+  FROM xp GROUP BY 1
+),
+bfp AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents WHERE doc_id % 2 = 0),
+inc AS (SELECT doc_id::BIGINT AS doc_id, md5({_NORM}) AS fp
+        FROM documents WHERE doc_id % 2 = 1)
+SELECT i.doc_id,
+       CASE WHEN i.fp IN (SELECT fp FROM bfp) THEN 'drop_exact'
+            WHEN coalesce(n.n_near, 0) > 0 THEN 'review_near'
+            ELSE 'keep' END AS verdict,
+       coalesce(n.n_near, 0)::BIGINT AS n_near_candidates
+FROM inc i LEFT JOIN near n USING (doc_id)"""

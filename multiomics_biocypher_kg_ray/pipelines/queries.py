@@ -8855,6 +8855,132 @@ def q_conv_verbosity_trend(sf_dir: str):
     )
 
 
+def q_dedup_incoming_verdicts(sf_dir: str):
+    """Incremental-ingest dedup verdicts: treat even doc_ids as the EXISTING
+    corpus and odd doc_ids as the incoming crawl; every incoming doc gets
+    one verdict — 'drop_exact' (normalized fingerprint already in the base),
+    'review_near' (an LSH candidate pair ties it to a base doc), or 'keep'
+    — plus its cross-corpus candidate count. This is the decision table an
+    ingestion pipeline writes per batch: exact dups drop free, near
+    candidates route to the verify tier, the rest flow through.
+
+    Shape: one fingerprint fastagg per side + one fp hash join (exact
+    tier), the banded ``cross_corpus_lsh_pairs`` candidate tier (same-side
+    pairs never leave the emission task), two LEFT joins at incoming-doc
+    cardinality."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    from ..functions.textfn import md5_hex, normalize_ws_lower
+
+    FP = pa.schema([("doc_id", pa.int64()), ("_fp", pa.string())])
+
+    def fp(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return FP.empty_table()
+        norm = normalize_ws_lower(t.column("text"))
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("doc_id"), pa.int64()),
+                pa.array(md5_hex(norm.to_pylist()), pa.string()),
+            ],
+            schema=FP,
+        )
+
+    BFP = pa.schema([("_fp", pa.string()), ("_hit", pa.int64())])
+    base_fp = drop_empty_blocks(
+        sorted_distinct(
+            drop_empty_blocks(half(0).map_batches(fp, batch_format="pyarrow"), FP)
+            .map_batches(
+                lambda t: t.select(["_fp"]) if t.num_columns else t,
+                batch_format="pyarrow",
+            ),
+            ["_fp"],
+        ).map_batches(
+            lambda t: t.append_column("_hit", pa.array(np.ones(t.num_rows, np.int64)))
+            if t.num_columns
+            else BFP.empty_table(),
+            batch_format="pyarrow",
+        ),
+        BFP,
+    )
+    inc_fp = drop_empty_blocks(
+        half(1).map_batches(fp, batch_format="pyarrow"), FP
+    )
+    exact = hash_join(inc_fp, base_fp, on=("_fp",), how="left_outer")
+
+    pairs = dedup.cross_corpus_lsh_pairs(half(0), half(1))
+    NEAR = pa.schema([("doc_id", pa.int64()), ("_one", pa.int64())])
+    near = sorted_grouped_agg(
+        drop_empty_blocks(
+            pairs.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        pc.if_else(
+                            pc.equal(
+                                pc.bit_wise_and(
+                                    pc.cast(t.column("doc_a"), pa.int64()), 1
+                                ),
+                                1,
+                            ),
+                            pc.cast(t.column("doc_a"), pa.int64()),
+                            pc.cast(t.column("doc_b"), pa.int64()),
+                        ),
+                        pa.array(np.ones(t.num_rows, np.int64)),
+                    ],
+                    schema=NEAR,
+                )
+                if t.num_columns
+                else NEAR.empty_table(),
+                batch_format="pyarrow",
+            ),
+            NEAR,
+        ),
+        ["doc_id"],
+        [("_one", "sum")],
+        out_names=["n_near"],
+    )
+    j = hash_join(
+        drop_empty_blocks(exact),
+        drop_empty_blocks(near),
+        on=("doc_id",),
+        how="left_outer",
+    )
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("verdict", pa.string()),
+            ("n_near_candidates", pa.int64()),
+        ]
+    )
+
+    def verdicts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return OUT.empty_table()
+        is_exact = pc.is_valid(t.column("_hit"))
+        nn = pc.fill_null(pc.cast(t.column("n_near"), pa.int64()), 0)
+        v = pc.if_else(
+            is_exact,
+            "drop_exact",
+            pc.if_else(pc.greater(nn, 0), "review_near", "keep"),
+        )
+        return pa.Table.from_arrays(
+            [pc.cast(t.column("doc_id"), pa.int64()), v, nn], schema=OUT
+        )
+
+    return j.map_batches(verdicts, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -9597,6 +9723,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_conv_verbosity_trend,
             oracle.sql_conv_verbosity_trend(),
         ),
+        "dedup_incoming_verdicts": (
+            q_dedup_incoming_verdicts,
+            oracle_rel.sql_dedup_incoming_verdicts(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -9606,6 +9736,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "dedup_incoming_verdicts",
         "conv_topic_drift",
         "conv_verbosity_trend",
         "nation_trade_matrix",

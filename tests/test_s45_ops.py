@@ -351,3 +351,38 @@ def test_conv_verbosity_trend_hand_values(monkeypatch):
     row = out.iloc[0]
     assert row["n"] == 2
     assert row["slope_q"] == 2_000_000
+
+
+def test_dedup_incoming_verdicts_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_dedup_incoming_verdicts,
+    )
+
+    base_txt = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    near_txt = base_txt + "iota"
+    uniq = " ".join(f"tok{i}" for i in range(30))
+    df = pd.DataFrame(
+        {
+            # even = base corpus, odd = incoming
+            "doc_id": [0, 2, 1, 3, 5],
+            "text": [base_txt, uniq, base_txt, near_txt, "x y z " * 12],
+            "lang": "en",
+            "source": "a",
+            "n_chars": 1,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        out = (
+            q_dedup_incoming_verdicts(d)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+    # doc 1 duplicates base doc 0 exactly; doc 3 is a near-dup (shares
+    # almost all shingles -> at least one band); doc 5 is novel
+    assert out.loc[1, "verdict"] == "drop_exact"
+    assert out.loc[3, "verdict"] == "review_near"
+    assert out.loc[3, "n_near_candidates"] >= 1
+    assert out.loc[5, "verdict"] == "keep"
+    assert out.loc[5, "n_near_candidates"] == 0
