@@ -354,6 +354,8 @@ def run_bench() -> dict:
         q_conv_topic_drift,
         q_conv_verbosity_trend,
         q_dedup_incoming_verdicts,
+        q_value_quantile_hist_audit,
+        q_order_amount_reconciliation,
     )
 
     for name, fn in [
@@ -583,6 +585,9 @@ def run_bench() -> dict:
         ("conv_topic_drift", q_conv_topic_drift),
         ("conv_verbosity_trend", q_conv_verbosity_trend),
         ("dedup_incoming_verdicts", q_dedup_incoming_verdicts),
+        # session-51: quantile-sketch audit, amount reconciliation
+        ("value_quantile_hist_audit", q_value_quantile_hist_audit),
+        ("order_amount_reconciliation", q_order_amount_reconciliation),
     ]:
         t = time.time()
         out = fn(SF_DIR)

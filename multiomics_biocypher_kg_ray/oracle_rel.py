@@ -4880,3 +4880,65 @@ SELECT i.doc_id,
             ELSE 'keep' END AS verdict,
        coalesce(n.n_near, 0)::BIGINT AS n_near_candidates
 FROM inc i LEFT JOIN near n USING (doc_id)"""
+
+
+def sql_value_quantile_hist_audit() -> str:
+    """Twin of ``q_value_quantile_hist_audit``: the identical
+    floor(log2(v+1)·8) binning double expression, per-bin count+min,
+    100·cum ≥ p·N quantile reads on both the histogram and the exact
+    value cells."""
+    return """
+WITH v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+bb AS (SELECT CAST(floor(log2((v + 1)::DOUBLE) * 8.0) AS BIGINT) AS b, v FROM v),
+h AS (SELECT b, count(*)::BIGINT AS n, min(v)::BIGINT AS vmin FROM bb GROUP BY 1),
+nt AS (SELECT count(*)::BIGINT AS nn FROM v),
+hc AS (SELECT b, vmin,
+              sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+       FROM h),
+cells AS (SELECT v, count(*)::BIGINT AS c FROM v GROUP BY 1),
+cc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+       FROM cells),
+p AS (SELECT unnest([50, 90, 99]) AS pct),
+q AS (
+  SELECT p.pct::BIGINT AS pct,
+         (SELECT vmin FROM hc WHERE 100 * cum >= p.pct * (SELECT nn FROM nt)
+          ORDER BY b LIMIT 1) AS est_cents,
+         (SELECT v FROM cc WHERE 100 * cum >= p.pct * (SELECT nn FROM nt)
+          ORDER BY v LIMIT 1) AS exact_cents
+  FROM p
+)
+SELECT pct, est_cents::BIGINT AS est_cents, exact_cents::BIGINT AS exact_cents,
+       CASE WHEN est_cents IS NULL OR exact_cents IS NULL THEN NULL
+            ELSE ((abs(est_cents - exact_cents) * 1000000)
+                  // greatest(exact_cents, 1))::BIGINT END AS err_ppm
+FROM q"""
+
+
+def sql_order_amount_reconciliation() -> str:
+    """Twin of ``q_order_amount_reconciliation``: exact e6 implied totals
+    per order, e6-scaled stated totals, per-status integer mismatch
+    rollup."""
+    p = CENTS.format(col="l_extendedprice")
+    d = CENTS.format(col="l_discount")
+    t = CENTS.format(col="l_tax")
+    c = CENTS.format(col="o_totalprice")
+    return f"""
+WITH l AS (
+  SELECT l_orderkey,
+         sum({p} * (100 - {d}) * (100 + {t}))::BIGINT AS implied_e6
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey, o_orderstatus, ({c} * 10000)::BIGINT AS stated_e6
+  FROM orders
+),
+j AS (
+  SELECT o.o_orderstatus,
+         (l.implied_e6 - o.stated_e6) AS delta, o.stated_e6
+  FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       (sum((abs(delta) * 1000000) // greatest(stated_e6, 1))
+        // count(*))::BIGINT AS mean_abs_err_ppm
+FROM j GROUP BY 1"""

@@ -8981,6 +8981,247 @@ def q_dedup_incoming_verdicts(sf_dir: str):
     return j.map_batches(verdicts, batch_format="pyarrow")
 
 
+def q_value_quantile_hist_audit(sf_dir: str, pcts: tuple = (50, 90, 99)):
+    """Quantile-SKETCH accuracy audit (the fourth sketch next to HLL / CMS /
+    KMV): a fixed log₂-spaced histogram (8 sub-bins per octave — mergeable,
+    deterministic at ANY parallelism, unlike GK/t-digest whose state depends
+    on batch boundaries) estimates p50/p90/p99 of event value cents as the
+    MINIMUM real value in the quantile's bin; the audit reports each
+    estimate against the EXACT discrete quantile with the relative error —
+    (pct, est_cents, exact_cents, err_ppm). The decide-before-you-deploy
+    table for replacing exact quantiles with a histogram at 100 TB.
+
+    Shape: one (bin) fastagg with per-bin count+min (bin count is ~512,
+    constant), one value-cell fastagg + segmented cumsum for the exact
+    tier, a constant-size driver finalize."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.window import cumsum_over
+
+    ev = _read(sf_dir, "events", ["value"]).map_batches(
+        lambda t: relational.to_cents(t, {"value": "_v"}).select(["_v"]),
+        batch_format="pyarrow",
+    )
+    BINS = pa.schema([("_b", pa.int64()), ("_v", pa.int64()), ("_one", pa.int64())])
+
+    def binned(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return BINS.empty_table()
+        v = t.column("_v").to_numpy(zero_copy_only=False).astype(np.int64)
+        # identical double expression in the twin: floor(log2(v+1)·8)
+        b = np.floor(np.log2((v + 1).astype(np.float64)) * 8.0).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(b), pa.array(v), pa.array(np.ones(len(v), np.int64))],
+            schema=BINS,
+        )
+
+    hist = sorted_grouped_agg(
+        drop_empty_blocks(ev.map_batches(binned, batch_format="pyarrow"), BINS),
+        ["_b"],
+        [("_one", "sum"), ("_v", "min")],
+        out_names=["n", "vmin"],
+    ).take_all()  # ~512 rows, constant
+
+    cells = sorted_grouped_agg(
+        ev, ["_v"], [("_v", "count")], out_names=["_c"]
+    )
+    cum = cumsum_over(
+        drop_empty_blocks(
+            cells.map_batches(
+                lambda t: t.append_column(
+                    "_k", pa.array(np.zeros(t.num_rows, np.int64))
+                )
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            )
+        ),
+        "_k",
+        ["_v"],
+        "_c",
+        out_col="_cum",
+    )
+    # exact discrete quantiles: smallest v with 100·cum ≥ p·N, read off the
+    # bounded value-cell cumulative (value cardinality is cents-bounded)
+    cum_rows = cum.select_columns(["_v", "_cum"]).take_all()
+    cum_rows.sort(key=lambda r: int(r["_v"]))
+    N = int(cum_rows[-1]["_cum"]) if cum_rows else 0
+
+    hist.sort(key=lambda r: int(r["_b"]))
+    OUT = pa.schema(
+        [
+            ("pct", pa.int64()),
+            ("est_cents", pa.int64()),
+            ("exact_cents", pa.int64()),
+            ("err_ppm", pa.int64()),
+        ]
+    )
+    pcts_l, est_l, exact_l, err_l = [], [], [], []
+    for p in pcts:
+        exact = None
+        for r in cum_rows:
+            if 100 * int(r["_cum"]) >= p * N:
+                exact = int(r["_v"])
+                break
+        c = 0
+        est = None
+        for r in hist:
+            c += int(r["n"])
+            if 100 * c >= p * N:
+                est = int(r["vmin"])
+                break
+        pcts_l.append(p)
+        est_l.append(est)
+        exact_l.append(exact)
+        err_l.append(
+            None
+            if est is None or exact is None
+            else (abs(est - exact) * 1_000_000) // max(exact, 1)
+        )
+    return pa.Table.from_arrays(
+        [
+            pa.array(pcts_l, pa.int64()),
+            pa.array(est_l, pa.int64()),
+            pa.array(exact_l, pa.int64()),
+            pa.array(err_l, pa.int64()),
+        ],
+        schema=OUT,
+    )
+
+
+def q_order_amount_reconciliation(sf_dir: str):
+    """Cross-table amount reconciliation: recompute each order's implied
+    total from its lineitems — Σ cents(extprice)·(100−cents(disc))·
+    (100+cents(tax)) in e6 integer units — and compare against
+    cents(o_totalprice)·10⁴; report the mismatch distribution per order
+    status (n_orders, n_exact, mean |delta| ppm of the stated total). The
+    financial-integrity audit that catches silently-dropped lineitems and
+    rounding-policy drift between systems (the ``fk_orphan_audit`` /
+    ``pk_duplicate_audit`` family, now over AMOUNTS).
+
+    Shape: one lineitem fastagg at order cardinality, one hash join to
+    orders, one status-cardinality fastagg."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    LPREP = pa.schema([("l_orderkey", pa.int64()), ("_imp_e6", pa.int64())])
+
+    def lprep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return LPREP.empty_table()
+        t2 = relational.to_cents(
+            t, {"l_extendedprice": "_p", "l_discount": "_d", "l_tax": "_t"}
+        )
+        imp = pc.multiply_checked(
+            pc.multiply_checked(
+                t2.column("_p"),
+                pc.subtract(pa.scalar(100, pa.int64()), t2.column("_d")),
+            ),
+            pc.add(pa.scalar(100, pa.int64()), t2.column("_t")),
+        )
+        return pa.Table.from_arrays(
+            [pc.cast(t2.column("l_orderkey"), pa.int64()), imp], schema=LPREP
+        )
+
+    implied = sorted_grouped_agg(
+        drop_empty_blocks(
+            _read(
+                sf_dir,
+                "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+            ).map_batches(lprep, batch_format="pyarrow"),
+            LPREP,
+        ),
+        ["l_orderkey"],
+        [("_imp_e6", "sum")],
+        out_names=["implied_e6"],
+    )
+    OPREP = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("_status", pa.string()),
+            ("_stated_e6", pa.int64()),
+        ]
+    )
+    orders = drop_empty_blocks(
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.cast(t.column("o_orderkey"), pa.int64()),
+                    t.column("o_orderstatus"),
+                    pc.multiply_checked(
+                        relational.to_cents(t, {"o_totalprice": "_c"}).column("_c"),
+                        10_000,
+                    ),
+                ],
+                schema=OPREP,
+            )
+            if t.num_columns
+            else OPREP.empty_table(),
+            batch_format="pyarrow",
+        ),
+        OPREP,
+    )
+    j = hash_join(orders, drop_empty_blocks(implied), on=("l_orderkey",))
+    MID = pa.schema(
+        [
+            ("o_orderstatus", pa.string()),
+            ("_one", pa.int64()),
+            ("_exact", pa.int64()),
+            ("_absppm", pa.int64()),
+        ]
+    )
+
+    def delta(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        d = pc.subtract(t.column("implied_e6"), t.column("_stated_e6"))
+        absd = pc.abs(d)
+        ppm = pc.divide(
+            pc.multiply_checked(absd, 1_000_000),
+            pc.max_element_wise(t.column("_stated_e6"), pa.scalar(1, pa.int64())),
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column("_status"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.cast(pc.equal(d, 0), pa.int64()),
+                ppm,
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(j.map_batches(delta, batch_format="pyarrow"), MID),
+        ["o_orderstatus"],
+        [("_one", "sum"), ("_exact", "sum"), ("_absppm", "sum")],
+        out_names=["n_orders", "n_exact", "sum_abs_ppm"],
+    )
+    OUT = pa.schema(
+        [
+            ("o_orderstatus", pa.string()),
+            ("n_orders", pa.int64()),
+            ("n_exact", pa.int64()),
+            ("mean_abs_err_ppm", pa.int64()),
+        ]
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("o_orderstatus"),
+                t.column("n_orders"),
+                t.column("n_exact"),
+                pc.divide(t.column("sum_abs_ppm"), t.column("n_orders")),
+            ],
+            schema=OUT,
+        )
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -9727,6 +9968,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_dedup_incoming_verdicts,
             oracle_rel.sql_dedup_incoming_verdicts(),
         ),
+        "value_quantile_hist_audit": (
+            q_value_quantile_hist_audit,
+            oracle_rel.sql_value_quantile_hist_audit(),
+        ),
+        "order_amount_reconciliation": (
+            q_order_amount_reconciliation,
+            oracle_rel.sql_order_amount_reconciliation(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -9736,6 +9985,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "value_quantile_hist_audit",
+        "order_amount_reconciliation",
         "dedup_incoming_verdicts",
         "conv_topic_drift",
         "conv_verbosity_trend",

@@ -386,3 +386,61 @@ def test_dedup_incoming_verdicts_hand_values():
     assert out.loc[3, "n_near_candidates"] >= 1
     assert out.loc[5, "verdict"] == "keep"
     assert out.loc[5, "n_near_candidates"] == 0
+
+
+def test_value_quantile_hist_audit_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_value_quantile_hist_audit,
+    )
+
+    # 100 events of 1 cent, then one of 10.00: p50/p90 exact = 1, p99 = 1
+    # (101 rows: ceil(.99*101)=100th value is still 1); the histogram's
+    # p50 bin contains only v=1 so est == exact, err 0
+    df = _events([("a", 0.01)] * 100 + [("a", 10.0)])
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = (
+            q_value_quantile_hist_audit(d)
+            .to_pandas()
+            .set_index("pct")
+            .sort_index()
+        )
+    assert out.loc[50, "exact_cents"] == 1
+    assert out.loc[50, "est_cents"] == 1
+    assert out.loc[50, "err_ppm"] == 0
+    assert out.loc[99, "exact_cents"] == 1
+
+
+def test_order_amount_reconciliation_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_order_amount_reconciliation,
+    )
+
+    # order 1: one lineitem 10.00, no disc/tax -> implied 1000*100*100 e6
+    #   stated 10.00 -> 1000 cents * 10^4 = same -> exact
+    # order 2: stated 20.00 but lineitem only 10.00 -> |delta| = half
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_orderstatus": ["F", "F"],
+            "o_totalprice": [10.0, 20.0],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2],
+            "l_extendedprice": [10.0, 10.0],
+            "l_discount": [0.0, 0.0],
+            "l_tax": [0.0, 0.0],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.to_parquet(os.path.join(d, "orders.parquet"))
+        lineitem.to_parquet(os.path.join(d, "lineitem.parquet"))
+        out = q_order_amount_reconciliation(d).to_pandas()
+    row = out.iloc[0]
+    assert row["n_orders"] == 2
+    assert row["n_exact"] == 1
+    # order 2 err = 10^7 e6-units over stated 2*10^7 -> 500000 ppm; mean
+    # over 2 orders = 250000
+    assert row["mean_abs_err_ppm"] == 250_000
