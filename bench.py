@@ -356,6 +356,8 @@ def run_bench() -> dict:
         q_dedup_incoming_verdicts,
         q_value_quantile_hist_audit,
         q_order_amount_reconciliation,
+        q_part_brand_price_index,
+        q_event_transition_latency,
     )
 
     for name, fn in [
@@ -588,6 +590,9 @@ def run_bench() -> dict:
         # session-51: quantile-sketch audit, amount reconciliation
         ("value_quantile_hist_audit", q_value_quantile_hist_audit),
         ("order_amount_reconciliation", q_order_amount_reconciliation),
+        # session-52: Laspeyres price index, transition latency matrix
+        ("part_brand_price_index", q_part_brand_price_index),
+        ("event_transition_latency", q_event_transition_latency),
     ]:
         t = time.time()
         out = fn(SF_DIR)

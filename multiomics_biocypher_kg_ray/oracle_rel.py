@@ -4942,3 +4942,58 @@ SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
        (sum((abs(delta) * 1000000) // greatest(stated_e6, 1))
         // count(*))::BIGINT AS mean_abs_err_ppm
 FROM j GROUP BY 1"""
+
+
+def sql_part_brand_price_index() -> str:
+    """Twin of ``q_part_brand_price_index``: data-midpoint shipdate cutoff,
+    per-(part, half) integer micro unit prices, parts in both halves, the
+    HUGEINT Laspeyres numerator/denominator with H1 basket weights."""
+    p = CENTS.format(col="l_extendedprice")
+    return f"""
+WITH l AS (
+  SELECT l_partkey, epoch_us(l_shipdate::TIMESTAMP) AS us,
+         {p} AS cents, CAST(round(l_quantity, 0) AS BIGINT) AS qty
+  FROM lineitem
+),
+mm AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM l),
+ph AS (
+  SELECT l_partkey,
+         CASE WHEN us > (SELECT cutoff FROM mm) THEN 1 ELSE 0 END AS half,
+         sum(cents)::BIGINT AS rev, sum(qty)::BIGINT AS qty
+  FROM l GROUP BY 1, 2
+),
+h1 AS (SELECT l_partkey, (rev * 1000000) // qty AS p1, qty AS q1
+       FROM ph WHERE half = 0 AND qty > 0),
+h2 AS (SELECT l_partkey, (rev * 1000000) // qty AS p2
+       FROM ph WHERE half = 1 AND qty > 0),
+b AS (
+  SELECT pt.p_brand, h2.p2::HUGEINT * h1.q1 AS num,
+         h1.p1::HUGEINT * h1.q1 AS den
+  FROM h1 JOIN h2 USING (l_partkey)
+  JOIN part pt ON pt.p_partkey = h1.l_partkey
+)
+SELECT p_brand, count(*)::BIGINT AS n_parts,
+       ((sum(num) * 1000000) // greatest(sum(den), 1))::BIGINT AS index_ppm
+FROM b GROUP BY 1"""
+
+
+def sql_event_transition_latency() -> str:
+    """Twin of ``q_event_transition_latency``: lag(ts)/lag(type) per user in
+    (ts, event_id) order, ms gaps with floor division, type² rollup."""
+    return """
+WITH e AS (
+  SELECT user_id::BIGINT AS u, epoch_us(ts::TIMESTAMP) AS t,
+         event_id::BIGINT AS eid, event_type
+  FROM events
+),
+w AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY u ORDER BY t, eid) AS prev_type,
+         (t - lag(t) OVER (PARTITION BY u ORDER BY t, eid)) // 1000 AS gap_ms
+  FROM e
+)
+SELECT prev_type, event_type, count(*)::BIGINT AS n,
+       (sum(gap_ms) // count(*))::BIGINT AS mean_gap_ms,
+       max(gap_ms)::BIGINT AS max_gap_ms
+FROM w WHERE prev_type IS NOT NULL
+GROUP BY 1, 2"""

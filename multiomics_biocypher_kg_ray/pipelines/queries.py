@@ -9222,6 +9222,289 @@ def q_order_amount_reconciliation(sf_dir: str):
     )
 
 
+def q_part_brand_price_index(sf_dir: str):
+    """Laspeyres-style brand price index between the two halves of the ship
+    date range: per part, micro-quantized average unit price in each half
+    (p_micro = Σ cents·10⁶ // Σ qty); per brand, index_ppm =
+    Σ(p2_micro·q1) · 10⁶ // Σ(p1_micro·q1) over parts traded in BOTH
+    halves, with H1 quantities as the fixed basket — the price-drift
+    monitor a procurement pipeline runs per catalog segment. Output
+    (p_brand, n_parts, index_ppm).
+
+    Shape: one (part, half) fastagg over exact integer (Σcents, Σqty)
+    partials, one part-cardinality self-join via hash join (H1 vs H2
+    sides), a broadcast part→brand join, one brand fastagg. Contract:
+    Σ p_micro·q1 per brand < 2⁶³ (≈ 10⁵ parts × 10⁹ micro-price × 10⁴
+    basket qty; HUGEINT in the twin)."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import broadcast_join, hash_join
+    import pyarrow.parquet as pq
+
+    LP = pa.schema(
+        [
+            ("l_partkey", pa.int64()),
+            ("_half", pa.int64()),
+            ("_cents", pa.int64()),
+            ("_qty", pa.int64()),
+        ]
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"]
+    ).materialize()  # consumed twice: the cutoff fold and the half split
+
+    MM = pa.schema([("_k", pa.int64()), ("_mn", pa.int64()), ("_mx", pa.int64())])
+    mm = sorted_grouped_agg(
+        li.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pa.array(np.zeros(t.num_rows, np.int64)),
+                    pc.cast(pc.cast(t.column("l_shipdate"), pa.timestamp("us")), pa.int64()),
+                    pc.cast(pc.cast(t.column("l_shipdate"), pa.timestamp("us")), pa.int64()),
+                ],
+                schema=MM,
+            )
+            if t.num_columns
+            else MM.empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["_k"],
+        [("_mn", "min"), ("_mx", "max")],
+        out_names=["mn", "mx"],
+    ).take_all()
+    cutoff = (int(mm[0]["mn"]) + int(mm[0]["mx"])) // 2 if mm else 0
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return LP.empty_table()
+        t2 = relational.to_cents(t, {"l_extendedprice": "_cents"})
+        us = pc.cast(pc.cast(t2.column("l_shipdate"), pa.timestamp("us")), pa.int64())
+        half = pc.cast(pc.greater(us, cutoff), pa.int64())
+        qty = pa.array(
+            np.rint(
+                t2.column("l_quantity").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+        )
+        return pa.Table.from_arrays(
+            [pc.cast(t2.column("l_partkey"), pa.int64()), half, t2.column("_cents"), qty],
+            schema=LP,
+        )
+
+    ph = sorted_grouped_agg(
+        drop_empty_blocks(li.map_batches(prep, batch_format="pyarrow"), LP),
+        ["l_partkey", "_half"],
+        [("_cents", "sum"), ("_qty", "sum")],
+        out_names=["rev", "qty"],
+    )
+    H1 = pa.schema(
+        [("l_partkey", pa.int64()), ("_p1", pa.int64()), ("_q1", pa.int64())]
+    )
+    H2 = pa.schema([("l_partkey", pa.int64()), ("_p2", pa.int64())])
+
+    def side(t: pa.Table, half: int) -> pa.Table:
+        sch = H1 if half == 0 else H2
+        if t.num_columns == 0 or t.num_rows == 0:
+            return sch.empty_table()
+        t = t.filter(
+            pc.and_(
+                pc.equal(t.column("_half"), half), pc.greater(t.column("qty"), 0)
+            )
+        )
+        if t.num_rows == 0:
+            return sch.empty_table()
+        pmic = pc.divide(
+            pc.multiply_checked(pc.cast(t.column("rev"), pa.int64()), 1_000_000),
+            pc.cast(t.column("qty"), pa.int64()),
+        )
+        cols = [pc.cast(t.column("l_partkey"), pa.int64()), pmic]
+        if half == 0:
+            cols.append(pc.cast(t.column("qty"), pa.int64()))
+        return pa.Table.from_arrays(cols, schema=sch)
+
+    h1 = drop_empty_blocks(
+        ph.map_batches(side, fn_kwargs={"half": 0}, batch_format="pyarrow"), H1
+    )
+    h2 = drop_empty_blocks(
+        ph.map_batches(side, fn_kwargs={"half": 1}, batch_format="pyarrow"), H2
+    )
+    both = hash_join(h1, h2, on=("l_partkey",))
+    brand = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).rename_columns(["l_partkey", "p_brand"])
+    withb = broadcast_join(drop_empty_blocks(both), brand, on=["l_partkey"])
+    MID = pa.schema(
+        [
+            ("p_brand", pa.string()),
+            ("_one", pa.int64()),
+            ("_num", pa.int64()),
+            ("_den", pa.int64()),
+        ]
+    )
+
+    def terms(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t.column("p_brand"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.multiply_checked(t.column("_p2"), t.column("_q1")),
+                pc.multiply_checked(t.column("_p1"), t.column("_q1")),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(withb.map_batches(terms, batch_format="pyarrow"), MID),
+        ["p_brand"],
+        [("_one", "sum"), ("_num", "sum"), ("_den", "sum")],
+        out_names=["n_parts", "num", "den"],
+    )
+    OUT = pa.schema(
+        [("p_brand", pa.string()), ("n_parts", pa.int64()), ("index_ppm", pa.int64())]
+    )
+    # num·10⁶ exceeds int64 — the final division runs on the brand-
+    # cardinality rows (catalog-bounded) in arbitrary-precision Python
+    # ints, mirroring the twin's HUGEINT
+    rows = sorted(agg.take_all(), key=lambda r: str(r["p_brand"]))
+    return pa.Table.from_arrays(
+        [
+            pa.array([str(r["p_brand"]) for r in rows], pa.string()),
+            pa.array([int(r["n_parts"]) for r in rows], pa.int64()),
+            pa.array(
+                [
+                    (int(r["num"]) * 1_000_000) // max(int(r["den"]), 1)
+                    for r in rows
+                ],
+                pa.int64(),
+            ),
+        ],
+        schema=OUT,
+    )
+
+
+def q_event_transition_latency(sf_dir: str):
+    """Funnel TIMING matrix: for every consecutive event pair within a user,
+    the (prev_type → type) transition's count, mean gap and max gap in ms —
+    ``event_transitions`` tells you WHERE users go, this tells you HOW LONG
+    they take to get there (the slow-hop detector for conversion paths).
+
+    Shape: ONE segmented lag scan over a packed int64 (ts_us·8 + type_code;
+    type codes are schema-bounded) recovering both previous timestamp and
+    previous type from a single window column — the ``conv_turn_taking``
+    pack — then one type²-cardinality fastagg."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.window import lag_over
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    code_map = {t: i for i, t in enumerate(TYPES)}
+
+    PREP = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("_ts_us", pa.int64()),
+            ("_eid", pa.int64()),
+            ("_code", pa.int64()),
+            ("_packed", pa.int64()),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return PREP.empty_table()
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        code = pc.index_in(
+            t.column("event_type"), value_set=pa.array(TYPES)
+        ).cast(pa.int64())
+        code = pc.fill_null(code, len(TYPES))
+        packed = pc.add(pc.multiply_checked(ts, 8), code)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("user_id"), pa.int64()),
+                ts,
+                pc.cast(t.column("event_id"), pa.int64()),
+                code,
+                packed,
+            ],
+            schema=PREP,
+        )
+
+    ev = drop_empty_blocks(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        PREP,
+    )
+    lagged = lag_over(
+        ev, "user_id", ["_ts_us", "_eid"], "_packed", out_col="_prev_packed"
+    )
+    MID = pa.schema(
+        [
+            ("prev_type", pa.string()),
+            ("event_type", pa.string()),
+            ("_one", pa.int64()),
+            ("_gap", pa.int64()),
+            ("_gapmax", pa.int64()),
+        ]
+    )
+    types_arr = pa.array(TYPES + ["other"], pa.string())
+
+    def gaps(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        t = t.filter(pc.is_valid(t.column("_prev_packed")))
+        if t.num_rows == 0:
+            return MID.empty_table()
+        prev = t.column("_prev_packed").to_numpy(zero_copy_only=False).astype(np.int64)
+        prev_ts = prev >> 3
+        prev_code = prev & 7
+        gap_ms = (
+            t.column("_ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+            - prev_ts
+        ) // 1000
+        cur_code = t.column("_code").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                types_arr.take(pa.array(prev_code)),
+                types_arr.take(pa.array(cur_code)),
+                pa.array(np.ones(len(prev), np.int64)),
+                pa.array(gap_ms),
+                pa.array(gap_ms),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(lagged.map_batches(gaps, batch_format="pyarrow"), MID),
+        ["prev_type", "event_type"],
+        [("_one", "sum"), ("_gap", "sum"), ("_gapmax", "max")],
+        out_names=["n", "sum_gap_ms", "max_gap_ms"],
+    )
+    OUT = pa.schema(
+        [
+            ("prev_type", pa.string()),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("mean_gap_ms", pa.int64()),
+            ("max_gap_ms", pa.int64()),
+        ]
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("prev_type"),
+                t.column("event_type"),
+                t.column("n"),
+                pc.divide(t.column("sum_gap_ms"), t.column("n")),
+                t.column("max_gap_ms"),
+            ],
+            schema=OUT,
+        )
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -9976,6 +10259,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_order_amount_reconciliation,
             oracle_rel.sql_order_amount_reconciliation(),
         ),
+        "part_brand_price_index": (
+            q_part_brand_price_index,
+            oracle_rel.sql_part_brand_price_index(),
+        ),
+        "event_transition_latency": (
+            q_event_transition_latency,
+            oracle_rel.sql_event_transition_latency(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -9985,6 +10276,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "part_brand_price_index",
+        "event_transition_latency",
         "value_quantile_hist_audit",
         "order_amount_reconciliation",
         "dedup_incoming_verdicts",

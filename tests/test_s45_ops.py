@@ -444,3 +444,73 @@ def test_order_amount_reconciliation_hand_values():
     # order 2 err = 10^7 e6-units over stated 2*10^7 -> 500000 ppm; mean
     # over 2 orders = 250000
     assert row["mean_abs_err_ppm"] == 250_000
+
+
+def test_part_brand_price_index_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_part_brand_price_index,
+    )
+
+    # shipdates span 2024-01-01..2024-12-31 -> cutoff ~July; part 1 traded
+    # in both halves: H1 unit price 1.00 (qty 2, rev 2.00), H2 unit price
+    # 2.00 (qty 1) -> index = p2*q1/(p1*q1) = 2.0 -> 2_000_000 ppm.
+    # part 2 appears only in H1 -> excluded.
+    lineitem = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 2],
+            "l_shipdate": pd.to_datetime(
+                ["2024-01-01", "2024-12-31", "2024-02-01"]
+            ),
+            "l_extendedprice": [2.0, 2.0, 5.0],
+            "l_quantity": [2.0, 1.0, 1.0],
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_brand": ["B1", "B1"],
+            "p_name": "x",
+            "p_type": "t",
+            "p_size": 1,
+            "p_retailprice": 1.0,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        lineitem.to_parquet(os.path.join(d, "lineitem.parquet"))
+        part.to_parquet(os.path.join(d, "part.parquet"))
+        out = q_part_brand_price_index(d).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["p_brand"] == "B1"
+    assert row["n_parts"] == 1
+    assert row["index_ppm"] == 2_000_000
+
+
+def test_event_transition_latency_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_event_transition_latency,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(3),
+            "user_id": 1,
+            "event_type": ["view", "click", "purchase"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:02",
+                 "2024-01-01 00:00:05"]
+            ),
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = (
+            q_event_transition_latency(d)
+            .to_pandas()
+            .set_index(["prev_type", "event_type"])
+        )
+    assert out.loc[("view", "click"), "mean_gap_ms"] == 2000
+    assert out.loc[("click", "purchase"), "mean_gap_ms"] == 3000
+    assert out.loc[("click", "purchase"), "max_gap_ms"] == 3000
