@@ -358,6 +358,8 @@ def run_bench() -> dict:
         q_order_amount_reconciliation,
         q_part_brand_price_index,
         q_event_transition_latency,
+        q_embedding_anisotropy,
+        q_ltv_forecast_eval,
     )
 
     for name, fn in [
@@ -593,6 +595,9 @@ def run_bench() -> dict:
         # session-52: Laspeyres price index, transition latency matrix
         ("part_brand_price_index", q_part_brand_price_index),
         ("event_transition_latency", q_event_transition_latency),
+        # session-53: anisotropy audit, LTV baseline eval
+        ("embedding_anisotropy", q_embedding_anisotropy),
+        ("ltv_forecast_eval", q_ltv_forecast_eval),
     ]:
         t = time.time()
         out = fn(SF_DIR)

@@ -4997,3 +4997,60 @@ SELECT prev_type, event_type, count(*)::BIGINT AS n,
        max(gap_ms)::BIGINT AS max_gap_ms
 FROM w WHERE prev_type IS NOT NULL
 GROUP BY 1, 2"""
+
+
+def sql_embedding_anisotropy(scale: int = 1000) -> str:
+    """Twin of ``q_embedding_anisotropy``: milli-quantized unnest, HUGEINT
+    per-dim sums and squared-norm total, Σ S_d²·10⁶ // (N·Σ‖q‖²)."""
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}.0) AS BIGINT)
+           AS q
+  FROM embeddings
+),
+d AS (SELECT dim, sum(q)::HUGEINT AS s FROM ex GROUP BY 1),
+t AS (SELECT sum(q::HUGEINT * q)::HUGEINT AS q2,
+             count(DISTINCT vec_id)::HUGEINT AS n
+      FROM ex)
+SELECT t.n::BIGINT AS n_vecs,
+       (SELECT count(*)::BIGINT FROM d) AS n_dims,
+       CASE WHEN t.n > 0 AND t.q2 > 0
+            THEN (((SELECT sum(s * s) FROM d) * 1000000)
+                  // (t.n * t.q2))::BIGINT
+            ELSE NULL END AS anisotropy_ppm
+FROM t"""
+
+
+def sql_ltv_forecast_eval() -> str:
+    """Twin of ``q_ltv_forecast_eval``: data-midpoint cutoff, 30-day signup
+    cohorts, per-cohort integer H1 mean as prediction, per-user |H2 − pred|
+    MAE in cents."""
+    v = CENTS.format(col="value")
+    return f"""
+WITH e AS (
+  SELECT user_id::BIGINT AS u, event_type, epoch_us(ts::TIMESTAMP) AS us,
+         {v} AS c
+  FROM events
+),
+mm AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM e),
+coh AS (
+  SELECT u, min(us // 2592000000000) AS cohort_m
+  FROM e WHERE event_type = 'signup' GROUP BY 1
+),
+sp AS (
+  SELECT u,
+         sum(CASE WHEN us <= (SELECT cutoff FROM mm) THEN c ELSE 0 END)::BIGINT AS h1,
+         sum(CASE WHEN us > (SELECT cutoff FROM mm) THEN c ELSE 0 END)::BIGINT AS h2
+  FROM e WHERE event_type = 'purchase' GROUP BY 1
+),
+j AS (SELECT coh.cohort_m, sp.h1, sp.h2 FROM coh JOIN sp USING (u)),
+pr AS (
+  SELECT cohort_m, count(*)::BIGINT AS n_users,
+         (sum(h1) // greatest(count(*), 1))::BIGINT AS pred_cents
+  FROM j GROUP BY 1
+)
+SELECT j.cohort_m, pr.n_users, pr.pred_cents,
+       (sum(abs(j.h2 - pr.pred_cents)) // pr.n_users)::BIGINT AS mae_cents
+FROM j JOIN pr USING (cohort_m)
+GROUP BY 1, 2, 3"""

@@ -514,3 +514,61 @@ def test_event_transition_latency_hand_values():
     assert out.loc[("view", "click"), "mean_gap_ms"] == 2000
     assert out.loc[("click", "purchase"), "mean_gap_ms"] == 3000
     assert out.loc[("click", "purchase"), "max_gap_ms"] == 3000
+
+
+def test_embedding_anisotropy_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_embedding_anisotropy,
+    )
+
+    def run(vecs):
+        df = pd.DataFrame(
+            {"vec_id": range(len(vecs)), "embedding": vecs, "label": 0}
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "embeddings.parquet"))
+            return q_embedding_anisotropy(d).to_pandas().iloc[0]
+
+    # identical vectors: fully anisotropic -> 10^6 ppm
+    row = run([[1.0, 0.0], [1.0, 0.0]])
+    assert row["n_vecs"] == 2 and row["n_dims"] == 2
+    assert row["anisotropy_ppm"] == 1_000_000
+    # opposite vectors: mean is zero -> 0 ppm
+    row = run([[1.0, 0.0], [-1.0, 0.0]])
+    assert row["anisotropy_ppm"] == 0
+
+
+def test_ltv_forecast_eval_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_ltv_forecast_eval,
+    )
+
+    rows = [
+        # both users sign up in the same 30-day cohort bin
+        (1, "signup", "2024-01-01", 0.0),
+        (2, "signup", "2024-01-02", 0.0),
+        # H1 purchases (cutoff = mid of 2024-01-01..2024-12-31 ~ July)
+        (1, "purchase", "2024-02-01", 10.0),
+        (2, "purchase", "2024-02-02", 20.0),
+        # H2 purchases
+        (1, "purchase", "2024-11-01", 10.0),
+        (2, "purchase", "2024-12-31", 30.0),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "value": [r[3] for r in rows],
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = q_ltv_forecast_eval(d).to_pandas()
+    row = out.iloc[0]
+    assert row["n_users"] == 2
+    # pred = (1000+2000)//2 = 1500; errors |1000-1500|, |3000-1500|
+    assert row["pred_cents"] == 1500
+    assert row["mae_cents"] == (500 + 1500) // 2
