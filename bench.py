@@ -360,6 +360,8 @@ def run_bench() -> dict:
         q_event_transition_latency,
         q_embedding_anisotropy,
         q_ltv_forecast_eval,
+        q_user_pref_drift,
+        q_lsh_config_cost_audit,
     )
 
     for name, fn in [
@@ -598,6 +600,9 @@ def run_bench() -> dict:
         # session-53: anisotropy audit, LTV baseline eval
         ("embedding_anisotropy", q_embedding_anisotropy),
         ("ltv_forecast_eval", q_ltv_forecast_eval),
+        # session-54: preference drift census, LSH config cost planner
+        ("user_pref_drift", q_user_pref_drift),
+        ("lsh_config_cost_audit", q_lsh_config_cost_audit),
     ]:
         t = time.time()
         out = fn(SF_DIR)

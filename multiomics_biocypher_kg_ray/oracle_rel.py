@@ -5054,3 +5054,67 @@ SELECT j.cohort_m, pr.n_users, pr.pred_cents,
        (sum(abs(j.h2 - pr.pred_cents)) // pr.n_users)::BIGINT AS mae_cents
 FROM j JOIN pr USING (cohort_m)
 GROUP BY 1, 2, 3"""
+
+
+def sql_user_pref_drift(min_events: int = 3) -> str:
+    """Twin of ``q_user_pref_drift``: per-(user, half, type) counts, the
+    exact integer TV ppm Σ|c1·N2 − c2·N1| // (2·N1·N2), decile census."""
+    return f"""
+WITH e AS (
+  SELECT user_id::BIGINT AS u, event_type, epoch_us(ts::TIMESTAMP) AS us
+  FROM events
+),
+mm AS (SELECT (min(us) + max(us)) // 2 AS cutoff FROM e),
+c AS (
+  SELECT u, event_type,
+         sum(CASE WHEN us <= (SELECT cutoff FROM mm) THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN us > (SELECT cutoff FROM mm) THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM e GROUP BY 1, 2
+),
+n AS (SELECT u, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM c GROUP BY 1),
+q AS (
+  SELECT c.u, sum(abs(c.c1 * n.n2 - c.c2 * n.n1))::BIGINT AS num,
+         min(n.n1) AS n1, min(n.n2) AS n2
+  FROM c JOIN n USING (u)
+  WHERE n.n1 >= {min_events} AND n.n2 >= {min_events}
+  GROUP BY 1
+),
+tv AS (SELECT ((num * 1000000) // (2 * n1 * n2)) // 100000 AS drift_decile FROM q)
+SELECT drift_decile::BIGINT AS drift_decile, count(*)::BIGINT AS n_users
+FROM tv GROUP BY 1"""
+
+
+def sql_lsh_config_cost_audit(num_hashes: int = 8) -> str:
+    """Twin of ``q_lsh_config_cost_audit``: one shared signature CTE, one
+    UNION ALL block per band configuration, Σ C(bucket, 2) per config."""
+    blocks = []
+    for band_size in (1, 2, 4, 8):
+        n_bands = num_hashes // band_size
+        band_expr = "md5(" + " || '|' || ".join(
+            f"sig[band_idx * {band_size} + {j + 1}]" for j in range(band_size)
+        ) + ")"
+        blocks.append(
+            f"""SELECT {band_size} AS band_size, {n_bands} AS n_bands,
+       band_idx, {band_expr} AS bh
+FROM sig CROSS JOIN (SELECT unnest(range({n_bands})) AS band_idx) b{band_size}"""
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH {_shingle_cte()},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range({num_hashes})) AS seed) s
+  GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+{union}
+),
+sz AS (
+  SELECT band_size, n_bands, band_idx, bh, count(*)::BIGINT AS c
+  FROM bands GROUP BY 1, 2, 3, 4
+)
+SELECT band_size::BIGINT AS band_size, n_bands::BIGINT AS n_bands,
+       count(*)::BIGINT AS n_buckets,
+       sum((c * (c - 1)) // 2)::BIGINT AS est_pairs
+FROM sz GROUP BY 1, 2"""

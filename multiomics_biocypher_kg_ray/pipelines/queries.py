@@ -9777,6 +9777,224 @@ def q_ltv_forecast_eval(sf_dir: str):
     return eagg.map_batches(final, batch_format="pyarrow")
 
 
+def q_user_pref_drift(sf_dir: str, min_events: int = 3):
+    """Behavioral preference drift per user: total-variation distance (ppm)
+    between a user's FIRST-half and SECOND-half event-type distributions
+    (data-midpoint cutoff), for users with ≥ ``min_events`` in EACH half;
+    reported as the decile histogram (drift_decile, n_users) — the
+    population-level answer to "how many of my users changed behavior",
+    where ``purchase_click_tv`` only compares two global cohorts. Exact
+    integers: TV_ppm = Σ_type |c1·N2 − c2·N1| · 10⁶ // (2·N1·N2).
+
+    Shape: one (user, half, type) fastagg, one user-cardinality fold
+    (types are schema-bounded so per-user cells are ≤ 2·5 rows — packed
+    into one pass via a pandas-free pivot inside the fastagg output), one
+    10-row histogram fastagg."""
+    from ..arrow_util import floor_div_i64
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"]).materialize()
+
+    MM = pa.schema([("_k", pa.int64()), ("_mn", pa.int64()), ("_mx", pa.int64())])
+    mm = sorted_grouped_agg(
+        ev.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pa.array(np.zeros(t.num_rows, np.int64)),
+                    pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+                    pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+                ],
+                schema=MM,
+            )
+            if t.num_columns
+            else MM.empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["_k"],
+        [("_mn", "min"), ("_mx", "max")],
+        out_names=["mn", "mx"],
+    ).take_all()
+    cutoff = (int(mm[0]["mn"]) + int(mm[0]["mx"])) // 2 if mm else 0
+
+    CELL = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("_c1", pa.int64()),
+            ("_c2", pa.int64()),
+        ]
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return CELL.empty_table()
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        first = pc.less_equal(us, cutoff)
+        one = pa.array(np.ones(t.num_rows, np.int64))
+        z = pa.scalar(0, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("user_id"), pa.int64()),
+                t.column("event_type"),
+                pc.if_else(first, one, z),
+                pc.if_else(first, z, one),
+            ],
+            schema=CELL,
+        )
+
+    per_cell = sorted_grouped_agg(
+        drop_empty_blocks(ev.map_batches(cells, batch_format="pyarrow"), CELL),
+        ["user_id", "event_type"],
+        [("_c1", "sum"), ("_c2", "sum")],
+        out_names=["c1", "c2"],
+    )
+    # user-level fold: Σ|c1·N2 − c2·N1| needs N1/N2 first — one more
+    # user fastagg then a join-free second pass over the SAME cells via a
+    # second grouped agg keyed on user with pandas-free numpy inside
+    totals = sorted_grouped_agg(
+        per_cell, ["user_id"], [("c1", "sum"), ("c2", "sum")], out_names=["n1", "n2"]
+    )
+    from ..stages.joins import hash_join
+
+    j = hash_join(
+        drop_empty_blocks(per_cell), drop_empty_blocks(totals), on=("user_id",)
+    )
+    TERM = pa.schema([("user_id", pa.int64()), ("_t", pa.int64())])
+
+    def terms(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return TERM.empty_table()
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("n1"), min_events),
+                pc.greater_equal(t.column("n2"), min_events),
+            )
+        )
+        if t.num_rows == 0:
+            return TERM.empty_table()
+        c1 = t.column("c1").to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(np.int64)
+        n1 = t.column("n1").to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = t.column("n2").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("user_id"), pa.int64()),
+                pa.array(np.abs(c1 * n2 - c2 * n1)),
+            ],
+            schema=TERM,
+        )
+
+    per_user_num = sorted_grouped_agg(
+        drop_empty_blocks(j.map_batches(terms, batch_format="pyarrow"), TERM),
+        ["user_id"],
+        [("_t", "sum")],
+        out_names=["num"],
+    )
+    j2 = hash_join(
+        drop_empty_blocks(per_user_num), drop_empty_blocks(totals), on=("user_id",)
+    )
+    MID = pa.schema([("drift_decile", pa.int64()), ("_one", pa.int64())])
+
+    def decile(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        num = t.column("num").to_numpy(zero_copy_only=False).astype(np.int64)
+        n1 = t.column("n1").to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = t.column("n2").to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = (num * 1_000_000) // (2 * n1 * n2)
+        return pa.Table.from_arrays(
+            [pa.array(tv // 100_000), pa.array(np.ones(len(tv), np.int64))],
+            schema=MID,
+        )
+
+    return sorted_grouped_agg(
+        drop_empty_blocks(j2.map_batches(decile, batch_format="pyarrow"), MID),
+        ["drift_decile"],
+        [("_one", "sum")],
+        out_names=["n_users"],
+    )
+
+
+def q_lsh_config_cost_audit(sf_dir: str, num_hashes: int = 8):
+    """LSH capacity-planning audit: for every band configuration of the
+    8-hash MinHash signature (band_size ∈ {1, 2, 4, 8} → 8/4/2/1 bands),
+    the UNCAPPED candidate-pair count Σ C(bucket, 2) the config would
+    generate plus bucket stats — the table you read to pick bands-vs-size
+    BEFORE paying the pair-generation shuffle (more bands = higher recall =
+    more candidates; this prices that trade on the actual corpus).
+    Output (band_size, n_bands, n_buckets, est_pairs).
+
+    Shape: the signature pass runs ONCE per config (same one-pass MinHash
+    kernel as ``minhash_bands``) into a bucket-cardinality fastagg; pair
+    counts are Σ c·(c−1)/2 over bucket sizes — never materialized pairs."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    out_bs, out_nb, out_bk, out_pairs = [], [], [], []
+    for band_size in (1, 2, 4, 8):
+        bands = dedup.minhash_bands(
+            docs, num_hashes=num_hashes, band_size=band_size
+        )
+        sizes = sorted_grouped_agg(
+            bands.select_columns(["band_idx", "band_hash"]),
+            ["band_idx", "band_hash"],
+            [("band_hash", "count")],
+            out_names=["c"],
+        )
+        MID = pa.schema([("_k", pa.int64()), ("_b", pa.int64()), ("_p", pa.int64())])
+        tot = sorted_grouped_agg(
+            drop_empty_blocks(
+                sizes.map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [
+                            pa.array(np.zeros(t.num_rows, np.int64)),
+                            pa.array(np.ones(t.num_rows, np.int64)),
+                            pc.divide(
+                                pc.multiply_checked(
+                                    pc.cast(t.column("c"), pa.int64()),
+                                    pc.subtract(
+                                        pc.cast(t.column("c"), pa.int64()),
+                                        pa.scalar(1, pa.int64()),
+                                    ),
+                                ),
+                                pa.scalar(2, pa.int64()),
+                            ),
+                        ],
+                        schema=MID,
+                    )
+                    if t.num_columns
+                    else MID.empty_table(),
+                    batch_format="pyarrow",
+                ),
+                MID,
+            ),
+            ["_k"],
+            [("_b", "sum"), ("_p", "sum")],
+            out_names=["n_buckets", "est_pairs"],
+        ).take_all()
+        out_bs.append(band_size)
+        out_nb.append(num_hashes // band_size)
+        out_bk.append(int(tot[0]["n_buckets"]) if tot else 0)
+        out_pairs.append(int(tot[0]["est_pairs"]) if tot else 0)
+    OUT = pa.schema(
+        [
+            ("band_size", pa.int64()),
+            ("n_bands", pa.int64()),
+            ("n_buckets", pa.int64()),
+            ("est_pairs", pa.int64()),
+        ]
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_bs, pa.int64()),
+            pa.array(out_nb, pa.int64()),
+            pa.array(out_bk, pa.int64()),
+            pa.array(out_pairs, pa.int64()),
+        ],
+        schema=OUT,
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -10547,6 +10765,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_ltv_forecast_eval,
             oracle_rel.sql_ltv_forecast_eval(),
         ),
+        "user_pref_drift": (
+            q_user_pref_drift,
+            oracle_rel.sql_user_pref_drift(),
+        ),
+        "lsh_config_cost_audit": (
+            q_lsh_config_cost_audit,
+            oracle_rel.sql_lsh_config_cost_audit(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -10556,6 +10782,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "user_pref_drift",
+        "lsh_config_cost_audit",
         "embedding_anisotropy",
         "ltv_forecast_eval",
         "part_brand_price_index",

@@ -572,3 +572,72 @@ def test_ltv_forecast_eval_hand_values():
     # pred = (1000+2000)//2 = 1500; errors |1000-1500|, |3000-1500|
     assert row["pred_cents"] == 1500
     assert row["mae_cents"] == (500 + 1500) // 2
+
+
+def test_user_pref_drift_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_user_pref_drift,
+    )
+
+    # cutoff = mid of Jan..Dec 2024. user 1: H1 = 3 clicks, H2 = 3 views
+    # -> TV = 1.0 -> decile 10. user 2: identical halves -> TV 0 ->
+    # decile 0. user 3: only H1 -> filtered out by min_events on H2.
+    rows = (
+        [(1, "click", "2024-02-01")] * 3
+        + [(1, "view", "2024-11-01")] * 3
+        + [(2, "click", "2024-02-01")] * 3
+        + [(2, "click", "2024-11-01")] * 3
+        + [(3, "click", "2024-02-01")] * 5
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "value": 1.0,
+            "props": "",
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = (
+            q_user_pref_drift(d)
+            .to_pandas()
+            .set_index("drift_decile")["n_users"]
+            .to_dict()
+        )
+    assert out == {0: 1, 10: 1}
+
+
+def test_lsh_config_cost_audit_monotone():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_lsh_config_cost_audit,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    uniq = " ".join(f"tok{i}" for i in range(30))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [dup, dup, uniq],
+            "lang": "en",
+            "source": "a",
+            "n_chars": 1,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        out = (
+            q_lsh_config_cost_audit(d)
+            .to_pandas()
+            .set_index("band_size")
+            .sort_index()
+        )
+    # the exact-dup pair collides in every band of every config:
+    # est_pairs = n_bands * 1 for each config (unique doc never collides)
+    assert out.loc[1, "est_pairs"] == 8
+    assert out.loc[2, "est_pairs"] == 4
+    assert out.loc[4, "est_pairs"] == 2
+    assert out.loc[8, "est_pairs"] == 1
+    assert out.loc[8, "n_bands"] == 1
