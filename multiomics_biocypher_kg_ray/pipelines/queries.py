@@ -9842,24 +9842,39 @@ def q_user_pref_drift(sf_dir: str, min_events: int = 3):
             schema=CELL,
         )
 
-    per_cell = sorted_grouped_agg(
-        drop_empty_blocks(ev.map_batches(cells, batch_format="pyarrow"), CELL),
-        ["user_id", "event_type"],
-        [("_c1", "sum"), ("_c2", "sum")],
-        out_names=["c1", "c2"],
+    # fan-out points materialize ONCE (drop_empty_blocks materializes):
+    # per_cell feeds the join left AND the totals agg; totals feeds both
+    # joins — lazily re-executing them under the join's concurrent pulls
+    # is the consumed-twice footgun (stages/fastagg.py header)
+    per_cell = drop_empty_blocks(
+        sorted_grouped_agg(
+            drop_empty_blocks(ev.map_batches(cells, batch_format="pyarrow"), CELL),
+            ["user_id", "event_type"],
+            [("_c1", "sum"), ("_c2", "sum")],
+            out_names=["c1", "c2"],
+        )
     )
-    # user-level fold: Σ|c1·N2 − c2·N1| needs N1/N2 first — one more
-    # user fastagg then a join-free second pass over the SAME cells via a
-    # second grouped agg keyed on user with pandas-free numpy inside
-    totals = sorted_grouped_agg(
-        per_cell, ["user_id"], [("c1", "sum"), ("c2", "sum")], out_names=["n1", "n2"]
+    totals = drop_empty_blocks(
+        sorted_grouped_agg(
+            per_cell,
+            ["user_id"],
+            [("c1", "sum"), ("c2", "sum")],
+            out_names=["n1", "n2"],
+        )
     )
     from ..stages.joins import hash_join
 
-    j = hash_join(
-        drop_empty_blocks(per_cell), drop_empty_blocks(totals), on=("user_id",)
+    j = hash_join(per_cell, totals, on=("user_id",))
+    # n1/n2 are constant within a user, so they ride the SAME aggregation
+    # as the TV numerator (min-fold) — one join total, no second shuffle
+    TERM = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("_t", pa.int64()),
+            ("_n1", pa.int64()),
+            ("_n2", pa.int64()),
+        ]
     )
-    TERM = pa.schema([("user_id", pa.int64()), ("_t", pa.int64())])
 
     def terms(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
@@ -9880,18 +9895,17 @@ def q_user_pref_drift(sf_dir: str, min_events: int = 3):
             [
                 pc.cast(t.column("user_id"), pa.int64()),
                 pa.array(np.abs(c1 * n2 - c2 * n1)),
+                pa.array(n1),
+                pa.array(n2),
             ],
             schema=TERM,
         )
 
-    per_user_num = sorted_grouped_agg(
+    per_user = sorted_grouped_agg(
         drop_empty_blocks(j.map_batches(terms, batch_format="pyarrow"), TERM),
         ["user_id"],
-        [("_t", "sum")],
-        out_names=["num"],
-    )
-    j2 = hash_join(
-        drop_empty_blocks(per_user_num), drop_empty_blocks(totals), on=("user_id",)
+        [("_t", "sum"), ("_n1", "min"), ("_n2", "min")],
+        out_names=["num", "n1", "n2"],
     )
     MID = pa.schema([("drift_decile", pa.int64()), ("_one", pa.int64())])
 
@@ -9908,7 +9922,9 @@ def q_user_pref_drift(sf_dir: str, min_events: int = 3):
         )
 
     return sorted_grouped_agg(
-        drop_empty_blocks(j2.map_batches(decile, batch_format="pyarrow"), MID),
+        drop_empty_blocks(
+            per_user.map_batches(decile, batch_format="pyarrow"), MID
+        ),
         ["drift_decile"],
         [("_one", "sum")],
         out_names=["n_users"],
