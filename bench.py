@@ -362,6 +362,8 @@ def run_bench() -> dict:
         q_ltv_forecast_eval,
         q_user_pref_drift,
         q_lsh_config_cost_audit,
+        q_dup_quality_interaction,
+        q_part_sourcing_risk,
     )
 
     for name, fn in [
@@ -603,6 +605,9 @@ def run_bench() -> dict:
         # session-54: preference drift census, LSH config cost planner
         ("user_pref_drift", q_user_pref_drift),
         ("lsh_config_cost_audit", q_lsh_config_cost_audit),
+        # session-55: dedup-quality interaction, sourcing risk census
+        ("dup_quality_interaction", q_dup_quality_interaction),
+        ("part_sourcing_risk", q_part_sourcing_risk),
     ]:
         t = time.time()
         out = fn(SF_DIR)

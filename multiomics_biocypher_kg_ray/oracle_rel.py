@@ -5118,3 +5118,31 @@ SELECT band_size::BIGINT AS band_size, n_bands::BIGINT AS n_bands,
        count(*)::BIGINT AS n_buckets,
        sum((c * (c - 1)) // 2)::BIGINT AS est_pairs
 FROM sz GROUP BY 1, 2"""
+
+
+def sql_dup_quality_interaction(max_bucket: int = 5) -> str:
+    """Twin of ``q_dup_quality_interaction``: the near-dup-cluster CTEs
+    joined to the text-stats quality column, capped size buckets, integer
+    mean quality milli."""
+    return f"""{_ndc_ctes(3, 0.5, 1000)},
+cs AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+  FROM base
+),
+st AS ({sql_text_stats()})
+SELECT least(cs.cluster_size, {max_bucket})::BIGINT AS cluster_size_bucket,
+       count(*)::BIGINT AS n_docs,
+       ((sum(st.quality) * 1000) // count(*))::BIGINT AS mean_quality_milli
+FROM cs JOIN st USING (doc_id)
+GROUP BY 1"""
+
+
+def sql_part_sourcing_risk() -> str:
+    """Twin of ``q_part_sourcing_risk``: distinct (part, supplier) pairs,
+    per-part supplier counts, census."""
+    return """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pp AS (SELECT l_partkey, count(*)::BIGINT AS n_suppliers FROM ps GROUP BY 1)
+SELECT n_suppliers, count(*)::BIGINT AS n_parts
+FROM pp GROUP BY 1"""

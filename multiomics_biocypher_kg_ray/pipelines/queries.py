@@ -10011,6 +10011,111 @@ def q_lsh_config_cost_audit(sf_dir: str, num_hashes: int = 8):
     )
 
 
+def q_dup_quality_interaction(sf_dir: str, max_bucket: int = 5):
+    """Interaction audit between the two big corpus screens: per near-dup
+    CLUSTER-SIZE bucket (capped at ``max_bucket``), how many docs and their
+    mean quality score (milli) — answers "are my duplicated docs also my
+    low-quality docs?", which decides whether dedup and quality filtering
+    remove the same mass or compose. Joins ``near_dup_clusters`` with the
+    ``quality_filter`` annotations at doc cardinality."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+    from ..stages.joins import hash_join
+
+    clusters = q_near_dup_clusters(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "cluster_size"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+    quality = q_doc_quality_filter(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "quality": pc.cast(t.column("quality"), pa.int64()),
+            }
+        )
+        if t.num_columns
+        else t,
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        drop_empty_blocks(clusters), drop_empty_blocks(quality), on=("doc_id",)
+    )
+    MID = pa.schema(
+        [("cluster_size_bucket", pa.int64()), ("_one", pa.int64()), ("_q", pa.int64())]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        b = pc.min_element_wise(
+            pc.cast(t.column("cluster_size"), pa.int64()),
+            pa.scalar(max_bucket, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [b, pa.array(np.ones(t.num_rows, np.int64)), t.column("quality")],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(j.map_batches(bucket, batch_format="pyarrow"), MID),
+        ["cluster_size_bucket"],
+        [("_one", "sum"), ("_q", "sum")],
+        out_names=["n_docs", "sum_q"],
+    )
+    OUT = pa.schema(
+        [
+            ("cluster_size_bucket", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("mean_quality_milli", pa.int64()),
+        ]
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("cluster_size_bucket"),
+                t.column("n_docs"),
+                pc.divide(
+                    pc.multiply_checked(t.column("sum_q"), 1000),
+                    t.column("n_docs"),
+                ),
+            ],
+            schema=OUT,
+        )
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def q_part_sourcing_risk(sf_dir: str):
+    """Single-source supply risk census: per part, the count of distinct
+    suppliers observed in lineitems, rolled up to (n_suppliers, n_parts) —
+    the dual-sourcing audit a procurement owner reads (n_suppliers = 1 is
+    the risk bucket). Two fastaggs, both pre-combined before shuffle."""
+    from ..stages.fastagg import sorted_distinct, sorted_grouped_agg
+
+    ps = sorted_distinct(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "p": pc.cast(t.column("l_partkey"), pa.int64()),
+                    "s": pc.cast(t.column("l_suppkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["p", "s"],
+    )
+    per_part = sorted_grouped_agg(
+        ps, ["p"], [("s", "count")], out_names=["n_suppliers"]
+    )
+    return sorted_grouped_agg(
+        per_part.select_columns(["n_suppliers"]),
+        ["n_suppliers"],
+        [("n_suppliers", "count")],
+        out_names=["n_parts"],
+    )
+
+
 # ------------------------------------------------------------- the registry
 
 
@@ -10789,6 +10894,14 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_lsh_config_cost_audit,
             oracle_rel.sql_lsh_config_cost_audit(),
         ),
+        "dup_quality_interaction": (
+            q_dup_quality_interaction,
+            oracle_rel.sql_dup_quality_interaction(),
+        ),
+        "part_sourcing_risk": (
+            q_part_sourcing_risk,
+            oracle_rel.sql_part_sourcing_risk(),
+        ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
     # entries; with 81 queries, ordering decides which ride on the committed
@@ -10798,6 +10911,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "dup_quality_interaction",
+        "part_sourcing_risk",
         "user_pref_drift",
         "lsh_config_cost_audit",
         "embedding_anisotropy",

@@ -641,3 +641,59 @@ def test_lsh_config_cost_audit_monotone():
     assert out.loc[4, "est_pairs"] == 2
     assert out.loc[8, "est_pairs"] == 1
     assert out.loc[8, "n_bands"] == 1
+
+
+def test_part_sourcing_risk_hand_values():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_part_sourcing_risk,
+    )
+
+    # part 1: suppliers {10, 11}; part 2: {10}; part 3: {10} (duplicate
+    # lineitem rows for the same pair collapse)
+    df = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 2, 3],
+            "l_partkey": [1, 1, 1, 2, 3],
+            "l_suppkey": [10, 10, 11, 10, 10],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "lineitem.parquet"))
+        out = (
+            q_part_sourcing_risk(d)
+            .to_pandas()
+            .set_index("n_suppliers")["n_parts"]
+            .to_dict()
+        )
+    assert out == {1: 2, 2: 1}
+
+
+def test_dup_quality_interaction_planted():
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_dup_quality_interaction,
+    )
+
+    # two near-identical long docs (cluster of 2) + one unique long doc
+    # (cluster of 1); all pass the same quality gate so mean quality is
+    # uniform — the interaction table still buckets them correctly
+    base = ("the quick brown fox jumps over a lazy dog near the river bank "
+            * 4)
+    uniq = " ".join(f"the tok{i} and of to in it is" for i in range(10))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base + " extra", uniq],
+            "lang": "en",
+            "source": "a",
+            "n_chars": 1,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        out = (
+            q_dup_quality_interaction(d)
+            .to_pandas()
+            .set_index("cluster_size_bucket")
+        )
+    assert out.loc[2, "n_docs"] == 2
+    assert out.loc[1, "n_docs"] == 1
