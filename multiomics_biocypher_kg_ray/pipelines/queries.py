@@ -2833,9 +2833,10 @@ def q_lineitem_weighted_median(sf_dir: str):
         .select(["l_returnflag", "cents"])
         .append_column(
             "qty",
+            # floor(q+0.5) = DuckDB round(q,0) on the non-negative domain
             pa.array(
-                np.rint(
-                    t.column("l_quantity").to_numpy(zero_copy_only=False)
+                np.floor(
+                    t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
                 ).astype(np.int64)
             ),
         ),
@@ -9279,9 +9280,12 @@ def q_part_brand_price_index(sf_dir: str):
         t2 = relational.to_cents(t, {"l_extendedprice": "_cents"})
         us = pc.cast(pc.cast(t2.column("l_shipdate"), pa.timestamp("us")), pa.int64())
         half = pc.cast(pc.greater(us, cutoff), pa.int64())
+        # half-away-from-zero (floor(q+0.5) on the non-negative quantity
+        # domain) to match the oracle's DuckDB round(l_quantity, 0) exactly
+        # on any fractional .5 — np.rint's half-to-even would diverge there
         qty = pa.array(
-            np.rint(
-                t2.column("l_quantity").to_numpy(zero_copy_only=False)
+            np.floor(
+                t2.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
             ).astype(np.int64)
         )
         return pa.Table.from_arrays(
@@ -9395,8 +9399,24 @@ def q_event_transition_latency(sf_dir: str):
     from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
     from ..stages.window import lag_over
 
-    TYPES = ["click", "error", "purchase", "signup", "view"]
-    code_map = {t: i for i, t in enumerate(TYPES)}
+    # Vocabulary comes from the DATA (one cheap distinct pass over a single
+    # column — type cardinality is human-scale by schema contract), not a
+    # hard-coded list, so schema drift in events.parquet cannot silently
+    # diverge engine vs oracle.  The ts·2^bits pack sizes its code width to
+    # the observed cardinality; >256 distinct types would overflow the
+    # int64 pack headroom, so fail loud instead of coercing to 'other'.
+    TYPES = sorted(
+        v
+        for v in _read(sf_dir, "events", ["event_type"]).unique("event_type")
+        if v is not None
+    )
+    if len(TYPES) > 256:
+        raise ValueError(
+            f"event_type cardinality {len(TYPES)} exceeds the 256-type pack bound"
+        )
+    BITS = max(3, (len(TYPES) + 1).bit_length())
+    MULT = 1 << BITS
+    MASK = MULT - 1
 
     PREP = pa.schema(
         [
@@ -9416,7 +9436,7 @@ def q_event_transition_latency(sf_dir: str):
             t.column("event_type"), value_set=pa.array(TYPES)
         ).cast(pa.int64())
         code = pc.fill_null(code, len(TYPES))
-        packed = pc.add(pc.multiply_checked(ts, 8), code)
+        packed = pc.add(pc.multiply_checked(ts, MULT), code)
         return pa.Table.from_arrays(
             [
                 pc.cast(t.column("user_id"), pa.int64()),
@@ -9455,8 +9475,8 @@ def q_event_transition_latency(sf_dir: str):
         if t.num_rows == 0:
             return MID.empty_table()
         prev = t.column("_prev_packed").to_numpy(zero_copy_only=False).astype(np.int64)
-        prev_ts = prev >> 3
-        prev_code = prev & 7
+        prev_ts = prev >> BITS
+        prev_code = prev & MASK
         gap_ms = (
             t.column("_ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
             - prev_ts
