@@ -72,6 +72,37 @@ def shingles(tokens: list[str], k: int = 3) -> list[str]:
     return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
 
 
+def shingle_explode(
+    texts: pa.Array | pa.ChunkedArray, k: int = 3
+) -> tuple[np.ndarray, pa.Array]:
+    """Vectorized batch-wide shingle explode: ``(doc_idx, shingle)`` arrays
+    for every k-token shingle of every normalized doc in the batch.
+
+    Semantics match ``shingles(normalize_ws_lower(t).split(" "), k)`` per doc
+    (docs with <k tokens emit nothing; nulls → empty), but the whole batch is
+    one Arrow pass: ``split_pattern`` for tokens, k zero-copy slices of the
+    flat token values joined with ``binary_join_element_wise``, and a numpy
+    ``searchsorted`` over the list offsets to drop windows that straddle doc
+    boundaries. No per-doc Python loop. Shingles are NOT de-duplicated per
+    doc — callers take mins/sets downstream, which multiset emission does
+    not affect."""
+    norm = normalize_ws_lower(pc.fill_null(texts, ""))
+    toks = pc.split_pattern(norm, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = toks.values
+    n = len(vals)
+    m = n - k + 1
+    if m <= 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    sh = pc.binary_join_element_wise(*[vals.slice(i, m) for i in range(k)], " ")
+    starts = np.arange(m, dtype=np.int64)
+    doc_of = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + k <= offsets[doc_of + 1]
+    return doc_of[valid], sh.filter(pa.array(valid))
+
+
 # -------------------------------------------------------------------- minhash
 
 def minhash_signature(shingle_set: list[str], num_hashes: int) -> list[str]:
