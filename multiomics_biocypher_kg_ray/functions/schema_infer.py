@@ -65,6 +65,9 @@ def detect_id_columns(
                 "column": name,
                 "score": round(score, 2),
                 "cardinality_ratio": round(card, 4),
+                # exact integer twin of the ratio (ppm) — the oracle-safe
+                # field: n_uniq*1e6 // n has no float-rounding hazard
+                "cardinality_ppm": n_uniq * 1_000_000 // n,
                 "reasons": ",".join(reasons),
                 "is_id_like": score >= 2.5,
             }

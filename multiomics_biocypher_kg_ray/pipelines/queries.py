@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .. import oracle, oracle_rel
+from .. import oracle, oracle_readers, oracle_rel
 from ..config import default_alias_dictionary
 from ..sources.transcripts import transcripts_dataset
 from ..stages import dedup, events, materialize, relational, similarity, text
@@ -10140,7 +10140,41 @@ def q_part_sourcing_risk(sf_dir: str):
 
 
 def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
+    from . import reader_queries as rq
+
     base = {
+        # reader / scalar-parser family (SURVEY §2 S1-S5, M2-M18) — round-5
+        # driver-gate coverage for the operators that were pytest-only
+        "paper_table_extract": (
+            rq.q_paper_table_extract,
+            oracle_readers.sql_paper_table_extract(),
+        ),
+        "eggnog_tsv_probe": (
+            rq.q_eggnog_tsv_probe,
+            oracle_readers.sql_eggnog_tsv_probe(),
+        ),
+        "keyed_json_probe": (
+            rq.q_keyed_json_probe,
+            oracle_readers.sql_keyed_json_probe(),
+        ),
+        "fasta_stats": (rq.q_fasta_stats, oracle_readers.sql_fasta_stats()),
+        "gff_features": (rq.q_gff_features, oracle_readers.sql_gff_features()),
+        "formula_elements": (
+            rq.q_formula_elements,
+            oracle_readers.sql_formula_elements(),
+        ),
+        "id_column_detect": (
+            rq.q_id_column_detect,
+            oracle_readers.sql_id_column_detect(),
+        ),
+        "priority_classify_probe": (
+            rq.q_priority_classify_probe,
+            oracle_readers.sql_priority_classify_probe(),
+        ),
+        "value_range_report": (
+            rq.q_value_range_report,
+            oracle_readers.sql_value_range_report(),
+        ),
         # KG pipeline (SURVEY §7.1)
         "kg_transcripts": (q_kg_transcripts, oracle.sql_kg_transcripts()),
         "kg_mentions": (q_kg_mentions, oracle.sql_kg_mentions()),
@@ -10931,6 +10965,15 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     # rotate to the front; the entries pushed past position 50 all hold
     # green round-3 driver rows under unchanged code paths.
     first = [
+        "paper_table_extract",
+        "eggnog_tsv_probe",
+        "keyed_json_probe",
+        "fasta_stats",
+        "gff_features",
+        "formula_elements",
+        "id_column_detect",
+        "priority_classify_probe",
+        "value_range_report",
         "dup_quality_interaction",
         "part_sourcing_risk",
         "user_pref_drift",
