@@ -10175,6 +10175,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             rq.q_value_range_report,
             oracle_readers.sql_value_range_report(),
         ),
+        # YAML-config-driven extractor must equal the code-config extractor
+        "kg_mentions_yaml": (rq.q_kg_mentions_yaml, oracle.sql_kg_mentions()),
         # KG pipeline (SURVEY §7.1)
         "kg_transcripts": (q_kg_transcripts, oracle.sql_kg_transcripts()),
         "kg_mentions": (q_kg_mentions, oracle.sql_kg_mentions()),
@@ -10974,6 +10976,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "id_column_detect",
         "priority_classify_probe",
         "value_range_report",
+        "kg_mentions_yaml",
         "dup_quality_interaction",
         "part_sourcing_risk",
         "user_pref_drift",

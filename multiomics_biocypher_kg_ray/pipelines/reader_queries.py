@@ -314,6 +314,23 @@ def q_priority_classify_probe(sf_dir: str):
     )
 
 
+# ----------------------------------------------- declarative-config surface
+
+
+def q_kg_mentions_yaml(sf_dir: str):
+    """The paperconfig.yaml analog driving the flagship extractor: rules
+    loaded + validated from the committed YAML fixture
+    (``yamlconfig.load_extraction_config``) must reproduce ``kg_mentions``
+    byte-for-byte — same oracle SQL twin. A user adds a source by dropping
+    a YAML file, not editing Python (reference ``CLAUDE.md:133-183``)."""
+    from ..sources.transcripts import transcripts_dataset
+    from ..stages.extract import extract_mentions
+    from ..yamlconfig import load_extraction_config
+
+    cfg = load_extraction_config(str(FIXTURES / "extraction_config.yaml"))
+    return extract_mentions(transcripts_dataset(sf_dir), rules=cfg.rules)
+
+
 # ------------------------------------------------------------------------ M3
 
 
