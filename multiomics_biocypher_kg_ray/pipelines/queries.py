@@ -10412,7 +10412,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             q_embedding_centroids,
             oracle_rel.sql_embedding_centroids(),
         ),
-        "kmeans_embed": (q_kmeans_embed, None),
+        # upgraded from rows-only in round 5: the unrolled-iteration twin
+        "kmeans_embed": (q_kmeans_embed, oracle_rel.sql_kmeans_embed()),
         "embedding_inertia": (
             q_embedding_inertia,
             oracle_rel.sql_embedding_inertia(),
