@@ -5586,14 +5586,18 @@ def q_kg_functional_audit(sf_dir: str):
     return drop_empty_blocks(agg.map_batches(final, batch_format="pyarrow"), OUT)
 
 
-def q_kg_modularity(sf_dir: str):
+def q_kg_modularity(sf_dir: str, labels=None):
     """Integer-exact modularity contributions (q_num = 4·m·e_c − d_c² over
     denominator 4m²) of the 3-round label-propagation partition — the
-    did-the-clustering-find-anything audit."""
+    did-the-clustering-find-anything audit. ``labels`` lets a caller that
+    already ran ``kg_labelprop`` in the same pass share its label table
+    (bench does; rows identical either way)."""
     from ..stages import graph
 
     return graph.modularity_by_label(
-        materialize.build_edges(_linked(sf_dir), _canon_tbl()), rounds=3
+        materialize.build_edges(_linked(sf_dir), _canon_tbl()),
+        rounds=3,
+        labels=labels,
     )
 
 

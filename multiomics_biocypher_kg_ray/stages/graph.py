@@ -1781,7 +1781,9 @@ def negative_samples(
 
 
 def modularity_by_label(
-    edges: "ray.data.Dataset", rounds: int = 3
+    edges: "ray.data.Dataset",
+    rounds: int = 3,
+    labels: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Partition quality of the ``label_propagation`` communities — per
     community, the EXACT integer modularity contribution: q_num =
@@ -1823,8 +1825,12 @@ def modularity_by_label(
     ).materialize()  # consumed three times: m, intra joins, degrees
     m = e0.count()
 
+    # ``labels``: accept a precomputed LPA label table (node, label) when the
+    # caller already ran label_propagation in the same pass (kg_labelprop +
+    # kg_modularity share it in the bench) — identical rows either way.
     labels = drop_empty_blocks(
-        label_propagation(edges, rounds=rounds).select_columns(["node", "label"])
+        (labels if labels is not None else label_propagation(edges, rounds=rounds))
+        .select_columns(["node", "label"])
     ).materialize()  # probed three times (a-side, b-side, degree side)
 
     np_ = default_join_partitions()

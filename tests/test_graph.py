@@ -505,3 +505,26 @@ def test_hits_star_graph_directions():
     assert out.loc["h", "auth_q"] == 0 and out.loc["h", "hub_q"] > 0
     assert (out.loc[["x1", "x2", "x3", "x4"], "auth_q"] > 0).all()
     assert (out.loc[["x1", "x2", "x3", "x4"], "hub_q"] == 0).all()
+
+
+def test_modularity_shared_labels_identical(sf_small):
+    """kg_modularity with a precomputed kg_labelprop label table (the bench's
+    shared-LPA pass) must produce identical rows to the self-computed path."""
+    import pandas as pd
+
+    from multiomics_biocypher_kg_ray.pipelines.queries import (
+        q_kg_labelprop,
+        q_kg_modularity,
+    )
+
+    a = q_kg_modularity(sf_small).to_pandas()
+    key = a.columns.tolist()
+    a = a.sort_values(key).reset_index(drop=True)
+    labels = q_kg_labelprop(sf_small).materialize()
+    b = (
+        q_kg_modularity(sf_small, labels=labels)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
