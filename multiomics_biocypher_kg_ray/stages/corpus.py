@@ -421,16 +421,13 @@ def benchmark_shingle_set(
     benchmark filter is fused into the shingle fn — a separate filter stage
     would emit zero-row blocks whose skipped UDF keeps the input schema.
     Each batch emits its DISTINCT shingles only."""
-    from ..functions.textfn import normalize_ws_lower, shingles
+    from ..functions.textfn import shingle_explode
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array((ids % bench_mod) == bench_rem))
-        texts = normalize_ws_lower(batch.column("text")).to_pylist()
-        out: set[str] = set()
-        for t in texts:
-            out.update(shingles((t or "").split(" "), k_shingle))
-        return pa.table({"shingle": pa.array(sorted(out), pa.string())})
+        _, sh = shingle_explode(batch.column("text"), k_shingle)
+        return pa.table({"shingle": sh.unique()})
 
     parts = ray.get(
         docs.map_batches(explode, batch_format="pyarrow").to_arrow_refs()
@@ -461,31 +458,55 @@ def decontaminate(
     Reference analog: the skip/filter rules of the row extractors
     (annotation_utils.py's skip_value patterns) — a filter with an audit
     column, never a silent drop."""
-    from ..functions.textfn import normalize_ws_lower, shingles
+    from ..functions.textfn import shingle_explode
 
     bench_ref = ray.put(
-        benchmark_shingle_set(docs, k_shingle, bench_mod, bench_rem)
+        pa.array(
+            sorted(benchmark_shingle_set(docs, k_shingle, bench_mod, bench_rem)),
+            pa.string(),
+        )
+    )
+
+    EMPTY = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_ngrams", pa.int64()),
+            ("n_hits", pa.int64()),
+            ("contaminated", pa.bool_()),
+        ]
     )
 
     def probe(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         ids_all = batch.column("doc_id").to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array((ids_all % bench_mod) != bench_rem))
-        bset = ray.get(bench_ref)
-        ids = batch.column("doc_id").to_pylist()
-        texts = normalize_ws_lower(batch.column("text")).to_pylist()
-        o_id, o_n, o_hit = [], [], []
-        for d, t in zip(ids, texts):
-            ss = set(shingles((t or "").split(" "), k_shingle))
-            if not ss:
-                continue  # < k tokens: no shingles on either side
-            o_id.append(d)
-            o_n.append(len(ss))
-            o_hit.append(sum(1 for s in ss if s in bset))
-        hits = pa.array(o_hit, pa.int64())
+        # batch-wide vectorized explode; per-doc DISTINCT via a pandas
+        # hash drop_duplicates; membership via the Arrow is_in kernel
+        # against the broadcast benchmark array — no per-doc Python loop
+        doc_idx, sh = shingle_explode(batch.column("text"), k_shingle)
+        if len(doc_idx) == 0:
+            return EMPTY.empty_table()
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"d": doc_idx, "s": sh.to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        hit = pc.is_in(
+            pa.array(df["s"].to_numpy(), pa.string()), value_set=ray.get(bench_ref)
+        ).to_numpy(zero_copy_only=False)
+        d = df["d"].to_numpy()
+        nrows = batch.num_rows
+        n_per_doc = np.bincount(d, minlength=nrows)
+        h_per_doc = np.bincount(d, weights=hit.astype(np.float64), minlength=nrows)
+        keep = n_per_doc > 0  # < k tokens: no shingles on either side
+        hits = pa.array(h_per_doc[keep].astype(np.int64), pa.int64())
         return pa.table(
             {
-                "doc_id": pa.array(o_id, pa.int64()),
-                "n_ngrams": pa.array(o_n, pa.int64()),
+                "doc_id": pc.cast(
+                    batch.column("doc_id").filter(pa.array(keep)), pa.int64()
+                ),
+                "n_ngrams": pa.array(n_per_doc[keep].astype(np.int64), pa.int64()),
                 "n_hits": hits,
                 "contaminated": pc.greater(hits, 0),
             }

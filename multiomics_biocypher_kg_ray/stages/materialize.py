@@ -539,16 +539,26 @@ def conv_stats(
         on=("conv_id",),
     )
 
-    def fill(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_mentions"] = batch["n_mentions"].fillna(0).astype("int64")
-        batch["n_resolved"] = batch["n_resolved"].fillna(0).astype("int64")
-        batch["first_ts"] = batch["first_ts"].astype("datetime64[us]")
-        batch["last_ts"] = batch["last_ts"].astype("datetime64[us]")
-        return batch[
-            ["conv_id", "n_turns", "n_mentions", "n_resolved", "first_ts", "last_ts"]
-        ]
+    def fill(batch: "pa.Table") -> "pa.Table":
+        if batch.num_columns == 0:
+            return batch
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "n_turns": batch.column("n_turns"),
+                "n_mentions": pc.fill_null(
+                    pc.cast(batch.column("n_mentions"), pa.int64()), zero
+                ),
+                "n_resolved": pc.fill_null(
+                    pc.cast(batch.column("n_resolved"), pa.int64()), zero
+                ),
+                "first_ts": pc.cast(batch.column("first_ts"), pa.timestamp("us")),
+                "last_ts": pc.cast(batch.column("last_ts"), pa.timestamp("us")),
+            }
+        )
 
-    return joined.map_batches(fill, batch_format="pandas")
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- dangling report
