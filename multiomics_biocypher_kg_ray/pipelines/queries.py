@@ -10181,6 +10181,11 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         ),
         # YAML-config-driven extractor must equal the code-config extractor
         "kg_mentions_yaml": (rq.q_kg_mentions_yaml, oracle.sql_kg_mentions()),
+        # S7/ST7 cache-or-fetch with a deterministic fetcher (no network)
+        "cached_lookup_enrich": (
+            rq.q_cached_lookup_enrich,
+            rq.sql_cached_lookup_enrich(),
+        ),
         # KG pipeline (SURVEY §7.1)
         "kg_transcripts": (q_kg_transcripts, oracle.sql_kg_transcripts()),
         "kg_mentions": (q_kg_mentions, oracle.sql_kg_mentions()),
@@ -10982,6 +10987,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "priority_classify_probe",
         "value_range_report",
         "kg_mentions_yaml",
+        "cached_lookup_enrich",
         "dup_quality_interaction",
         "part_sourcing_risk",
         "user_pref_drift",

@@ -314,6 +314,46 @@ def q_priority_classify_probe(sf_dir: str):
     )
 
 
+# ------------------------------------------------------------- S7 / ST7
+
+
+def q_cached_lookup_enrich(sf_dir: str):
+    """Cache-or-fetch enrichment (S7/ST7, ``ncbi_protein_xref`` /
+    ``build_gene_id_mapping.py:40-45`` analog): supplier rows enriched
+    through the shared ``LookupCacheActor`` — each distinct key is
+    "fetched" at most once cluster-wide (per-batch C++ distinct →
+    per-worker memo → one actor round-trip for genuinely new keys →
+    vectorized ``index_in``/``take`` fan-out). The sandbox has no network,
+    so the fetcher is the deterministic md5 stand-in
+    ``tax:<md5('fetch:'+key)[:8]>`` — which is exactly what lets the
+    DuckDB twin re-derive the enrichment independently."""
+    import hashlib
+
+    from ..arrow_util import read_parquet_clean
+    from ..state.lookup_cache import LookupCacheActor, enrich_with_cache
+
+    def fetch(keys: list[str]) -> list[str]:
+        return [
+            "tax:" + hashlib.md5(f"fetch:{k}".encode()).hexdigest()[:8]
+            for k in keys
+        ]
+
+    actor = LookupCacheActor.remote(fetch)
+    ds = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return enrich_with_cache(ds, actor, "s_name", "taxon")
+
+
+def sql_cached_lookup_enrich() -> str:
+    """Twin of ``q_cached_lookup_enrich``: the same md5 derivation inline."""
+    return """
+SELECT s_suppkey, s_name,
+       'tax:' || substr(md5('fetch:' || s_name), 1, 8) AS taxon
+FROM supplier
+"""
+
+
 # ----------------------------------------------- declarative-config surface
 
 
