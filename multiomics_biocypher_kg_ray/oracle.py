@@ -163,10 +163,42 @@ canon AS (
 )""".strip()
 
 
+def _doubling_lp_ctes(sym: str, pfx: str, rounds: int = 10) -> str:
+    """Unrolled pointer-doubling min-label propagation over a symmetric
+    self-looped edge CTE ``sym(a, b)`` → ``{pfx}{rounds}(node, lab)`` with
+    lab = min node id of the component. Each round relaxes through both the
+    neighbor labels AND the label-of-label pointer (standard pointer
+    jumping), so ``rounds`` rounds cover components of diameter 2^rounds —
+    2^10 here, far past any real co-occurrence graph. State per round is ONE
+    row per node, replacing the full transitive-closure recursive CTE whose
+    O(Σ component²) pair set OOM'd DuckDB at sf0.1."""
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # round twice and the edge CTE once — default inlining would double the
+    # expanded plan per round (2^rounds copies of the whole upstream
+    # pipeline, observed as fd exhaustion re-opening the parquet inputs)
+    parts = [
+        f"{pfx}s AS MATERIALIZED (SELECT a, b FROM {sym})",
+        f"{pfx}0 AS MATERIALIZED "
+        f"(SELECT a AS node, min(b) AS lab FROM {pfx}s GROUP BY a)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""{pfx}{r} AS MATERIALIZED (
+  SELECT node, min(lab) AS lab FROM (
+    SELECT s.a AS node, p.lab FROM {pfx}s s JOIN {pfx}{r - 1} p ON s.b = p.node
+    UNION ALL
+    SELECT p1.node, p2.lab
+    FROM {pfx}{r - 1} p1 JOIN {pfx}{r - 1} p2 ON p1.lab = p2.node
+  ) GROUP BY node)"""
+        )
+    return ",\n".join(parts)
+
+
 def data_canon_ctes(d: AliasDictionary | None = None) -> str:
-    """Recursive-CTE twin of ``canonicalize.data_canonical_map``: learned
+    """SQL twin of ``canonicalize.data_canonical_map``: learned
     mention-co-occurrence edges (per-turn min-entity anchor; tok:/turn: node
-    spaces) ∪ config seed edges → connected components → stable ids."""
+    spaces) ∪ config seed edges → connected components (pointer-doubling
+    min-label propagation, memory-bounded) → stable ids."""
     d = d or default_alias_dictionary()
     vals = ", ".join(f"('{a}', '{b}')" for a, b in d.all_equiv_edges())
     return f"""
@@ -192,12 +224,8 @@ sym2 AS (
   SELECT a, b FROM eq2 UNION SELECT b, a FROM eq2
   UNION SELECT a, a FROM eq2 UNION SELECT b, b FROM eq2
 ),
-reach2(src, dst) AS (
-  SELECT a, b FROM sym2
-  UNION
-  SELECT r.src, s.b FROM reach2 r JOIN sym2 s ON r.dst = s.a
-),
-comp2 AS (SELECT src AS member, min(dst) AS component_key FROM reach2 GROUP BY src),
+{_doubling_lp_ctes("sym2", "p", rounds=10)},
+comp2 AS (SELECT node AS member, lab AS component_key FROM p10),
 canon2 AS (
   SELECT member, component_key,
          'ent_' || lpad(dense_rank() OVER (ORDER BY component_key)::VARCHAR, 6, '0') AS canonical_id
