@@ -94,11 +94,13 @@ def _dedup_duckdb(fresh: bool = False):
 def _duck_arrow(views: dict[str, pa.Table], sql: str) -> pa.Table:
     """Run ``sql`` over registered Arrow ``views`` on the per-worker DuckDB,
     retrying ONCE on a fresh connection if the memoized one was interrupted
-    mid-query by a Ray task-cancellation signal."""
+    mid-query. If the FRESH connection is also interrupted, the worker has a
+    pending KeyboardInterrupt (Ray is cancelling this task) — re-raise it AS
+    KeyboardInterrupt so Ray records a cancellation, not a task failure."""
     last = None
     for attempt in (False, True):
-        con = _dedup_duckdb(fresh=attempt)
         try:
+            con = _dedup_duckdb(fresh=attempt)
             for name, tbl in views.items():
                 con.register(name, tbl)
             out = con.execute(sql).arrow()
@@ -106,8 +108,10 @@ def _duck_arrow(views: dict[str, pa.Table], sql: str) -> pa.Table:
                 con.unregister(name)
             return out
         except RuntimeError as exc:  # pragma: no cover - cancellation race
+            if "interrupt" not in str(exc).lower():
+                raise
             last = exc
-    raise last
+    raise KeyboardInterrupt("task cancelled during DuckDB query") from last
 
 
 def minhash_sig_rows(
