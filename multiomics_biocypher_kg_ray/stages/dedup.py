@@ -1485,29 +1485,24 @@ def minhash_estimate_audit(
     EQ = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("_eq", pa.int64())]
     )
-    est = sorted_grouped_agg(
-        drop_empty_blocks(
-            j2.map_batches(
-                lambda t: pa.Table.from_arrays(
-                    [
-                        pc.cast(t.column("doc_a"), pa.int64()),
-                        pc.cast(t.column("doc_b"), pa.int64()),
-                        pc.cast(
-                            pc.equal(t.column("_mh_a"), t.column("_mh_b")),
-                            pa.int64(),
-                        ),
-                    ],
-                    schema=EQ,
-                )
-                if t.num_columns
-                else EQ.empty_table(),
-                batch_format="pyarrow",
-            ),
-            EQ,
+    eqrows = drop_empty_blocks(
+        j2.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.cast(t.column("doc_a"), pa.int64()),
+                    pc.cast(t.column("doc_b"), pa.int64()),
+                    pc.cast(
+                        pc.equal(t.column("_mh_a"), t.column("_mh_b")),
+                        pa.int64(),
+                    ),
+                ],
+                schema=EQ,
+            )
+            if t.num_columns
+            else EQ.empty_table(),
+            batch_format="pyarrow",
         ),
-        ["doc_a", "doc_b"],
-        [("_eq", "sum")],
-        out_names=["matches"],
+        EQ,
     )
 
     # exact tier over the candidate-doc universe only. Adaptive dispatch
@@ -1555,40 +1550,74 @@ def minhash_estimate_audit(
                 on=("doc_id",),
             )
         )
-    with_b = sorted_grouped_agg(
+    # Both tiers key by the same (doc_a, doc_b): instead of aggregating each
+    # tier separately and INNER-joining (two fastagg barriers + one shuffle
+    # join), union their pre-agg rows under one tagged schema and pay ONE
+    # grouped agg — min over the null-padded size columns recovers the exact
+    # tier's payload (Arrow group min skips nulls), and the n_shared > 0
+    # filter reproduces the inner-join semantics (est-only pairs drop).
+    U = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("_est", pa.int64()),
+            ("_eq", pa.int64()),
+            ("_pair", pa.int64()),
+            ("_sa", pa.int64()),
+            ("_sb", pa.int64()),
+        ]
+    )
+
+    def pairs_to_u(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return U.empty_table()
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t.column("doc_a"), pa.int64()),
+                pc.cast(t.column("doc_b"), pa.int64()),
+                pa.array(np.zeros(n, np.int64)),
+                pa.array(np.zeros(n, np.int64)),
+                pa.array(np.ones(n, np.int64)),
+                pc.cast(t.column("set_size_a"), pa.int64()),
+                pc.cast(t.column("set_size_b"), pa.int64()),
+            ],
+            schema=U,
+        )
+
+    def eq_to_u(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return U.empty_table()
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_a"),
+                t.column("doc_b"),
+                pa.array(np.ones(n, np.int64)),
+                t.column("_eq"),
+                pa.array(np.zeros(n, np.int64)),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            schema=U,
+        )
+
+    exact_rows = drop_empty_blocks(
         bucket_pairs(
             exploded_sem, ["shingle"], "doc_id", payload_cols=("set_size",), cap=cap
-        ),
+        ).map_batches(pairs_to_u, batch_format="pyarrow"),
+        U,
+    )
+    est_rows = drop_empty_blocks(
+        eqrows.map_batches(eq_to_u, batch_format="pyarrow"), U
+    )
+    both = sorted_grouped_agg(
+        est_rows.union(exact_rows),
         ["doc_a", "doc_b"],
-        [("doc_a", "count"), ("set_size_a", "min"), ("set_size_b", "min")],
-        out_names=["n_shared", "size_a", "size_b"],
+        [("_est", "sum"), ("_eq", "sum"), ("_pair", "sum"),
+         ("_sa", "min"), ("_sb", "min")],
+        out_names=["n_est", "matches", "n_shared", "size_a", "size_b"],
     )
-    EX = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("exact_ppm", pa.int64())]
-    )
-    exact = drop_empty_blocks(
-        with_b.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [
-                    pc.cast(t.column("doc_a"), pa.int64()),
-                    pc.cast(t.column("doc_b"), pa.int64()),
-                    pc.divide(
-                        pc.multiply_checked(t.column("n_shared"), 1_000_000),
-                        pc.subtract(
-                            pc.add(t.column("size_a"), t.column("size_b")),
-                            t.column("n_shared"),
-                        ),
-                    ),
-                ],
-                schema=EX,
-            )
-            if t.num_columns
-            else EX.empty_table(),
-            batch_format="pyarrow",
-        ),
-        EX,
-    )
-    joined = hash_join(drop_empty_blocks(est), exact, on=("doc_a", "doc_b"))
     OUT = pa.schema(
         [
             ("doc_a", pa.int64()),
@@ -1602,19 +1631,36 @@ def minhash_estimate_audit(
     def final(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
             return OUT.empty_table()
+        # both-sides presence = the old INNER join: a pair must be an LSH
+        # candidate (n_est > 0) AND share >=1 shingle (n_shared > 0)
+        t = t.filter(
+            pc.and_(
+                pc.greater(t.column("n_est"), 0),
+                pc.greater(t.column("n_shared"), 0),
+            )
+        )
+        if t.num_rows == 0:
+            return OUT.empty_table()
         est_ppm = pc.divide(
             pc.multiply_checked(t.column("matches"), 1_000_000),
             pa.scalar(num_hashes, pa.int64()),
+        )
+        exact_ppm = pc.divide(
+            pc.multiply_checked(t.column("n_shared"), 1_000_000),
+            pc.subtract(
+                pc.add(t.column("size_a"), t.column("size_b")),
+                t.column("n_shared"),
+            ),
         )
         return pa.Table.from_arrays(
             [
                 t.column("doc_a"),
                 t.column("doc_b"),
                 est_ppm,
-                t.column("exact_ppm"),
-                pc.subtract(est_ppm, t.column("exact_ppm")),
+                exact_ppm,
+                pc.subtract(est_ppm, exact_ppm),
             ],
             schema=OUT,
         )
 
-    return joined.map_batches(final, batch_format="pyarrow")
+    return both.map_batches(final, batch_format="pyarrow")
