@@ -2996,41 +2996,52 @@ def q_pk_duplicate_audit(sf_dir: str):
     ``create_knowledge_graph.py``'s per-adapter count reports) must check
     BEFORE building. Per table: one distinct fastagg + one-row count
     partials; nothing data-proportional crosses the driver."""
-    from ..stages.fastagg import drop_empty_blocks, sorted_distinct, sorted_grouped_agg
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
 
-    MID = pa.schema(
-        [("tbl", pa.string()), ("_rows", pa.int64()), ("_dist", pa.int64())]
-    )
+    # ONE tagged union of every table's stringified key (unit separator
+    # between composite columns — unambiguous for these numeric keys), then
+    # exactly TWO shuffles for all six tables: a (tbl, key) multiplicity
+    # fastagg and a per-table rollup — replacing the per-table distinct
+    # passes (6 sort barriers) that dominated this audit's wall.
+    KEYED = pa.schema([("tbl", pa.string()), ("k", pa.string())])
 
-    def counter(name: str, slot: int):
+    def keyfn(name: str):
         def fn(t: pa.Table) -> pa.Table:
             if t.num_columns == 0 or t.num_rows == 0:
-                return MID.empty_table()
-            vals = [0, 0]
-            vals[slot] = t.num_rows
+                return KEYED.empty_table()
+            cols = [pc.cast(t.column(c), pa.string()) for c in t.column_names]
+            k = (
+                cols[0]
+                if len(cols) == 1
+                else pc.binary_join_element_wise(*cols, "\x1f")
+            )
             return pa.Table.from_arrays(
-                [pa.array([name], pa.string())]
-                + [pa.array([v], pa.int64()) for v in vals],
-                schema=MID,
+                [
+                    pa.array([name] * t.num_rows, pa.string()),
+                    k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k,
+                ],
+                schema=KEYED,
             )
 
         return fn
 
     parts = None
     for name, keys in _PK_KEYS:
-        tab = _read(sf_dir, name, keys)
-        rows_p = tab.map_batches(counter(name, 0), batch_format="pyarrow")
-        dist_p = sorted_distinct(tab, keys).map_batches(
-            counter(name, 1), batch_format="pyarrow"
+        tagged = _read(sf_dir, name, keys).map_batches(
+            keyfn(name), batch_format="pyarrow"
         )
-        parts = rows_p.union(dist_p) if parts is None else parts.union(
-            rows_p
-        ).union(dist_p)
+        parts = tagged if parts is None else parts.union(tagged)
 
+    mult = sorted_grouped_agg(
+        drop_empty_blocks(parts, KEYED),
+        ["tbl", "k"],
+        [("k", "count")],
+        out_names=["_n"],
+    )
     agg = sorted_grouped_agg(
-        drop_empty_blocks(parts, MID),
+        mult,
         ["tbl"],
-        [("_rows", "sum"), ("_dist", "sum")],
+        [("_n", "sum"), ("_n", "count")],
         out_names=["n_rows", "n_distinct"],
     )
     OUT = pa.schema(
