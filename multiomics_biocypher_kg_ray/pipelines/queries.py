@@ -10197,6 +10197,8 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             rq.q_cached_lookup_enrich,
             rq.sql_cached_lookup_enrich(),
         ),
+        # J7 routing dict: exact-then-substring broadcast lookup
+        "source_routing": (rq.q_source_routing, rq.sql_source_routing()),
         # KG pipeline (SURVEY §7.1)
         "kg_transcripts": (q_kg_transcripts, oracle.sql_kg_transcripts()),
         "kg_mentions": (q_kg_mentions, oracle.sql_kg_mentions()),
@@ -10999,6 +11001,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "value_range_report",
         "kg_mentions_yaml",
         "cached_lookup_enrich",
+        "source_routing",
         "dup_quality_interaction",
         "part_sourcing_risk",
         "user_pref_drift",

@@ -354,6 +354,73 @@ FROM supplier
 """
 
 
+# -------------------------------------------------------------------- J7
+
+# routing dict (ORGANISM_TO_GENOME_DIR analog, gene_id_utils.py:32-158):
+# exact normalized match first, then substring containment over the keys in
+# sorted order (first hit wins), else the default route
+SOURCE_ROUTES: dict[str, str] = {"src1": "shard_one", "src2": "shard_two"}
+ROUTE_DEFAULT = "shard_default"
+
+
+def q_source_routing(sf_dir: str):
+    """Entity-routing dict lookup (J7): each document's source routed
+    through a broadcast ~100-alias-scale dict — exact lowercase match, then
+    substring containment in sorted-key order (src1 ⊂ src10..src19, the
+    reference's normalized-substring organism lookup), else default. One
+    vectorized cascade (index_in + match_substring fill-null chain) and a
+    route count fastagg."""
+    from ..arrow_util import read_parquet_clean
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    keys = sorted(SOURCE_ROUTES)
+    MID = pa.schema([("route", pa.string()), ("_one", pa.int64())])
+
+    def route(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        src = pc.utf8_lower(pc.utf8_trim_whitespace(t.column("source")))
+        key_arr = pa.array(keys, pa.string())
+        val_arr = pa.array([SOURCE_ROUTES[k] for k in keys], pa.string())
+        out = pc.take(val_arr, pc.index_in(src, value_set=key_arr))
+        for k in keys:  # containment tiers, first hit wins
+            hit = pc.match_substring(src, k)
+            out = pc.if_else(
+                pc.is_valid(out),
+                out,
+                pc.if_else(hit, pa.scalar(SOURCE_ROUTES[k]), pa.nulls(1, pa.string())[0]),
+            )
+        out = pc.fill_null(out, ROUTE_DEFAULT)
+        return pa.Table.from_arrays(
+            [out, pa.array(np.ones(t.num_rows, np.int64))], schema=MID
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    ).map_batches(route, batch_format="pyarrow")
+    return sorted_grouped_agg(
+        drop_empty_blocks(ds, MID), ["route"], [("_one", "sum")], out_names=["n_docs"]
+    )
+
+
+def sql_source_routing() -> str:
+    """Twin of ``q_source_routing``: the same exact-then-containment cascade
+    flattened to CASE tiers, generated from the SAME routing dict."""
+    keys = sorted(SOURCE_ROUTES)
+    exact = " ".join(
+        f"WHEN s = '{k}' THEN '{SOURCE_ROUTES[k]}'" for k in keys
+    )
+    contain = " ".join(
+        f"WHEN contains(s, '{k}') THEN '{SOURCE_ROUTES[k]}'" for k in keys
+    )
+    return f"""
+WITH n AS (SELECT lower(trim(source)) AS s FROM documents)
+SELECT CASE {exact} {contain} ELSE '{ROUTE_DEFAULT}' END AS route,
+       count(*)::BIGINT AS n_docs
+FROM n GROUP BY 1
+"""
+
+
 # ----------------------------------------------- declarative-config surface
 
 

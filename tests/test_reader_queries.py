@@ -154,3 +154,17 @@ def test_value_range_report():
     assert set(df["warning"]) == {"linear_has_nonpositive"}
     assert (df["min_v"] <= 0).all()
     assert len(df) == 3
+
+
+def test_source_routing_precedence():
+    """J7: exact match wins, then substring containment in sorted-key order
+    (src1 ⊂ src10..src19), else the default route."""
+    df = _df(rq.q_source_routing(SF)).set_index("route")
+    # src1 exact + src10..src19 containment = 11 sources; src2 exact = 1;
+    # the remaining 8 (src0, src3..src9) default — 25 docs per source at
+    # sf0.001? rows counts depend on sf, so check proportions instead
+    total = int(df["n_docs"].sum())
+    assert set(df.index) == {"shard_one", "shard_two", "shard_default"}
+    assert df.loc["shard_one", "n_docs"] == total * 11 // 20
+    assert df.loc["shard_two", "n_docs"] == total // 20
+    assert df.loc["shard_default", "n_docs"] == total * 8 // 20
