@@ -5209,3 +5209,23 @@ SELECT vec_id, cluster FROM (
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY d2 ASC, cluster ASC) AS rn
   FROM dfin) WHERE rn = 1"""
+
+
+def sql_tokenizer_fertility() -> str:
+    """Twin of ``q_tokenizer_fertility``: per-source char/token budgets under
+    the whitespace and BPE-ish regex tokenizations (RE2 on both sides)."""
+    return r"""
+WITH t AS (
+  SELECT source,
+         length(coalesce(text, '')) AS n_chars,
+         len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_ws,
+         len(regexp_extract_all(coalesce(text, ''), '\w+|[^\w\s]')) AS n_bpe
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars,
+       sum(n_ws)::BIGINT AS n_ws_tokens,
+       sum(n_bpe)::BIGINT AS n_bpe_tokens,
+       ((sum(n_chars) * 1000000) // greatest(sum(n_bpe), 1))::BIGINT
+         AS fertility_ppm
+FROM t GROUP BY source"""

@@ -1245,6 +1245,85 @@ def q_kmeans_embed(sf_dir: str):
     return similarity.kmeans_assign(emb, k=8, iters=4)
 
 
+def q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer-budget audit per source: chars, whitespace tokens, BPE-ish
+    regex tokens (\\w+|[^\\w\\s] — the pre-tokenizer split every BPE-family
+    tokenizer applies) and fertility_ppm = chars·10⁶ // bpe_tokens — the
+    how-many-tokens-will-this-corpus-cost estimator that complements
+    ``vocab_oov_rate``. One vectorized count pass (Arrow RE2 kernels, no
+    row loop) + one source fastagg; both regexes are RE2 on engine and
+    oracle sides so counts agree exactly."""
+    from ..stages.fastagg import drop_empty_blocks, sorted_grouped_agg
+
+    MID = pa.schema(
+        [
+            ("source", pa.string()),
+            ("_one", pa.int64()),
+            ("_chars", pa.int64()),
+            ("_ws", pa.int64()),
+            ("_bpe", pa.int64()),
+        ]
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return MID.empty_table()
+        txt = pc.fill_null(t.column("text"), "")
+        return pa.Table.from_arrays(
+            [
+                t.column("source"),
+                pa.array(np.ones(t.num_rows, np.int64)),
+                pc.cast(pc.utf8_length(txt), pa.int64()),
+                pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64()),
+                pc.cast(
+                    pc.count_substring_regex(txt, r"\w+|[^\w\s]"), pa.int64()
+                ),
+            ],
+            schema=MID,
+        )
+
+    agg = sorted_grouped_agg(
+        drop_empty_blocks(
+            _read(sf_dir, "documents", ["source", "text"]).map_batches(
+                counts, batch_format="pyarrow"
+            ),
+            MID,
+        ),
+        ["source"],
+        [("_one", "sum"), ("_chars", "sum"), ("_ws", "sum"), ("_bpe", "sum")],
+        out_names=["n_docs", "n_chars", "n_ws_tokens", "n_bpe_tokens"],
+    )
+    OUT = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("n_ws_tokens", pa.int64()),
+            ("n_bpe_tokens", pa.int64()),
+            ("fertility_ppm", pa.int64()),
+        ]
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("source"),
+                t.column("n_docs"),
+                t.column("n_chars"),
+                t.column("n_ws_tokens"),
+                t.column("n_bpe_tokens"),
+                pc.divide(
+                    pc.multiply_checked(t.column("n_chars"), 1_000_000),
+                    pc.max_element_wise(t.column("n_bpe_tokens"), 1),
+                ),
+            ],
+            schema=OUT,
+        )
+        if t.num_columns
+        else OUT.empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_bigram_score(sf_dir: str):
     """CCNet-style bigram-LM quality signal per document — add-one-smoothed
     conditional ppm per bigram, broadcast model, one scoring pass."""
@@ -10199,6 +10278,10 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         ),
         # J7 routing dict: exact-then-substring broadcast lookup
         "source_routing": (rq.q_source_routing, rq.sql_source_routing()),
+        "tokenizer_fertility": (
+            q_tokenizer_fertility,
+            oracle_rel.sql_tokenizer_fertility(),
+        ),
         # KG pipeline (SURVEY §7.1)
         "kg_transcripts": (q_kg_transcripts, oracle.sql_kg_transcripts()),
         "kg_mentions": (q_kg_mentions, oracle.sql_kg_mentions()),
@@ -11002,6 +11085,7 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         "kg_mentions_yaml",
         "cached_lookup_enrich",
         "source_routing",
+        "tokenizer_fertility",
         "dup_quality_interaction",
         "part_sourcing_risk",
         "user_pref_drift",
