@@ -100,3 +100,69 @@ def test_halfwritten_tmp_dir_is_recovered(workdir, sf_small):
     r = cp.run_extract_link_checkpointed(shards_dir, ckpt, index)
     assert sorted(r["ran"]) == [0, 1]
     assert not os.path.isdir(stale)
+
+
+def test_hard_kill_mid_run_resumes_to_identical_output(workdir, sf_small):
+    """The north-rule resumability criterion, end to end: a WORKER PROCESS
+    DIES (os._exit, no cleanup, no atexit) partway through the sharded
+    extract+link run; a fresh process resumes from the manifests and the
+    final output is byte-identical to an uninterrupted run."""
+    import subprocess
+    import sys
+
+    shards_dir = os.path.join(workdir, "shards")
+    cp.shard_transcripts(transcripts_dataset(sf_small), shards_dir, num_shards=6)
+
+    # uninterrupted reference run (same shard files)
+    clean_ckpt = os.path.join(workdir, "ckpt_clean")
+    index = AliasIndex(default_alias_dictionary())
+    cp.run_extract_link_checkpointed(
+        shards_dir, clean_ckpt, index, max_concurrent_shards=1
+    )
+
+    # child process: dies WITHOUT cleanup right after the 2nd manifest
+    kill_ckpt = os.path.join(workdir, "ckpt_killed")
+    child = f"""
+import os, sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(cp.__file__)))!r})
+sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from multiomics_biocypher_kg_ray.tuning import tune_context_for_small_data
+tune_context_for_small_data()
+from multiomics_biocypher_kg_ray.config import default_alias_dictionary
+from multiomics_biocypher_kg_ray.pipelines import checkpoint as cp
+from multiomics_biocypher_kg_ray.stages.link import AliasIndex
+real = cp.write_manifest
+n = [0]
+def dying(ckpt_dir, m):
+    real(ckpt_dir, m)
+    n[0] += 1
+    if n[0] >= 2:
+        os._exit(9)  # hard death: no ray.shutdown, no atexit, no flush
+cp.write_manifest = dying
+cp.run_extract_link_checkpointed(
+    {shards_dir!r}, {kill_ckpt!r},
+    AliasIndex(default_alias_dictionary()), max_concurrent_shards=1)
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", child], capture_output=True, text=True
+    )
+    assert r.returncode == 9, r.stderr[-2000:]
+    done_after_kill = cp.completed_shards(kill_ckpt, "triples")
+    assert len(done_after_kill) == 2
+
+    # resume in THIS process: only the remaining shards run
+    r2 = cp.run_extract_link_checkpointed(
+        shards_dir, kill_ckpt, index, max_concurrent_shards=1
+    )
+    assert sorted(r2["skipped"]) == sorted(done_after_kill)
+    assert len(r2["ran"]) == 4
+
+    a = cp.load_checkpointed(clean_ckpt).to_pandas()
+    b = cp.load_checkpointed(kill_ckpt).to_pandas()
+    key = sorted(a.columns)
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
