@@ -11066,12 +11066,15 @@ def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
         ),
     }
     # The driver's per-round correctness sweep covers the FIRST 50 registry
-    # entries; with 81 queries, ordering decides which ride on the committed
-    # full-sweep artifact (CORRECTNESS_full_r*.json, from
-    # `tools/check_queries.py --json`) instead of a fresh driver row. The
-    # round-4 additions and the family that was driver-uncovered in round 3
-    # rotate to the front; the entries pushed past position 50 all hold
-    # green round-3 driver rows under unchanged code paths.
+    # entries; ordering decides which get a fresh driver row vs riding the
+    # committed full-sweep artifact (CORRECTNESS_full_r*.json, regenerated
+    # with `tools/check_queries.py --json` whenever the registry grows —
+    # round 5 re-ran it THREE times, final state 305 queries / 0 fail, plus
+    # the sf0.1 heavy-subset artifact). Round-5 additions (the reader/
+    # parser family, the YAML-config extractor, S7 cache-or-fetch, J7
+    # routing, tokenizer fertility) rotate to the front; everything pushed
+    # past position 50 holds a green row in the final full sweep on
+    # identical code.
     first = [
         "paper_table_extract",
         "eggnog_tsv_probe",
